@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized via a count over the result (no driver-side
+collect of payload). Value = total wall-clock across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_data_processor_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, heaviest shapes included.
+HEADLINE = [
+    "q_flagship_q3",
+    "q_agg_group",
+    "q_join_star",
+    "q_win_rank",
+    "q_win_running",
+    "q_topk",
+    "q_dedup",
+    "q_project_compute",
+    "q_date_trunc",
+    "q_json_extract",
+]
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    queries = entry_mod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # include any additional heavy north-star queries when present
+    for n in sorted(queries):
+        if n not in names and re.match(r"q_(dedup_|cosine|text_|minhash|simhash)", n):
+            names.append(n)
+
+    # warm the JVM + file metadata cache once (not counted)
+    queries["q_scan"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = queries[name](spark, SF_DIR)
+        df.agg({"*": "count"}).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

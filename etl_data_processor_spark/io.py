@@ -1,0 +1,108 @@
+"""Batch sources and sinks + a tiny table catalog over a fixture directory.
+
+The reference reads HTML pages and writes one CSV (SURVEY.md A1, A17,
+main.py:44-61, 329-331). The engine generalizes to the standard columnar
+formats; parquet is the primary format because scans get predicate pushdown,
+column pruning, and min/max row-group skipping for free.
+
+At 100 TB the scan IS the query cost: every reader here goes through
+``spark.read`` so Catalyst can prune columns and push filters into the
+source — never materialize-then-filter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    """CSV source; permissive by default (reference skips malformed records
+    rather than failing the run — main.py:98-103)."""
+    opts = {"header": "true", "mode": "PERMISSIVE", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
+    opts = {"mode": "PERMISSIVE", **options}
+    reader = spark.read.options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink with header (reference A17, main.py:329-331; the utf-8-sig BOM
+    there is a pandas artifact and intentionally dropped)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+class Catalog:
+    """Lazy table access over a directory of ``<name>.parquet`` files.
+
+    ``cat.lineitem`` / ``cat.table("lineitem")`` return DataFrames straight
+    off ``spark.read.parquet`` so all scans stay prunable. No caching by
+    default: at 100 TB you want the pushed-down scan, not a pinned copy.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+        # read it as raw nanos and rebuild a (µs-truncated) timestamp below —
+        # identical to how DuckDB/Arrow surface the same file at µs precision.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+
+    def table(self, name: str) -> DataFrame:
+        df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_temp_views(self) -> None:
+        """Register every fixture table as a temp view for spark.sql()."""
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)

@@ -1,0 +1,123 @@
+"""Relational core: filters, joins, aggregates, windows, set ops, sort/top-k.
+
+Everything here is a thin, tested composition of DataFrame primitives —
+Catalyst owns optimization (pushdown, join selection, partial aggregation,
+TakeOrderedAndProject). The reference's relational behaviors are cited
+per-operator (SURVEY.md §2 Part A); the rest is the B-series engine surface.
+
+Scale posture (100 TB):
+- joins against small dims go through ``broadcast_join`` (map-side, no shuffle);
+- big-big joins rely on AQE skew splitting (enabled in session.py);
+- aggregates are plain ``groupBy`` so Spark plans partial+final hash agg;
+- top-k uses ``orderBy().limit(k)`` which Spark plans as TakeOrderedAndProject
+  (per-partition heap + driver merge — never a global sort).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- filters
+
+def filter_isin(df: DataFrame, column: str, values: Sequence) -> DataFrame:
+    """IN-list filter — reference A12 ``filter_approved_decisions``
+    (main.py:258-260): keep rows whose status is in the approved set."""
+    return df.filter(F.col(column).isin(list(values)))
+
+
+def filter_range(df: DataFrame, column: str, lo, hi) -> DataFrame:
+    """BETWEEN filter (inclusive both ends, SQL semantics)."""
+    return df.filter(F.col(column).between(lo, hi))
+
+
+# ---------------------------------------------------------------- joins
+
+def broadcast_join(fact: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Map-side join of a fact table against a small dimension.
+
+    The reference's Danish month-name map (main.py:29-42, used at
+    main.py:217-232) is morally this: a tiny lookup table replicated to every
+    task. At 100 TB this is the difference between zero shuffle and a
+    full-fact-table exchange.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def left_join_with_defaults(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    defaults: dict[str, Column],
+) -> DataFrame:
+    """Left join + default-on-miss — reference A15 (main.py:288-303):
+    LLM results merged back by key; a missing match falls back to
+    ``(raw_text, "")`` instead of null. ``defaults`` maps right-side column
+    name -> fallback expression applied via coalesce."""
+    joined = left.join(right, on, "left")
+    for col_name, fallback in defaults.items():
+        joined = joined.withColumn(col_name, F.coalesce(F.col(col_name), fallback))
+    return joined
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    return left.join(right, on, "left_anti")
+
+
+# ---------------------------------------------------------------- dedup
+
+def distinct_on(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup — reference A13 (main.py:264-285) collects distinct
+    ``raw_drug_text`` before the expensive LLM call. ``dropDuplicates`` keeps
+    an arbitrary row per key; pure ``distinct()`` when subset is None."""
+    if subset is None:
+        return df.distinct()
+    return df.dropDuplicates(list(subset))
+
+
+def dedup_keep_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under an explicit
+    ordering (row_number window). Unlike dropDuplicates this is reproducible
+    across partitionings — required for oracle-checkable results."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------- top-k
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-K — Spark plans TakeOrderedAndProject (per-partition heaps, no
+    global sort). Mirrors the reference's early-stop/limit semantics (A18,
+    main.py:348-349)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Top-K within each group via row_number window — the scalable idiom for
+    per-group limits (single shuffle on the group key)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+# ---------------------------------------------------------------- counts
+
+def counted(df: DataFrame) -> DataFrame:
+    """Row count as a 1-row DataFrame (reference A21 logs len(); main.py:353-355).
+    Kept as a DataFrame (not .count()) so it composes and stays distributed."""
+    return df.agg(F.count(F.lit(1)).alias("n"))

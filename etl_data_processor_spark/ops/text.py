@@ -1,0 +1,98 @@
+"""Text analysis operators for training-data pipelines (north star B31).
+
+All tokenization/scoring is pure Column expressions (split/explode/length/
+regexp) so it scales linearly with zero Python boundary. Heuristic language
+ID and quality scoring follow the standard public recipes (stopword hit-rate,
+length/punctuation ratios) — the kind of cheap pre-filters an LLM data
+pipeline runs over 100 TB before anything expensive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for heuristic language ID. Deliberately
+# small: the point is the Spark shape (literal arrays + overlap scoring),
+# not lexicon quality.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "les", "des", "que"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization into array<string>; empties removed."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count — cheap `wc -w` style."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count regex word/number/punct chunks, the
+    public rule-of-thumb pre-tokenizer shape (letters runs, digit runs,
+    single punctuation)."""
+    chunks = F.regexp_extract_all(
+        text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return F.size(chunks)
+
+
+def explode_tokens(df: DataFrame, text_col: str = "text", out: str = "token") -> DataFrame:
+    """tokens exploded to one row per token — feeds term counting / TF-IDF."""
+    return df.select("*", F.explode(tokenize(F.col(text_col))).alias(out))
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Global term frequency: explode + groupBy(token). Spark plans
+    partial+final hash agg, so the explosion never materializes globally."""
+    return (
+        explode_tokens(df, text_col)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize very short docs, heavy
+    punctuation, and low alphabetic ratio. Mirrors public LLM-corpus
+    quality-filter recipes (length/punct/alpha ratios)."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-za-zæøåÆØÅ ]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?]", ""))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1))
+    punct_ratio = punct / F.greatest(n, F.lit(1))
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            len_score * alpha_ratio * (F.lit(1.0) - F.lit(4.0) * punct_ratio),
+        ),
+        6,
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: stopword hit-count per language over the token
+    array, argmax wins, NULL when no evidence. Pure expressions (arrays_
+    overlap-style scoring), so it runs in codegen."""
+    toks = tokenize(F.lower(text))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        lit_words = F.array(*[F.lit(w) for w in words])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best.getField("score") > 0, best.getField("lang"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: 64-bit stable hash of normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key at scale."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(normalized)

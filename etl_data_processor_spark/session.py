@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every setting is chosen to also be the
+right default on a 1000-executor cluster:
+
+- AQE on (runtime join demotion, skew-join splitting, partition coalescing).
+- Arrow on for every pandas_udf / mapInPandas boundary (vectorized transfer).
+- Broadcast threshold generous enough that TPC-H-style dims always broadcast.
+- Shuffle partitions sized for the test scale; at cluster scale AQE coalesces
+  and the caller can override via ``extra_conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scan behavior: vectorized reader + pushdown are Spark defaults,
+    # set explicitly so a misconfigured environment can't silently disable them.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.enableVectorizedReader": "true",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "etl-data-processor-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    when no active session exists; on a cluster, submit normally and the
+    configured master wins.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+sf0.01 (or $SPARK_GRAFT_SF_DIR), then compares row count, sorted column
+names, and exact cell values (order-insensitive). Stricter than any sane
+hash: if this passes, a value-hash comparison passes too.
+
+Usage: python scripts/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_data_processor_spark.io import TABLES  # noqa: E402
+from etl_data_processor_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def canon_cell(v):
+    """Canonicalize a cell for engine-independent comparison."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(float(v))
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_cell(r[i]) for i in idx) for r in rows)
+
+
+def main(only: list[str]) -> int:
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = only or sorted(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        status = []
+        if len(srows) != len(drows):
+            status.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            status.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not status:
+            s, d = canon_rows(scols, srows), canon_rows(dcols, drows)
+            if s != d:
+                diffs = [(a, b) for a, b in zip(s, d) if a != b][:3]
+                status.append(f"values differ; first diffs: {diffs}")
+        if status:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    if failures:
+        print("failing:", " ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
