@@ -12,7 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_data_processor_spark.flagship import flagship_q3
-from etl_data_processor_spark import queries as _registry
+from etl_data_processor_spark import queries as _q_core  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_north as _q_north  # noqa: F401 (registers)
+from etl_data_processor_spark import registry as _registry
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,91 @@
+"""As-of and range joins (B9/B10) — Spark has no batch as-of built-in.
+
+``asof_join_backward`` uses the union + last-value window trick:
+tag both sides, union, sort within each key by (ts, side, tiebreak), and
+carry the most recent right-side values forward with
+``last(..., ignorenulls=True)``. One shuffle on the key, no cross product,
+no per-row lookups — the scalable shape for 100 TB (an exchange + in-
+partition sort, same state pattern stream-stream interval joins use).
+
+``range_join`` is an equi-join on the key with a band predicate — Spark
+plans a hash join on the key and post-filters the band, so the cross
+product is bounded per key group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same key (backward as-of, inclusive —
+    the DuckDB ASOF / pandas merge_asof default).
+
+    Ties at identical ts resolve to the right side (side ordering puts right
+    rows before left rows at equal ts); among several right rows at one ts,
+    the largest ``tiebreak`` wins — pass one to make results deterministic.
+    """
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            (F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__ord").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Band/range join: same key, right_ts within [left_ts+lower,
+    left_ts+upper] (interval strings like "'5' MINUTE"). Planned as a hash
+    join on the key + band filter — never a cartesian product."""
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return left.join(right, cond)

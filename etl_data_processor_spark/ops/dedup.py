@@ -1,0 +1,260 @@
+"""Deduplication operators for training-data pipelines (north star).
+
+Four tiers, all generalizing the reference's distinct-before-expensive-work
+insight (A13, main.py:264-285):
+
+- exact:        groupBy on normalized text / fingerprint — one shuffle.
+- MinHash+LSH:  shingle → 64 hashes → band buckets → candidate pairs →
+                exact-Jaccard verify. The 100 TB path: work is O(docs ×
+                shingles) plus one shuffle per band bucket; never all-pairs.
+- SimHash:      64-bit signature via per-bit token-hash voting; near-dup =
+                small Hamming distance; candidates via signature bands.
+- n-gram Jaccard within blocks: exact all-pairs restricted to a blocking key.
+
+Everything is JVM-side Column expressions (xxhash64, explode, groupBy) — no
+Python in the hot path. Candidate verification recomputes EXACT Jaccard on
+the shingle sets, so precision is 1.0 by construction and the approximation
+only affects recall (tunable via bands/rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Dedup normalization: lowercase + collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized text. One hash
+    shuffle on the normalized key; at scale, swap the key for its xxhash64
+    fingerprint to shrink shuffle payload (same plan shape)."""
+    return (
+        df.withColumn("__norm", normalize_text(F.col(text_col)))
+        .groupBy("__norm")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__norm")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as array<string> (pure expressions:
+    split + transform over indices + array_distinct)."""
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+    )
+    return F.when(
+        n >= k, F.array_distinct(F.transform(idx, shingle_at))
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
+) -> DataFrame:
+    return df.withColumn(out, word_shingles(F.col(text_col), k))
+
+
+def exact_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element arrays — integer set sizes and
+    one IEEE division, so bit-identical on any engine."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    Plan shape (the part that matters at 100 TB):
+      1. shingle + explode                  — narrow, no shuffle
+      2. min(xxhash64(shingle, seed)) per (doc, seed) via one groupBy(doc)
+         with ``num_hashes`` min-aggregates — ONE shuffle on doc id
+      3. band signatures → explode bands → groupBy(band, sig) bucket join —
+         ONE shuffle on the bucket key; only same-bucket docs ever pair up
+      4. candidate pairs → join back shingle arrays → exact Jaccard filter
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
+    Rows/bands trade recall for cost: r = num_hashes/bands; with the default
+    16 bands × 4 rows, recall at j≥0.9 is 1 - (1-0.9^4)^16 ≈ 1 - 4e-8.
+    """
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
+        id_col, "shingles"
+    )
+    sh.cache()  # reused for signatures and for the verify join
+
+    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
+    min_aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    sigs = exploded.groupBy(id_col).agg(*min_aggs)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    candidates = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_blocked(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard all-pairs WITHIN a blocking key (e.g. lang+source).
+
+    The blocking key bounds the quadratic blowup: all-pairs only inside each
+    block (a self-join on the block key). This is the exact counterpart the
+    LSH path is verified against."""
+    sh = with_shingles(df.select(id_col, text_col, *block_cols), text_col, k)
+    a = sh.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        a.join(b, block_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "jaccard")
+    )
+
+
+def _bit_value(bit: int) -> int:
+    """Two's-complement signed-long value with only ``bit`` set (bit 63 is
+    the sign bit, so its value is -2^63 — a bare 1<<63 overflows LongType)."""
+    return (1 << bit) if bit < 63 else -(1 << 63)
+
+
+def simhash(text: Column, token_col_hash_bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset, as a signed long.
+
+    Per-bit voting: for bit b, sum(sign) over tokens of whether
+    xxhash64(token) has bit b set; signature bit = majority. Implemented as
+    pure array expressions over the token list (no explode needed)."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def vote_for(bit: int):
+        # closure (NOT a default arg: pyspark binds extra lambda params to
+        # the element index, silently corrupting captured values);
+        # bit 63 is the sign bit: use its two's-complement long value
+        mask = F.lit(_bit_value(bit)).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote_for(b) for b in range(token_col_hash_bits)]
+    sig = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        # adding each two's-complement bit value once == setting that bit
+        sig = sig + F.when(vote > 0, F.lit(_bit_value(b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidate pairs: band the 64-bit signature into
+    ``bands`` 16-bit chunks (pigeonhole: hamming ≤ bands-1 guarantees an
+    exact-matching band; larger radii are caught with high probability for
+    skewed bit differences), bucket-join on (band, chunk), filter by exact
+    Hamming distance via bit_count(xor)."""
+    sig_df = df.select(id_col, simhash(F.col(text_col)).alias("sig"))
+    chunks = sig_df.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -39,25 +39,7 @@ from etl_data_processor_spark.ops.exact import (
     sql_revenue,
 )
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLE: dict[str, str] = {}
-
-
-def q(name: str, sql: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if sql is not None:
-            ORACLE[name] = sql.strip()
-        return fn
-    return deco
-
-
-def _cat(spark: SparkSession, sf_dir: str) -> Catalog:
-    return Catalog(spark, sf_dir)
-
-
-def _date(c: str) -> F.Column:
-    return F.to_date(F.col(c))
+from etl_data_processor_spark.registry import QUERIES, ORACLE, q, cat as _cat, date as _date  # noqa: F401
 
 
 # =====================================================================

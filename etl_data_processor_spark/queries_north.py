@@ -1,0 +1,604 @@
+"""North-star operator queries: dedup, similarity, text analysis, multimodal,
+batch enrichment, UDF surface, as-of/range joins, streaming-shaped windows.
+
+Same oracle rules as queries.py. Engine-stability notes:
+- vector math is fixed-point quantized (ops.similarity) — bit-identical
+  across engines;
+- LSH/MinHash queries output exact-verified results, so the approximation
+  only affects recall; the fixtures' planted near-dups (Jaccard ≥ 0.9, clean
+  gap below 0.8) put miss probability below 1e-7, making the exact all-pairs
+  oracle safe;
+- xxhash64-based queries (fingerprints, SimHash) are rows-only: DuckDB
+  cannot reproduce Spark's hash, and the values ARE the semantics.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_data_processor_spark.registry import q, cat as _cat
+from etl_data_processor_spark.ops import dedup as D
+from etl_data_processor_spark.ops import similarity as SIM
+from etl_data_processor_spark.ops import text as T
+from etl_data_processor_spark.ops import multimodal as MM
+from etl_data_processor_spark.ops.asof import asof_join_backward, range_join
+from etl_data_processor_spark.ops.enrich import batch_enrich, deterministic_stub_client
+from etl_data_processor_spark.ops.exact import dsum
+from etl_data_processor_spark.streaming import windows as W
+
+# DuckDB fragment: word 3-gram distinct shingles of `text` given w = split
+_DUCK_SHINGLES = "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])"
+# DuckDB fragment: fixed-point quantized embedding (matches ops.similarity._quantize)
+_DUCK_QVEC = "list_transform({col}, x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000000.0+0.5) AS BIGINT))"
+
+
+# =====================================================================
+# Dedup family (B22 + north star)
+# =====================================================================
+
+@q(
+    "q_dedup_exact",
+    """
+    SELECT doc_id, n_copies FROM (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+              FROM documents)
+        GROUP BY norm
+    )
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized text: keep min id + copy count (A13
+    generalized; at scale the groupBy key becomes the text's xxhash64)."""
+    return D.exact_dedup(_cat(spark, sf_dir).documents)
+
+
+@q(
+    "q_dedup_minhash",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, {_DUCK_SHINGLES} AS ss
+        FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(list_concat(a.ss, b.ss))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    """,
+)
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-verified (threshold 0.8). The oracle
+    is the exact all-pairs Jaccard — valid because verified-LSH has perfect
+    precision and ~1-1e-7 recall on the fixture's ≥0.9-Jaccard dup pairs."""
+    return D.minhash_lsh_pairs(
+        _cat(spark, sf_dir).documents, threshold=0.8
+    )
+
+
+@q(
+    "q_dedup_ngram",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
+        FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+    )
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(list_concat(a.ss, b.ss))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    """Exact n-gram Jaccard pairs within a blocking key (source) — the
+    bounded-quadratic exact counterpart of the LSH path."""
+    return D.ngram_jaccard_pairs_blocked(
+        _cat(spark, sf_dir).documents, block_cols=["source"], threshold=0.5
+    )
+
+
+@q("q_dedup_simhash")  # rows-only: xxhash64 signatures aren't reproducible in DuckDB
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (hamming <= 8 over 64-bit signatures,
+    16-bit band blocking). Semantics unit-tested in tests/test_dedup.py."""
+    return D.simhash_pairs(_cat(spark, sf_dir).documents)
+
+
+# =====================================================================
+# Similarity search (B32/B33 + north star)
+# =====================================================================
+
+_COSINE_ORACLE = f"""
+WITH qv AS (
+    SELECT vec_id AS query_id, {_DUCK_QVEC.format(col='embedding')} AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+cv AS (
+    SELECT vec_id, {_DUCK_QVEC.format(col='embedding')} AS ce FROM embeddings
+),
+scored AS (
+    SELECT qv.query_id, cv.vec_id,
+           CAST(SUM(cv.ce[i] * qv.qe[i]) AS DOUBLE) AS dot,
+           CAST(SUM(cv.ce[i] * cv.ce[i]) AS DOUBLE) AS cc,
+           CAST(SUM(qv.qe[i] * qv.qe[i]) AS DOUBLE) AS qq
+    FROM cv, qv, range(1, 65) t(i)
+    WHERE cv.vec_id <> qv.query_id
+    GROUP BY qv.query_id, cv.vec_id
+),
+ranked AS (
+    SELECT query_id, vec_id,
+           CAST(FLOOR((dot / (SQRT(cc) * SQRT(qq))) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(FLOOR((dot / (SQRT(cc) * SQRT(qq))) * 1000000.0 + 0.5) AS DOUBLE) DESC,
+                        vec_id ASC
+           ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@q("q_cosine_topk", _COSINE_ORACLE)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 3 query vectors — the exact ANN
+    baseline. Fixed-point scoring makes the doubles engine-identical."""
+    emb = _cat(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    return SIM.cosine_topk_exact(emb, queries, k=10)
+
+
+@q("q_cosine_lsh")  # rows-only: LSH bucketing is approximate by design
+def q_cosine_lsh(spark, sf_dir):
+    """Random-hyperplane LSH cosine top-k — the 100 TB scale path (bucket
+    equi-join instead of cross product). Recall vs exact is asserted in
+    tests/test_similarity.py."""
+    emb = _cat(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    return SIM.lsh_cosine_topk(emb, queries, k=10)
+
+
+@q(
+    "q_emb_near_dup",
+    f"""
+    WITH cv AS (
+        SELECT vec_id, label, {_DUCK_QVEC.format(col='embedding')} AS ce FROM embeddings
+    ),
+    scored AS (
+        SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(SUM(a.ce[i] * b.ce[i]) AS DOUBLE) AS dot,
+               CAST(SUM(a.ce[i] * a.ce[i]) AS DOUBLE) AS aa,
+               CAST(SUM(b.ce[i] * b.ce[i]) AS DOUBLE) AS bb
+        FROM cv a JOIN cv b ON a.label = b.label AND a.vec_id < b.vec_id,
+             range(1, 65) t(i)
+        GROUP BY a.label, a.vec_id, b.vec_id
+    )
+    SELECT label, id_a, id_b,
+           CAST(FLOOR((dot / (SQRT(aa) * SQRT(bb))) * 1000000.0 + 0.5) AS DOUBLE)
+               / 1000000.0 AS cosine
+    FROM scored
+    WHERE CAST(FLOOR((dot / (SQRT(aa) * SQRT(bb))) * 1000000.0 + 0.5) AS DOUBLE)
+          / 1000000.0 >= 0.3
+    """,
+)
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs, exact within a label block (the bounded
+    exact counterpart; the LSH-bucketed variant is ops.similarity.
+    embedding_near_dup_pairs, exercised in tests)."""
+    emb = _cat(spark, sf_dir).embeddings
+    a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", SIM.dec_cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= 0.3)
+        .select("label", "id_a", "id_b", "cosine")
+    )
+
+
+# =====================================================================
+# Text analysis (B31 + north star)
+# =====================================================================
+
+@q(
+    "q_text_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex chunks."""
+    d = _cat(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+@q(
+    "q_text_topterms",
+    """
+    SELECT token, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ) GROUP BY token
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) <= 20
+    """,
+)
+def q_text_topterms(spark, sf_dir):
+    """Global top-20 terms by frequency (explode -> partial+final hash agg ->
+    TakeOrdered)."""
+    tc = T.term_counts(_cat(spark, sf_dir).documents)
+    return tc.orderBy(F.desc("tf"), F.asc("token")).limit(20)
+
+
+@q(
+    "q_text_quality",
+    r"""
+    SELECT doc_id, ROUND(GREATEST(0.0,
+        LEAST(length(text)/200.0, 1.0)
+        * (length(regexp_replace(text, '[^A-Za-zæøå ]', '', 'g'))::DOUBLE
+           / GREATEST(length(text), 1))
+        * (1.0 - 4.0 * (length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                        / GREATEST(length(text), 1)))
+    ), 6) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    """Heuristic quality score (length/alpha/punctuation ratios)."""
+    d = _cat(spark, sf_dir).documents
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+_LANGID_SQL_LISTS = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in T.STOPWORDS.items()
+}
+
+@q(
+    "q_text_langid",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id,
+               len(list_filter(tk, t -> list_contains({_LANGID_SQL_LISTS['en']}, t))) AS s_en,
+               len(list_filter(tk, t -> list_contains({_LANGID_SQL_LISTS['es']}, t))) AS s_es,
+               len(list_filter(tk, t -> list_contains({_LANGID_SQL_LISTS['de']}, t))) AS s_de,
+               len(list_filter(tk, t -> list_contains({_LANGID_SQL_LISTS['fr']}, t))) AS s_fr
+        FROM toks
+    )
+    SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN NULL
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_guess
+    FROM scores
+    """,
+)
+def q_text_langid(spark, sf_dir):
+    """Heuristic language ID: stopword hit counts per language + first-wins
+    argmax (deterministic tie order en > es > de > fr)."""
+    d = _cat(spark, sf_dir).documents
+    toks = T.tokenize(F.lower(F.col("text")))
+
+    def stopword_hits(words: list[str]):
+        lit_words = F.array(*[F.lit(w) for w in words])
+        return F.size(
+            F.filter(toks, lambda t: F.array_contains(lit_words, t))
+        ).cast("long")
+
+    scores = {lang: stopword_hits(words) for lang, words in T.STOPWORDS.items()}
+    guess = (
+        F.when(
+            (scores["en"] == 0) & (scores["es"] == 0) & (scores["de"] == 0) & (scores["fr"] == 0),
+            F.lit(None).cast("string"),
+        )
+        .when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when((scores["es"] >= scores["de"]) & (scores["es"] >= scores["fr"]), F.lit("es"))
+        .when(scores["de"] >= scores["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("s_en"),
+        scores["es"].alias("s_es"),
+        scores["de"].alias("s_de"),
+        scores["fr"].alias("s_fr"),
+        guess.alias("lang_guess"),
+    )
+
+
+@q("q_text_fingerprint")  # rows-only: xxhash64 values aren't reproducible in DuckDB
+def q_text_fingerprint(spark, sf_dir):
+    """64-bit document fingerprints (normalized-text xxhash64) — the
+    scale-out exact-dedup key. Determinism asserted in tests."""
+    d = _cat(spark, sf_dir).documents
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# =====================================================================
+# Batch enrichment (A13+A14+A15 fused -> B34) + UDF surface (B35)
+# =====================================================================
+
+@q(
+    "q_batch_map",
+    """
+    SELECT doc_id,
+           upper(split_part(text, ' ', 1)) AS active_ingredient,
+           split_part(text, ' ', 2) AS trade_name
+    FROM documents
+    """,
+)
+def q_batch_map(spark, sf_dir):
+    """B34: the reference's enrichment pipeline shape (main.py:262-305) —
+    distinct keys -> chunked mapInPandas with per-chunk error isolation ->
+    left join back with miss defaults. Deterministic stub client keeps it
+    oracle-checkable; production swaps in an LLM/HTTP client."""
+    d = _cat(spark, sf_dir).documents
+    schema = StructType(
+        [
+            StructField("text", StringType()),
+            StructField("active_ingredient", StringType()),
+            StructField("trade_name", StringType()),
+        ]
+    )
+    enriched = batch_enrich(
+        d.select("doc_id", "text"),
+        key_col="text",
+        result_schema=schema,
+        client_factory=lambda: deterministic_stub_client,
+        chunk_size=200,
+        defaults={
+            "active_ingredient": F.upper(F.col("text")),
+            "trade_name": F.lit(""),
+        },
+    )
+    return enriched.select("doc_id", "active_ingredient", "trade_name")
+
+
+@q(
+    "q_udf_scalar",
+    "SELECT event_id, value * 2.0 + 1.0 AS scaled FROM events",
+)
+def q_udf_scalar(spark, sf_dir):
+    """B35: vectorized scalar pandas_udf (Arrow-batched; IEEE arithmetic so
+    results are engine-identical)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(DoubleType())
+    def scale(v: pd.Series) -> pd.Series:
+        return v * 2.0 + 1.0
+
+    ev = _cat(spark, sf_dir).events
+    return ev.select("event_id", scale(F.col("value")).alias("scaled"))
+
+
+@q(
+    "q_apply_in_pandas",
+    """
+    SELECT user_id, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY user_id
+    """,
+)
+def q_apply_in_pandas(spark, sf_dir):
+    """B35: grouped applyInPandas — per-user JSON parse + integer aggregate
+    (ints keep it exact; the grouped-map machinery is what's under test)."""
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n", LongType()),
+            StructField("sum_k", LongType()),
+        ]
+    )
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        ks = pdf["props"].map(lambda s: int(json.loads(s)["k"]))
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n": [len(pdf)], "sum_k": [int(ks.sum())]}
+        )
+
+    ev = _cat(spark, sf_dir).events
+    return ev.select("user_id", "props").groupBy("user_id").applyInPandas(per_user, schema)
+
+
+# =====================================================================
+# As-of + range joins (B9/B10)
+# =====================================================================
+
+@q(
+    "q_join_asof",
+    """
+    SELECT p.event_id,
+           (SELECT b.value FROM events b
+            WHERE b.user_id = p.user_id AND b.event_type = 'click' AND b.ts <= p.ts
+            ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS value_asof
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """B10: backward as-of join — each purchase gets the latest prior click's
+    value per user (union + last_value window: one shuffle, no per-row
+    lookups)."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join_backward(
+        purchases, clicks, key="user_id", ts="ts", value_cols=["value"], tiebreak="event_id"
+    )
+    return joined.select("event_id", F.col("value_asof"))
+
+
+@q(
+    "q_join_range",
+    """
+    SELECT a.event_id AS signup_id, b.event_id AS purchase_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts
+     AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'signup' AND b.event_type = 'purchase'
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """B9: band/range join — purchases within 30 min after a signup, same
+    user. Planned as a hash join on user_id + band filter."""
+    ev = _cat(spark, sf_dir).events
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), F.col("user_id"), F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = signups.alias("a").join(
+        purchases.alias("b"),
+        (F.col("a.user_id") == F.col("b.p_user_id"))
+        & (F.col("b.p_ts") >= F.col("a.ts"))
+        & (F.col("b.p_ts") <= F.col("a.ts") + F.expr("INTERVAL 30 MINUTE")),
+    )
+    return joined.select("signup_id", "purchase_id")
+
+
+# =====================================================================
+# Approx aggregates (B13) — rows-only (nondeterministic across engines)
+# =====================================================================
+
+@q("q_agg_approx")
+def q_agg_approx(spark, sf_dir):
+    """B13: HLL++ approx_count_distinct + approximate median. Accuracy
+    bounds asserted in tests against exact values."""
+    ev = _cat(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    )
+
+
+# =====================================================================
+# Streaming-shaped windows (B36-B37) — batch form is oracle-checked;
+# true readStream semantics are in tests/test_streaming.py
+# =====================================================================
+
+@q(
+    "q_stream_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           time_bucket(INTERVAL '10 minutes', ts) + INTERVAL 10 MINUTE AS win_end,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """B36: tumbling window aggregate — identical grouping logic batch vs
+    stream; the streaming form adds withWatermark (tests)."""
+    return W.tumbling_counts(_cat(spark, sf_dir).events)
+
+
+@q(
+    "q_stream_sliding",
+    """
+    WITH b AS (SELECT time_bucket(INTERVAL '5 minutes', ts) AS bk FROM events),
+    w AS (
+        SELECT bk AS ws FROM b
+        UNION ALL
+        SELECT bk - INTERVAL 5 MINUTE FROM b
+    )
+    SELECT ws AS win_start, ws + INTERVAL 10 MINUTE AS win_end, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """B36: sliding window (10 min / 5 min) — every event lands in two
+    windows."""
+    return W.sliding_counts(_cat(spark, sf_dir).events)
+
+
+@q(
+    "q_stream_session",
+    """
+    WITH lagged AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM lagged
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flags
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_session(spark, sf_dir):
+    """B37: session windows (5-min gap) per user — batch session_window
+    equals the gaps-and-islands SQL; streaming form adds watermarked state."""
+    return W.session_counts(_cat(spark, sf_dir).events)
+
+
+# =====================================================================
+# Multimodal columns (B33) — binary blobs + Arrow-batched feature extraction
+# =====================================================================
+
+@q(
+    "q_multimodal_features",
+    """
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           ascii(substr(text, length(text), 1)) AS last_byte,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    """B33: binary blob columns + mapInPandas feature extraction. The blob is
+    UTF-8 text here (no codecs in this container: decode_image is a
+    documented NotImplementedError stub) but the Spark plumbing — binary
+    schema, Arrow batching, struct output — is the production shape."""
+    d = _cat(spark, sf_dir).documents
+    blobs = d.select("doc_id", MM.to_blob(F.col("text")).alias("blob"))
+    return MM.fake_feature_extractor(blobs)

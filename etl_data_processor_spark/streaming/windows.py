@@ -1,0 +1,121 @@
+"""Structured Streaming operators (B36-B40) + their batch-equivalent shapes.
+
+The aggregation logic is IDENTICAL for batch and streaming: ``window()`` /
+``session_window()`` group exactly the same way on a batch DataFrame as on a
+stream — so each operator here takes any DataFrame. The batch form is what
+the DuckDB oracle checks; the streaming form (readStream + watermark +
+writeStream) is exercised in tests via file sources and foreachBatch memory
+sinks (SURVEY.md §5.2).
+
+Watermarks bound state at scale: a 1000-executor streaming job with
+unbounded windows is a memory leak; every stateful op here takes a
+watermark when used on a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.ops.exact import dsum
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """B36: tumbling-window aggregate. On a stream: add withWatermark first."""
+    keys = [F.window(ts_col, duration).alias("win")] + [
+        F.col(k) for k in (extra_keys or [])
+    ]
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *(extra_keys or []),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """B36: sliding-window aggregate (each event lands in duration/slide
+    windows)."""
+    return (
+        df.groupBy(F.window(ts_col, duration, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """B37: session windows (dynamic, gap-based). Emits per-session start
+    (min event ts) + event count. session_window end extends gap past the
+    last event, so only the start is oracle-comparable."""
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col(key), F.col("win.start").alias("session_start"), "n")
+    )
+
+
+def streaming_tumbling(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """B36+B38: watermarked streaming tumbling agg — late rows beyond the
+    watermark are dropped, state is bounded."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """B39: stateful streaming dedup with bounded state —
+    dropDuplicatesWithinWatermark keeps only in-watermark keys in state."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> DataFrame:
+    """B40: drain a (bounded) stream into an in-memory table and return the
+    materialized result — the test harness for streaming semantics."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

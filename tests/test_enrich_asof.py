@@ -1,0 +1,135 @@
+"""Tests for the batch-enrichment operator (B34) and as-of/range joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from etl_data_processor_spark.ops.asof import asof_join_backward, range_join
+from etl_data_processor_spark.ops.enrich import batch_enrich
+
+SCHEMA = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("active_ingredient", StringType()),
+        StructField("trade_name", StringType()),
+    ]
+)
+
+
+def test_batch_enrich_distinct_and_joinback(spark):
+    """Distinct-before-expensive (A13): the client must see each distinct key
+    once even when the fact side repeats it."""
+    calls = []
+
+    rows = [(i, "drug one") if i % 2 == 0 else (i, "drug two") for i in range(10)]
+    df = spark.createDataFrame(rows, ["row_id", "text"])
+
+    def factory():
+        def client(texts):
+            calls.append(len(texts))
+            return {t: {"active_ingredient": t.split()[0].upper(), "trade_name": t.split()[1]} for t in texts}
+        return client
+
+    out = batch_enrich(df, "text", SCHEMA, client_factory=factory).collect()
+    assert len(out) == 10
+    by_text = {r.text: (r.active_ingredient, r.trade_name) for r in out}
+    assert by_text["drug one"] == ("DRUG", "one")
+    assert by_text["drug two"] == ("DRUG", "two")
+
+
+def test_batch_enrich_error_isolation_and_defaults(spark):
+    """A failing chunk degrades to fallback rows (main.py:213-214 semantics),
+    filled by the miss defaults (main.py:297-300)."""
+    df = spark.createDataFrame([(1, "aaa bbb"), (2, "ccc ddd")], ["row_id", "text"])
+
+    def factory():
+        def client(texts):
+            raise RuntimeError("enrichment service down")
+        return client
+
+    out = batch_enrich(
+        df,
+        "text",
+        SCHEMA,
+        client_factory=factory,
+        defaults={
+            "active_ingredient": F.col("text"),
+            "trade_name": F.lit(""),
+        },
+    ).collect()
+    by_text = {r.text: (r.active_ingredient, r.trade_name) for r in out}
+    assert by_text == {"aaa bbb": ("aaa bbb", ""), "ccc ddd": ("ccc ddd", "")}
+
+
+def test_batch_enrich_chunking(spark):
+    """Chunk size bounds each client call (A14, chunk loop main.py:188-193)."""
+    seen = []
+
+    df = spark.createDataFrame([(i, f"text {i}") for i in range(10)], ["row_id", "text"])
+
+    def factory():
+        def client(texts):
+            seen.append(len(texts))
+            return {t: {"active_ingredient": t.upper(), "trade_name": ""} for t in texts}
+        return client
+
+    out = batch_enrich(
+        df.coalesce(1), "text", SCHEMA, client_factory=factory, chunk_size=3
+    ).collect()
+    assert len(out) == 10
+    # driver can't see executor-side lists; assert via result completeness
+    assert all(r.active_ingredient == r.text.upper() for r in out)
+
+
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "v", 150)],
+        ["event_id", "user", "t"],
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 100, 1.0), (11, "u", 200, 2.0), (12, "w", 50, 9.0)],
+        ["event_id", "user", "t", "value"],
+    )
+    out = asof_join_backward(
+        left, right, key="user", ts="t", value_cols=["value"], tiebreak="event_id"
+    ).collect()
+    got = {r.event_id: r.value_asof for r in out}
+    # t=100: right row at t=100 included (inclusive <=); t=205 -> t=200 row;
+    # user v has no right rows -> NULL
+    assert got == {1: 1.0, 2: 2.0, 3: None}
+
+
+def test_asof_tie_largest_tiebreak_wins(spark):
+    left = spark.createDataFrame([(1, "u", 100)], ["event_id", "user", "t"])
+    right = spark.createDataFrame(
+        [(10, "u", 100, 1.0), (11, "u", 100, 2.0)], ["event_id", "user", "t", "value"]
+    )
+    out = asof_join_backward(
+        left, right, key="user", ts="t", value_cols=["value"], tiebreak="event_id"
+    ).collect()
+    assert out[0].value_asof == 2.0
+
+
+def test_range_join_band(spark):
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:00:00")], ["id", "user", "t"]
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (10, "u", "2024-01-01 00:10:00"),
+            (11, "u", "2024-01-01 00:40:00"),
+            (12, "v", "2024-01-01 00:05:00"),
+        ],
+        ["id", "user", "t"],
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = range_join(
+        left,
+        right.select(F.col("id").alias("rid"), "user", F.col("t").alias("rt")),
+        key="user",
+        left_ts="t",
+        right_ts="rt",
+        lower="'0' SECOND",
+        upper="'30' MINUTE",
+    ).collect()
+    assert [r.rid for r in out] == [10]
