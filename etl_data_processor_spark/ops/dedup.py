@@ -23,6 +23,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the cluster's full parallelism before a
+    CPU-heavy expression stage. Needed because a small parquet input arrives
+    as one partition and AQE's size-based coalescing keeps CPU-bound work
+    serial; an explicit repartition is honored (AQE does not re-coalesce it).
+    At 100 TB inputs are naturally partitioned and this is a cheap no-op
+    round-robin."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def normalize_text(text: Column) -> Column:
     """Dedup normalization: lowercase + collapse whitespace."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
@@ -62,10 +72,47 @@ def with_shingles(
 
 def exact_jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element arrays — integer set sizes and
-    one IEEE division, so bit-identical on any engine."""
+    one IEEE division, so bit-identical on any engine. |A∪B| is derived as
+    |A|+|B|-|A∩B| (half the array-scan cost of a separate array_union)."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return inter.cast("double") / union
+
+
+def _pairwise_intersections(
+    exploded: DataFrame, id_col: str, item_col: str, extra_keys: list[str]
+) -> DataFrame:
+    """Inverted-index pair counting: self-join one-row-per-(id, item) on the
+    item (+ blocking keys), count co-occurrences per id pair.
+
+    THE scalable all-pairs-similarity plan: pairs sharing zero items are
+    never materialized, and the work is one shuffle on the item key + one
+    aggregation on the pair key — no per-pair array scans."""
+    a = exploded.select(
+        *extra_keys, F.col(id_col).alias("id_a"), F.col(item_col).alias("__it")
+    )
+    b = exploded.select(
+        *extra_keys, F.col(id_col).alias("id_b"), F.col(item_col).alias("__it")
+    )
+    return (
+        a.join(b, [*extra_keys, "__it"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(*extra_keys, "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def _affine_params(n: int, p: int, seed: int = 1234567) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for universal hashing, a in [1, p-1]."""
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = 1 + state % (p - 1)
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % p
+        out.append((a, b))
+    return out
 
 
 def minhash_lsh_pairs(
@@ -94,15 +141,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    sh = with_shingles(df.select(id_col, text_col), text_col, k).select(
-        id_col, "shingles"
-    )
+    sh = with_shingles(
+        _parallelize(df.select(id_col, text_col)), text_col, k
+    ).select(id_col, "shingles")
     sh.cache()  # reused for signatures and for the verify join
 
-    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
+    # One base hash per shingle, then universal-hash permutations
+    # h_i = (a_i*h + b_i) mod p (Mersenne prime) — 64 multiply-adds instead
+    # of 64 full string hashes per shingle, all 62-bit-safe under ANSI mode.
+    p = (1 << 31) - 1
+    params = _affine_params(num_hashes, p)
+    exploded = sh.select(id_col, F.explode("shingles").alias("__sh")).select(
+        id_col, F.xxhash64(F.col("__sh")).bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
+    )
     min_aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(seed))).alias(f"h{seed}")
-        for seed in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
     sigs = exploded.groupBy(id_col).agg(*min_aggs)
 
@@ -153,23 +207,43 @@ def ngram_jaccard_pairs_blocked(
     k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact n-gram Jaccard all-pairs WITHIN a blocking key (e.g. lang+source).
+    """Exact n-gram Jaccard pairs WITHIN a blocking key (e.g. lang+source).
 
-    The blocking key bounds the quadratic blowup: all-pairs only inside each
-    block (a self-join on the block key). This is the exact counterpart the
-    LSH path is verified against."""
-    sh = with_shingles(df.select(id_col, text_col, *block_cols), text_col, k)
-    a = sh.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    Plan: inverted index on (block, shingle) — |A∩B| comes from counting
+    co-occurring shingles, |A∪B| = |A|+|B|-|A∩B| from per-doc sizes. Pairs
+    with zero overlap never materialize, and no per-pair array scan happens;
+    at 100 TB this is one exchange on the shingle key + one on the pair key.
+    (Assumes threshold > 0, which any dedup use has.)"""
+    sh = (
+        with_shingles(
+            _parallelize(df.select(id_col, text_col, *block_cols)), text_col, k
+        )
+        .select(*block_cols, id_col, "shingles", F.size("shingles").alias("__n"))
+        .cache()  # three consumers below — compute the shingles once
     )
-    b = sh.select(
-        *block_cols, F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    exploded = sh.select(
+        *block_cols, id_col, "__n", F.explode("shingles").alias("__sh")
     )
+    common = _pairwise_intersections(exploded, id_col, "__sh", list(block_cols))
+    sizes = sh.select(*block_cols, F.col(id_col), F.col("__n"))
+    sa = sizes.select(*block_cols, F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
     return (
-        a.join(b, block_cols)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-        .filter(F.col("jaccard") >= threshold)
+        common.join(sa, [*block_cols, "id_a"])
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("n_common"))
+            >= threshold
+        )
         .select(*block_cols, "id_a", "id_b", "jaccard")
     )
 
@@ -210,6 +284,31 @@ def simhash(text: Column, token_col_hash_bits: int = 64) -> Column:
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash signatures via explode + one 64-sum groupBy — the
+    scalable form of ``simhash`` (single shuffle on the doc id, all bit
+    votes computed in one codegen'd aggregate pass over token hashes)."""
+    toks = _parallelize(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
+    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_bit_value(b))) != 0, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    sig_df = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.lit(_bit_value(b)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sig_df.select(F.col(id_col), sig.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -222,7 +321,7 @@ def simhash_pairs(
     exact-matching band; larger radii are caught with high probability for
     skewed bit differences), bucket-join on (band, chunk), filter by exact
     Hamming distance via bit_count(xor)."""
-    sig_df = df.select(id_col, simhash(F.col(text_col)).alias("sig"))
+    sig_df = simhash_signatures(df, id_col, text_col)
     chunks = sig_df.select(
         id_col,
         "sig",

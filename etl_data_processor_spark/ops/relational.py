@@ -121,3 +121,50 @@ def counted(df: DataFrame) -> DataFrame:
     """Row count as a 1-row DataFrame (reference A21 logs len(); main.py:353-355).
     Kept as a DataFrame (not .count()) so it composes and stays distributed."""
     return df.agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- skew
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the (big, skewed) left side's key into
+    ``salt_buckets`` sub-keys and replicate the right side across all salts.
+
+    AQE's skew-join splitting (on in session.py) handles most skew at
+    runtime; explicit salting is for the pathological hot-key case AQE can't
+    split (e.g. one key holding >50% of rows feeding a hash aggregate).
+    Right-side replication costs salt_buckets× its size — use for modest
+    right sides only.
+    """
+    salted_left = left.withColumn(
+        "__salt", (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    salted_right = right.withColumn("__salt", salts)
+    out = salted_left.join(salted_right, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def partial_then_final_agg(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-level aggregation for a skewed groupBy key: first aggregate on
+    (key, salt) — spreading the hot key over ``salt_buckets`` reducers —
+    then combine the partials per key. Spark already does map-side partial
+    aggregation; this adds a REDUCER-side split for keys whose partials are
+    still too hot (count/sum decompose; avg = sum/count of partials)."""
+    salted = df.withColumn("__salt", (F.xxhash64(F.rand(seed=0)) % salt_buckets))
+    partial = salted.groupBy(key, "__salt").agg(
+        F.count(F.lit(1)).alias("__n"), F.sum(value).alias("__s")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("__n").alias("n"), F.sum("__s").alias(f"sum_{value}")
+    )

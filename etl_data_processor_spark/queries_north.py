@@ -205,10 +205,12 @@ def q_emb_near_dup(spark, sf_dir):
     emb = _cat(spark, sf_dir).embeddings
     a = emb.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select("label", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    # the join key has only ~10 distinct labels -> <=10 busy partitions; fan
+    # the scoring work back out to full parallelism before the vector fold
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
     return (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", SIM.dec_cosine(F.col("ea"), F.col("eb")))
+        pairs.withColumn("cosine", SIM.dec_cosine(F.col("ea"), F.col("eb")))
         .filter(F.col("cosine") >= 0.3)
         .select("label", "id_a", "id_b", "cosine")
     )
@@ -602,3 +604,241 @@ def q_multimodal_features(spark, sf_dir):
     d = _cat(spark, sf_dir).documents
     blobs = d.select("doc_id", MM.to_blob(F.col("text")).alias("blob"))
     return MM.fake_feature_extractor(blobs)
+
+
+# =====================================================================
+# Remaining A-series / B28 coverage
+# =====================================================================
+
+@q(
+    "q_project_rename",
+    """
+    SELECT split_part(text, ' ', 1) AS "Active Ingredient",
+           split_part(text, ' ', 2) AS "Trade Name",
+           NULL AS "ATC Code",
+           strftime(make_date(1995 + CAST(doc_id % 7 AS INTEGER), 1 + CAST(doc_id % 12 AS INTEGER), 1 + CAST(doc_id % 28 AS INTEGER)), '%Y-%m-%d') AS "Decision Date",
+           lang AS "Indication"
+    FROM documents
+    """,
+)
+def q_project_rename(spark, sf_dir):
+    """A16 (main.py:307-327): rename to display names + backfill missing
+    columns as NULL + fixed-order projection — the reference's output-schema
+    imposition, incl. a synthesized YYYY-MM-DD date string (A9 output form)."""
+    d = _cat(spark, sf_dir).documents
+    parts = F.split(F.col("text"), " ", 3)
+    decision_date = F.date_format(
+        F.make_date(
+            (F.lit(1995) + F.col("doc_id") % 7).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 12).cast("int"),
+            (F.lit(1) + F.col("doc_id") % 28).cast("int"),
+        ),
+        "yyyy-MM-dd",
+    )
+    return d.select(
+        parts.getItem(0).alias("Active Ingredient"),
+        parts.getItem(1).alias("Trade Name"),
+        F.lit(None).cast("int").alias("ATC Code"),
+        decision_date.alias("Decision Date"),
+        F.col("lang").alias("Indication"),
+    )
+
+
+@q(
+    "q_limit",
+    """
+    SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 25
+    """,
+)
+def q_limit(spark, sf_dir):
+    """A18 (main.py:348-349): bounded consumption — the reference's
+    early-stop on empty page generalizes to LIMIT (CollectLimit: Spark stops
+    consuming partitions once satisfied)."""
+    ev = _cat(spark, sf_dir).events
+    return ev.select("event_id", "event_type").orderBy("event_id").limit(25)
+
+
+@q(
+    "q_array_explode",
+    """
+    SELECT vec_id, label, embedding[CAST(i AS INTEGER)] AS component,
+           CAST(i - 1 AS BIGINT) AS dim
+    FROM embeddings, range(1, 65) t(i)
+    WHERE vec_id < 50
+    """,
+)
+def q_array_explode(spark, sf_dir):
+    """B28: posexplode over array columns (the unnest shape)."""
+    emb = _cat(spark, sf_dir).embeddings.filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "component")
+    ).select("vec_id", "label", "component", F.col("dim").cast("long").alias("dim"))
+
+
+@q(
+    "q_array_agg",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+           CAST(MAX(len(embedding)) AS BIGINT) AS max_dim,
+           CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE)*10000000.0+0.5) AS BIGINT)) AS BIGINT) AS sum_q_e1
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_array_agg(spark, sf_dir):
+    """B28: array functions inside aggregates — size() and element_at() with
+    the fixed-point quantization (exact cross-engine float handling)."""
+    emb = _cat(spark, sf_dir).embeddings
+    q_e1 = F.floor(
+        F.element_at("embedding", 1).cast("double") * F.lit(10000000.0) + F.lit(0.5)
+    )
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).cast("long").alias("min_dim"),
+        F.max(F.size("embedding")).cast("long").alias("max_dim"),
+        F.sum(q_e1).alias("sum_q_e1"),
+    )
+
+
+@q("q_udtf")  # rows-only: UDTF output is Python-side generated
+def q_udtf(spark, sf_dir):
+    """B35: Spark 4 user-defined table function — explodes each document into
+    (doc_id, token, token_index) rows via a Python UDTF."""
+    from pyspark.sql.functions import udtf, lit
+
+    @udtf(returnType="doc_id: bigint, token: string, token_index: int")
+    class TokenizeUDTF:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split()):
+                yield doc_id, tok, i
+
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 10)
+    rows = d.select("doc_id", "text").collect()
+    # UDTF invocation via lateral join on the DataFrame API
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT t.doc_id, t.token, t.token_index "
+        "FROM __udtf_docs, LATERAL tokenize_udtf(doc_id, text) t"
+    )
+
+
+# =====================================================================
+# Additional relational coverage: pivot, subqueries, SQL passthrough
+# =====================================================================
+
+@q(
+    "q_pivot",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot: status columns per market segment (groupBy().pivot() — Spark
+    plans it as a single aggregate with conditional counts)."""
+    cat = _cat(spark, sf_dir)
+    joined = cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+@q(
+    "q_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(o_totalprice > (SELECT AVG(o_totalprice) FROM orders) AS INTEGER) AS above_avg
+    FROM orders
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: compare each order against the global average
+    (Spark plans an uncorrelated scalar subquery as a broadcast one-row
+    join). Comparison output is int for cross-engine bool stability."""
+    o = _cat(spark, sf_dir).orders
+    o.createOrReplaceTempView("__orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_totalprice > (SELECT AVG(o_totalprice) FROM __orders_ssq) AS INT) AS above_avg
+        FROM __orders_ssq
+        """
+    )
+
+
+@q(
+    "q_exists_subquery",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+    )
+    """,
+)
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS via SQL passthrough (Catalyst rewrites it to a
+    left-semi join — same plan as q_join_semi's DataFrame form)."""
+    cat = _cat(spark, sf_dir)
+    cat.customer.createOrReplaceTempView("__cust_esq")
+    cat.orders.createOrReplaceTempView("__ord_esq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM __cust_esq c
+        WHERE EXISTS (
+            SELECT 1 FROM __ord_esq o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 250000
+        )
+        """
+    )
+
+
+@q(
+    "q_sql_passthrough",
+    f"""
+    SELECT n.n_name,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY n.n_name
+    HAVING COUNT(*) > 10
+    """,
+)
+def q_sql_passthrough(spark, sf_dir):
+    """Full SQL surface: the engine accepts ANSI SQL directly over registered
+    views (Catalog.register_temp_views) — parse/analyze/optimize by Catalyst."""
+    from etl_data_processor_spark.io import Catalog
+
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus <> 'P'
+        GROUP BY n.n_name
+        HAVING COUNT(*) > 10
+        """
+    )

