@@ -902,3 +902,99 @@ from etl_data_processor_spark.flagship import flagship_q3, FLAGSHIP_SQL  # noqa:
 def q_flagship(spark, sf_dir):
     """TPC-H-Q3-shaped flagship: joins + filters + exact grouped revenue + top-k."""
     return flagship_q3(spark, sf_dir)
+
+
+@q(
+    "q_win_dist",
+    """
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pct_rank,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS cume,
+           FIRST_VALUE(c_custkey) OVER w AS first_in_seg,
+           LAST_VALUE(c_custkey) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_in_seg
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_dist(spark, sf_dir):
+    """B16: distribution windows — ntile/percent_rank/cume_dist/first/last
+    (ranks are pure integer ratios; stable floor-rounding keeps the doubles
+    engine-identical)."""
+    from etl_data_processor_spark.ops.similarity import stable_round6
+
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return _cat(spark, sf_dir).customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        stable_round6(F.percent_rank().over(w)).alias("pct_rank"),
+        stable_round6(F.cume_dist().over(w)).alias("cume"),
+        F.first("c_custkey").over(w).alias("first_in_seg"),
+        F.last("c_custkey").over(w_full).alias("last_in_seg"),
+    )
+
+
+@q(
+    "q_string_fns2",
+    """
+    SELECT doc_id,
+           trim(BOTH ' ' FROM '  ' || source || '  ') AS trimmed,
+           left(text, 10) AS left10,
+           right(text, 10) AS right10,
+           strpos(text, 'data') AS data_pos,
+           repeat(lang, 2) AS lang2,
+           reverse(source) AS src_rev,
+           translate(lang, 'en', 'EN') AS lang_tr,
+           CAST(starts_with(text, 'key') AS INTEGER) AS starts_key,
+           CAST(contains(text, 'spark') AS INTEGER) AS has_spark
+    FROM documents
+    """,
+)
+def q_string_fns2(spark, sf_dir):
+    """B23 (extended): trim variants, left/right, instr, repeat, reverse,
+    translate, starts/contains (bools as int for cross-engine stability)."""
+    d = _cat(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.trim(F.concat(F.lit("  "), F.col("source"), F.lit("  "))).alias("trimmed"),
+        F.substring("text", 1, 10).alias("left10"),
+        F.col("text").substr(F.length("text") - 9, F.lit(10)).alias("right10"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.repeat(F.col("lang"), 2).alias("lang2"),
+        F.reverse(F.col("source")).alias("src_rev"),
+        F.translate(F.col("lang"), "en", "EN").alias("lang_tr"),
+        F.col("text").startswith("key").cast("int").alias("starts_key"),
+        F.col("text").contains("spark").cast("int").alias("has_spark"),
+    )
+
+
+@q(
+    "q_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS quarter_later,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           EXTRACT(dow FROM o_orderdate) AS dow,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+)
+def q_date_arith(spark, sf_dir):
+    """B25 (extended): date arithmetic — intervals, add_months, datediff,
+    day-of-week, quarter, last_day."""
+    o = _cat(spark, sf_dir).orders
+    d = _date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 30 DAY")).cast("timestamp").alias("due_date"),
+        F.add_months(d, 3).alias("quarter_later"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_epoch_start"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.last_day(d).alias("month_end"),
+    )

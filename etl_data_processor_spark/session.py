@@ -31,6 +31,15 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Split parquet scans finer than the 128m default: test-scale tables are
+    # single small files that would otherwise scan on ONE core (measured 1.5x
+    # on the flagship at sf0.1; 2m over-splits below row-group granularity
+    # and regresses). On a real cluster with TB-scale inputs, override back
+    # to 128m via SPARK_GRAFT_MAX_PARTITION_BYTES — splits are already
+    # plentiful there and smaller ones only add scheduling overhead.
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)
+    ),
 }
 
 

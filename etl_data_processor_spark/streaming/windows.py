@@ -119,3 +119,74 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_running_totals(
+    stream: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator (north star): per-key running totals via
+    applyInPandasWithState — arbitrary user state the built-in aggregates
+    can't express (e.g. running counters that emit an update every batch,
+    conditional resets, per-key models).
+
+    State is a (count, total) pair per key. Pass ``state_timeout_ms`` to
+    bound state lifetime on a continuous stream (at 100 TB of keys,
+    unbounded state is the failure mode); leave None for bounded/availableNow
+    runs — a ProcessingTimeTimeout keeps an availableNow drain alive.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key, LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=timeout_conf,
+        )
+    )

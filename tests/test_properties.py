@@ -1,0 +1,65 @@
+"""Property tests (SURVEY.md §5.2): results must be invariant to physical
+layout — repartitioning must never change any declared query's result
+multiset. This is the local stand-in for 'stable under cluster re-planning'.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from etl_data_processor_spark.io import Catalog
+
+# Queries whose plans start from Catalog tables; we rerun them against a
+# repartition-scrambled copy of the inputs and compare result multisets.
+PARTITION_INVARIANT_SAMPLE = [
+    "q_agg_group",
+    "q_join_star",
+    "q_dedup",
+    "q_win_running",
+    "q_dedup_minhash",
+    "q_cosine_topk",
+    "q_flagship_q3",
+]
+
+
+def canon(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def cell(v):
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(v)
+        return str(v)
+
+    return sorted("|".join(cell(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def scrambled_sf_dir(spark, sf_dir, tmp_path_factory):
+    """Rewrite every fixture table with a scrambled partitioning (5 parts,
+    round-robin) — same rows, different physical layout."""
+    out = str(tmp_path_factory.mktemp("scrambled"))
+    cat = Catalog(spark, sf_dir)
+    from etl_data_processor_spark.io import TABLES
+
+    for t in TABLES:
+        df = cat.table(t)
+        if t == "events":
+            # write ts as long nanos again? No — write as-is (timestamp),
+            # Catalog handles both layouts.
+            pass
+        df.repartition(5).write.parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", PARTITION_INVARIANT_SAMPLE)
+def test_result_invariant_under_repartition(name, spark, sf_dir, scrambled_sf_dir):
+    q = entry_mod.queries()[name]
+    a = q(spark, sf_dir)
+    b = q(spark, scrambled_sf_dir)
+    ra, rb = a.collect(), b.collect()
+    assert sorted(a.columns) == sorted(b.columns)
+    assert canon(ra, a.columns) == canon(rb, b.columns)

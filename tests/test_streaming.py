@@ -51,7 +51,8 @@ def _drain(stream_df, name, mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    q.awaitTermination(timeout=120)
+    q.stop()
     return stream_df.sparkSession.table(name)
 
 
@@ -202,3 +203,41 @@ def test_session_window_batch_matches_islands(spark, sf_dir):
     }
     got = {(r.user_id, r.session_start.isoformat(), r.n) for r in sessions}
     assert got == want
+
+
+def test_custom_stateful_running_totals(spark, tmp_path):
+    """North star: applyInPandasWithState carries per-key state across
+    micro-batches (running totals update, not restart, in batch 2)."""
+    import time as _time
+
+    src = tmp_path / "state_src"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]) \
+            .withColumn("ts", F.col("ts").cast("timestamp")) \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)
+
+    write_batch([
+        (1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:01:00", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 10:02:00", 2, "view", 5.0, "{}"),
+    ])
+    write_batch([
+        (4, "2024-01-01 10:03:00", 1, "view", 3.0, "{}"),
+    ])
+
+    from etl_data_processor_spark.streaming.windows import streaming_running_totals
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_running_totals(stream)
+    got = _drain(out, "t_state", "update").collect()
+    # batch 1 emits (1, 2, 3.0) and (2, 1, 5.0); batch 2 emits (1, 3, 6.0)
+    emitted = {(r.user_id, r.n_events, r.total_value) for r in got}
+    assert (1, 2, 3.0) in emitted
+    assert (2, 1, 5.0) in emitted
+    assert (1, 3, 6.0) in emitted  # state carried across batches
