@@ -1,0 +1,413 @@
+"""Second relational coverage batch: outer joins, set ops, null handling,
+casts, struct/map functions, statistical aggregates, grouping sets.
+
+Statistical aggregates decompose into exact decimal sums (n, Σx, Σx², Σxy)
+combined with IEEE double arithmetic on identical operands — engine-stable
+without trusting either engine's streaming variance implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.registry import q, cat as _cat, date as _date
+from etl_data_processor_spark.ops.exact import dec
+from etl_data_processor_spark.ops.similarity import stable_round6
+
+_SR6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+
+
+# ---------------------------------------------------------------- joins
+
+@q(
+    "q_join_right",
+    """
+    SELECT o.o_orderkey, c.c_custkey, c.c_name
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_right(spark, sf_dir):
+    """B5: right outer join (order-less customers keep a NULL order side)."""
+    cat = _cat(spark, sf_dir)
+    return cat.orders.join(
+        cat.customer, F.col("o_custkey") == F.col("c_custkey"), "right"
+    ).select("o_orderkey", "c_custkey", "c_name")
+
+
+@q(
+    "q_join_full",
+    """
+    SELECT a.o_orderkey AS big_key, b.o_orderkey AS urgent_key
+    FROM (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) a
+    FULL JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+               AND o_totalprice > 350000) b
+      ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def q_join_full(spark, sf_dir):
+    """B5: full outer join of two partially-overlapping order subsets."""
+    o = _cat(spark, sf_dir).orders
+    a = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_orderkey").alias("big_key")
+    )
+    b = o.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    ).select(F.col("o_orderkey").alias("urgent_key"))
+    return a.join(b, F.col("big_key") == F.col("urgent_key"), "full")
+
+
+@q(
+    "q_join_cross",
+    """
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2 WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def q_join_cross(spark, sf_dir):
+    """Cross join (tiny×tiny only — flagged cost; Spark requires the explicit
+    crossJoin API for this reason)."""
+    r = _cat(spark, sf_dir).region
+    return (
+        r.select(F.col("r_name").alias("from_region"), F.col("r_regionkey").alias("k1"))
+        .crossJoin(r.select(F.col("r_name").alias("to_region"), F.col("r_regionkey").alias("k2")))
+        .filter(F.col("k1") != F.col("k2"))
+        .select("from_region", "to_region")
+    )
+
+
+@q(
+    "q_in_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    """,
+)
+def q_in_subquery(spark, sf_dir):
+    """IN subquery (Catalyst rewrites to left-semi join)."""
+    cat = _cat(spark, sf_dir)
+    cat.orders.createOrReplaceTempView("__ord_insq")
+    cat.customer.createOrReplaceTempView("__cust_insq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM __ord_insq
+        WHERE o_custkey IN (SELECT c_custkey FROM __cust_insq WHERE c_acctbal > 9000)
+        """
+    )
+
+
+# ---------------------------------------------------------------- set ops
+
+@q(
+    "q_union_distinct",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q_union_distinct(spark, sf_dir):
+    """B21: UNION (distinct semantics)."""
+    cat = _cat(spark, sf_dir)
+    a = cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cat.orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct()
+
+
+# ---------------------------------------------------------------- nulls
+
+@q(
+    "q_filter_null",
+    """
+    SELECT c_custkey, seg FROM (
+        SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer
+    ) WHERE seg IS NULL
+    """,
+)
+def q_filter_null(spark, sf_dir):
+    """B3: IS NULL predicate (nulls synthesized via NULLIF — fixtures are
+    null-free; the reference's nulls appear the same way, main.py:165-169)."""
+    c = _cat(spark, sf_dir).customer
+    return c.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).filter(F.col("seg").isNull())
+
+
+@q(
+    "q_null_ordering",
+    """
+    SELECT c_custkey, seg,
+           ROW_NUMBER() OVER (ORDER BY seg ASC NULLS FIRST, c_custkey ASC) AS rn
+    FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer)
+    """,
+)
+def q_null_ordering(spark, sf_dir):
+    """B19: explicit NULLS FIRST ordering (engines default differently —
+    Spark ASC is nulls-first, DuckDB nulls-last — so explicit is the only
+    portable spelling; row_number makes the placement observable)."""
+    c = _cat(spark, sf_dir).customer
+    w = Window.orderBy(F.asc_nulls_first("seg"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    ).withColumn("rn", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------- casts
+
+@q(
+    "q_cast_matrix",
+    """
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice + 0.5) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST('42' AS BIGINT) AS parsed_int,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+    FROM orders
+    """,
+)
+def q_cast_matrix(spark, sf_dir):
+    """Type-cast matrix. double->int rounding is engine-divergent (Spark CAST
+    truncates, Spark round() is half-up, DuckDB CAST is half-even), so the
+    portable spelling is floor(x+0.5) on both sides — pure IEEE."""
+    o = _cat(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") + 0.5).alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        _date("o_orderdate").cast("string").alias("date_str"),
+        F.lit("42").cast("long").alias("parsed_int"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+
+
+# ---------------------------------------------------------------- structs/maps
+
+@q(
+    "q_struct_fns",
+    """
+    SELECT doc_id,
+           struct_extract({'lang': lang, 'n_chars': n_chars}, 'lang') AS meta_lang,
+           struct_extract({'lang': upper(lang), 'n_chars': n_chars * 2}, 'n_chars') AS meta_chars2
+    FROM documents
+    """,
+)
+def q_struct_fns(spark, sf_dir):
+    """Struct columns: build + field access (the multimodal metadata shape).
+    Output projects scalar fields — raw structs render differently across
+    engines (tuple vs dict) and aren't hash-comparable."""
+    d = _cat(spark, sf_dir).documents
+    meta = F.struct(F.col("lang").alias("lang"), F.col("n_chars").alias("n_chars"))
+    meta2 = F.struct(
+        F.upper("lang").alias("lang"), (F.col("n_chars") * 2).alias("n_chars")
+    )
+    return d.select(
+        "doc_id",
+        meta.getField("lang").alias("meta_lang"),
+        meta2.getField("n_chars").alias("meta_chars2"),
+    )
+
+
+@q(
+    "q_map_fns",
+    """
+    SELECT doc_id,
+           map_keys(MAP {lang: n_chars}) AS ks,
+           map_values(MAP {lang: n_chars}) AS vs,
+           element_at(MAP {lang: n_chars}, lang)[1] AS self_lookup
+    FROM documents
+    """,
+)
+def q_map_fns(spark, sf_dir):
+    """Map columns: construction, keys/values, lookup (B29)."""
+    d = _cat(spark, sf_dir).documents
+    m = F.create_map(F.col("lang"), F.col("n_chars"))
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, F.col("lang")).alias("self_lookup"),
+    )
+
+
+# ---------------------------------------------------------------- statistics
+
+@q(
+    "q_agg_stats",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {_SR6.format(x='SQRT((sxx - sx*sx/n) / (n-1))')} AS stddev_qty,
+           {_SR6.format(x='(sxy - sx*sy/n) / ((n-1) * SQRT((sxx - sx*sx/n)/(n-1)) * SQRT((syy - sy*sy/n)/(n-1)))')} AS corr_qty_price
+    FROM s
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """B11 (statistical): sample stddev + Pearson correlation decomposed into
+    exact decimal sums, combined in IEEE double — engine-stable, unlike
+    native STDDEV/CORR whose accumulation order varies."""
+    li = _cat(spark, sf_dir).lineitem
+    qd, pd_ = dec("l_quantity"), dec("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qd).cast("double").alias("sx"),
+        F.sum(qd * qd).cast("double").alias("sxx"),
+        F.sum(pd_).cast("double").alias("sy"),
+        F.sum(pd_ * pd_).cast("double").alias("syy"),
+        F.sum(qd * pd_).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    std_x = F.sqrt((sxx - sx * sx / n) / (n - 1))
+    std_y = F.sqrt((syy - sy * sy / n) / (n - 1))
+    corr = (sxy - sx * sy / n) / ((n - 1) * std_x * std_y)
+    return s.select(
+        "l_returnflag",
+        "n",
+        stable_round6(std_x).alias("stddev_qty"),
+        stable_round6(corr).alias("corr_qty_price"),
+    )
+
+
+@q(
+    "q_agg_minmaxby",
+    """
+    SELECT o_orderstatus,
+           MAX_BY(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS biggest_order,
+           MIN_BY(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS smallest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_minmaxby(spark, sf_dir):
+    """B11: argmin/argmax aggregates. The ordering key packs (price, orderkey)
+    into one bigint so ties are impossible — max_by with tie-able keys is
+    nondeterministic on ANY engine."""
+    o = _cat(spark, sf_dir).orders
+    key = (F.col("o_totalprice") * 100).cast("long") * 10000000 + F.col("o_orderkey")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", key).alias("biggest_order"),
+        F.min_by("o_orderkey", key).alias("smallest_order"),
+    )
+
+
+@q(
+    "q_agg_cond",
+    f"""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                               THEN CAST(l_quantity AS DECIMAL(19,4))
+                               ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE) AS returned_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_agg_cond(spark, sf_dir):
+    """B11: conditional aggregation (FILTER / CASE-sum)."""
+    li = _cat(spark, sf_dir).lineitem
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", dec("l_quantity")).otherwise(
+                    F.lit(0).cast("decimal(18,4)")
+                )
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("returned_qty"),
+    )
+
+
+# ---------------------------------------------------------------- grouping sets
+
+@q(
+    "q_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """B14: explicit GROUPING SETS + grouping_id (SQL surface; rollup/cube
+    are the DataFrame forms)."""
+    li = _cat(spark, sf_dir).lineitem
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------- range frame
+
+@q(
+    "q_win_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, d,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_last_30d
+    FROM (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+    """,
+)
+def q_win_range_frame(spark, sf_dir):
+    """B18: RANGE frame over a date axis — trailing-30-day order count per
+    customer (value-based frames, vs the ROWS frame in q_win_running)."""
+    o = _cat(spark, sf_dir).orders
+    o.select(
+        "o_orderkey", "o_custkey", _date("o_orderdate").alias("d")
+    ).createOrReplaceTempView("__ord_rf")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, d,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY d
+                              RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS n_last_30d
+        FROM __ord_rf
+        """
+    )
+
+
+# ---------------------------------------------------------------- custom source
+
+@q(
+    "q_paged_source",
+    """
+    SELECT CAST(i // 25 + 1 AS INTEGER) AS page,
+           CAST(i % 25 AS INTEGER) AS row_in_page,
+           '/anbefalinger/decision-' || i AS url,
+           CASE i % 3 WHEN 0 THEN 'Anbefalet' WHEN 1 THEN 'Ikke anbefalet'
+                      ELSE 'Delvist anbefalet' END AS status,
+           'Drug' || i || ' tablet' AS raw_drug_text
+    FROM range(0, 228) t(i)
+    """,
+)
+def q_paged_source(spark, sf_dir):
+    """A1/A2: the reference's paginated scrape as a Spark 4 Python Data
+    Source — one input partition per page, planned via ceil-div
+    (sources/paged.py; network stubbed deterministically, so the oracle can
+    regenerate the same rows arithmetically)."""
+    from etl_data_processor_spark.sources.paged import PagedDecisionSource
+
+    try:
+        spark.dataSource.register(PagedDecisionSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark.read.format("paged_decisions").option("total_rows", 228).load()

@@ -69,3 +69,23 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_paged_source_partition_planning(spark):
+    """A2: the page plan — ceil(total/25) input partitions, parallel fetch."""
+    from etl_data_processor_spark.sources.paged import PagedDecisionSource, _PagedReader
+
+    try:
+        spark.dataSource.register(PagedDecisionSource)
+    except Exception:
+        pass
+    reader = _PagedReader({"total_rows": "228"})
+    assert len(reader.partitions()) == 10  # ceil(228/25)
+    df = spark.read.format("paged_decisions").option("total_rows", 228).load()
+    assert df.count() == 228
+    assert df.rdd.getNumPartitions() == 10
+    # A12 downstream: approved-only filter matches the reference's subset
+    approved = df.filter(
+        F.col("status").isin("Anbefalet", "Delvist anbefalet")
+    ).count()
+    assert approved == 152  # 228 * 2/3
