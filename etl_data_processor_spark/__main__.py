@@ -1,0 +1,89 @@
+"""CLI entrypoint (reference A20 parity: argparse + config + logging,
+main.py:364-421) — run pipelines and queries from the shell.
+
+    python -m etl_data_processor_spark medicines --out /tmp/out_csv [--cards 40]
+    python -m etl_data_processor_spark query q_agg_group --sf-dir /root/testdata/sf0.01
+    python -m etl_data_processor_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def _setup_logging() -> logging.Logger:
+    # stdout logger, reference-style (main.py:364-374)
+    logger = logging.getLogger("etl_data_processor_spark")
+    handler = logging.StreamHandler(sys.stdout)
+    handler.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    logger.addHandler(handler)
+    logger.setLevel(logging.INFO)
+    return logger
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="etl_data_processor_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_med = sub.add_parser("medicines", help="run the reference pipeline end-to-end")
+    p_med.add_argument("--out", required=True, help="output CSV directory")
+    p_med.add_argument("--cards", type=int, default=40, help="synthetic card count")
+    p_med.add_argument("--chunk-size", type=int, default=200, help="enrichment chunk size (A14)")
+
+    p_q = sub.add_parser("query", help="run one registry query and show it")
+    p_q.add_argument("name")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_q.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list", help="list registry queries")
+
+    args = parser.parse_args(argv)
+    log = _setup_logging()
+
+    if args.cmd == "list":
+        from etl_data_processor_spark import queries, queries_north, queries_rel2  # noqa: F401
+        from etl_data_processor_spark.registry import ORACLE, QUERIES
+
+        for name in sorted(QUERIES):
+            kind = "oracle" if name in ORACLE else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
+
+    from etl_data_processor_spark.session import get_spark
+
+    spark = get_spark("cli")
+    if args.cmd == "medicines":
+        from etl_data_processor_spark.io import write_csv
+        from etl_data_processor_spark.pipelines.medicines import (
+            run_pipeline,
+            synthetic_cards,
+        )
+
+        out_df = run_pipeline(synthetic_cards(spark, args.cards))
+        n = out_df.count()
+        # CLI convenience: one CSV file, like the reference's single output
+        # (main.py:329-331). The engine-level write_csv stays partitioned —
+        # a 100 TB result should never be forced through one writer.
+        write_csv(out_df.coalesce(1), args.out)
+        log.info("wrote %d rows to %s", n, args.out)
+        return 0
+
+    if args.cmd == "query":
+        from etl_data_processor_spark import queries, queries_north, queries_rel2  # noqa: F401
+        from etl_data_processor_spark.registry import QUERIES
+
+        if args.name not in QUERIES:
+            log.error("unknown query %r (see `list`)", args.name)
+            return 2
+        df = QUERIES[args.name](spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        log.info("%d rows", df.count())
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,3 +99,26 @@ def batch_enrich(
     for col_name, fallback in (defaults or {}).items():
         out = out.withColumn(col_name, F.coalesce(F.col(col_name), fallback))
     return out
+
+
+class TokenBucket:
+    """Per-partition rate limiter (A19, main.py:212/278/351 generalized):
+    allows ``rate`` calls/sec with bursts up to ``burst``. Monotonic-clock
+    based; one instance per partition inside mapInPandas (executor-local —
+    cluster-wide limits need rate*executors sized accordingly)."""
+
+    def __init__(self, rate: float, burst: int = 1):
+        self.rate = float(rate)
+        self.capacity = float(burst)
+        self.tokens = float(burst)
+        self.last = time.monotonic()
+
+    def acquire(self) -> None:
+        while True:
+            now = time.monotonic()
+            self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+            self.last = now
+            if self.tokens >= 1.0:
+                self.tokens -= 1.0
+                return
+            time.sleep((1.0 - self.tokens) / self.rate)

@@ -241,3 +241,44 @@ def test_custom_stateful_running_totals(spark, tmp_path):
     assert (1, 2, 3.0) in emitted
     assert (2, 1, 5.0) in emitted
     assert (1, 3, 6.0) in emitted  # state carried across batches
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """B10 (streaming): watermarked stream-stream interval join — each
+    purchase joins clicks of the same user within the preceding 10 minutes."""
+    import time as _time
+
+    src = tmp_path / "ssj_src"
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "purchase", 9.0, "{}"),
+        (3, "2024-01-01 10:20:00", 1, "purchase", 9.0, "{}"),  # click too old
+        (4, "2024-01-01 10:04:00", 2, "click", 2.0, "{}"),
+        (5, "2024-01-01 10:06:00", 2, "purchase", 9.0, "{}"),
+    ]
+    spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp")) \
+        .coalesce(1).write.parquet(str(src))
+
+    def stream():
+        return spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+
+    clicks = (
+        stream().filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "30 minutes")
+    )
+    purchases = (
+        stream().filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES AND c_ts <= p_ts"
+        ),
+    ).select("purchase_id", "click_id")
+    got = {(r.purchase_id, r.click_id) for r in _drain(joined, "t_ssj", "append").collect()}
+    assert got == {(2, 1), (5, 4)}
