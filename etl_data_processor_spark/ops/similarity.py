@@ -207,3 +207,63 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into ``n_lists``
+    inverted lists by nearest centroid, probe only the ``n_probe`` closest
+    lists per query.
+
+    Centroids are taken deterministically from the corpus (the ``n_lists``
+    smallest ids) rather than trained by k-means — the Spark plan shape is
+    identical to a trained IVF (assign = broadcast argmin over centroids;
+    search = equi-join on list id) and that plan is what matters at 100 TB:
+    candidate generation becomes a bucket join touching ~n_probe/n_lists of
+    the corpus instead of a cross product.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col).limit(n_lists).select(
+            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+        )
+    )
+
+    def assign(df: DataFrame, vec: str, out: str, keep_n: int) -> DataFrame:
+        """Rank centroid distances per row, keep the top keep_n list ids."""
+        scored = df.crossJoin(cents).withColumn(
+            "__d", dec_dot(F.col(vec), F.col("__cvec"))
+        )
+        w = Window.partitionBy(*df.columns).orderBy(
+            F.desc("__d"), F.asc("__cid")
+        )
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= keep_n)
+            .select(*df.columns, F.col("__cid").alias(out))
+        )
+
+    c_assigned = assign(corpus.select(id_col, vec_col), vec_col, "__list", 1)
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    q_assigned = F.broadcast(assign(q, "__qvec", "__list", n_probe))
+
+    scored = (
+        c_assigned.join(q_assigned, "__list")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cosine", dec_cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

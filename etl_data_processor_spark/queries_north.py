@@ -842,3 +842,13 @@ def q_sql_passthrough(spark, sf_dir):
         HAVING COUNT(*) > 10
         """
     )
+
+
+@q("q_cosine_ivf")  # rows-only: IVF probing is approximate by design
+def q_cosine_ivf(spark, sf_dir):
+    """IVF-style ANN (inverted lists by nearest centroid, n_probe lists
+    searched per query) — the second scale path beside hyperplane LSH.
+    Score agreement with brute force asserted in tests."""
+    emb = _cat(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    return SIM.ivf_cosine_topk(emb, queries, k=10)

@@ -411,3 +411,36 @@ def q_paged_source(spark, sf_dir):
     except Exception:
         pass  # already registered in this session
     return spark.read.format("paged_decisions").option("total_rows", 228).load()
+
+
+# ---------------------------------------------------------------- §2 key aliases
+
+@q(
+    "q_count",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def q_count(spark, sf_dir):
+    """A21 (main.py:353-355): observability counts — per-type event counts
+    (the global-count form is q_scan; observation piggybacking is
+    relational.with_observation)."""
+    return (
+        _cat(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "q_join_left",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, p.p_name, p.p_brand
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q_join_left(spark, sf_dir):
+    """B5: left outer join (the reference's A15 merge-back shape on the
+    lineitem->part axis; q_left_join_coalesce adds the default-on-miss)."""
+    cat = _cat(spark, sf_dir)
+    return cat.lineitem.join(
+        cat.part, F.col("l_partkey") == F.col("p_partkey"), "left"
+    ).select("l_orderkey", "l_linenumber", "p_name", "p_brand")

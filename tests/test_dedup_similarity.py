@@ -98,3 +98,20 @@ def test_embedding_near_dup_pairs_verified(spark):
     cast = df.withColumn("embedding", F.col("embedding").cast("array<float>"))
     pairs = SIM.embedding_near_dup_pairs(cast, threshold=0.99).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_ivf_topk_scores_match_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in SIM.cosine_topk_exact(emb, queries, k=10).collect()}
+    approx = SIM.ivf_cosine_topk(emb, queries, k=10).collect()
+    assert approx  # probing returns candidates
+    for r in approx:
+        if (r.query_id, r.vec_id) in exact:
+            # overlapping pairs must carry identical exact scores
+            assert r.cosine == exact[(r.query_id, r.vec_id)]
+    # each query returns k results (lists are never empty at this scale)
+    from collections import Counter
+    per_q = Counter(r.query_id for r in approx)
+    assert all(v == 10 for v in per_q.values())
