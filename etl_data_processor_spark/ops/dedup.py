@@ -120,7 +120,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    num_hashes: int = 64,
+    num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
 ) -> DataFrame:
@@ -135,8 +135,11 @@ def minhash_lsh_pairs(
       4. candidate pairs → join back shingle arrays → exact Jaccard filter
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
-    Rows/bands trade recall for cost: r = num_hashes/bands; with the default
-    16 bands × 4 rows, recall at j≥0.9 is 1 - (1-0.9^4)^16 ≈ 1 - 4e-8.
+    Rows/bands trade recall for cost: r = num_hashes/bands; the default
+    16 bands × 2 rows gives recall 1-(1-j²)^16 — ≥ 1-8e-8 at j≥0.8 — while
+    halving signature width vs the classic 64 (signature cost AND the
+    codegen'd plan size both scale with num_hashes; the wider plan was the
+    dominant cold-start cost at 64).
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes

@@ -444,3 +444,33 @@ def q_join_left(spark, sf_dir):
     return cat.lineitem.join(
         cat.part, F.col("l_partkey") == F.col("p_partkey"), "left"
     ).select("l_orderkey", "l_linenumber", "p_name", "p_brand")
+
+
+@q(
+    "q_unpivot",
+    """
+    SELECT c_mktsegment, metric, CAST(v AS DOUBLE) AS v
+    FROM (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_balance
+        FROM customer GROUP BY c_mktsegment
+    ) UNPIVOT (v FOR metric IN (n_customers, total_balance))
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot/melt: wide per-segment metrics to long (metric, value) rows
+    (DataFrame unpivot == SQL stack)."""
+    from etl_data_processor_spark.ops.exact import dsum
+
+    c = _cat(spark, sf_dir).customer
+    wide = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_customers", "total_balance"],
+        variableColumnName="metric",
+        valueColumnName="v",
+    )
