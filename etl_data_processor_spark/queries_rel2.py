@@ -474,3 +474,70 @@ def q_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="v",
     )
+
+
+@q(
+    "q_array_fns2",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           embedding[1:4] AS head4,
+           list_sort(embedding[1:4]) AS head4_sorted,
+           list_reverse_sort(embedding[1:4])[1] AS head4_max
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q_array_fns2(spark, sf_dir):
+    """B28 (extended): slice, sort_array, array_max over float arrays
+    (float32 values pass through exactly — no arithmetic)."""
+    e = _cat(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
+    head4 = F.slice("embedding", 1, 4)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        head4.alias("head4"),
+        F.sort_array(head4).alias("head4_sorted"),
+        F.array_max(head4).alias("head4_max"),
+    )
+
+
+@q(
+    "q_regexp_replace",
+    r"""
+    SELECT event_id,
+           regexp_replace(props, '\d', '#', 'g') AS masked,
+           regexp_replace(props, '"k": (\d+)', 'k=\1') AS rewritten
+    FROM events
+    """,
+)
+def q_regexp_replace(spark, sf_dir):
+    """B24: regexp_replace — global masking + group backreference rewrite
+    (Java uses $1, RE2 uses \\1; semantics align on these patterns)."""
+    ev = _cat(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.regexp_replace("props", r"\d", "#").alias("masked"),
+        F.regexp_replace("props", r'"k": (\d+)', "k=$1").alias("rewritten"),
+    )
+
+
+@q(
+    "q_collect_list",
+    """
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer WHERE c_acctbal > 9500 GROUP BY c_mktsegment
+    """,
+)
+def q_collect_list(spark, sf_dir):
+    """B11: ordered string aggregation — collect_list is unordered by
+    contract, so sort_array before joining makes it deterministic (the only
+    portable listagg)."""
+    c = _cat(spark, sf_dir).customer
+    return (
+        c.filter(F.col("c_acctbal") > 9500)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
+        )
+    )
