@@ -31,6 +31,8 @@ HEADLINE = [
     "q_win_running",
     "q_topk",
     "q_dedup",
+    "q_corpus_curation",
+    "q_sample_hash",
     "q_project_compute",
     "q_date_trunc",
     "q_json_extract",

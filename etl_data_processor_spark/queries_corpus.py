@@ -1,0 +1,166 @@
+"""Corpus-preparation queries: deterministic sampling, train/val/test
+splitting, and the composed curation pipeline (quality filter → dedup →
+split) a training-data job runs end-to-end.
+
+All sampling decisions are portable hash arithmetic (ops.sampling), so every
+query here is fully DuckDB-oracle-checkable — the oracle runs the *same*
+mixer expression, not a statistical approximation.
+
+No reference counterpart (absent from main.py:1-422); north-star surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.registry import q, cat as _cat
+from etl_data_processor_spark.ops import sampling as S
+from etl_data_processor_spark.ops import text as T
+from etl_data_processor_spark.ops.dedup import normalize_text
+from etl_data_processor_spark.ops.exact import dsum, sql_dsum
+
+_H_ORDERKEY = S.hash32_sql("l_orderkey")
+_H_DOC = S.hash32_sql("doc_id")
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_T_TRAIN = int(0.8 * S.M32)
+_T_VAL = int(0.9 * S.M32)
+_SPLIT_SQL = (
+    f"CASE WHEN {_H_DOC} < {_T_TRAIN} THEN 'train' "
+    f"WHEN {_H_DOC} < {_T_VAL} THEN 'val' ELSE 'test' END"
+)
+
+# DuckDB fragment identical to ops.text.quality_score (kept in sync with the
+# q_text_quality oracle in queries_north.py).
+_QUALITY_SQL = r"""ROUND(GREATEST(0.0,
+    LEAST(length(text)/200.0, 1.0)
+    * (length(regexp_replace(text, '[^A-Za-zæøå ]', '', 'g'))::DOUBLE
+       / GREATEST(length(text), 1))
+    * (1.0 - 4.0 * (length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                    / GREATEST(length(text), 1)))
+), 6)"""
+
+
+@q(
+    "q_sample_hash",
+    f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem WHERE {_H_ORDERKEY} < {int(0.1 * S.M32)}
+    GROUP BY l_returnflag
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 10% sample keyed on l_orderkey: every line of a sampled
+    order is kept together (entity-consistent sampling — the property a
+    corpus job needs when a 'document' spans several rows). Shuffle-free
+    filter; the sampled set is independent of partitioning and engine."""
+    li = _cat(spark, sf_dir).lineitem
+    return (
+        S.deterministic_sample(li, "l_orderkey", 0.1)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@q(
+    "q_train_test_split",
+    f"""
+    SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM (SELECT doc_id, {_SPLIT_SQL} AS split FROM documents)
+    GROUP BY split
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """80/10/10 train/val/test split by hashed doc_id: disjoint by
+    construction, reproducible across engines and re-runs (unlike
+    randomSplit, whose per-partition seeding moves rows between splits when
+    the partitioning changes). At scale: write partitionBy('split')."""
+    d = S.train_test_split(
+        _cat(spark, sf_dir).documents, "doc_id", _SPLIT_WEIGHTS
+    )
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@q(
+    "q_sample_stratified",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_H_DOC} < CASE lang WHEN 'en' THEN {int(0.5 * S.M32)}
+                               WHEN 'de' THEN {int(0.2 * S.M32)}
+                               ELSE {int(0.05 * S.M32)} END
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (reproducible sampleBy): 50% of
+    English, 20% of German, 5% of everything else — the language-rebalancing
+    move of multilingual corpus prep. Row-level membership is oracle-checked
+    exactly."""
+    return S.stratified_sample(
+        _cat(spark, sf_dir).documents,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.2},
+        default_fraction=0.05,
+    ).select("doc_id", "lang")
+
+
+@q(
+    "q_corpus_curation",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE quality >= 0.25
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) = 1
+    )
+    SELECT lang, {_SPLIT_SQL.replace('doc_id', 'doc_id')} AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM kept GROUP BY lang, split
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """The composed corpus-curation pipeline, one Catalyst plan:
+    quality-filter → exact near-dup removal (keep min doc_id per normalized
+    text) → deterministic train/val/test split → per-(lang, split) stats.
+
+    Plan shape at 100 TB: quality scoring and split labels are narrow
+    (scan-stage codegen); the only shuffles are the dedup window's hash
+    partition on the normalized-text key and the final aggregation —
+    both on keys with no planted skew. Filter-before-dedup ordering cuts
+    the shuffled volume (the reference's own filter-first insight,
+    main.py:354-358)."""
+    from pyspark.sql import Window
+
+    d = _cat(spark, sf_dir).documents
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        normalize_text(F.col("text")).alias("norm"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = (
+        scored.filter(F.col("quality") >= 0.25)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("norm").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+    )
+    labeled = kept.withColumn(
+        "split", S.split_column(F.col("doc_id"), _SPLIT_WEIGHTS)
+    )
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
