@@ -141,6 +141,48 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def lsh_probe_buckets(
+    vec: Column, planes: list[list[float]], n_probes: int
+) -> Column:
+    """Multi-probe bucket list (query-directed, after Lv et al. VLDB'07):
+    the exact signature plus the single-bit flips with the smallest
+    projection |margin| — the planes the vector sits closest to are the ones
+    most likely to disagree with a true neighbor's signature. Returns an
+    array of ``n_probes`` bucket ids; pure expressions, so the query side
+    stays a broadcast literal plan."""
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in planes
+    ]
+    sig = F.lit(0).cast("long")
+    for i, d in enumerate(dots):
+        sig = sig + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    margins = F.array(
+        *[
+            F.struct(F.abs(d).alias("m"), F.lit(i).alias("i"))
+            for i, d in enumerate(dots)
+        ]
+    )
+    n_flips = min(n_probes - 1, len(planes))
+    flips = F.slice(F.array_sort(margins), 1, n_flips)
+    bitvals = F.array(*[F.lit(1 << i).cast("long") for i in range(len(planes))])
+
+    def flip(s):
+        # closure over sig/bitvals (never default args: pyspark binds extra
+        # lambda params to the element index)
+        return sig.bitwiseXOR(F.element_at(bitvals, s.getField("i") + 1))
+
+    return F.concat(F.array(sig), F.transform(flips, flip))
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -151,27 +193,67 @@ def lsh_cosine_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_probes: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket corpus and queries by hyperplane
-    signature, score only same-bucket candidates. Recall is tunable via
-    n_planes (fewer planes = bigger buckets = higher recall & cost). With
-    multi-probe (flip one bit), recall rises further — at 100 TB prefer
-    8-12 planes and multi-probe over brute force."""
-    planes = hyperplanes(dim, n_planes, seed)
+    signature, score only same-bucket candidates.
+
+    Three recall/cost knobs (the standard AND-OR LSH construction):
+    - ``n_planes`` (AND): bits per table — bucket size shrinks ~2^-planes;
+    - ``n_tables`` (OR): independent hash tables, candidates unioned —
+      recall 1-(1-p^planes)^tables; corpus-side cost is linear in tables;
+    - ``n_probes`` (multi-probe): per table, each query also searches the
+      lowest-margin bit-flip buckets — multiplies only the broadcast query
+      side, the cheapest recall lever.
+
+    At 100 TB: more planes + more probes/tables beats fewer planes. LSH is
+    sublinear only when targets are genuinely similar (cosine ≳ 0.7 —
+    planted near-dups, plagiarism, memorized samples); for noise-level
+    top-k (all cosines ≲ 0.4) no bucketing scheme concentrates neighbors,
+    and the IVF path or brute force is the right tool. A candidate pair
+    found by several tables is scored once per table and deduplicated by
+    DISTINCT before ranking (duplicate scoring ≤ tables× on dup-heavy data,
+    and avoids a corpus-side re-join — the cheaper side of the tradeoff
+    when candidates are sparse)."""
+    tables = [hyperplanes(dim, n_planes, seed + 1000003 * t) for t in range(n_tables)]
     c = corpus.select(
-        id_col, vec_col, lsh_bucket(F.col(vec_col), planes).alias("__bucket")
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        lsh_bucket(F.col(vec_col), planes).alias("sig"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("__bk"),
     )
+    # Query probe list: per table, the multi-probe buckets tagged with the
+    # table id (struct matches the corpus side's explode).
+    probe_arrays = [
+        F.transform(
+            lsh_probe_buckets(F.col(vec_col), planes, n_probes),
+            (lambda t: lambda s: F.struct(F.lit(t).alias("t"), s.alias("sig")))(t),
+        )
+        for t, planes in enumerate(tables)
+    ]
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+            F.explode(F.flatten(F.array(*probe_arrays))).alias("__bk"),
         )
     )
     scored = (
-        c.join(q, "__bucket")
+        c.join(q, "__bk")
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("cosine", dec_cosine(F.col(vec_col), F.col("__qvec")))
+        .select(query_id_col, id_col, "cosine")
+        .distinct()
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -209,6 +291,77 @@ def embedding_near_dup_pairs(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical-k-means IVF training (Lloyd iterations).
+
+    Seeds are the ``n_lists`` smallest-id vectors; each iteration assigns
+    every corpus vector to its max-dot centroid (broadcast argmax — one
+    narrow pass) and recomputes element-wise centroid means EXACTLY: vector
+    elements are fixed-point longs, per-(list, position) sums are integer
+    aggregation, and the mean is a floor-div — so the trained model is
+    bit-identical under any partitioning, AQE re-plan, or engine. The
+    centroid table is model state (n_lists × dim), collected to the driver
+    and re-broadcast per iteration — the standard k-means-on-Spark shape.
+    Returns ``[(cid, unit_centroid_floats)]`` sorted by cid.
+    """
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_lists)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seeds)]
+
+    def unit(v: list[float]) -> list[float]:
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v] if n > 0 else v
+
+    qvec = _quantize(F.col(vec_col))
+    for _ in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, v) for cid, v in cents], ["__cid", "__cvec"]
+            ).withColumn("__cvec", F.col("__cvec").cast("array<float>"))
+        )
+        scored = corpus.select(id_col, vec_col).crossJoin(cdf).withColumn(
+            "__d", dec_dot(F.col(vec_col), F.col("__cvec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__d"), F.asc("__cid"))
+        assigned = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col("__cid").alias("__list"), qvec.alias("__q"))
+        )
+        sums = (
+            assigned.select("__list", F.posexplode("__q").alias("pos", "x"))
+            .groupBy("__list", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict[int, int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_list.setdefault(r["__list"], {})[r["pos"]] = r["s"]
+            counts[r["__list"]] = r["n"]
+        new_cents = []
+        for cid, old in cents:
+            if cid in by_list:  # empty lists keep their previous centroid
+                d = by_list[cid]
+                mean_q = [d[p] // counts[cid] for p in sorted(d)]
+                new_cents.append((cid, unit([x / _Q for x in mean_q])))
+            else:
+                new_cents.append((cid, old))
+        cents = new_cents
+    return cents
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -218,23 +371,31 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
-    """IVF-style approximate top-k: partition the corpus into ``n_lists``
-    inverted lists by nearest centroid, probe only the ``n_probe`` closest
-    lists per query.
+    """IVF approximate top-k: partition the corpus into ``n_lists`` inverted
+    lists by nearest centroid, probe only the ``n_probe`` closest lists per
+    query.
 
-    Centroids are taken deterministically from the corpus (the ``n_lists``
-    smallest ids) rather than trained by k-means — the Spark plan shape is
-    identical to a trained IVF (assign = broadcast argmin over centroids;
-    search = equi-join on list id) and that plan is what matters at 100 TB:
-    candidate generation becomes a bucket join touching ~n_probe/n_lists of
-    the corpus instead of a cross product.
+    ``centroids`` is the trained model from :func:`train_ivf_centroids`
+    (train once, reuse across query batches — at 100 TB the assignment pass
+    is materialized as a list-partitioned table and queries only ever touch
+    ~n_probe/n_lists of it). When omitted, centroids default to the
+    ``n_lists`` smallest-id vectors — same plan shape, untrained recall.
     """
-    cents = F.broadcast(
-        corpus.orderBy(id_col).limit(n_lists).select(
-            F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cents = F.broadcast(
+            spark.createDataFrame(
+                [(cid, v) for cid, v in centroids], ["__cid", "__cvec"]
+            ).withColumn("__cvec", F.col("__cvec").cast("array<float>"))
         )
-    )
+    else:
+        cents = F.broadcast(
+            corpus.orderBy(id_col).limit(n_lists).select(
+                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+            )
+        )
 
     def assign(df: DataFrame, vec: str, out: str, keep_n: int) -> DataFrame:
         """Rank centroid distances per row, keep the top keep_n list ids."""

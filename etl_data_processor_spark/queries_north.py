@@ -167,12 +167,15 @@ def q_cosine_topk(spark, sf_dir):
 
 @q("q_cosine_lsh")  # rows-only: LSH bucketing is approximate by design
 def q_cosine_lsh(spark, sf_dir):
-    """Random-hyperplane LSH cosine top-k — the 100 TB scale path (bucket
-    equi-join instead of cross product). Recall vs exact is asserted in
-    tests/test_similarity.py."""
+    """Random-hyperplane LSH cosine top-k, AND-OR construction (2 tables ×
+    8 planes) with query-directed multi-probe (4 probes/table) — the 100 TB
+    scale path (bucket equi-join instead of cross product; tables are the
+    corpus-cost recall lever, probes the broadcast-side one). Planted
+    strong-similarity recall and probe monotonicity are asserted in
+    tests/test_dedup_similarity.py."""
     emb = _cat(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
-    return SIM.lsh_cosine_topk(emb, queries, k=10)
+    return SIM.lsh_cosine_topk(emb, queries, k=10, n_probes=4, n_tables=2)
 
 
 @q(
@@ -846,9 +849,19 @@ def q_sql_passthrough(spark, sf_dir):
 
 @q("q_cosine_ivf")  # rows-only: IVF probing is approximate by design
 def q_cosine_ivf(spark, sf_dir):
-    """IVF-style ANN (inverted lists by nearest centroid, n_probe lists
-    searched per query) — the second scale path beside hyperplane LSH.
-    Score agreement with brute force asserted in tests."""
+    """IVF ANN with k-means-trained centroids (2 deterministic Lloyd
+    iterations; inverted lists by nearest centroid, n_probe lists searched
+    per query) — the second scale path beside hyperplane LSH. Training is
+    bit-deterministic (fixed-point integer means), so the rows-only hash is
+    still stable. Score agreement with brute force asserted in tests."""
+    from etl_data_processor_spark.ops.sampling import deterministic_sample
+
     emb = _cat(spark, sf_dir).embeddings
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
-    return SIM.ivf_cosine_topk(emb, queries, k=10)
+    # Train on a deterministic hash-sample (how IVF indexes are always
+    # trained at scale — centroid quality needs ~O(100) points per list,
+    # not the full corpus); assignment then runs over everything.
+    cents = SIM.train_ivf_centroids(
+        deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
+    )
+    return SIM.ivf_cosine_topk(emb, queries, k=10, centroids=cents)

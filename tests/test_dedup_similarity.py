@@ -115,3 +115,69 @@ def test_ivf_topk_scores_match_exact(spark, sf_dir):
     from collections import Counter
     per_q = Counter(r.query_id for r in approx)
     assert all(v == 10 for v in per_q.values())
+
+
+def test_lsh_multi_table_multi_probe_finds_planted_neighbor(spark, sf_dir):
+    """The AND-OR LSH construction must retrieve a genuinely-similar planted
+    neighbor (cos ~ 1.0) at rank 1 — the retrieval regime LSH exists for.
+    Deterministic: fixed planes, fixed planted vector."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = [((i * 37) % 64) / 64.0 - 0.5 for i in range(64)]
+    near = [x * 1.001 + 0.001 for x in base]
+    extra = spark.createDataFrame(
+        [(9000, base), (9001, near)], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    emb2 = emb.select("vec_id", "embedding").unionByName(extra)
+    qs = emb2.filter(F.col("vec_id") == 9000)
+    out = SIM.lsh_cosine_topk(emb2, qs, k=5, n_probes=4, n_tables=4).collect()
+    top = min(out, key=lambda r: r.rank)
+    assert top.vec_id == 9001 and top.cosine > 0.99
+
+
+def test_lsh_probe_and_table_monotonicity(spark, sf_dir):
+    """More probes / more tables can only ADD candidates (OR-amplification),
+    so the retrieved top-k recall vs brute force is monotone in both knobs."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk_exact(emb, qs, k=10).collect()
+    }
+
+    def rec(**kw):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in SIM.lsh_cosine_topk(emb, qs, k=10, **kw).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert rec(n_probes=4, n_tables=2) >= rec(n_probes=1, n_tables=2)
+    assert rec(n_probes=4, n_tables=4) >= rec(n_probes=4, n_tables=1)
+
+
+def test_ivf_training_deterministic_under_repartition(spark, sf_dir):
+    """Trained centroids are bit-identical regardless of input partitioning
+    (fixed-point integer means) — the reproducibility contract that keeps
+    the rows-only hash stable across runs and layouts."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = SIM.train_ivf_centroids(emb, n_lists=8, iters=2)
+    b = SIM.train_ivf_centroids(emb.repartition(13), n_lists=8, iters=2)
+    assert a == b
+
+
+def test_ivf_trained_returns_k_exact_scores(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    cents = SIM.train_ivf_centroids(emb, n_lists=8, iters=2)
+    exact = {
+        (r.query_id, r.vec_id): r.cosine
+        for r in SIM.cosine_topk_exact(emb, qs, k=10).collect()
+    }
+    out = SIM.ivf_cosine_topk(emb, qs, k=10, n_lists=8, centroids=cents).collect()
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in out)
+    assert all(v == 10 for v in per_q.values())
+    for r in out:
+        if (r.query_id, r.vec_id) in exact:
+            assert r.cosine == exact[(r.query_id, r.vec_id)]
