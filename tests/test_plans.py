@@ -90,3 +90,34 @@ def test_salted_join_and_agg(spark):
     agg = {r.k: (r.n, r.sum_v) for r in partial_then_final_agg(left, "k", "v").collect()}
     assert agg[1] == (100, sum(range(100)))
     assert agg[2] == (1, 0)
+
+
+def test_tfidf_df_side_broadcasts(spark, sf_dir):
+    """The document-frequency (vocabulary) side of TF-IDF must broadcast —
+    at 100 TB the tf table is corpus-sized and must not shuffle for this
+    join."""
+    plan = plan_of(QUERIES["q_text_tfidf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sample_filter_is_pre_shuffle(spark, sf_dir):
+    """Hash sampling must evaluate before the aggregation exchange (narrow
+    filter in the scan stage), so the shuffle only carries sampled rows."""
+    plan = plan_of(QUERIES["q_sample_hash"](spark, sf_dir))
+    # printed tree is top-down: the filter must sit BELOW the exchange
+    # (printed after it), in the same stage as the scan
+    below_exchange = plan.split("Exchange", 1)[1]
+    assert "Filter" in below_exchange and "Scan parquet" in below_exchange
+
+
+def test_corpus_curation_single_dedup_shuffle(spark, sf_dir):
+    """The curation pipeline shuffles once for the dedup window and once for
+    the final aggregate — quality scoring and split labels must stay narrow
+    (no extra exchanges)."""
+    import re
+
+    plan = plan_of(QUERIES["q_corpus_curation"](spark, sf_dir))
+    # formatted output lists each node twice (tree + details); count the
+    # detail headers "(n) Exchange" for the true exchange count
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 2
