@@ -89,3 +89,42 @@ def test_paged_source_partition_planning(spark):
         F.col("status").isin("Anbefalet", "Delvist anbefalet")
     ).count()
     assert approved == 152  # 228 * 2/3
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + a partition-key filter must prune at
+    plan time: the scan's PartitionFilters carries the predicate and only
+    the matching directory is read. At 100 TB this is the difference between
+    scanning one day and scanning ten years."""
+    cat = Catalog(spark, sf_dir)
+    out = str(tmp_path / "events_by_type")
+    cat.events.write.partitionBy("event_type").parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "event_type" in pf
+    # pruned scan reads exactly the one partition's rows
+    expected = cat.events.filter(F.col("event_type") == "click").count()
+    assert df.count() == expected
+
+
+def test_partitioned_split_write_layout(spark, sf_dir, tmp_path):
+    """train_test_split + partitionBy('split') produces the layout downstream
+    training readers partition-prune on (the B41 write path)."""
+    import os
+
+    from etl_data_processor_spark.ops.sampling import train_test_split
+
+    cat = Catalog(spark, sf_dir)
+    out = str(tmp_path / "docs_split")
+    train_test_split(cat.documents, "doc_id", {"train": 0.9, "test": 0.1}).write.partitionBy(
+        "split"
+    ).parquet(out)
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {"split=train", "split=test"}
+    back = spark.read.parquet(out)
+    assert back.count() == cat.documents.count()
