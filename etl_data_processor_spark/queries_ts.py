@@ -175,3 +175,81 @@ def q_text_tfidf(spark, sf_dir):
         .filter(F.col("__rn") <= 5)
         .select("doc_id", "token", "tf", stable_round6(tfidf_expr).alias("tfidf"))
     )
+
+
+@q(
+    "q_text_vocab",
+    f"""
+    WITH tf AS (
+        SELECT token, COUNT(*) AS tf FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
+    ),
+    tot AS (SELECT SUM(tf) AS total FROM tf)
+    SELECT token, tf,
+           {_SQL_ROUND6.format(x="SUM(tf) OVER (ORDER BY tf DESC, token ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / total")} AS cum_share
+    FROM tf CROSS JOIN tot
+    ORDER BY tf DESC, token ASC LIMIT 50
+    """,
+)
+def q_text_vocab(spark, sf_dir):
+    """Vocabulary coverage: top-50 terms with cumulative corpus share — the
+    'how big a vocab covers X% of tokens' question every tokenizer design
+    asks. Integer counts + one stable-rounded division, so exact across
+    engines. Plan: one explode+agg shuffle, a single-partition window over
+    only the head of the vocabulary (the ORDER BY ... LIMIT keeps the
+    global sort a TakeOrdered at scale)."""
+    from pyspark.sql import Window
+
+    d = _cat(spark, sf_dir).documents
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tot = tf.agg(F.sum("tf").alias("total"))
+    w = Window.orderBy(F.desc("tf"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        tf.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("tf").over(w))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(50)
+        .select(
+            "token",
+            "tf",
+            stable_round6(F.col("cum") / F.col("total")).alias("cum_share"),
+        )
+    )
+
+
+@q(
+    "q_text_bigrams",
+    """
+    SELECT bigram, COUNT(*) AS n FROM (
+        SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    ) GROUP BY bigram
+    QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram ASC) <= 20
+    """,
+)
+def q_text_bigrams(spark, sf_dir):
+    """Top-20 bigram counts (n-gram language-model statistics): adjacent
+    token pairs built with slice+zip_with (pure array expressions, no
+    Python), then the usual explode → agg → TakeOrdered plan."""
+    d = _cat(spark, sf_dir).documents
+    words = F.split("text", " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
