@@ -325,6 +325,9 @@ def simhash_pairs(
     skewed bit differences), bucket-join on (band, chunk), filter by exact
     Hamming distance via bit_count(xor)."""
     sig_df = simhash_signatures(df, id_col, text_col)
+    sig_df.cache()  # self-joined below — without this the 64-vote aggregate
+    # subtree runs twice (once per join side); at scale signatures would be
+    # persisted as a table anyway
     chunks = sig_df.select(
         id_col,
         "sig",
@@ -357,6 +360,10 @@ def simhash_pairs(
                 F.col("a.sig").bitwiseXOR(F.col("b.sig"))
             ).alias("hamming"),
         )
-        .distinct()
+        # filter BEFORE the distinct: the hamming test is a narrow map, the
+        # distinct is a shuffle — on dup-heavy corpora candidate pairs
+        # outnumber surviving pairs ~50x, so this ordering shrinks the
+        # exchange by that factor (measured at sf0.1)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
