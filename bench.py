@@ -25,6 +25,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Headline set: one per operator family, heaviest shapes included.
 HEADLINE = [
     "q_flagship_q3",
+    "q_tpch_q5",
+    "q_tpch_q10",
     "q_agg_group",
     "q_join_star",
     "q_win_rank",

@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.registry import q, cat as _cat, date as _date
-from etl_data_processor_spark.ops.exact import dec
+from etl_data_processor_spark.ops.exact import dec, dsum, revenue, sql_dsum, sql_revenue
 from etl_data_processor_spark.ops.similarity import stable_round6
 
 _SR6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
@@ -540,4 +540,89 @@ def q_collect_list(spark, sf_dir):
         .agg(
             F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
         )
+    )
+
+
+@q(
+    "q_tpch_q5",
+    f"""
+    SELECT n.n_name, {sql_dsum(sql_revenue())} AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-way join with a
+    customer-supplier same-nation predicate, region + date filters, grouped
+    exact revenue. Plan: date filter pushes into the orders scan, region
+    prunes nation keys before the fact join, supplier/nation/region
+    broadcast; the only big shuffles are fact⋈fact on orderkey and the
+    final agg."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat.supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(dsum(revenue()).alias("revenue"))
+    )
+
+
+@q(
+    "q_tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name, {sql_dsum(sql_revenue())} AS revenue,
+           n.n_name, c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): quarter of orders,
+    returned lines only, revenue per customer, top-20. The returnflag and
+    date predicates both push into their scans; nation broadcasts; the
+    ORDER BY ... LIMIT plans as TakeOrderedAndProject (no global sort)."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.customer.join(cat.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(
+            cat.lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
     )

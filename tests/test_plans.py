@@ -121,3 +121,18 @@ def test_corpus_curation_single_dedup_shuffle(spark, sf_dir):
     # detail headers "(n) Exchange" for the true exchange count
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges <= 2
+
+
+def test_tpch_q10_take_ordered_and_dims_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["q_tpch_q10"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    # both scan-level predicates reach parquet
+    assert "PushedFilters" in plan and "l_returnflag" in plan
+
+
+def test_tpch_q5_pushes_date_filter(spark, sf_dir):
+    plan = plan_of(QUERIES["q_tpch_q5"](spark, sf_dir))
+    pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in p for p in pushed)
+    assert "BroadcastHashJoin" in plan
