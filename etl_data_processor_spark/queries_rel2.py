@@ -626,3 +626,131 @@ def q_tpch_q10(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
     )
+
+
+@q(
+    "q_salted_join",
+    f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n, {sql_dsum('l.l_quantity')} AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_salted_join(spark, sf_dir):
+    """Skew-salted fact join (ops.relational.salted_join): the left key is
+    sharded over 8 salts and the right side replicated, so one pathological
+    hot key spreads across 8 reducers instead of stalling one. Salting is
+    result-invariant — the oracle is the PLAIN join — which is exactly the
+    point: a skew mitigation that changes results is a bug."""
+    from etl_data_processor_spark.ops.relational import salted_join
+
+    cat = _cat(spark, sf_dir)
+    joined = salted_join(
+        cat.lineitem.select(F.col("l_orderkey").alias("k"), "l_quantity"),
+        cat.orders.select(F.col("o_orderkey").alias("k"), "o_orderpriority"),
+        "k",
+        salt_buckets=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+@q(
+    "q_sessionize",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - LAG(us) OVER w > 1800000000 OR
+                         LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           (MAX(us) - MIN(us)) AS duration_us
+    FROM sessions GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization (30-minute inactivity gap): lag + flag + running
+    sum assigns session numbers, then per-session stats — the classic
+    two-window + one-agg plan, all on the same user_id partitioning (ONE
+    shuffle: Spark reuses the hash partition for both windows and the
+    aggregate). Time math in whole microseconds (unix_micros/epoch_us), so
+    both engines compute identical integers. The streaming equivalent is
+    session_window (q_stream_session); this is the backfill path."""
+    ev = _cat(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id", "event_id", us.alias("us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            (F.col("us") - F.lag("us").over(w) > 1_800_000_000)
+            | F.lag("us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(wrun))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+    )
+
+
+@q(
+    "q_funnel",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (view -> later click -> later purchase per
+    user): each stage joins the previous stage's per-user first-time and
+    keeps strictly-later events. Stage tables shrink monotonically and
+    broadcast; the big table is scanned once per stage with the event_type
+    filter pushed down. Counts are engine-exact (integer µs comparisons)."""
+    ev = _cat(spark, sf_dir).events
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
