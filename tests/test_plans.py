@@ -136,3 +136,14 @@ def test_tpch_q5_pushes_date_filter(spark, sf_dir):
     pushed = [seg.split("\n")[0] for seg in plan.split("PushedFilters:")[1:]]
     assert any("o_orderdate" in p for p in pushed)
     assert "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both sessionization windows AND the per-session aggregate must reuse
+    one hash partition on user_id (HashPartitioning(user) satisfies the
+    (user, session_seq) clustered distribution) — one exchange total."""
+    import re
+
+    plan = plan_of(QUERIES["q_sessionize"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
