@@ -20,8 +20,11 @@ throughput-first use.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 # Fixed-point quantization for engine-stable vector math: each float element
 # is promoted to double (exact) and quantized to an integer at scale 1e7 via
@@ -122,23 +125,83 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _quantize_plane(p: list[float]) -> list[int]:
+    """Python mirror of :func:`_quantize` (same IEEE double ops), so plane
+    literals quantized driver-side agree bit-for-bit with vectors quantized
+    executor-side — and with the numpy batch path."""
+    return [int(math.floor(float(x) * _Q + 0.5)) for x in p]
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: one bit per plane = sign of <v, p>,
     packed into a long. Pure expressions — the planes are literals folded
-    into codegen."""
+    into codegen.
+
+    The sign test is an EXACT fixed-point integer dot (both sides quantized
+    at scale ``_Q``): order-independent and engine-stable, and bit-identical
+    to the numpy batch path (:func:`lsh_signatures_batch`), so the two
+    implementations are interchangeable per side of the bucket join."""
+    qv = _quantize(vec)
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         dot = F.aggregate(
             F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
+                qv,
+                F.array(*[F.lit(x) for x in _quantize_plane(p)]),
+                lambda x, y: x * y,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         sig = sig + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return sig
+
+
+def lsh_signatures_batch(
+    df: DataFrame,
+    tables: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "__sigs",
+) -> DataFrame:
+    """All per-table signatures in ONE Arrow-batched numpy matmul.
+
+    The expression path (:func:`lsh_bucket`) folds tables × planes × dim
+    literal nodes into the plan — ~1 s of Catalyst analysis and multi-second
+    first-run codegen once tables × planes ≳ 64 (measured; see SCALE.md).
+    Here the planes live in a (T·B, dim) int64 numpy array captured by the
+    UDF closure, and each Arrow batch computes ``Vq @ P.T`` — one exact
+    int64 matmul — then packs sign bits per table. Bit-identical to the
+    expression path: both quantize with floor(x·1e7 + 0.5) in IEEE doubles
+    and take signs of exact integer dots.
+
+    Returns ``df`` plus ``out_col: array<long>`` (one signature per table).
+    """
+    import numpy as np
+
+    P = np.array(
+        [_quantize_plane(p) for planes in tables for p in planes], dtype=np.int64
+    )
+    n_planes = len(tables[0])
+    n_tables = len(tables)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vq = np.floor(V * _Q + 0.5).astype(np.int64)
+            bits = (Vq @ P.T >= 0).astype(np.int64)
+            sigs = bits.reshape(len(pdf), n_tables, n_planes) @ weights
+            pdf[out_col] = list(sigs)
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
 
 
 def lsh_probe_buckets(
@@ -149,15 +212,18 @@ def lsh_probe_buckets(
     projection |margin| — the planes the vector sits closest to are the ones
     most likely to disagree with a true neighbor's signature. Returns an
     array of ``n_probes`` bucket ids; pure expressions, so the query side
-    stays a broadcast literal plan."""
+    stays a broadcast literal plan. Dots are the same exact fixed-point
+    integers as :func:`lsh_bucket`, so probe bucket 0 (the unflipped
+    signature) is bit-identical to the corpus-side signature."""
+    qv = _quantize(vec)
     dots = [
         F.aggregate(
             F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda x, y: x.cast("double") * y,
+                qv,
+                F.array(*[F.lit(x) for x in _quantize_plane(p)]),
+                lambda x, y: x * y,
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
         for p in planes
@@ -195,6 +261,7 @@ def lsh_cosine_topk(
     seed: int = 42,
     n_probes: int = 1,
     n_tables: int = 1,
+    arrow_threshold: int = 32,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket corpus and queries by hyperplane
     signature, score only same-bucket candidates.
@@ -215,23 +282,48 @@ def lsh_cosine_topk(
     found by several tables is scored once per table and deduplicated by
     DISTINCT before ranking (duplicate scoring ≤ tables× on dup-heavy data,
     and avoids a corpus-side re-join — the cheaper side of the tradeoff
-    when candidates are sparse)."""
+    when candidates are sparse).
+
+    Corpus-side signatures switch from pure expressions to the Arrow numpy
+    matmul (:func:`lsh_signatures_batch`) once ``n_tables × n_planes >=
+    arrow_threshold`` — above that, the literal expression tree dominates
+    analysis + codegen time while one int64 matmul per Arrow batch stays
+    flat. The two paths are bit-identical, so the cutover is purely a
+    physical choice. The (small, broadcast) query side always stays
+    expression-based — its plan is built once."""
     tables = [hyperplanes(dim, n_planes, seed + 1000003 * t) for t in range(n_tables)]
-    c = corpus.select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        lsh_bucket(F.col(vec_col), planes).alias("sig"),
-                    )
-                    for t, planes in enumerate(tables)
-                ]
+    if n_tables * n_planes >= arrow_threshold:
+        c = (
+            lsh_signatures_batch(corpus.select(id_col, vec_col), tables)
+            .select(
+                id_col,
+                vec_col,
+                F.posexplode("__sigs").alias("__t", "__sig"),
             )
-        ).alias("__bk"),
-    )
+            .select(
+                id_col,
+                vec_col,
+                F.struct(
+                    F.col("__t").cast("int").alias("t"), F.col("__sig").alias("sig")
+                ).alias("__bk"),
+            )
+        )
+    else:
+        c = corpus.select(
+            id_col,
+            vec_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            lsh_bucket(F.col(vec_col), planes).alias("sig"),
+                        )
+                        for t, planes in enumerate(tables)
+                    ]
+                )
+            ).alias("__bk"),
+        )
     # Query probe list: per table, the multi-probe buckets tagged with the
     # table id (struct matches the corpus side's explode).
     probe_arrays = [

@@ -181,3 +181,40 @@ def test_ivf_trained_returns_k_exact_scores(spark, sf_dir):
     for r in out:
         if (r.query_id, r.vec_id) in exact:
             assert r.cosine == exact[(r.query_id, r.vec_id)]
+
+
+def test_lsh_arrow_signatures_match_expression_path(spark, sf_dir):
+    """The numpy-matmul signature path must be bit-identical to the literal
+    expression path (both take signs of the same exact fixed-point integer
+    dots), so the arrow_threshold cutover is purely physical."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    tables = [SIM.hyperplanes(64, 8, 42 + 1000003 * t) for t in range(3)]
+    arrow = {
+        r.vec_id: list(r["__sigs"])
+        for r in SIM.lsh_signatures_batch(
+            emb.select("vec_id", "embedding"), tables
+        ).collect()
+    }
+    expr = {
+        r.vec_id: [r.s0, r.s1, r.s2]
+        for r in emb.select(
+            "vec_id",
+            *[
+                SIM.lsh_bucket(F.col("embedding"), tables[t]).alias(f"s{t}")
+                for t in range(3)
+            ],
+        ).collect()
+    }
+    assert arrow == expr
+
+
+def test_lsh_topk_same_results_across_arrow_cutover(spark, sf_dir):
+    """Forcing the corpus side through either signature path yields the
+    identical top-k result set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([0, 1]))
+    kw = dict(k=5, n_probes=2, n_tables=2)
+    via_expr = SIM.lsh_cosine_topk(emb, qs, arrow_threshold=10**9, **kw).collect()
+    via_arrow = SIM.lsh_cosine_topk(emb, qs, arrow_threshold=1, **kw).collect()
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(tuple, via_expr)) == sorted(map(tuple, via_arrow))
