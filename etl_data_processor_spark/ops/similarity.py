@@ -24,7 +24,13 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 # Fixed-point quantization for engine-stable vector math: each float element
 # is promoted to double (exact) and quantized to an integer at scale 1e7 via
@@ -383,12 +389,114 @@ def embedding_near_dup_pairs(
     )
 
 
+def _quantized_centroid_matrix(cents: list[tuple[int, list[float]]]):
+    """(n_lists, dim) int64 centroid matrix, quantized EXACTLY like the
+    expression path: driver floats → float32 (the ``cast('array<float>')``
+    in the broadcast centroid frame) → float64 → floor(x·_Q + 0.5)."""
+    import numpy as np
+
+    V = np.asarray([v for _, v in cents], dtype=np.float32).astype(np.float64)
+    return np.floor(V * _Q + 0.5).astype(np.int64)
+
+
+def ivf_assign_argmax(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "__list",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE exact int64 matmul per Arrow batch.
+
+    Bit-identical to the crossJoin + window-rank expression path: both take
+    argmax of the same quantized integer dots with ties to the smallest cid
+    (``cents`` is sorted by cid; ``np.argmax`` returns the first maximum).
+    Replaces a (rows × n_lists) crossJoin plus a full shuffle on ``id_col``
+    with a narrow map — no shuffle at all."""
+    import numpy as np
+
+    cents = sorted(cents)
+    C = _quantized_centroid_matrix(cents)
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    schema = StructType(
+        [df.schema[id_col], df.schema[vec_col], StructField(out_col, LongType(), False)]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf[[id_col, vec_col]]
+            if len(pdf) == 0:
+                pdf[out_col] = []
+                yield pdf
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vq = np.floor(V * _Q + 0.5).astype(np.int64)
+            pdf[out_col] = cids[np.argmax(Vq @ C.T, axis=1)]
+            yield pdf
+
+    return df.mapInPandas(gen, schema)
+
+
+def _ivf_partial_sums(
+    corpus: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """One Lloyd-iteration pass as a map-side combine: each Arrow batch
+    assigns its vectors (exact int64 argmax matmul) and emits per-(list, pos)
+    PARTIAL integer sums + counts — n_lists × dim rows per batch instead of
+    dim rows per corpus vector. The final groupBy reduces partials; integer
+    addition is order-independent, so the result is bit-identical to the
+    expression path's posexplode + groupBy."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(cents)
+    C = _quantized_centroid_matrix(cents)
+    cids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+    dim = C.shape[1]
+    schema = StructType(
+        [
+            StructField("__list", LongType(), False),
+            StructField("pos", IntegerType(), False),
+            StructField("s", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vq = np.floor(V * _Q + 0.5).astype(np.int64)
+            a = np.argmax(Vq @ C.T, axis=1)
+            S = np.zeros((len(cids), dim), dtype=np.int64)
+            np.add.at(S, a, Vq)
+            cnt = np.bincount(a, minlength=len(cids)).astype(np.int64)
+            present = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "__list": np.repeat(cids[present], dim),
+                    "pos": np.tile(np.arange(dim, dtype=np.int32), len(present)),
+                    "s": S[present].ravel(),
+                    "n": np.repeat(cnt[present], dim),
+                }
+            )
+
+    return (
+        corpus.select(vec_col)
+        .mapInPandas(gen, schema)
+        .groupBy("__list", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_lists: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic spherical-k-means IVF training (Lloyd iterations).
 
@@ -417,26 +525,29 @@ def train_ivf_centroids(
 
     qvec = _quantize(F.col(vec_col))
     for _ in range(iters):
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(cid, v) for cid, v in cents], ["__cid", "__cvec"]
-            ).withColumn("__cvec", F.col("__cvec").cast("array<float>"))
-        )
-        scored = corpus.select(id_col, vec_col).crossJoin(cdf).withColumn(
-            "__d", dec_dot(F.col(vec_col), F.col("__cvec"))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("__d"), F.asc("__cid"))
-        assigned = (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(F.col("__cid").alias("__list"), qvec.alias("__q"))
-        )
-        sums = (
-            assigned.select("__list", F.posexplode("__q").alias("pos", "x"))
-            .groupBy("__list", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if arrow:
+            sums = _ivf_partial_sums(corpus, cents, vec_col).collect()
+        else:
+            cdf = F.broadcast(
+                spark.createDataFrame(
+                    [(cid, v) for cid, v in cents], ["__cid", "__cvec"]
+                ).withColumn("__cvec", F.col("__cvec").cast("array<float>"))
+            )
+            scored = corpus.select(id_col, vec_col).crossJoin(cdf).withColumn(
+                "__d", dec_dot(F.col(vec_col), F.col("__cvec"))
+            )
+            w = Window.partitionBy(id_col).orderBy(F.desc("__d"), F.asc("__cid"))
+            assigned = (
+                scored.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .select(F.col("__cid").alias("__list"), qvec.alias("__q"))
+            )
+            sums = (
+                assigned.select("__list", F.posexplode("__q").alias("pos", "x"))
+                .groupBy("__list", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         by_list: dict[int, dict[int, int]] = {}
         counts: dict[int, int] = {}
         for r in sums:
@@ -474,20 +585,21 @@ def ivf_cosine_topk(
     is materialized as a list-partitioned table and queries only ever touch
     ~n_probe/n_lists of it). When omitted, centroids default to the
     ``n_lists`` smallest-id vectors — same plan shape, untrained recall.
+
+    The corpus (big) side is assigned via :func:`ivf_assign_argmax` — a
+    shuffle-free Arrow matmul, bit-identical to the expression path. The
+    query (small, broadcast) side keeps the expression crossJoin + rank,
+    which also yields the top ``n_probe`` lists, not just the argmax.
     """
     spark = corpus.sparkSession
-    if centroids is not None:
-        cents = F.broadcast(
-            spark.createDataFrame(
-                [(cid, v) for cid, v in centroids], ["__cid", "__cvec"]
-            ).withColumn("__cvec", F.col("__cvec").cast("array<float>"))
-        )
-    else:
-        cents = F.broadcast(
-            corpus.orderBy(id_col).limit(n_lists).select(
-                F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
-            )
-        )
+    if centroids is None:
+        seeds = corpus.orderBy(id_col).limit(n_lists).select(id_col, vec_col).collect()
+        centroids = [(i, [float(x) for x in r[1]]) for i, r in enumerate(seeds)]
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(cid, v) for cid, v in centroids], ["__cid", "__cvec"]
+        ).withColumn("__cvec", F.col("__cvec").cast("array<float>"))
+    )
 
     def assign(df: DataFrame, vec: str, out: str, keep_n: int) -> DataFrame:
         """Rank centroid distances per row, keep the top keep_n list ids."""
@@ -503,7 +615,9 @@ def ivf_cosine_topk(
             .select(*df.columns, F.col("__cid").alias(out))
         )
 
-    c_assigned = assign(corpus.select(id_col, vec_col), vec_col, "__list", 1)
+    c_assigned = ivf_assign_argmax(
+        corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    )
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )

@@ -218,3 +218,13 @@ def test_lsh_topk_same_results_across_arrow_cutover(spark, sf_dir):
     via_arrow = SIM.lsh_cosine_topk(emb, qs, arrow_threshold=1, **kw).collect()
     key = lambda r: (r.query_id, r.rank)
     assert sorted(map(tuple, via_expr)) == sorted(map(tuple, via_arrow))
+
+
+def test_ivf_arrow_training_matches_expression_path(spark, sf_dir):
+    """The Arrow map-side-combine Lloyd iteration must produce bit-identical
+    centroids to the crossJoin + rank + posexplode expression path (same
+    quantized integer dots, argmax ties to smallest cid, exact int sums)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = SIM.train_ivf_centroids(emb, n_lists=8, iters=2, arrow=True)
+    b = SIM.train_ivf_centroids(emb, n_lists=8, iters=2, arrow=False)
+    assert a == b
