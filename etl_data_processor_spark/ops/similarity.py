@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    FloatType,
     IntegerType,
     LongType,
     StructField,
@@ -255,6 +256,29 @@ def lsh_probe_buckets(
     return F.concat(F.array(sig), F.transform(flips, flip))
 
 
+def _probe_buckets_py(
+    vec: list[float], tables: list[list[list[float]]], n_probes: int
+) -> list[tuple[int, int]]:
+    """Driver-side mirror of :func:`lsh_probe_buckets` over all tables:
+    same quantization, same exact integer dots, same (|margin|, plane-index)
+    flip ordering — bit-identical to the expression path. Returns
+    ``[(table, bucket)]``."""
+    import numpy as np
+
+    v = np.asarray(vec, dtype=np.float32).astype(np.float64)
+    vq = np.floor(v * _Q + 0.5).astype(np.int64)
+    out: list[tuple[int, int]] = []
+    for t, planes in enumerate(tables):
+        P = np.array([_quantize_plane(p) for p in planes], dtype=np.int64)
+        dots = [int(d) for d in P @ vq]
+        sig = sum(1 << i for i, d in enumerate(dots) if d >= 0)
+        out.append((t, sig))
+        order = sorted(range(len(planes)), key=lambda i: (abs(dots[i]), i))
+        for i in order[: max(0, n_probes - 1)]:
+            out.append((t, sig ^ (1 << i)))
+    return out
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,7 +291,8 @@ def lsh_cosine_topk(
     seed: int = 42,
     n_probes: int = 1,
     n_tables: int = 1,
-    arrow_threshold: int = 32,
+    arrow_threshold: int = 16,
+    collect_queries: bool = True,
 ) -> DataFrame:
     """Approximate cosine top-k: bucket corpus and queries by hyperplane
     signature, score only same-bucket candidates.
@@ -332,20 +357,50 @@ def lsh_cosine_topk(
         )
     # Query probe list: per table, the multi-probe buckets tagged with the
     # table id (struct matches the corpus side's explode).
-    probe_arrays = [
-        F.transform(
-            lsh_probe_buckets(F.col(vec_col), planes, n_probes),
-            (lambda t: lambda s: F.struct(F.lit(t).alias("t"), s.alias("sig")))(t),
+    if collect_queries:
+        # The query batch is the broadcast-small side by contract, so its
+        # probe buckets are computed driver-side in numpy (bit-identical
+        # mirror of the expression path) — avoiding a tables × planes × dim
+        # literal expression tree whose CONSTRUCTION alone costs seconds.
+        spark = corpus.sparkSession
+        qschema = StructType(
+            [
+                StructField(query_id_col, queries.schema[id_col].dataType),
+                StructField("__qvec", ArrayType(FloatType())),
+                StructField(
+                    "__bk",
+                    StructType(
+                        [
+                            StructField("t", IntegerType(), False),
+                            StructField("sig", LongType(), False),
+                        ]
+                    ),
+                    False,
+                ),
+            ]
         )
-        for t, planes in enumerate(tables)
-    ]
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias(query_id_col),
-            F.col(vec_col).alias("__qvec"),
-            F.explode(F.flatten(F.array(*probe_arrays))).alias("__bk"),
+        rows = [
+            (r[0], vec, (t, b))
+            for r in queries.select(id_col, vec_col).collect()
+            for vec in [[float(x) for x in r[1]]]
+            for t, b in _probe_buckets_py(vec, tables, n_probes)
+        ]
+        q = F.broadcast(spark.createDataFrame(rows, qschema))
+    else:
+        probe_arrays = [
+            F.transform(
+                lsh_probe_buckets(F.col(vec_col), planes, n_probes),
+                (lambda t: lambda s: F.struct(F.lit(t).alias("t"), s.alias("sig")))(t),
+            )
+            for t, planes in enumerate(tables)
+        ]
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias(query_id_col),
+                F.col(vec_col).alias("__qvec"),
+                F.explode(F.flatten(F.array(*probe_arrays))).alias("__bk"),
+            )
         )
-    )
     scored = (
         c.join(q, "__bk")
         .filter(F.col(id_col) != F.col(query_id_col))

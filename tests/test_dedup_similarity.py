@@ -228,3 +228,14 @@ def test_ivf_arrow_training_matches_expression_path(spark, sf_dir):
     a = SIM.train_ivf_centroids(emb, n_lists=8, iters=2, arrow=True)
     b = SIM.train_ivf_centroids(emb, n_lists=8, iters=2, arrow=False)
     assert a == b
+
+
+def test_lsh_driver_side_probes_match_expression_path(spark, sf_dir):
+    """Driver-side numpy probe buckets must be bit-identical to the
+    expression path, so collect_queries is purely a physical choice."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    kw = dict(k=7, n_probes=3, n_tables=2)
+    a = SIM.lsh_cosine_topk(emb, qs, collect_queries=True, **kw).collect()
+    b = SIM.lsh_cosine_topk(emb, qs, collect_queries=False, **kw).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
