@@ -115,6 +115,47 @@ def _affine_params(n: int, p: int, seed: int = 1234567) -> list[tuple[int, int]]
     return out
 
 
+def _minhash_sigs_col(hashes: Column, params: list[tuple[int, int]], p: int) -> Column:
+    """MinHash signature array from a base-hash array: per (a, b) param,
+    array_min((a·h + b) mod p). One nested higher-order expression — plan
+    size independent of the number of hashes, no shuffle, no explode."""
+    param_arr = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    return F.transform(
+        param_arr,
+        lambda pr: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (pr.getField("a") * h + pr.getField("b")) % F.lit(p),
+            )
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sigs: array<long>) MinHash signatures — a NARROW plan (no
+    aggregate, no exchange beyond the explicit parallelism repartition), so
+    at 100 TB signature computation is embarrassingly parallel and the only
+    shuffle in a dedup pipeline is the band-bucket join."""
+    p = (1 << 31) - 1
+    params = _affine_params(num_hashes, p)
+    sh = with_shingles(_parallelize(df.select(id_col, text_col)), text_col, k)
+    hashed = sh.withColumn(
+        "__h",
+        F.transform(
+            F.col("shingles"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF))
+        ),
+    )
+    return hashed.select(id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("sigs"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -127,19 +168,21 @@ def minhash_lsh_pairs(
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
     Plan shape (the part that matters at 100 TB):
-      1. shingle + explode                  — narrow, no shuffle
-      2. min(xxhash64(shingle, seed)) per (doc, seed) via one groupBy(doc)
-         with ``num_hashes`` min-aggregates — ONE shuffle on doc id
-      3. band signatures → explode bands → groupBy(band, sig) bucket join —
+      1. shingle                            — narrow, no shuffle
+      2. signatures as ONE nested higher-order expression per doc:
+         base-hash the shingle array once, then per (a, b) param
+         array_min((a·h + b) mod p) — NO shuffle at all (shingles are
+         already per-doc; the old groupBy(doc) + num_hashes min-aggregates
+         exchange is gone), and the plan stays a few nodes regardless of
+         ``num_hashes`` (the wide unrolled form was the dominant cold-start
+         codegen cost)
+      3. band signatures → explode bands → bucket self-join —
          ONE shuffle on the bucket key; only same-bucket docs ever pair up
       4. candidate pairs → join back shingle arrays → exact Jaccard filter
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
     Rows/bands trade recall for cost: r = num_hashes/bands; the default
-    16 bands × 2 rows gives recall 1-(1-j²)^16 — ≥ 1-8e-8 at j≥0.8 — while
-    halving signature width vs the classic 64 (signature cost AND the
-    codegen'd plan size both scale with num_hashes; the wider plan was the
-    dominant cold-start cost at 64).
+    16 bands × 2 rows gives recall 1-(1-j²)^16 — ≥ 1-8e-8 at j≥0.8.
     """
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
@@ -150,30 +193,43 @@ def minhash_lsh_pairs(
     sh.cache()  # reused for signatures and for the verify join
 
     # One base hash per shingle, then universal-hash permutations
-    # h_i = (a_i*h + b_i) mod p (Mersenne prime) — 64 multiply-adds instead
-    # of 64 full string hashes per shingle, all 62-bit-safe under ANSI mode.
+    # h_i = (a_i*h + b_i) mod p (Mersenne prime) — num_hashes multiply-adds
+    # instead of num_hashes full string hashes per shingle, all 62-bit-safe
+    # under ANSI mode. The base-hash array is materialized as its own
+    # projection so the per-param transform reuses it instead of re-hashing
+    # the strings num_hashes times.
     p = (1 << 31) - 1
     params = _affine_params(num_hashes, p)
-    exploded = sh.select(id_col, F.explode("shingles").alias("__sh")).select(
-        id_col, F.xxhash64(F.col("__sh")).bitwiseAND(F.lit(0x7FFFFFFF)).alias("h")
+    hashed = sh.withColumn(
+        "__h",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
+        ),
     )
-    min_aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(p)).alias(f"h{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    sigs = exploded.groupBy(id_col).agg(*min_aggs)
+    sigs = hashed.select(
+        id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
+    )
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("sig"),
-        )
-        for b in range(bands)
-    ]
+    # Band key = hash of the band's signature slice (array-typed xxhash64);
+    # any injective-enough band hash works — both join sides use the same.
     buckets = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("__sigs"),
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        )
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bk"),
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
     left = buckets.alias("a")
@@ -261,55 +317,47 @@ def simhash(text: Column, token_col_hash_bits: int = 64) -> Column:
     """64-bit SimHash of the token multiset, as a signed long.
 
     Per-bit voting: for bit b, sum(sign) over tokens of whether
-    xxhash64(token) has bit b set; signature bit = majority. Implemented as
-    pure array expressions over the token list (no explode needed)."""
+    xxhash64(token) has bit b set; signature bit = majority. ONE aggregate
+    pass over the token-hash array with an array<long> of 64 vote counters
+    as the accumulator — a constant-size plan (the unrolled 64-aggregate
+    form paid per-bit array scans and dominated codegen time), no explode,
+    no shuffle."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def vote_for(bit: int):
-        # closure (NOT a default arg: pyspark binds extra lambda params to
-        # the element index, silently corrupting captured values);
-        # bit 63 is the sign bit: use its two's-complement long value
-        mask = F.lit(_bit_value(bit)).cast("long")
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    bit_votes = [vote_for(b) for b in range(token_col_hash_bits)]
-    sig = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        # adding each two's-complement bit value once == setting that bit
-        sig = sig + F.when(vote > 0, F.lit(_bit_value(b)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    # bit 63 is the sign bit: its two's-complement long value is -2^63
+    bitvals = F.array(
+        *[F.lit(_bit_value(b)).cast("long") for b in range(token_col_hash_bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), token_col_hash_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bitvals,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    # adding each two's-complement bit value once == setting that bit
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            bitvals,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash signatures via explode + one 64-sum groupBy — the
-    scalable form of ``simhash`` (single shuffle on the doc id, all bit
-    votes computed in one codegen'd aggregate pass over token hashes)."""
-    toks = _parallelize(df.select(id_col, text_col)).select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__t"),
-    ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("h"))
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(_bit_value(b))) != 0, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(64)
-    ]
-    sig_df = toks.groupBy(id_col).agg(*votes)
-    sig = F.lit(0).cast("long")
-    for b in range(64):
-        sig = sig + F.when(
-            F.col(f"v{b}") > 0, F.lit(_bit_value(b)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return sig_df.select(F.col(id_col), sig.alias("sig"))
+    """64-bit SimHash signatures — a NARROW plan (the token list is already
+    per-doc, so the single-pass array-accumulator ``simhash`` needs no
+    aggregate and no exchange beyond the explicit parallelism repartition)."""
+    return _parallelize(df.select(id_col, text_col)).select(
+        F.col(id_col), simhash(F.col(text_col)).alias("sig")
+    )
 
 
 def simhash_pairs(

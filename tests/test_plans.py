@@ -147,3 +147,19 @@ def test_sessionize_single_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["q_sessionize"](spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 2
+
+
+def test_dedup_signature_stages_are_narrow(spark, sf_dir):
+    """MinHash and SimHash signatures are nested higher-order expressions
+    over per-doc arrays: no aggregate and no exchange beyond the explicit
+    parallelism repartition — at 100 TB signature computation stays
+    embarrassingly parallel and the only dedup shuffle is the bucket join."""
+    import re
+
+    from etl_data_processor_spark.ops import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for sig_df in (D.minhash_signatures(docs), D.simhash_signatures(docs)):
+        plan = plan_of(sig_df)
+        assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+        assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
