@@ -158,6 +158,12 @@ def test_dedup_signature_stages_are_narrow(spark, sf_dir):
 
     from etl_data_processor_spark.ops import dedup as D
 
+    # The audit pins the COLD plan. A prior dedup query in the same session
+    # leaves its shingle/signature DataFrames cached, and Spark substitutes a
+    # matching cached subplan as InMemoryTableScan — whose stored plan (own
+    # Exchange included) is printed by explain("formatted"), skewing counts.
+    spark.catalog.clearCache()
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for sig_df in (D.minhash_signatures(docs), D.simhash_signatures(docs)):
         plan = plan_of(sig_df)
