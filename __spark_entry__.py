@@ -17,6 +17,7 @@ from etl_data_processor_spark import queries_north as _q_north  # noqa: F401 (re
 from etl_data_processor_spark import queries_rel2 as _q_rel2  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_corpus as _q_corpus  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_ts as _q_ts  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_tpch as _q_tpch  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 
 

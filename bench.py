@@ -27,6 +27,9 @@ HEADLINE = [
     "q_flagship_q3",
     "q_tpch_q5",
     "q_tpch_q10",
+    "q_tpch_q6",
+    "q_tpch_q8",
+    "q_tpch_q18",
     "q_agg_group",
     "q_join_star",
     "q_win_rank",

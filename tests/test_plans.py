@@ -169,3 +169,60 @@ def test_dedup_signature_stages_are_narrow(spark, sf_dir):
         plan = plan_of(sig_df)
         assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
         assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_tpch_q6_predicates_all_push_to_scan(spark, sf_dir):
+    """Q6 is the pushdown litmus test: the shipdate range (written over
+    CAST(ts AS DATE), which Catalyst rewrites into a pushable timestamp
+    range), both discount bounds, and the quantity bound must ALL reach the
+    parquet scan — at 100 TB these prune row groups before any CPU work."""
+    plan = plan_of(QUERIES["q_tpch_q6"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+    assert "Join" not in plan
+
+
+def test_tpch_ratio_queries_broadcast_all_dims(spark, sf_dir):
+    """Q7/Q8: every dimension side (supplier, nation x2, region, filtered
+    part) must broadcast — no nested-loop join, no global sort, and the only
+    shuffles left are fact-fact joins and the final aggregate."""
+    import re
+
+    for name in ("q_tpch_q7", "q_tpch_q8"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+        assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) >= 5
+        assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+
+
+def test_tpch_q15_caches_rev_instead_of_rescanning(spark, sf_dir):
+    """Q15's rev table feeds two consumers and ReuseExchange does not fire
+    across them; the operator caches the post-aggregation (supplier-sized)
+    rev so the fact table is scanned once. The audit pins: exactly one
+    lineitem parquet scan in the plan, and no single-partition global
+    Window/Sort for the max."""
+    import re
+
+    spark.catalog.clearCache()  # cold plan: prior runs leave rev cached
+    plan = plan_of(QUERIES["q_tpch_q15"](spark, sf_dir))
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1
+    assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0
+
+
+def test_tpch_q18_single_exchange_semi_shape(spark, sf_dir):
+    """Q18 rewrite: the grouped quantity sums are computed once (one
+    orderkey exchange) and joined — no second lineitem pass for the IN
+    subquery, no sort."""
+    import re
+
+    plan = plan_of(QUERIES["q_tpch_q18"](spark, sf_dir))
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
