@@ -754,3 +754,73 @@ def q_funnel(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
     )
+
+
+@q(
+    "q_except_all",
+    """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F' AND l_returnflag = 'R'
+          AND l_quantity > 25
+    """,
+)
+def q_except_all(spark, sf_dir):
+    """B21: EXCEPT ALL — multiset difference preserves duplicate
+    multiplicity (Spark plans a count-propagating aggregate, not a
+    distinct), which EXCEPT (q_except) silently collapses."""
+    li = _cat(spark, sf_dir).lineitem
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(
+        (F.col("l_linestatus") == "F")
+        & (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 25)
+    ).select("l_orderkey")
+    return a.exceptAll(b)
+
+
+@q(
+    "q_intersect_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q_intersect_all(spark, sf_dir):
+    """B21: INTERSECT ALL — multiset intersection with min-multiplicity
+    semantics."""
+    o = _cat(spark, sf_dir).orders
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@q(
+    "q_join_nullsafe",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.k
+    FROM (SELECT event_id, NULLIF(user_id % 10, 7) AS k FROM events) a
+    JOIN (SELECT event_id, NULLIF(user_id % 10, 7) AS k FROM events) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+    WHERE a.event_id <= 20 AND b.event_id <= 20
+    """,
+)
+def q_join_nullsafe(spark, sf_dir):
+    """B4 variant: null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing — Spark still plans a HASH
+    join on the null-safe key (nulls hash to one bucket), not a nested
+    loop; the fixture has no natural NULLs so the key derives one via
+    NULLIF. Bounded to a small id range: NULL<=>NULL is intentionally a
+    many-to-many hot key — exactly the skew caveat the docstring of
+    salted_join covers at scale."""
+    ev = _cat(spark, sf_dir).events
+    keyed = ev.select(
+        "event_id", F.nullif(F.col("user_id") % 10, F.lit(7)).alias("k")
+    ).filter(F.col("event_id") <= 20)
+    a = keyed.select(F.col("event_id").alias("id_a"), F.col("k"))
+    b = keyed.select(F.col("event_id").alias("id_b"), F.col("k").alias("k2"))
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("k2")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "k")
+    )

@@ -1,12 +1,15 @@
 """TPC-H-shaped relational batch 3: the remaining dbgen queries expressible
 over the driver's fixture schema (no partsupp / l_shipmode / l_commitdate /
-c_phone columns exist, so Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q21/Q22 are out of
-reach in faithful form; Q1/Q3/Q5/Q10 shapes live in earlier batches).
+c_phone columns exist, so Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 are out of reach in
+faithful form; Q1/Q3/Q5/Q10 shapes live in earlier batches).
 
 Added here: Q6 (selective scan-agg), Q7 (volume shipping, two nation roles),
 Q8 (market share ratio), Q13 (customer order-count distribution), Q14 (promo
 revenue ratio), Q15 (top supplier vs scalar max), Q17 (small-quantity orders
-vs per-part average), Q18 (large-volume customers).
+vs per-part average), Q18 (large-volume customers), and adapted Q19
+(disjunctive both-sides join predicate over p_brand/p_size bands) and Q22
+(scalar-average subquery + anti join; see their docstrings for what was
+adapted and why).
 
 All money math routes through ops.exact decimal helpers (order-independent,
 engine-identical); ratios divide the *identically computed* double operands
@@ -420,5 +423,114 @@ def q_tpch_q18(spark, sf_dir):
             _date("o_orderdate").alias("o_orderdate"),
             "o_totalprice",
             "sum_qty",
+        )
+    )
+
+
+@q(
+    "q_tpch_q19",
+    f"""
+    SELECT {_SQL_REV_SUM} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue, adapted: p_container/l_shipmode
+    don't exist in the fixture schema, so the disjuncts pair p_brand+p_size
+    with quantity bands). The optimizer-relevant property survives the
+    adaptation: an OR-of-ANDs residual predicate referencing BOTH join
+    sides, over a single extractable equi-key — Catalyst plans the equi
+    hash join on partkey and evaluates the disjunction as a post-join
+    filter, instead of degenerating into a nested-loop join. Per-side
+    implied filters (brand IN, quantity range) stay pushable."""
+    cat = _cat(spark, sf_dir)
+    disj = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(10, 30)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(20, 50)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .filter(disj)
+        .agg(
+            dsum(revenue()).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q22",
+    f"""
+    SELECT c.c_nationkey AS cntrykey, COUNT(*) AS numcust,
+           {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity, adapted: no c_phone column,
+    so nationkey stands in for the country code, and the NOT EXISTS is
+    against URGENT orders because the generator gives every customer at
+    least one order — the dbgen no-orders predicate would be vacuously
+    empty). Two classic sub-shapes in one query: an uncorrelated scalar
+    aggregate subquery (above-average balance — computed once, broadcast as
+    a 1-row cross join, exact decimal sum / count so the threshold double is
+    engine-identical) and a NOT EXISTS decorrelated to a left anti join on
+    custkey. At scale the anti join is the only fact-sized shuffle; the
+    scalar is one tiny agg."""
+    cat = _cat(spark, sf_dir)
+    avg_bal = (
+        cat.customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "__avg_bal"
+            )
+        )
+    )
+    return (
+        cat.customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            cat.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrykey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
         )
     )

@@ -226,3 +226,22 @@ def test_tpch_q18_single_exchange_semi_shape(spark, sf_dir):
     plan = plan_of(QUERIES["q_tpch_q18"](spark, sf_dir))
     assert len(re.findall(r"lineitem\.parquet", plan)) == 1
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) <= 2
+
+
+def test_tpch_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """Q19's OR-of-ANDs references both join sides, but the common partkey
+    equi-key must still be extracted into a HASH join with the disjunction
+    as a post-join filter — degenerating into BroadcastNestedLoopJoin here
+    is the classic optimizer failure this shape exists to catch."""
+    plan = plan_of(QUERIES["q_tpch_q19"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: the NOT EXISTS must plan as a (hash) anti join, and the scalar
+    average must arrive via a broadcast of one aggregated row — no
+    per-row subquery, no nested loop against orders."""
+    plan = plan_of(QUERIES["q_tpch_q22"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastExchange" in plan
