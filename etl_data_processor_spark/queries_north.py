@@ -865,3 +865,38 @@ def q_cosine_ivf(spark, sf_dir):
         deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
     )
     return SIM.ivf_cosine_topk(emb, queries, k=10, centroids=cents)
+
+
+@q(
+    "q_multimodal_frames",
+    """
+    WITH vid AS (
+        SELECT doc_id, lower(hex(encode(text))) AS bh,
+               CAST(CEIL(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id < 50
+    ),
+    idx AS (
+        SELECT doc_id, bh, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
+        FROM vid
+    )
+    SELECT doc_id, frame_idx,
+           substr(bh, CAST(frame_idx * 64 + 1 AS BIGINT), 64) AS frame_hex,
+           n_frames AS n_frames_total
+    FROM idx
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """B33: video frame sampling — mapInPandas fan-out (one video row yields
+    one row per sampled frame, produced inside the Arrow iterator, not via
+    a driver-built array explode). Decode is the documented chunking stub;
+    the oracle compares the frame BYTES hex-encoded (DuckDB cannot slice
+    blobs, so both engines emit lowercase hex of the same 32-byte frames)."""
+    d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 50)
+    blobs = d.select("doc_id", MM.to_blob(F.col("text")).alias("blob"))
+    frames = MM.sample_frames(blobs, every_k=4, frame_size=32)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.lower(F.hex(F.col("frame_blob"))).alias("frame_hex"),
+        "n_frames_total",
+    )

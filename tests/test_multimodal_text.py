@@ -82,3 +82,56 @@ def test_quality_score_ordering(spark):
     ).collect()}
     assert q[1] > q[2]
     assert q[3] == 0.0
+
+
+def test_resize_images_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "ab"), (3, "")], ["doc_id", "text"]
+    )
+    blobs = df.select("doc_id", MM.to_blob(F.col("text")).alias("blob"))
+    out = {r.doc_id: r for r in MM.resize_images(blobs, 4, 3).collect()}
+    # every output is exactly width*height bytes, regardless of input size
+    assert all(len(bytes(r.resized_blob)) == 12 for r in out.values())
+    assert out[1].width == 4 and out[1].height == 3
+    assert bytes(out[1].resized_blob) == b"x" * 12          # stride-sampled
+    assert bytes(out[2].resized_blob) == b"ab" + b"\x00" * 10  # zero-padded
+    assert bytes(out[3].resized_blob) == b"\x00" * 12
+
+
+def test_sample_frames_fan_out(spark):
+    # 100 bytes -> 7 frames of 16 (last one short); every 2nd -> idx 0,2,4,6
+    df = spark.createDataFrame([(1, "v" * 100), (2, "")], ["doc_id", "text"])
+    blobs = df.select("doc_id", MM.to_blob(F.col("text")).alias("blob"))
+    rows = MM.sample_frames(blobs, every_k=2, frame_size=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 2, 4, 6]
+    assert all(r.n_frames_total == 7 for r in by_doc[1])
+    full = [r for r in by_doc[1] if r.frame_idx < 6]
+    assert all(len(bytes(r.frame_blob)) == 16 for r in full)
+    last = [r for r in by_doc[1] if r.frame_idx == 6][0]
+    assert len(bytes(last.frame_blob)) == 100 - 6 * 16
+    assert 2 not in by_doc  # empty video yields no frames
+
+
+def test_metadata_only_query_prunes_blob_column(spark, sf_dir, tmp_path):
+    """The 100 TB rule the module docstring promises: a query touching only
+    the metadata struct must not read blob bytes from parquet."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    p = str(tmp_path / "blobs.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    docs.select(
+        "doc_id",
+        MM.to_blob(F.col("text")).alias("blob"),
+        MM.blob_metadata(MM.to_blob(F.col("text"))).alias("meta"),
+    ).write.mode("overwrite").parquet(p)
+    q = spark.read.parquet(p).select("doc_id", "meta.n_bytes")
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    read_schema = buf.getvalue().split("ReadSchema:")[1].split("\n")[0]
+    assert "blob" not in read_schema
+    assert q.count() == 50
