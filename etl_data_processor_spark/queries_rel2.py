@@ -824,3 +824,17 @@ def q_join_nullsafe(spark, sf_dir):
         a.join(b, F.col("k").eqNullSafe(F.col("k2")) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "k")
     )
+
+
+@q("q_agg_hll_merge")  # rows-only: DataSketches HLL != DuckDB's sketch
+def q_agg_hll_merge(spark, sf_dir):
+    """B13 extension: mergeable HLL distinct-count sketches — per-slice
+    sketches (here per order-status) unioned into per-priority estimates
+    WITHOUT re-reading rows. Rows-only oracle (DuckDB's approx sketch
+    differs); accuracy and partition-invariance pinned in
+    tests/test_properties.py."""
+    from etl_data_processor_spark.ops import sketches as SK
+
+    o = _cat(spark, sf_dir).orders
+    parts = SK.hll_partial(o, ["o_orderpriority", "o_orderstatus"], "o_custkey")
+    return SK.hll_merge(parts, ["o_orderpriority"]).orderBy("o_orderpriority")

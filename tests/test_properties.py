@@ -63,3 +63,32 @@ def test_result_invariant_under_repartition(name, spark, sf_dir, scrambled_sf_di
     ra, rb = a.collect(), b.collect()
     assert sorted(a.columns) == sorted(b.columns)
     assert canon(ra, a.columns) == canon(rb, b.columns)
+
+
+def test_hll_sketch_merge_properties(spark, sf_dir):
+    """The three properties that make sketches safe at 100 TB: (1) the
+    estimate is partition-invariant (register maxima are order-free), (2)
+    union-of-parts equals sketch-of-whole exactly (not just approximately),
+    (3) the estimate tracks the exact count within HLL error bounds."""
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.io import Catalog
+    from etl_data_processor_spark.ops import sketches as SK
+
+    o = Catalog(spark, sf_dir).orders
+    whole = SK.hll_merge(
+        SK.hll_partial(o, ["o_orderstatus"], "o_custkey")
+    ).collect()[0].distinct_est
+    parts_fine = SK.hll_partial(
+        o, ["o_orderstatus", "o_orderpriority"], "o_custkey"
+    )
+    merged = SK.hll_merge(parts_fine).collect()[0].distinct_est
+    assert merged == whole  # union associativity: exact register equality
+
+    repart = SK.hll_merge(
+        SK.hll_partial(o.repartition(13, "o_orderkey"), ["o_orderstatus"], "o_custkey")
+    ).collect()[0].distinct_est
+    assert repart == whole  # partition-invariance
+
+    exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
+    assert abs(whole - exact) / exact < 0.05
