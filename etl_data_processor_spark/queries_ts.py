@@ -253,3 +253,46 @@ def q_text_bigrams(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@q(
+    "q_ts_rollup_cascade",
+    f"""
+    SELECT (FLOOR(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch,
+           event_type, COUNT(*) AS n, {sql_dsum('value')} AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_ts_rollup_cascade(spark, sf_dir):
+    """Cascading time-series rollup (the hypertable/materialized-rollup
+    pattern): minute buckets from raw events, hour buckets from the MINUTE
+    rollup, day buckets from the HOUR rollup — each level re-aggregates the
+    previous one, never the raw data. At 100 TB only the minute aggregation
+    is a fact-scale shuffle; every later exchange is rollup-sized (time-
+    range/60 x |types| rows), which is why warehouses materialize the finest
+    level once and serve all coarser granularities from it.
+
+    Exactness is the point of the oracle here: the SQL aggregates DIRECTLY
+    from raw events, so the hash-match proves sums-of-sums lose nothing —
+    counts are integers and the value sums stay DECIMAL through every level
+    (ops.exact), rounded once at the end. floor(floor(e/60)/60) ==
+    floor(e/3600) for non-negative epochs, so the cascaded bucket keys are
+    identical to direct bucketing."""
+    ev = _cat(spark, sf_dir).events
+    from etl_data_processor_spark.ops.exact import dec
+
+    minute = ev.groupBy(
+        F.floor(F.unix_timestamp("ts") / 60).alias("m"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("s"))
+    hour = minute.groupBy(
+        F.floor(F.col("m") / 60).alias("h"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    day = hour.groupBy(
+        F.floor(F.col("h") / 24).alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+    return day.select(
+        (F.col("d") * 86400).cast("long").alias("day_epoch"),
+        "event_type",
+        "n",
+        F.round(F.col("s"), 4).cast("double").alias("total"),
+    )
