@@ -245,3 +245,15 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
     plan = plan_of(QUERIES["q_tpch_q22"](spark, sf_dir))
     assert "LeftAnti" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_ts_rollup_cascade_exchanges_shrink(spark, sf_dir):
+    """The cascade is exactly three aggregations (minute/hour/day), each
+    with partial+final hash agg so every exchange after the first carries
+    rollup-sized data, and nothing collapses into a single-partition plan."""
+    import re
+
+    plan = plan_of(QUERIES["q_ts_rollup_cascade"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 3
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 levels x (partial + final)
