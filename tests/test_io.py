@@ -128,3 +128,24 @@ def test_partitioned_split_write_layout(spark, sf_dir, tmp_path):
     assert dirs == {"split=train", "split=test"}
     back = spark.read.parquet(out)
     assert back.count() == cat.documents.count()
+
+
+def test_xml_roundtrip(spark, sf_dir, tmp_path):
+    """B1 extension: Spark 4 native XML source/sink roundtrip — schema and
+    values survive; the reader infers types back from element text."""
+    from etl_data_processor_spark.io import Catalog
+
+    p = str(tmp_path / "events_xml")
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "event_type", "value"
+    ).limit(50)
+    ev.write.mode("overwrite").option("rowTag", "event").format("xml").save(p)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .load(p)
+        .select("event_id", "event_type", "value")
+    )
+    want = {(r.event_id, r.event_type, round(r.value, 6)) for r in ev.collect()}
+    got = {(r.event_id, r.event_type, round(r.value, 6)) for r in back.collect()}
+    assert got == want
