@@ -98,6 +98,9 @@ def test_tfidf_df_side_broadcasts(spark, sf_dir):
     join."""
     plan = plan_of(QUERIES["q_text_tfidf"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+    # per-doc top-k must plan WindowGroupLimit (per-partition rank heaps),
+    # not a full window sort of every doc's terms
+    assert "WindowGroupLimit" in plan
 
 
 def test_sample_filter_is_pre_shuffle(spark, sf_dir):

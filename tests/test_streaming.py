@@ -282,3 +282,88 @@ def test_stream_stream_interval_join(spark, tmp_path):
     ).select("purchase_id", "click_id")
     got = {(r.purchase_id, r.click_id) for r in _drain(joined, "t_ssj", "append").collect()}
     assert got == {(2, 1), (5, 4)}
+
+
+def _protobuf_usable() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_usable(),
+    reason="transformWithStateInPandas needs the google.protobuf Python "
+    "package for its state-server protocol; this container's protobuf "
+    "install is broken (ImportError: cannot import name 'descriptor'). "
+    "applyInPandasWithState covers the same semantics above.",
+)
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Forward-looking Spark 4 arbitrary-state API
+    (transformWithStateInPandas + RocksDB state store): same running-totals
+    semantics as test_custom_stateful_running_totals, expressed as a
+    StatefulProcessor with a ValueState."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    src = tmp_path / "tws_src"
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "{}"),
+         (2, "2024-01-01 10:01:00", 1, "view", 2.0, "{}"),
+         (3, "2024-01-01 10:02:00", 2, "view", 5.0, "{}")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType()),
+         StructField("total_value", DoubleType())]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._state = handle.getValueState("agg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        out = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                RunningTotals(),
+                outputStructType=out_schema,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        got = _drain(out, "t_tws", "update").collect()
+        emitted = {(r.user_id, r.n_events, r.total_value) for r in got}
+        assert (1, 2, 3.0) in emitted and (2, 1, 5.0) in emitted
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
