@@ -70,3 +70,67 @@ def test_danish_date_normalization_matches_python(spark, dates):
     got = {r.i: r.d for r in df.select("i", S.normalize_danish_date(F.col("t")).alias("d")).collect()}
     for i, (d, m, y) in enumerate(dates):
         assert got[i] == f"{y}-{S.DANISH_MONTHS[m]}-{d:02d}"
+
+
+def py_sample_frames(b: bytes, every_k: int, frame_size: int):
+    n_frames = (len(b) + frame_size - 1) // frame_size
+    return {
+        i: (b[i * frame_size : (i + 1) * frame_size], n_frames)
+        for i in range(0, n_frames, every_k)
+    }
+
+
+def py_resize(b: bytes, n_out: int) -> bytes:
+    if len(b) >= n_out:
+        stride = len(b) // n_out
+        sampled = b[::stride][:n_out]
+    else:
+        sampled = b
+    return sampled + b"\x00" * (n_out - len(sampled))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.binary(max_size=200), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=32),
+)
+def test_sample_frames_matches_python(spark, blobs, every_k, frame_size):
+    from etl_data_processor_spark.ops import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "doc_id long, blob binary"
+    )
+    rows = MM.sample_frames(
+        df, every_k=every_k, frame_size=frame_size
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, {})[r.frame_idx] = (
+            bytes(r.frame_blob),
+            r.n_frames_total,
+        )
+    for i, b in enumerate(blobs):
+        assert got.get(i, {}) == py_sample_frames(b, every_k, frame_size), (
+            repr(b), every_k, frame_size,
+        )
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.binary(max_size=300), min_size=1, max_size=20),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+)
+def test_resize_matches_python(spark, blobs, w, h):
+    from etl_data_processor_spark.ops import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)], "doc_id long, blob binary"
+    )
+    got = {
+        r.doc_id: bytes(r.resized_blob)
+        for r in MM.resize_images(df, w, h).collect()
+    }
+    for i, b in enumerate(blobs):
+        assert got[i] == py_resize(b, w * h), (repr(b), w, h)
