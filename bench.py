@@ -36,6 +36,11 @@ HEADLINE = [
     "q_win_running",
     "q_topk",
     "q_dedup",
+    "q_sessionize",
+    "q_funnel",
+    "q_ts_rollup_cascade",
+    "q_agg_hll_merge",
+    "q_multimodal_features",
     "q_corpus_curation",
     "q_sample_hash",
     "q_project_compute",
