@@ -190,3 +190,28 @@ def streaming_running_totals(
             timeoutConf=timeout_conf,
         )
     )
+
+
+def idempotent_parquet_sink(out_dir: str):
+    """B40: the exactly-once foreachBatch recipe. Structured Streaming
+    guarantees at-least-once delivery to foreachBatch — after a failure the
+    SAME batch_id is replayed with the SAME data — so a sink is exactly-once
+    iff it is idempotent per batch_id. Partitioning the write by batch_id
+    with dynamic partition overwrite makes a replay overwrite its own
+    previous (possibly partial) output instead of appending duplicates;
+    this is the standard recipe for non-transactional stores and scales to
+    any batch size (one directory swap per batch, no read-modify-write).
+
+    Returns the (batch_df, batch_id) callback for ``writeStream.foreachBatch``.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(out_dir)
+        )
+
+    return sink

@@ -367,3 +367,35 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         assert (1, 2, 3.0) in emitted and (2, 1, 5.0) in emitted
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_idempotent_sink_survives_batch_replay(spark, events_stream_dir, tmp_path):
+    """B40 exactly-once: foreachBatch is at-least-once (a failed batch is
+    replayed with the same batch_id), so the sink must be idempotent per
+    batch_id. The dynamic-partition-overwrite recipe: replaying a batch
+    overwrites its own previous output — row counts do NOT double."""
+    from etl_data_processor_spark.streaming.windows import idempotent_parquet_sink
+
+    out = str(tmp_path / "sink_out")
+    sink = idempotent_parquet_sink(out)
+    captured: list[tuple] = []
+
+    def capturing_sink(batch_df, batch_id):
+        captured.append((batch_df.collect(), batch_id))
+        sink(batch_df, batch_id)
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    q = (
+        stream.writeStream.foreachBatch(capturing_sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_once = spark.read.parquet(out).count()
+    assert n_once == 1000
+
+    # simulate the engine replaying every batch after a failure: same
+    # batch_id, same rows — an appending sink would double the output
+    for rows, batch_id in captured:
+        sink(spark.createDataFrame(rows, schema=EVENT_SCHEMA), batch_id)
+    assert spark.read.parquet(out).count() == n_once
