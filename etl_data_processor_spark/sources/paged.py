@@ -19,7 +19,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 PAGE_SIZE = 25  # the reference site's page size (main.py:70)
@@ -71,6 +76,52 @@ class _PagedReader(DataSourceReader):
                 continue  # per-record skip (main.py:98-103)
 
 
+class _PagedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming shape of the same source (Spark 4 streaming Python Data
+    Source): the offset is the next unread page, each micro-batch fetches up
+    to ``pages_per_batch`` new pages, and ``readBetweenOffsets`` replays a
+    committed range deterministically for failure recovery — which is what
+    makes the source exactly-once-capable end to end (pair with an
+    idempotent sink, streaming/windows.py::idempotent_parquet_sink).
+
+    This is the incremental version of the reference's polling loop
+    (main.py:333-351): instead of a batch job re-fetching all pages, a
+    continuous query picks up new pages as the listing grows."""
+
+    def __init__(self, options):
+        self.total_rows = int(options.get("total_rows", 228))
+        self.pages_per_batch = int(options.get("pages_per_batch", 2))
+        self.n_pages = max(1, -(-self.total_rows // PAGE_SIZE))
+
+    def initialOffset(self) -> dict:
+        return {"next_page": 1}
+
+    def _page_rows(self, page: int):
+        start, end = (page - 1) * PAGE_SIZE, min(page * PAGE_SIZE, self.total_rows)
+        for i in range(start, end):
+            try:
+                yield _synthetic_record(i)
+            except Exception:
+                continue  # per-record skip (main.py:98-103)
+
+    def read(self, start: dict):
+        first = start["next_page"]
+        if first > self.n_pages:
+            return iter([]), start
+        last = min(first + self.pages_per_batch - 1, self.n_pages)
+        rows = [r for p in range(first, last + 1) for r in self._page_rows(p)]
+        return iter(rows), {"next_page": last + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                r
+                for p in range(start["next_page"], end["next_page"])
+                for r in self._page_rows(p)
+            ]
+        )
+
+
 class PagedDecisionSource(DataSource):
     @classmethod
     def name(cls):
@@ -81,3 +132,6 @@ class PagedDecisionSource(DataSource):
 
     def reader(self, schema: StructType):
         return _PagedReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _PagedStreamReader(self.options)

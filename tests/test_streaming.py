@@ -399,3 +399,45 @@ def test_idempotent_sink_survives_batch_replay(spark, events_stream_dir, tmp_pat
     for rows, batch_id in captured:
         sink(spark.createDataFrame(rows, schema=EVENT_SCHEMA), batch_id)
     assert spark.read.parquet(out).count() == n_once
+
+
+def test_paged_source_streams_with_offset_resume(spark, tmp_path):
+    """A1/A2 streaming shape: the paged source as a streaming Python Data
+    Source. Each availableNow run drains one micro-batch of pages and
+    commits its offset; re-starting against the SAME checkpoint resumes
+    from the committed page instead of re-fetching — the property that
+    makes an incremental scrape exactly-once when paired with an
+    idempotent sink."""
+    from etl_data_processor_spark.sources.paged import PagedDecisionSource
+
+    try:
+        spark.dataSource.register(PagedDecisionSource)
+    except Exception:
+        pass  # already registered by another test in this session
+    from etl_data_processor_spark.streaming.windows import idempotent_parquet_sink
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_sink(out)
+    cumulative = []
+    for _ in range(3):
+        stream = (
+            spark.readStream.format("paged_decisions")
+            .option("total_rows", 120)  # 5 pages of 25
+            .option("pages_per_batch", 2)
+            .load()
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cumulative.append(spark.read.parquet(out).count())
+    # each availableNow restart resumes from the committed offset: 2 pages
+    # (50), then 2 more (100), then the last short page (120) - no page
+    # fetched twice, every page fetched once
+    assert cumulative == [50, 100, 120]
+    pages = spark.read.parquet(out).groupBy("page").count().collect()
+    assert {r.page: r["count"] for r in pages} == {1: 25, 2: 25, 3: 25, 4: 25, 5: 20}
