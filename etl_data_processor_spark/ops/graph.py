@@ -1,0 +1,149 @@
+"""Iterative graph ops: connected components + near-dup cluster resolution.
+
+The dedup family (``ops.dedup``) emits near-duplicate PAIRS; a real corpus
+pipeline must resolve pairs into CLUSTERS and keep one canonical document
+per cluster (pairs are not transitive-closed: A~B and B~C puts A,B,C in one
+group even when A~C was never emitted). That closure is connected
+components — an *iterative* algorithm, the one operator class a single
+declarative plan cannot express.
+
+``connected_components`` implements alternating large-star / small-star
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+the same algorithm GraphFrames uses:
+
+- state is only the edge list (no adjacency matrices, no driver-side graph);
+- each round is two groupBy-min shuffles over edges — fully distributed;
+- converges in O(log^2 n) rounds on any graph (near-dup graphs are
+  star-like blobs and converge in 2-3), vs O(diameter) for naive label
+  propagation, which degrades to O(n) rounds on chain-shaped graphs;
+- every round ends in ``localCheckpoint`` to truncate lineage — without it
+  the plan doubles per round and Catalyst analysis dominates. On a real
+  cluster swap in ``checkpoint()`` against the cluster checkpoint dir for
+  fault tolerance; the algorithm is unchanged.
+
+Convergence is detected by an (edge-count, xor-of-edge-hashes) signature:
+one cheap agg on the already-materialized round output, no set-difference
+join. bit_xor is order-independent and cannot overflow (sum would, under
+ANSI mode); the edge set is distinct, so a collision masking a real change
+needs two distinct edge SETS with equal count AND equal xxhash64 xor —
+probability ~2^-64 per round.
+
+Reference parity: the reference engine has no graph operator (main.py:1-422
+is a linear pipeline); this module is north-star scope (training-data
+curation), composed over ops.dedup's pair generators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.ops import dedup as D
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Orient u > v, drop self-loops and duplicate pairs."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    return e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every larger neighbor to min(N(u) + {u})."""
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect u and its smaller neighbors to their min."""
+    c = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")).distinct()
+    mins = c.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        c.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``; component is
+    the minimum node id of the connected component. Nodes with no edges are
+    not emitted — callers keep singletons via anti-join (see dedup_keep)."""
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = signature(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = signature(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # Converged edge set is a forest of stars: (member, root) with root = min.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    return labels.unionByName(roots).distinct()
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup clusters over MinHash-LSH pairs: (doc_id, component,
+    cluster_size, is_canonical). Canonical = the min doc_id of the cluster
+    (deterministic; production would rank by quality score instead — swap the
+    min for a row_number over that score)."""
+    pairs = D.minhash_lsh_pairs(docs, threshold=threshold, id_col=id_col, text_col=text_col)
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    w = Window.partitionBy("component")
+    return (
+        cc.select(F.col("node").alias(id_col), "component")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "is_canonical", (F.col(id_col) == F.col("component")).cast("int")
+        )
+    )
+
+
+def dedup_keep(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The kept corpus after cluster-level dedup: singletons (never paired)
+    plus one canonical doc per near-dup cluster — the anti-join composition
+    a curation pipeline actually ships. Left-anti against the (small)
+    non-canonical set broadcasts; the full corpus is never shuffled."""
+    clusters = dedup_clusters(docs, threshold=threshold, id_col=id_col, text_col=text_col)
+    drop = clusters.filter(F.col("is_canonical") == 0).select(id_col)
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

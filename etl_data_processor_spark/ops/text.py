@@ -96,3 +96,43 @@ def fingerprint(text: Column) -> Column:
     (lowercase, collapsed whitespace) — the exact-dedup key at scale."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(normalized)
+
+
+def fuzzy_key_pairs(
+    df: DataFrame, key_col: str, max_dist: int = 2
+) -> DataFrame:
+    """Fuzzy-match pairs of DISTINCT keys within edit distance ``max_dist``
+    (entity resolution / spell-clustering, e.g. trade names across sources).
+
+    Blocking is a LENGTH BAND: levenshtein(a,b) >= |len(a)-len(b)|, so a pair
+    within ``max_dist`` must have lengths within ``max_dist`` — the band is a
+    lossless filter (the oracle differential runs the naive all-pairs SQL, so
+    any pair the band dropped would fail the gate). Each probe-side key
+    explodes to its 2*max_dist+1 candidate length buckets and equi-joins the
+    build side on (bucket = exact length): one hash shuffle on small ints, a
+    ~(2k+1)/L fraction of the quadratic per block, and each pair is produced
+    exactly once (the build side sits only at its own length). At 100 TB the
+    key set is the DISTINCT of a column — orders of magnitude smaller than
+    the fact — and the expensive levenshtein runs only inside bands.
+    """
+    keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
+    build = keys.select("key", F.length("key").alias("bucket"))
+    probe = keys.select(
+        F.col("key").alias("key_b"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.length("key") - max_dist, F.lit(1)),
+                F.length("key") + max_dist,
+            )
+        ).alias("bucket"),
+    )
+    return (
+        build.join(probe, "bucket")
+        .filter(F.col("key") < F.col("key_b"))
+        .select(
+            F.col("key").alias("key_a"),
+            "key_b",
+            F.levenshtein("key", "key_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

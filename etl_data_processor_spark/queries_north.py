@@ -113,6 +113,77 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+# Shared oracle fragments for the cluster-resolution queries: exact-Jaccard
+# near-dup pairs (valid stand-in for LSH at recall ≥ 1-8e-8, see
+# q_dedup_minhash) closed into components by a recursive reachability CTE —
+# comp(node) = min node reachable, i.e. exactly connected components.
+_DUCK_CC = f"""
+    sh AS (
+        SELECT doc_id, {{shingles}} AS ss
+        FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+              / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk AS (
+        SELECT DISTINCT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    labels AS (
+        SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+    )
+"""
+
+
+@q(
+    "q_dedup_clusters",
+    "WITH RECURSIVE "
+    + _DUCK_CC.format(shingles=_DUCK_SHINGLES)
+    + """
+    SELECT node AS doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           CAST(node = component AS INTEGER) AS is_canonical
+    FROM labels
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs resolved into clusters via distributed connected
+    components (large-star/small-star) + canonical selection — the
+    transitive-closure step every corpus-dedup pipeline needs (A~B, B~C
+    must drop two docs even though the A~C pair was never emitted)."""
+    from etl_data_processor_spark.ops.graph import dedup_clusters
+
+    return dedup_clusters(_cat(spark, sf_dir).documents, threshold=0.8)
+
+
+@q(
+    "q_dedup_keep",
+    "WITH RECURSIVE "
+    + _DUCK_CC.format(shingles=_DUCK_SHINGLES)
+    + """
+    SELECT doc_id, source, lang FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> component)
+    """,
+)
+def q_dedup_keep(spark, sf_dir):
+    """The kept corpus after cluster dedup: singletons + one canonical doc
+    per cluster, via broadcast anti-join (the full corpus never shuffles)."""
+    from etl_data_processor_spark.ops.graph import dedup_keep
+
+    return dedup_keep(_cat(spark, sf_dir).documents, threshold=0.8).select(
+        "doc_id", "source", "lang"
+    )
+
+
 @q("q_dedup_simhash")  # rows-only: xxhash64 signatures aren't reproducible in DuckDB
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (hamming <= 8 over 64-bit signatures,
@@ -340,6 +411,24 @@ def q_text_langid(spark, sf_dir):
         scores["fr"].alias("s_fr"),
         guess.alias("lang_guess"),
     )
+
+
+@q(
+    "q_fuzzy_match",
+    """
+    WITH k AS (SELECT DISTINCT p_name AS key FROM part)
+    SELECT a.key AS key_a, b.key AS key_b,
+           CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+    FROM k a JOIN k b ON a.key < b.key
+    WHERE levenshtein(a.key, b.key) <= 2
+    """,
+)
+def q_fuzzy_match(spark, sf_dir):
+    """Fuzzy key matching (entity resolution): distinct p_name pairs within
+    edit distance 2, length-band blocked. The oracle is the NAIVE all-pairs
+    form — the differential therefore proves the length band is lossless,
+    not just that both engines agree on levenshtein."""
+    return T.fuzzy_key_pairs(_cat(spark, sf_dir).part, "p_name", max_dist=2)
 
 
 @q("q_text_fingerprint")  # rows-only: xxhash64 values aren't reproducible in DuckDB

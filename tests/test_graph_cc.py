@@ -1,0 +1,115 @@
+"""Connected components (large-star/small-star) + dedup cluster resolution.
+
+Correctness model: a pure-Python union-find over the same edge list — the
+Spark result must match it exactly on every topology, including the chain
+graphs where naive label propagation needs O(n) rounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.io import Catalog
+from etl_data_processor_spark.ops.dedup import minhash_lsh_pairs
+from etl_data_processor_spark.ops.graph import (
+    connected_components,
+    dedup_clusters,
+    dedup_keep,
+)
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: every node -> min id of its component
+    roots: dict[int, int] = {}
+    for node in list(parent):
+        r = find(node)
+        roots.setdefault(r, min(n for n in parent if find(n) == r))
+    return {node: roots[find(node)] for node in parent}
+
+
+def _cc_spark(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(df).collect()
+    got = {r["node"]: r["component"] for r in out}
+    assert len(got) == len(out), "duplicate node labels emitted"
+    return got
+
+
+TOPOLOGIES = {
+    "two_triangles_bridge": [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10)],
+    "separate_components": [(1, 2), (5, 6), (6, 7), (100, 101)],
+    "star": [(50, i) for i in range(10)],
+    "duplicate_and_reversed_edges": [(4, 2), (2, 4), (4, 2), (9, 9), (2, 1)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(TOPOLOGIES))
+def test_cc_matches_union_find(spark, name):
+    edges = TOPOLOGIES[name]
+    expected = _union_find([e for e in edges if e[0] != e[1]])
+    assert _cc_spark(spark, edges) == expected
+
+
+def test_cc_long_chain_converges(spark):
+    # Path graph 0-1-2-...-63: diameter 63. Label propagation would need 63
+    # rounds; star-contraction must finish within the default max_iter=30
+    # (O(log^2 n)) and still label every node with the chain minimum.
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_partition_invariance(spark):
+    edges = [(i, i + 1) for i in range(0, 40, 2)] + [(i, i + 2) for i in range(0, 20, 4)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {(r["node"], r["component"]) for r in connected_components(df.repartition(1)).collect()}
+    b = {(r["node"], r["component"]) for r in connected_components(df.repartition(13)).collect()}
+    assert a == b
+
+
+def test_dedup_clusters_closes_pairs(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    ]
+    expected = _union_find(pairs)
+    rows = dedup_clusters(docs, threshold=0.8).collect()
+    got = {r["doc_id"]: r["component"] for r in rows}
+    assert got == expected
+    # cluster_size is the component population; exactly one canonical each
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        assert all(m["cluster_size"] == len(members) for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert min(m["doc_id"] for m in members) == comp
+
+
+def test_dedup_keep_is_corpus_minus_non_canonical(spark, sf_dir):
+    docs = Catalog(spark, sf_dir).documents
+    clusters = dedup_clusters(docs, threshold=0.8)
+    n_docs = docs.count()
+    n_dupes = clusters.filter(F.col("is_canonical") == 0).count()
+    kept = dedup_keep(docs, threshold=0.8)
+    assert kept.count() == n_docs - n_dupes
+    assert kept.columns == docs.columns
+    # every cluster still has its canonical representative
+    canon = {r["component"] for r in clusters.collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert canon <= kept_ids

@@ -135,3 +135,34 @@ def test_metadata_only_query_prunes_blob_column(spark, sf_dir, tmp_path):
     read_schema = buf.getvalue().split("ReadSchema:")[1].split("\n")[0]
     assert "blob" not in read_schema
     assert q.count() == 50
+
+
+def test_fuzzy_key_pairs_band_is_lossless(spark, sf_dir):
+    # brute-force model over the distinct key set
+    from etl_data_processor_spark.io import Catalog
+    from etl_data_processor_spark.ops.text import fuzzy_key_pairs
+
+    part = Catalog(spark, sf_dir).part
+    keys = sorted({r["p_name"] for r in part.select("p_name").distinct().collect()})
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(keys)
+        for b in keys[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    got = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in fuzzy_key_pairs(part, "p_name", max_dist=2).collect()
+    }
+    assert got == expected
+    assert len(got) == len({(a, b) for a, b, _ in got}), "pair emitted twice"
