@@ -838,3 +838,72 @@ def q_agg_hll_merge(spark, sf_dir):
     o = _cat(spark, sf_dir).orders
     parts = SK.hll_partial(o, ["o_orderpriority", "o_orderstatus"], "o_custkey")
     return SK.hll_merge(parts, ["o_orderpriority"]).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------- profiling
+
+@q(
+    "q_profile",
+    """
+    WITH s AS (
+        SELECT COUNT(*) AS total,
+               COUNT(o_orderkey) AS n1, COUNT(DISTINCT o_orderkey) AS d1,
+               MIN(o_orderkey) AS mn1, MAX(o_orderkey) AS mx1,
+               COUNT(o_custkey) AS n2, COUNT(DISTINCT o_custkey) AS d2,
+               MIN(o_custkey) AS mn2, MAX(o_custkey) AS mx2,
+               COUNT(o_totalprice) AS n3, COUNT(DISTINCT o_totalprice) AS d3,
+               MIN(o_totalprice) AS mn3, MAX(o_totalprice) AS mx3,
+               COUNT(o_orderstatus) AS n4, COUNT(DISTINCT o_orderstatus) AS d4,
+               MIN(o_orderstatus) AS mns4, MAX(o_orderstatus) AS mxs4,
+               COUNT(o_orderpriority) AS n5, COUNT(DISTINCT o_orderpriority) AS d5,
+               MIN(o_orderpriority) AS mns5, MAX(o_orderpriority) AS mxs5
+        FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n1 AS n, total - n1 AS n_null, d1 AS n_distinct,
+           CAST(mn1 AS DOUBLE) AS min_num, CAST(mx1 AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM s
+    UNION ALL
+    SELECT 'o_custkey', n2, total - n2, d2, CAST(mn2 AS DOUBLE), CAST(mx2 AS DOUBLE), NULL, NULL FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n3, total - n3, d3, mn3, mx3, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n4, total - n4, d4, NULL, NULL, mns4, mxs4 FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n5, total - n5, d5, NULL, NULL, mns5, mxs5 FROM s
+    """,
+)
+def q_profile(spark, sf_dir):
+    """Data profiling (deequ-style): per-column non-null/null/distinct
+    counts + min/max in ONE table scan — the multi-distinct agg plans as a
+    single Expand + two-phase hash aggregate, not one pass per column
+    (pinned in tests/test_profile.py). min/max are order-insensitive, so
+    doubles need no decimal detour."""
+    from etl_data_processor_spark.ops.profile import profile
+
+    return profile(
+        _cat(spark, sf_dir).orders,
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@q(
+    "q_profile_hist",
+    """
+    SELECT bucket, 0.0 + bucket * 50000.0 AS bucket_lo, COUNT(*) AS n
+    FROM (
+        SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0), 0), 9) AS BIGINT) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def q_profile_hist(spark, sf_dir):
+    """Fixed-grid histogram (10 × 50k buckets over o_totalprice): bucket id
+    is pure IEEE floor arithmetic on literals — bit-identical across
+    engines — and the exchange after partial agg is 10 rows."""
+    from etl_data_processor_spark.ops.profile import histogram
+
+    return histogram(
+        _cat(spark, sf_dir).orders, "o_totalprice", lo=0.0, hi=500000.0, n_buckets=10
+    )
