@@ -55,7 +55,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
     # include any additional heavy north-star queries when present
     for n in sorted(queries):
-        if n not in names and re.match(r"q_(dedup_|cosine|text_|minhash|simhash)", n):
+        if n not in names and re.match(r"q_(dedup_|cosine|text_|minhash|simhash|decontaminate)", n):
             names.append(n)
 
     # warm the JVM + file metadata cache once (not counted)

@@ -156,6 +156,32 @@ def minhash_signatures(
     return hashed.select(id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("sigs"))
 
 
+def _band_buckets(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, sig) bucket keys from a (id, __sigs) signature frame.
+    Band key = hash of the band's signature slice (array-typed xxhash64);
+    any injective-enough band hash works — all join sides use the same."""
+    return sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("__sigs"),
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        )
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -210,27 +236,7 @@ def minhash_lsh_pairs(
     sigs = hashed.select(
         id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
     )
-
-    # Band key = hash of the band's signature slice (array-typed xxhash64);
-    # any injective-enough band hash works — both join sides use the same.
-    buckets = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            F.col("__sigs"),
-                            (b * rows_per_band + 1).cast("int"),
-                            rows_per_band,
-                        )
-                    ).alias("sig"),
-                ),
-            )
-        ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
 
     left = buckets.alias("a")
     right = buckets.alias("b")
@@ -415,3 +421,76 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def minhash_lsh_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Bipartite MinHash-LSH near-dup pairs ACROSS two corpora — the
+    cross-table form of ``minhash_lsh_pairs`` (same signatures, same band
+    scheme, same exact-Jaccard verification), returning
+    (id_l, id_r, jaccard) with id_l from ``left`` and id_r from ``right``.
+
+    The primary use is train-vs-benchmark decontamination: neither corpus
+    is self-joined, so cost is |left ∩ right bucket collisions|, not either
+    table's quadratic. Both sides MUST use the same hash params — they do,
+    because ``_affine_params`` is seed-deterministic."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    p = (1 << 31) - 1
+    params = _affine_params(num_hashes, p)
+
+    def prep(df: DataFrame, alias: str) -> tuple[DataFrame, DataFrame]:
+        sh = with_shingles(
+            _parallelize(df.select(id_col, text_col)), text_col, k
+        ).select(F.col(id_col).alias(alias), "shingles")
+        sh.cache()
+        hashed = sh.withColumn(
+            "__h",
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
+            ),
+        )
+        sigs = hashed.select(
+            alias, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
+        )
+        return sh, _band_buckets(sigs, alias, bands, rows_per_band)
+
+    sh_l, bk_l = prep(left, "id_l")
+    sh_r, bk_r = prep(right, "id_r")
+    candidates = (
+        bk_l.join(bk_r, ["band", "sig"]).select("id_l", "id_r").distinct()
+    )
+    return (
+        candidates.join(sh_l.select("id_l", F.col("shingles").alias("sh_l")), "id_l")
+        .join(sh_r.select("id_r", F.col("shingles").alias("sh_r")), "id_r")
+        .withColumn("jaccard", F.round(exact_jaccard(F.col("sh_l"), F.col("sh_r")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_l", "id_r", "jaccard")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Benchmark decontamination: drop every train doc that near-duplicates
+    ANY benchmark doc (Jaccard >= threshold). The contaminated-id set is
+    bounded by the benchmark size — tiny against a 100 TB train corpus —
+    so the final anti-join broadcasts and train is never shuffled."""
+    pairs = minhash_lsh_pairs_between(
+        train, benchmark, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    contaminated = pairs.select(F.col("id_l").alias(id_col)).distinct()
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")

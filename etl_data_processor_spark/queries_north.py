@@ -113,6 +113,42 @@ def q_dedup_ngram(spark, sf_dir):
     )
 
 
+_BENCH_SOURCES = "('src0','src1','src2','src3')"
+
+
+@q(
+    "q_decontaminate",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
+        FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+    ),
+    bench AS (SELECT * FROM sh WHERE source IN {_BENCH_SOURCES}),
+    train AS (SELECT * FROM sh WHERE source NOT IN {_BENCH_SOURCES}),
+    bad AS (
+        SELECT DISTINCT t.doc_id FROM train t JOIN bench b
+            ON len(list_intersect(t.ss, b.ss))::DOUBLE
+               / len(list_distinct(list_concat(t.ss, b.ss))) >= 0.8
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.source NOT IN {_BENCH_SOURCES}
+      AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Train-vs-benchmark decontamination: drop every train doc that
+    near-duplicates ANY benchmark doc, via BIPARTITE MinHash-LSH (neither
+    corpus self-joins; contaminated-id set is benchmark-bounded, so the
+    final anti-join broadcasts and the train corpus never shuffles). The
+    oracle is the exact cross-corpus Jaccard join — same recall argument
+    as q_dedup_minhash."""
+    d = _cat(spark, sf_dir).documents
+    bench_srcs = ["src0", "src1", "src2", "src3"]
+    train = d.filter(~F.col("source").isin(bench_srcs))
+    bench = d.filter(F.col("source").isin(bench_srcs))
+    return D.decontaminate(train, bench, threshold=0.8).select("doc_id", "source")
+
+
 # Shared oracle fragments for the cluster-resolution queries: exact-Jaccard
 # near-dup pairs (valid stand-in for LSH at recall ≥ 1-8e-8, see
 # q_dedup_minhash) closed into components by a recursive reachability CTE —

@@ -113,3 +113,38 @@ def test_dedup_keep_is_corpus_minus_non_canonical(spark, sf_dir):
     canon = {r["component"] for r in clusters.collect()}
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert canon <= kept_ids
+
+
+def test_decontaminate_matches_exact_cross_join(spark, sf_dir):
+    from etl_data_processor_spark.ops.dedup import (
+        decontaminate,
+        minhash_lsh_pairs_between,
+        with_shingles,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    bench_srcs = ["src0", "src1", "src2", "src3"]
+    train = docs.filter(~F.col("source").isin(bench_srcs))
+    bench = docs.filter(F.col("source").isin(bench_srcs))
+
+    # exact model: brute-force cross Jaccard on collected shingle sets
+    tsh = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(train).select("doc_id", "shingles").collect()
+    }
+    bsh = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(bench).select("doc_id", "shingles").collect()
+    }
+    contaminated = {
+        t
+        for t, ts in tsh.items()
+        if any(len(ts & bs) / len(ts | bs) >= 0.8 for bs in bsh.values())
+    }
+    assert contaminated, "fixture plants cross-source near-dups"
+
+    pairs = minhash_lsh_pairs_between(train, bench, threshold=0.8)
+    assert {r["id_l"] for r in pairs.collect()} == contaminated
+
+    kept = {r["doc_id"] for r in decontaminate(train, bench).collect()}
+    assert kept == set(tsh) - contaminated
