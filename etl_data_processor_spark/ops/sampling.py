@@ -119,3 +119,19 @@ def stratified_sample(
         else thresh.otherwise(F.lit(_threshold(default_fraction)))
     )
     return df.filter(h < thresh)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight: Column, seed: int = 0
+) -> DataFrame:
+    """Importance sampling: keep each row with probability equal to its own
+    ``weight`` (clamped to [0, 1]) — accept iff
+    ``hash32(key) < floor(weight * 2^32)``. Same guarantees as
+    :func:`deterministic_sample` (shuffle-free, partitioning-independent,
+    engine-reproducible), but the threshold is per-row: the standard
+    quality-weighted corpus downsampling step (keep good documents with
+    high probability, boilerplate with low) without an RNG. Monotone in the
+    weight: raising a row's weight can only add it to the sample."""
+    w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
+    thresh = F.floor(w * F.lit(float(M32))).cast("long")
+    return df.filter(hash32(F.col(key_col), seed) < thresh)

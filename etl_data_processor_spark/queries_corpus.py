@@ -164,3 +164,26 @@ def q_corpus_curation(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@q(
+    "q_sample_weighted",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+    )
+    SELECT doc_id, quality FROM scored
+    WHERE {S.hash32_sql('doc_id')} <
+          CAST(FLOOR(quality * 4294967296.0) AS BIGINT)
+    """,
+)
+def q_sample_weighted(spark, sf_dir):
+    """Quality-weighted importance sampling: each doc kept with probability
+    equal to its own quality score — per-row hash threshold, shuffle-free,
+    RNG-free, monotone in the weight. The corpus-downsampling step that
+    keeps good documents with high probability."""
+    d = _cat(spark, sf_dir).documents
+    scored = d.select(
+        "doc_id", T.quality_score(F.col("text")).alias("quality")
+    )
+    return S.weighted_sample(scored, "doc_id", F.col("quality"))

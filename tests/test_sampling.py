@@ -106,3 +106,37 @@ def test_hash32_matches_duckdb_fragment(spark):
         f"SELECT k, {S.hash32_sql('k', seed=3)} AS h FROM (SELECT unnest({keys}) AS k)"
     ).fetchall()
     assert {k: h for k, h in duck} == spark_vals
+
+
+def test_weighted_sample_model_and_monotonicity(spark, sf_dir):
+    from etl_data_processor_spark.io import Catalog
+    from etl_data_processor_spark.ops.text import quality_score
+
+    d = Catalog(spark, sf_dir).documents
+    scored = d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    rows = {r["doc_id"]: r["quality"] for r in scored.collect()}
+    hashes = {
+        r["doc_id"]: r["h"]
+        for r in scored.select(
+            "doc_id", S.hash32(F.col("doc_id")).alias("h")
+        ).collect()
+    }
+    # exact model: accept iff hash < floor(weight * 2^32)
+    import math
+
+    expected = {
+        k for k, w in rows.items()
+        if hashes[k] < math.floor(min(max(w, 0.0), 1.0) * (1 << 32))
+    }
+    got = {
+        r["doc_id"]
+        for r in S.weighted_sample(scored, "doc_id", F.col("quality")).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(rows)
+
+    # monotone: boosting every weight only adds rows
+    boosted = S.weighted_sample(
+        scored, "doc_id", F.col("quality") + F.lit(0.2)
+    )
+    assert got <= {r["doc_id"] for r in boosted.collect()}
