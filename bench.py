@@ -42,6 +42,7 @@ HEADLINE = [
     "q_agg_hll_merge",
     "q_multimodal_features",
     "q_corpus_curation",
+    "q_corpus_pipeline",
     "q_sample_hash",
     "q_project_compute",
     "q_date_trunc",

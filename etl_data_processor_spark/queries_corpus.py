@@ -187,3 +187,93 @@ def q_sample_weighted(spark, sf_dir):
         "doc_id", T.quality_score(F.col("text")).alias("quality")
     )
     return S.weighted_sample(scored, "doc_id", F.col("quality"))
+
+
+# The capstone composition: every north-star curation stage in ONE declarative
+# plan — decontaminate (bipartite LSH vs benchmark sources) → cluster-level
+# near-dup removal (connected components) → quality-weighted importance
+# sampling → per-source corpus stats. Catalyst sees the whole pipeline, so
+# column pruning/pushdown cross stage boundaries; the iterative CC step is the
+# only materialization barrier.
+from etl_data_processor_spark.queries_north import _DUCK_SHINGLES, _BENCH_SOURCES
+
+_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
+        FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+    ),
+    bench AS (SELECT * FROM sh WHERE source IN {_BENCH_SOURCES}),
+    train AS (SELECT * FROM sh WHERE source NOT IN {_BENCH_SOURCES}),
+    bad AS (
+        SELECT DISTINCT t.doc_id FROM train t JOIN bench b
+            ON len(list_intersect(t.ss, b.ss))::DOUBLE
+               / len(list_distinct(list_concat(t.ss, b.ss))) >= 0.8
+    ),
+    clean AS (
+        SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM clean a JOIN clean b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+              / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    walk AS (
+        SELECT DISTINCT src AS node, src AS comp FROM edges
+        UNION
+        SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    dropped AS (
+        SELECT node FROM walk GROUP BY node HAVING MIN(comp) <> node
+    ),
+    kept AS (
+        SELECT c.doc_id, c.source FROM clean c
+        WHERE c.doc_id NOT IN (SELECT node FROM dropped)
+    ),
+    scored AS (
+        SELECT k.doc_id, k.source, {_QUALITY_SQL} AS quality
+        FROM kept k JOIN documents d2 ON k.doc_id = d2.doc_id
+    ),
+    sampled AS (
+        SELECT * FROM scored
+        WHERE {S.hash32_sql('doc_id')} <
+              CAST(FLOOR(quality * 4294967296.0) AS BIGINT)
+    )
+    SELECT source, COUNT(*) AS n_kept,
+           SUM(CAST(FLOOR(quality * 1000000.0 + 0.5) AS BIGINT)) AS sum_q6
+    FROM sampled GROUP BY source
+    """
+
+
+@q("q_corpus_pipeline", _PIPELINE_ORACLE)
+def q_corpus_pipeline(spark, sf_dir):
+    """Capstone: decontaminate → cluster-dedup → quality-weighted sample →
+    per-source stats, all stages oracle-checked END-TO-END in one query
+    (the per-stage oracles are q_decontaminate / q_dedup_keep /
+    q_sample_weighted). The 100 TB shape inherits each stage's guarantee:
+    the corpus is scanned, hashed and filtered but never shuffled except
+    the tiny pair graph and the final per-source aggregate."""
+    from etl_data_processor_spark.ops.dedup import decontaminate
+    from etl_data_processor_spark.ops.graph import dedup_keep
+
+    d = _cat(spark, sf_dir).documents
+    bench_srcs = ["src0", "src1", "src2", "src3"]
+    train = d.filter(~F.col("source").isin(bench_srcs))
+    bench = d.filter(F.col("source").isin(bench_srcs))
+    clean = decontaminate(train, bench, threshold=0.8)
+    kept = dedup_keep(clean, threshold=0.8)
+    scored = kept.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+    sampled = S.weighted_sample(scored, "doc_id", F.col("quality"))
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(
+            F.floor(F.col("quality") * F.lit(1000000.0) + F.lit(0.5))
+        ).cast("long").alias("sum_q6"),
+    )
