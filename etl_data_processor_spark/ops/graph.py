@@ -87,18 +87,20 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``; component is
     the minimum node id of the connected component. Nodes with no edges are
     not emitted — callers keep singletons via anti-join (see dedup_keep)."""
-    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=True)
-
     def signature(df: DataFrame) -> tuple[int, int]:
+        # the agg action doubles as the checkpoint materializer (lazy
+        # localCheckpoint persists on its first job) — one job per round,
+        # not two
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
+    e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     prev = signature(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = signature(e)
         if cur == prev:
             break

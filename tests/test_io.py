@@ -149,3 +149,23 @@ def test_xml_roundtrip(spark, sf_dir, tmp_path):
     want = {(r.event_id, r.event_type, round(r.value, 6)) for r in ev.collect()}
     got = {(r.event_id, r.event_type, round(r.value, 6)) for r in back.collect()}
     assert got == want
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    # ORC is the second columnar format Spark ships natively; the engine's
+    # scan guarantees (schema fidelity, predicate pushdown to the reader)
+    # must hold there too.
+    orders = Catalog(spark, sf_dir).orders
+    p = str(tmp_path / "orders_orc")
+    orders.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+
+    filtered = back.filter(F.col("o_totalprice") > 300000.0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)" in plan
+    expected = orders.filter(F.col("o_totalprice") > 300000.0).count()
+    assert filtered.count() == expected
