@@ -71,6 +71,61 @@ def asof_join_backward(
     return carried.filter(F.col("__side") == 1).drop("__side")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_next",
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right.ts >= left.ts`` within the same key (forward as-of, inclusive) —
+    the mirror of :func:`asof_join_backward` with a forward window frame:
+    same one-shuffle union trick, ``first(..., ignorenulls)`` over
+    [currentRow, unboundedFollowing].
+
+    Ties at identical ts resolve to the right side (left rows sort before
+    right rows at equal ts, so the same-ts right row is inside the left
+    row's forward frame); among several right rows at one ts the smallest
+    ``tiebreak`` wins."""
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    r_tagged = right.select(
+        *[
+            (F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.lit(1).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__side").asc(), F.col("__ord").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == 0).drop("__side")
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

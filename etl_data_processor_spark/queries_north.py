@@ -593,6 +593,35 @@ def q_join_asof(spark, sf_dir):
 
 
 @q(
+    "q_join_asof_fwd",
+    """
+    SELECT p.event_id,
+           (SELECT b.value FROM events b
+            WHERE b.user_id = p.user_id AND b.event_type = 'click' AND b.ts >= p.ts
+            ORDER BY b.ts ASC, b.event_id ASC LIMIT 1) AS value_next
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_fwd(spark, sf_dir):
+    """B10 mirror: forward as-of join — each purchase gets the EARLIEST
+    at-or-after click's value per user (union + first-value forward window:
+    same one-shuffle shape as backward)."""
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    from etl_data_processor_spark.ops.asof import asof_join_forward
+
+    joined = asof_join_forward(
+        purchases, clicks, key="user_id", ts="ts", value_cols=["value"], tiebreak="event_id"
+    )
+    return joined.select("event_id", F.col("value_next"))
+
+
+@q(
     "q_join_range",
     """
     SELECT a.event_id AS signup_id, b.event_id AS purchase_id

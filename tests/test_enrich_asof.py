@@ -133,3 +133,33 @@ def test_range_join_band(spark):
         upper="'30' MINUTE",
     ).collect()
     assert [r.rid for r in out] == [10]
+
+
+def test_asof_forward_basic_and_tie(spark):
+    from etl_data_processor_spark.ops.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "v", 150)],
+        ["event_id", "user", "t"],
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 100, 1.0), (11, "u", 300, 2.0), (12, "w", 500, 9.0)],
+        ["event_id", "user", "t", "value"],
+    )
+    out = asof_join_forward(
+        left, right, key="user", ts="t", value_cols=["value"], tiebreak="event_id"
+    ).collect()
+    got = {r.event_id: r.value_next for r in out}
+    # t=100: same-ts right row included (inclusive >=); t=205 -> t=300 row;
+    # user v has no right rows -> NULL
+    assert got == {1: 1.0, 2: 2.0, 3: None}
+
+    # among several right rows at one ts, the SMALLEST tiebreak wins
+    ties = spark.createDataFrame(
+        [(20, "u", 100, 5.0), (21, "u", 100, 6.0)], ["event_id", "user", "t", "value"]
+    )
+    out2 = asof_join_forward(
+        left.filter(F.col("event_id") == 1),
+        ties, key="user", ts="t", value_cols=["value"], tiebreak="event_id",
+    ).collect()
+    assert out2[0].value_next == 5.0
