@@ -441,3 +441,67 @@ def test_paged_source_streams_with_offset_resume(spark, tmp_path):
     assert cumulative == [50, 100, 120]
     pages = spark.read.parquet(out).groupBy("page").count().collect()
     assert {r.page: r["count"] for r in pages} == {1: 25, 2: 25, 3: 25, 4: 25, 5: 20}
+
+
+def test_streaming_cdc_upsert_snapshot(spark, tmp_path):
+    """Streaming MERGE: a U/I/D change feed maintains a parquet snapshot via
+    foreachBatch; replaying any batch (at-least-once semantics) leaves the
+    snapshot unchanged because each version derives from the previous one."""
+    import os
+    import time as _time
+
+    from etl_data_processor_spark.streaming.cdc import (
+        read_snapshot,
+        streaming_upsert_sink,
+    )
+
+    src = tmp_path / "cdc_feed"
+    out = str(tmp_path / "cdc_snapshot")
+    schema = "k long, name string, seq long, op string"
+
+    batch1 = spark.createDataFrame(
+        [(1, "a", 10, "I"), (2, "b", 11, "I"), (2, "b2", 12, "U"), (3, "c", 13, "I")],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [(1, None, 20, "D"), (3, "c2", 21, "U"), (4, "d", 22, "I")],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(str(src / "f1"))
+    _time.sleep(1.1)  # distinct mtimes -> deterministic file-batch order
+    batch2.coalesce(1).write.parquet(str(src / "f2"))
+    for i, d in enumerate(["f1", "f2"]):
+        os.utime(str(src / d), (1e9 + i, 1e9 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = streaming_upsert_sink(out, key="k", op_col="op", seq_col="seq")
+    captured: list[tuple] = []
+
+    def capturing(batch_df, batch_id):
+        captured.append((batch_df.collect(), batch_id))
+        sink(batch_df, batch_id)
+
+    q = stream.writeStream.foreachBatch(capturing).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert len(captured) == 2
+
+    snap = {
+        r["k"]: (r["name"], r["seq"])
+        for r in read_snapshot(spark, out).collect()
+    }
+    # within-batch compaction: k=2 keeps seq 12; cross-batch: k=1 deleted,
+    # k=3 updated, k=4 inserted
+    assert snap == {2: ("b2", 12), 3: ("c2", 21), 4: ("d", 22)}
+
+    # replay every batch (same batch_id, same rows): snapshot must not change
+    for rows, batch_id in captured:
+        sink(spark.createDataFrame(rows, schema), batch_id)
+    snap2 = {
+        r["k"]: (r["name"], r["seq"])
+        for r in read_snapshot(spark, out).collect()
+    }
+    assert snap2 == snap
