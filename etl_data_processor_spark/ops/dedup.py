@@ -190,8 +190,13 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
+
+    ``shingled`` (optional): a precomputed ``(id_col, shingles)`` frame —
+    pass it when a pipeline already shingled the corpus (each re-shingle is
+    a full corpus re-scan at 100 TB; see q_corpus_pipeline).
 
     Plan shape (the part that matters at 100 TB):
       1. shingle                            — narrow, no shuffle
@@ -213,10 +218,13 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
-    sh = with_shingles(
-        _parallelize(df.select(id_col, text_col)), text_col, k
-    ).select(id_col, "shingles")
-    sh.cache()  # reused for signatures and for the verify join
+    if shingled is not None:
+        sh = shingled.select(id_col, "shingles")
+    else:
+        sh = with_shingles(
+            _parallelize(df.select(id_col, text_col)), text_col, k
+        ).select(id_col, "shingles")
+        sh.cache()  # reused for signatures and for the verify join
 
     # One base hash per shingle, then universal-hash permutations
     # h_i = (a_i*h + b_i) mod p (Mersenne prime) — num_hashes multiply-adds
@@ -432,6 +440,8 @@ def minhash_lsh_pairs_between(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    shingled_left: DataFrame | None = None,
+    shingled_right: DataFrame | None = None,
 ) -> DataFrame:
     """Bipartite MinHash-LSH near-dup pairs ACROSS two corpora — the
     cross-table form of ``minhash_lsh_pairs`` (same signatures, same band
@@ -447,11 +457,16 @@ def minhash_lsh_pairs_between(
     p = (1 << 31) - 1
     params = _affine_params(num_hashes, p)
 
-    def prep(df: DataFrame, alias: str) -> tuple[DataFrame, DataFrame]:
-        sh = with_shingles(
-            _parallelize(df.select(id_col, text_col)), text_col, k
-        ).select(F.col(id_col).alias(alias), "shingles")
-        sh.cache()
+    def prep(
+        df: DataFrame, alias: str, pre: DataFrame | None
+    ) -> tuple[DataFrame, DataFrame]:
+        if pre is not None:
+            sh = pre.select(F.col(id_col).alias(alias), "shingles")
+        else:
+            sh = with_shingles(
+                _parallelize(df.select(id_col, text_col)), text_col, k
+            ).select(F.col(id_col).alias(alias), "shingles")
+            sh.cache()
         hashed = sh.withColumn(
             "__h",
             F.transform(
@@ -464,8 +479,8 @@ def minhash_lsh_pairs_between(
         )
         return sh, _band_buckets(sigs, alias, bands, rows_per_band)
 
-    sh_l, bk_l = prep(left, "id_l")
-    sh_r, bk_r = prep(right, "id_r")
+    sh_l, bk_l = prep(left, "id_l", shingled_left)
+    sh_r, bk_r = prep(right, "id_r", shingled_right)
     candidates = (
         bk_l.join(bk_r, ["band", "sig"]).select("id_l", "id_r").distinct()
     )
@@ -484,13 +499,16 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    shingled_train: DataFrame | None = None,
+    shingled_benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: drop every train doc that near-duplicates
     ANY benchmark doc (Jaccard >= threshold). The contaminated-id set is
     bounded by the benchmark size — tiny against a 100 TB train corpus —
     so the final anti-join broadcasts and train is never shuffled."""
     pairs = minhash_lsh_pairs_between(
-        train, benchmark, id_col=id_col, text_col=text_col, threshold=threshold
+        train, benchmark, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingled_left=shingled_train, shingled_right=shingled_benchmark,
     )
     contaminated = pairs.select(F.col("id_l").alias(id_col)).distinct()
     return train.join(F.broadcast(contaminated), id_col, "left_anti")

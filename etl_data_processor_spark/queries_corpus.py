@@ -258,15 +258,35 @@ def q_corpus_pipeline(spark, sf_dir):
     q_sample_weighted). The 100 TB shape inherits each stage's guarantee:
     the corpus is scanned, hashed and filtered but never shuffled except
     the tiny pair graph and the final per-source aggregate."""
-    from etl_data_processor_spark.ops.dedup import decontaminate
+    from etl_data_processor_spark.ops.dedup import (
+        _parallelize,
+        decontaminate,
+        with_shingles,
+    )
     from etl_data_processor_spark.ops.graph import dedup_keep
 
     d = _cat(spark, sf_dir).documents
     bench_srcs = ["src0", "src1", "src2", "src3"]
+    # shingle the corpus ONCE and reuse across decontamination and cluster
+    # dedup — each re-shingle is a full corpus re-scan at 100 TB
+    shingled = with_shingles(
+        _parallelize(d.select("doc_id", "source", "text"))
+    ).select("doc_id", "source", "shingles")
+    shingled.cache()
+    sh_train = shingled.filter(~F.col("source").isin(bench_srcs))
+    sh_bench = shingled.filter(F.col("source").isin(bench_srcs))
     train = d.filter(~F.col("source").isin(bench_srcs))
     bench = d.filter(F.col("source").isin(bench_srcs))
-    clean = decontaminate(train, bench, threshold=0.8)
-    kept = dedup_keep(clean, threshold=0.8)
+    clean = decontaminate(
+        train, bench, threshold=0.8,
+        shingled_train=sh_train, shingled_benchmark=sh_bench,
+    )
+    kept = dedup_keep(
+        clean, threshold=0.8,
+        shingled=sh_train.join(
+            clean.select("doc_id"), "doc_id", "left_semi"
+        ),
+    )
     scored = kept.select(
         "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
     )
