@@ -18,6 +18,7 @@ from etl_data_processor_spark import queries_rel2 as _q_rel2  # noqa: F401 (regi
 from etl_data_processor_spark import queries_corpus as _q_corpus  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_ts as _q_ts  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_tpch as _q_tpch  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_tpch2 as _q_tpch2  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_cdc as _q_cdc  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 

@@ -29,7 +29,9 @@ HEADLINE = [
     "q_tpch_q10",
     "q_tpch_q6",
     "q_tpch_q8",
+    "q_tpch_q9",
     "q_tpch_q18",
+    "q_tpch_q21",
     "q_agg_group",
     "q_join_star",
     "q_win_rank",

@@ -1,7 +1,8 @@
 """TPC-H-shaped relational batch 3: the remaining dbgen queries expressible
 over the driver's fixture schema (no partsupp / l_shipmode / l_commitdate /
 c_phone columns exist, so Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 are out of reach in
-faithful form; Q1/Q3/Q5/Q10 shapes live in earlier batches).
+faithful form — their ADAPTED shapes live in queries_tpch2.py; Q1/Q3/Q5/Q10
+shapes live in earlier batches).
 
 Added here: Q6 (selective scan-agg), Q7 (volume shipping, two nation roles),
 Q8 (market share ratio), Q13 (customer order-count distribution), Q14 (promo

@@ -1,0 +1,478 @@
+"""TPC-H-shaped relational batch 4: ADAPTED forms of the eight dbgen
+queries whose faithful text needs columns the fixture schema lacks
+(partsupp, l_shipmode, l_commitdate, l_receiptdate, s_comment). Each
+adaptation keeps the query's defining SHAPE — the plan-level challenge the
+original poses to an optimizer — and substitutes fixture columns for the
+missing ones:
+
+- Q2  correlated-min subquery        partsupp.ps_supplycost -> per
+                                     (part, supplier) MIN(l_extendedprice)
+- Q4  correlated EXISTS + count      "late" := l_shipdate > o_orderdate+60d
+                                     (no l_commitdate/l_receiptdate)
+- Q9  profit multi-join by year      ps_supplycost -> 0.1 * p_retailprice
+- Q11 group-agg vs global scalar     stock value -> lineitem revenue of one
+                                     nation's suppliers
+- Q12 two-bucket conditional count   l_shipmode -> l_returnflag class
+- Q16 distinct-count + NOT IN        partsupp bridge -> DISTINCT
+                                     (l_partkey, l_suppkey); s_comment
+                                     exclusion -> s_acctbal < 0
+- Q20 nested semi-join + HAVING      ps_availqty threshold -> per
+                                     (supplier, part) shipped-quantity sum
+- Q21 EXISTS + NOT EXISTS self-join  "kept waiting" := the late-ship proxy
+
+With Q1/Q3/Q5/Q10 (earlier batches, q_agg_group/q_flagship_q3/...) and
+Q6-Q8/Q13-Q15/Q17-Q19/Q22 (queries_tpch.py) this completes all 22 TPC-H
+query shapes. Money math routes through ops.exact decimal helpers; derived
+doubles go through stable_round6 (floor-based) so half-ties can't diverge
+between engines. Reference parity note: the reference pipeline has no
+relational surface (main.py:1-422 is a scrape-classify-enrich ETL); this
+batch is extended engine surface mandated by SURVEY.md §2 Part B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.registry import q, cat as _cat, date as _date
+from etl_data_processor_spark.ops.exact import dec, dsum, revenue, sql_dsum, sql_revenue
+from etl_data_processor_spark.ops.similarity import stable_round6
+
+_SR6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+
+_SQL_Q9_PROFIT = _SR6.format(
+    x=f"{sql_dsum(sql_revenue())} - 0.1 * "
+    + sql_dsum(
+        "CAST(l_quantity AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))"
+    )
+)
+
+
+@q(
+    "q_tpch_q2",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    rc AS (
+        SELECT c.l_partkey, c.supplycost, s.s_acctbal, s.s_name, n.n_name
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    mn AS (SELECT l_partkey, MIN(supplycost) AS min_cost FROM rc GROUP BY l_partkey)
+    SELECT rc.s_acctbal, rc.s_name, rc.n_name, p.p_partkey, p.p_name, rc.supplycost
+    FROM rc
+    JOIN mn ON rc.l_partkey = mn.l_partkey AND rc.supplycost = mn.min_cost
+    JOIN part p ON p.p_partkey = rc.l_partkey
+    WHERE p.p_size >= 20 AND p.p_size < 30 AND p.p_type = 'LARGE'
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): the canonical correlated MIN
+    subquery, decorrelated into a per-part min joined back on (partkey,
+    cost) equality so every co-minimal supplier survives — exactly the
+    ties-keep-all semantics of the correlated form. supplycost is the per
+    (part, supplier) MIN(l_extendedprice) (partsupp.ps_supplycost has no
+    fixture analogue). Plan: ONE shuffle on (partkey, suppkey) builds cost;
+    the region-filtered supplier dim broadcasts into it; the per-part min
+    re-aggregates the already-small rc (one row per part-supplier pair) and
+    joins back on partkey — both sides hash-partitioned by partkey from the
+    same parent, so AQE keeps it local. part (brand/size filtered)
+    broadcasts last. MIN over doubles is comparison-only (no summation), so
+    it is exact and order-independent on both engines."""
+    cat = _cat(spark, sf_dir)
+    cost = cat.lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("supplycost")
+    )
+    eur = (
+        cat.supplier.join(
+            F.broadcast(cat.nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    rc = cost.join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+    mn = rc.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    pdim = cat.part.filter(
+        (F.col("p_size") >= 20) & (F.col("p_size") < 30) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        rc.join(
+            mn,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("supplycost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(pdim), F.col("p_partkey") == F.col("l_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supplycost")
+    )
+
+
+@q(
+    "q_tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): correlated EXISTS against
+    the fact table, then a tiny count-by-priority. "Late" is adapted to
+    l_shipdate > o_orderdate + 60 days (the fixture has no
+    l_commitdate/l_receiptdate pair). Expressed as a LEFT SEMI join whose
+    condition carries both the equi key and the correlated date predicate —
+    Spark evaluates the non-equi part as a join residual, so each order is
+    emitted at most once no matter how many late lines it has (EXISTS
+    semantics, no post-join dedup needed). The quarter filter prunes orders
+    BEFORE the semi join; at 100 TB the semi join shuffles only orderkey +
+    orderdate + priority, never the wide lineitem row."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (_date("l_shipdate") > F.date_add(_date("o_orderdate"), 60)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "q_tpch_q9",
+    f"""
+    SELECT nation, o_year, {_SQL_Q9_PROFIT} AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation, YEAR(CAST(o.o_orderdate AS DATE)) AS o_year,
+               l.l_extendedprice, l.l_discount, l.l_quantity, p.p_retailprice
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit): the widest classic join tree —
+    fact to part, supplier, nation, orders — grouped by supplier nation and
+    order year. Cost is adapted to 0.1 * p_retailprice per unit
+    (ps_supplycost has no fixture analogue). Plan: part (name-filtered),
+    supplier, and nation broadcast; the only big shuffle is
+    lineitem-orders on orderkey, then the group-by exchange on
+    (nation, year) — dozens of groups, so the partial aggregate collapses
+    nearly all rows map-side. Profit keeps the two sums separate
+    (revenue, quantity*retailprice), each decimal-exact and rounded
+    identically on both engines, and combines them as doubles only at the
+    end under stable_round6 — the subtraction of two bit-identical doubles
+    is bit-identical."""
+    cat = _cat(spark, sf_dir)
+    return (
+        cat.lineitem.join(
+            F.broadcast(cat.part.filter(F.col("p_name").like("%gear%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(_date("o_orderdate")).alias("o_year"),
+        )
+        .agg(
+            dsum(revenue()).alias("__rev"),
+            dsum(dec("l_quantity") * dec("p_retailprice")).alias("__cost"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            stable_round6(F.col("__rev") - F.lit(0.1) * F.col("__cost")).alias(
+                "sum_profit"
+            ),
+        )
+    )
+
+
+@q(
+    "q_tpch_q11",
+    """
+    WITH val AS (
+        SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(ROUND(v, 4) AS DOUBLE) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.0015 FROM val)
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-key aggregate filtered against
+    a global scalar computed from the SAME aggregate. Stock value is
+    adapted to one nation's suppliers' lineitem revenue per part
+    (partsupp.ps_availqty * ps_supplycost has no fixture analogue). The
+    per-part frame is aggregated ONCE and cached (two consumers: the
+    threshold scalar and the filter probe — Spark's ReuseExchange does not
+    fire across separate actions, and at 100 TB the re-scan it avoids is
+    the whole fact table); the 1-row total then broadcasts back as a cross
+    join — no single-partition sort, no window. Both engines compare
+    doubles derived from the same exact decimal sum, so the > cut is
+    identical."""
+    cat = _cat(spark, sf_dir)
+    nat = cat.nation.filter(F.col("n_name") == "NATION_7")
+    supp = cat.supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        cat.lineitem.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("__v"))
+        .cache()  # two consumers: global total and the filter probe
+    )
+    total = val.agg((F.sum("__v").cast("double") * F.lit(0.0015)).alias("__thresh"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("__v").cast("double") > F.col("__thresh"))
+        .select(
+            "l_partkey", F.round(F.col("__v"), 4).cast("double").alias("part_value")
+        )
+    )
+
+
+@q(
+    "q_tpch_q12",
+    """
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+               AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-priority impact): fact-to-fact join with a
+    cross-table date predicate, then a two-bucket conditional count.
+    l_shipmode is adapted to l_returnflag as the grouping class, and
+    "late" to the shipdate-lag proxy (no l_commitdate/l_receiptdate). The
+    year filter references only lineitem, so it pushes below the join into
+    the scan; the cross-table lateness predicate can only run as a join
+    residual. One shuffle on orderkey, then a 3-group aggregate whose
+    partial (map-side) combine reduces each partition to at most 3 rows
+    before the final exchange."""
+    cat = _cat(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = cat.lineitem.filter(
+        (_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    return (
+        cat.orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(_date("l_shipdate") > F.date_add(_date("o_orderdate"), 60))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q_tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND b.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT) per
+    part attribute over the part-supplier bridge, minus a NOT IN supplier
+    exclusion. The bridge is adapted to DISTINCT (l_partkey, l_suppkey)
+    from lineitem (no partsupp table); the s_comment LIKE exclusion to
+    s_acctbal < 0. NOT IN over a non-nullable key is exactly a LEFT ANTI
+    join, and the excluded set is dimension-sized, so it broadcasts. Plan:
+    one shuffle on (partkey, suppkey) for the bridge DISTINCT, broadcast
+    anti + broadcast part filter, then the distinct-count re-shuffles by
+    the (brand, type, size) group key — Spark plans COUNT(DISTINCT) as a
+    two-level aggregate (expand on the group+distinct keys, then count),
+    which keeps it spill-safe at 100 TB rather than buffering per-group
+    hash sets."""
+    cat = _cat(spark, sf_dir)
+    bad = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pdim = cat.part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    bridge = (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        bridge.join(F.broadcast(pdim), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q_tpch_q20",
+    """
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_name LIKE 'small%'
+            AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l.l_shipdate AS DATE) <  DATE '1997-01-01'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,4))) > 30
+      )
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): a nested semi-join chain
+    — suppliers qualified by an aggregate-HAVING subquery that itself
+    semi-joins a name-filtered part list. The availqty threshold is
+    adapted to "shipped more than 30 units of one such part in the year"
+    (no partsupp). Plan: part filter broadcasts into the year-pruned fact
+    scan; ONE shuffle on (suppkey, partkey) for the HAVING aggregate; the
+    qualifying supplier set is at most dimension-sized, so the final IN
+    becomes a broadcast LEFT SEMI against the nation-filtered supplier dim.
+    The quantity threshold compares an exact decimal sum to an integer —
+    no float at the cut."""
+    cat = _cat(spark, sf_dir)
+    pdim = cat.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    qual = (
+        cat.lineitem.filter(
+            (_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .join(F.broadcast(pdim), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 30)
+        .select("l_suppkey")
+    )
+    nat = cat.nation.filter(F.col("n_name") == "NATION_5")
+    return (
+        cat.supplier.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@q(
+    "q_tpch_q21",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+      AND r.r_name = 'EUROPE'
+      AND CAST(l1.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    subquery shape in the suite — EXISTS plus correlated NOT EXISTS against
+    the same fact table. "Late" is the shipdate-lag proxy (no
+    l_receiptdate/l_commitdate). Rather than two more fact-table joins (the
+    naive EXISTS/NOT EXISTS plans), both subqueries decorrelate into ONE
+    per-order aggregate over the already-joined frame: n_supp = distinct
+    suppliers on the order, n_late = distinct LATE suppliers. EXISTS(other
+    supplier) = n_supp >= 2; NOT EXISTS(other late supplier) = n_late = 1
+    given the outer row is itself late. The orderkey shuffle that builds
+    the joined frame is REUSED by the groupBy and by the join back (same
+    key), so the whole query costs one fact shuffle + one broadcast — at
+    100 TB this is the difference between 1 and 3 passes over lineitem.
+    The frame feeds two consumers, so it is cached (per-order rows, narrow
+    projection)."""
+    cat = _cat(spark, sf_dir)
+    eur = (
+        cat.supplier.join(
+            F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name")
+    )
+    lo = (
+        cat.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            cat.orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "__late",
+            _date("l_shipdate") > F.date_add(_date("o_orderdate"), 60),
+        )
+        .select("l_orderkey", "l_suppkey", "__late")
+        .cache()  # two consumers: the per-order aggregate and the probe side
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("__okey")).agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late"),
+    )
+    waiting = per_order.filter(
+        (F.col("__n_supp") >= 2) & (F.col("__n_late") == 1)
+    ).select("__okey")
+    return (
+        lo.filter(F.col("__late"))
+        .join(waiting, F.col("l_orderkey") == F.col("__okey"))
+        .join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
