@@ -34,10 +34,35 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.registry import q, cat as _cat, date as _date
-from etl_data_processor_spark.ops.exact import dec, dsum, revenue, sql_dsum, sql_revenue
+from etl_data_processor_spark.ops.exact import (
+    davg,
+    dec,
+    dsum,
+    revenue,
+    sql_davg,
+    sql_dsum,
+    sql_revenue,
+)
 from etl_data_processor_spark.ops.similarity import stable_round6
 
 _SR6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+
+# Q1 charge = price * (1-disc) * (1+tax). A naive (18,4)^3 product exceeds
+# DECIMAL(38) and each engine would degrade it differently; the unit factor
+# (1-disc)*(1+tax) is < 4 with <= 8 fractional digits (disc/tax carry <= 4),
+# so it is cast to DECIMAL(10,8) EXACTLY and the final product stays at
+# precision 29 — exact on both engines. The charge's TRUE scale is 6
+# (2-decimal price x 4-decimal unit factor), so the sum must run at scale
+# >= 6: dsum's per-row DECIMAL(18,4) cast would round each row and the two
+# engines break the half-ties differently (measured: ~0.42 drift over 250k
+# rows). Summing at (24,6) is lossless, and the final double is exact
+# (< 2^53) — no ROUND anywhere, nothing to diverge.
+_SQL_Q1_CHARGE = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "CAST((CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * "
+    "(CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4))) AS DECIMAL(10,8))"
+)
+_SQL_Q1_SUM_CHARGE = f"CAST(SUM(CAST({_SQL_Q1_CHARGE} AS DECIMAL(24,6))) AS DOUBLE)"
 
 _SQL_Q9_PROFIT = _SR6.format(
     x=f"{sql_dsum(sql_revenue())} - 0.1 * "
@@ -45,6 +70,55 @@ _SQL_Q9_PROFIT = _SR6.format(
         "CAST(l_quantity AS DECIMAL(18,4)) * CAST(p_retailprice AS DECIMAL(18,4))"
     )
 )
+
+
+@q(
+    "q_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum(sql_revenue())} AS sum_disc_price,
+           {_SQL_Q1_SUM_CHARGE} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1, faithful (pricing summary report): the whole-table scan-agg
+    with eight aggregates over four groups — dbgen's throughput yardstick.
+    q_agg_group carries the shape; this adds the full column set including
+    sum_charge's three-factor product (see _SQL_Q1_CHARGE for why the unit
+    factor is squeezed into DECIMAL(10,8) before multiplying). The cutoff
+    mirrors dbgen's DATE '1998-12-01' - 90 days against this fixture's date
+    range. Plan: scan -> partial agg (4 groups per partition) -> 4-row
+    exchange -> final agg; at 100 TB the partial combine makes the shuffle
+    free and the scan is the entire cost — the pushdown date filter prunes
+    the trailing row groups."""
+    li = _cat(spark, sf_dir).lineitem
+    charge = dec("l_extendedprice") * (
+        (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+        * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+    ).cast("decimal(10,8)")
+    return (
+        li.filter(_date("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(revenue()).alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(24,6)")).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
 
 
 @q(

@@ -349,3 +349,14 @@ def test_tpch_q21_single_fact_pass_via_cache(spark, sf_dir):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     assert len(re.findall(r"lineitem\.parquet", plan)) == 1
     assert len(re.findall(r"orders\.parquet", plan)) == 1
+
+
+def test_tpch_q1_partial_final_agg_and_pushdown(spark, sf_dir):
+    """Q1: the date cutoff must reach the parquet scan, the eight
+    aggregates must plan partial+final (map-side combine collapses each
+    partition to at most 4 group rows), and there is no join."""
+    plan = plan_of(QUERIES["q_tpch_q1"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Join" not in plan
