@@ -302,7 +302,7 @@ def q_tpch_q9(spark, sf_dir):
     )
     SELECT l_partkey, CAST(ROUND(v, 4) AS DOUBLE) AS part_value
     FROM val
-    WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) * 0.0015 FROM val)
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) * 2 FROM val)
     """,
 )
 def q_tpch_q11(spark, sf_dir):
@@ -316,7 +316,10 @@ def q_tpch_q11(spark, sf_dir):
     the whole fact table); the 1-row total then broadcasts back as a cross
     join — no single-partition sort, no window. Both engines compare
     doubles derived from the same exact decimal sum, so the > cut is
-    identical."""
+    identical. The cut is "> 2x the average part value" rather than dbgen's
+    fixed fraction-of-total: a fixed fraction empties as the part count
+    grows with scale (0 rows at sf0.1), while the relative threshold keeps
+    the selectivity stable at every SF — the same shape, scale-proofed."""
     cat = _cat(spark, sf_dir)
     nat = cat.nation.filter(F.col("n_name") == "NATION_7")
     supp = cat.supplier.join(
@@ -328,7 +331,9 @@ def q_tpch_q11(spark, sf_dir):
         .agg(F.sum(dec("l_extendedprice")).alias("__v"))
         .cache()  # two consumers: global total and the filter probe
     )
-    total = val.agg((F.sum("__v").cast("double") * F.lit(0.0015)).alias("__thresh"))
+    total = val.agg(
+        (F.sum("__v").cast("double") / F.count(F.lit(1)) * 2).alias("__thresh")
+    )
     return (
         val.join(F.broadcast(total))
         .filter(F.col("__v").cast("double") > F.col("__thresh"))
