@@ -77,6 +77,53 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style per-document repetition signals: (id, n_tokens,
+    distinct_ratio, top_bigram_share). Low distinct_ratio or a high
+    top-bigram share marks boilerplate/looping text — the repetition
+    filters public LLM-corpus recipes apply alongside quality_score.
+
+    Plan: the per-doc scalars are narrow expressions (no shuffle); the top
+    bigram needs explode -> count(doc, bigram) -> max per doc — two
+    exchanges, the second re-keying (doc, bigram) down to (doc), both
+    partial-aggregated so the exploded frame never moves whole. The final
+    join is doc-keyed and reuses the max side's partitioning. Division by
+    zero (docs with < 2 tokens) is guarded with a CASE on both engines —
+    Spark 4 ANSI would throw, DuckDB would emit inf."""
+    w = F.split(F.col(text_col), " ")
+    scal = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+    )
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    from etl_data_processor_spark.ops.similarity import stable_round6
+
+    return scal.join(top, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        stable_round6(F.col("n_distinct") / F.col("n_tokens")).alias("distinct_ratio"),
+        F.when(
+            F.col("n_tokens") > 1,
+            stable_round6(F.coalesce(F.col("top_cnt"), F.lit(0)) / (F.col("n_tokens") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_share"),
+    )
+
+
 def language_id(text: Column) -> Column:
     """Heuristic language ID: stopword hit-count per language over the token
     array, argmax wins, NULL when no evidence. Pure expressions (arrays_

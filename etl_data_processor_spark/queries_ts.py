@@ -256,6 +256,43 @@ def q_text_bigrams(spark, sf_dir):
 
 
 @q(
+    "q_text_repetition",
+    f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    scal AS (
+        SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct
+        FROM base
+    ),
+    bc AS (
+        SELECT doc_id, bigram, COUNT(*) AS c FROM (
+            SELECT doc_id,
+                   unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+            FROM base
+        ) GROUP BY doc_id, bigram
+    ),
+    top AS (SELECT doc_id, MAX(c) AS top_cnt FROM bc GROUP BY doc_id)
+    SELECT s.doc_id, s.n_tokens,
+           {_SQL_ROUND6.format(x="s.n_distinct / s.n_tokens")} AS distinct_ratio,
+           CASE WHEN s.n_tokens > 1
+                THEN {_SQL_ROUND6.format(x="COALESCE(t.top_cnt, 0) / (s.n_tokens - 1)")}
+                ELSE 0.0 END AS top_bigram_share
+    FROM scal s LEFT JOIN top t ON s.doc_id = t.doc_id
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Per-document repetition signals (Gopher-style corpus filters):
+    distinct-token ratio and the most-frequent-bigram share. See
+    ops/text.py::repetition_stats for the two-exchange plan story; the
+    signal complements q_text_quality (surface ratios) by catching
+    boilerplate and looping generations that look clean char-wise."""
+    from etl_data_processor_spark.ops.text import repetition_stats
+
+    return repetition_stats(_cat(spark, sf_dir).documents)
+
+
+@q(
     "q_ts_rollup_cascade",
     f"""
     SELECT (FLOOR(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch,

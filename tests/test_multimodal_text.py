@@ -166,3 +166,25 @@ def test_fuzzy_key_pairs_band_is_lossless(spark, sf_dir):
     }
     assert got == expected
     assert len(got) == len({(a, b) for a, b, _ in got}), "pair emitted twice"
+
+
+def test_repetition_stats_handcrafted(spark):
+    from etl_data_processor_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),      # 4 tokens, 1 distinct; "a a" bigram 3/3
+            (2, "a b c"),        # all distinct; each bigram once -> 1/2
+            (3, "solo"),         # single token: no bigram, share 0
+            (4, "x y x y x"),    # "x y" twice of 4 bigrams -> 0.5
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["distinct_ratio"] == 0.25
+    assert rows[1]["top_bigram_share"] == 1.0
+    assert rows[2]["distinct_ratio"] == 1.0
+    assert rows[2]["top_bigram_share"] == 0.5
+    assert rows[3]["top_bigram_share"] == 0.0
+    assert rows[4]["top_bigram_share"] == 0.5
