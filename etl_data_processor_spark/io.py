@@ -16,7 +16,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -95,6 +95,19 @@ class Catalog:
         df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Normalize TIMESTAMP_NTZ → TIMESTAMP (LTZ). Our own sessions read
+        # tz-naive parquet as LTZ directly (inferTimestampNTZ=false,
+        # session.py) so this is a no-op there; a foreign session with Spark's
+        # default NTZ inference still gets LTZ columns here. to_utc_timestamp
+        # interprets the naive micros as UTC wall time regardless of the
+        # session timezone — bit-identical to DuckDB's epoch_us on the same
+        # file (and to what the epoch-µs operators in ops/cdc.py and
+        # queries_rel2.py require; unix_micros rejects NTZ).
+        for field in df.schema.fields:
+            if isinstance(field.dataType, TimestampNTZType):
+                df = df.withColumn(
+                    field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
+                )
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -826,6 +826,50 @@ def q_join_nullsafe(spark, sf_dir):
     )
 
 
+@q(
+    "q_join_anti_nullaware",
+    """
+    WITH probe AS (SELECT NULLIF(c_nationkey, 3) AS k FROM customer),
+         clean AS (SELECT n_nationkey AS nk FROM nation WHERE n_regionkey <= 1),
+         withnull AS (SELECT nk FROM clean UNION ALL SELECT NULL)
+    SELECT
+      (SELECT COUNT(*) FROM probe WHERE k NOT IN (SELECT nk FROM clean))
+        AS cnt_clean,
+      (SELECT COUNT(*) FROM probe WHERE k NOT IN (SELECT nk FROM withnull))
+        AS cnt_nullpoisoned
+    """,
+)
+def q_join_anti_nullaware(spark, sf_dir):
+    """B6 variant: NULL-AWARE anti join — NOT IN under three-valued logic.
+
+    ``k NOT IN (subquery)`` is NOT the same as an anti join on ``k``: a NULL
+    probe key yields UNKNOWN (row dropped), and a single NULL in the subquery
+    makes EVERY row UNKNOWN (cnt_nullpoisoned must be 0). Spark plans the
+    single-column case as a broadcast hash join with isNullAwareAntiJoin
+    (plan-pinned in tests/test_plans.py) — the correct-and-fast path; engines
+    that rewrite NOT IN to a plain anti join silently return wrong rows.
+    At 100 TB the build side is the subquery (dim-sized, broadcast); the
+    probe side streams — same shape as q_join_anti, plus the null guard.
+    """
+    cat = _cat(spark, sf_dir)
+    cat.customer.createOrReplaceTempView("__cust_nna")
+    cat.nation.createOrReplaceTempView("__nat_nna")
+    return spark.sql(
+        """
+        WITH probe AS (SELECT NULLIF(c_nationkey, 3) AS k FROM __cust_nna),
+             clean AS (SELECT n_nationkey AS nk FROM __nat_nna
+                       WHERE n_regionkey <= 1),
+             withnull AS (SELECT nk FROM clean
+                          UNION ALL SELECT CAST(NULL AS INT))
+        SELECT
+          (SELECT COUNT(*) FROM probe WHERE k NOT IN (SELECT nk FROM clean))
+            AS cnt_clean,
+          (SELECT COUNT(*) FROM probe WHERE k NOT IN (SELECT nk FROM withnull))
+            AS cnt_nullpoisoned
+        """
+    )
+
+
 @q("q_agg_hll_merge")  # rows-only: DataSketches HLL != DuckDB's sketch
 def q_agg_hll_merge(spark, sf_dir):
     """B13 extension: mergeable HLL distinct-count sketches — per-slice

@@ -27,6 +27,11 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Parquet scan behavior: vectorized reader + pushdown are Spark defaults,
     # set explicitly so a misconfigured environment can't silently disable them.
+    # Read tz-naive parquet timestamps as TIMESTAMP_LTZ (session tz = UTC),
+    # not TIMESTAMP_NTZ: the fixture timestamps are µs-naive, epoch functions
+    # (unix_micros) only accept LTZ, and keeping the scan column LTZ keeps
+    # timestamp predicates pushable into parquet (a cast-on-top would not be).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -360,3 +360,48 @@ def test_tpch_q1_partial_final_agg_and_pushdown(spark, sf_dir):
     assert "l_shipdate" in pushed
     assert plan.count("HashAggregate") >= 2  # partial + final
     assert "Join" not in plan
+
+
+def test_anti_nullaware_plans_null_aware_join(spark, sf_dir):
+    """q_join_anti_nullaware: NOT IN must plan as a NULL-AWARE anti join
+    (not a plain anti join — a plain one returns WRONG rows when the
+    subquery can produce NULL). Spark's single-column form is a broadcast
+    hash join flagged NullAwareAntiJoin; and under three-valued logic a
+    NULL-bearing subquery empties the result entirely."""
+    df = QUERIES["q_join_anti_nullaware"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "NullAwareAntiJoin" in plan.replace(" ", "") or "LeftAnti" in plan
+    row = df.collect()[0]
+    assert row["cnt_nullpoisoned"] == 0  # one NULL in the list → all UNKNOWN
+    assert row["cnt_clean"] > 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
+    """100 TB runtime filtering: when a shuffle join's build side carries a
+    selective filter, Catalyst injects a bloom filter on the probe side
+    (might_contain over a bloom aggregate of the build keys) so fact rows
+    that cannot join are dropped BEFORE the shuffle. At cluster scale this
+    triggers by itself (probe scan > 10 GB default); the test lowers the
+    application-side threshold to fire at fixture scale and pins that the
+    rewrite is active in this engine's sessions."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        cat = Catalog(spark, sf_dir)
+        probe = cat.lineitem
+        build = cat.orders.filter(F.col("o_totalprice") > 500000)
+        j = probe.join(
+            build, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("l_orderkey", "o_totalprice")
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt
+        assert j.count() >= 0
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
