@@ -301,6 +301,61 @@ def q_agg_minmaxby(spark, sf_dir):
 
 
 @q(
+    "q_agg_mode",
+    """
+    WITH c AS (SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+               FROM orders GROUP BY 1, 2),
+         r AS (SELECT s, p,
+                      ROW_NUMBER() OVER (PARTITION BY s ORDER BY n DESC, p) AS rk
+               FROM c)
+    SELECT s AS o_orderstatus, p AS mode_priority FROM r WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark, sf_dir):
+    """B11 variant: statistical MODE with deterministic tie-break.
+
+    Spark's ``mode(expr, deterministic=true)`` returns the lowest value
+    among equally-frequent candidates — the oracle reproduces exactly that
+    contract as count + row_number (DuckDB's own ``mode()`` breaks ties
+    arbitrarily, so the oracle can't use it). Plain mode() on either engine
+    is nondeterministic under ties — the deterministic form is the only one
+    a reproducible pipeline should ship.
+    """
+    o = _cat(spark, sf_dir).orders
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("mode(o_orderpriority, true)").alias("mode_priority")
+    )
+
+
+@q(
+    "q_string_agg",
+    """
+    SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """B11 variant: ordered string aggregation (LISTAGG WITHIN GROUP,
+    Spark 4). The explicit WITHIN GROUP ordering is what makes the result
+    deterministic — an unordered listagg concatenates in partition arrival
+    order, which changes under AQE/partitioning. Grouped over the broadcast
+    dims; at scale the same shape applies to any bounded-cardinality group
+    (unbounded string concat is an anti-pattern regardless of engine)."""
+    cat = _cat(spark, sf_dir)
+    cat.nation.createOrReplaceTempView("__nat_sagg")
+    cat.region.createOrReplaceTempView("__reg_sagg")
+    return spark.sql(
+        """
+        SELECT r_name,
+               LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM __nat_sagg JOIN __reg_sagg ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+@q(
     "q_agg_cond",
     f"""
     SELECT l_linestatus,
