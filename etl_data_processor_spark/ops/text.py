@@ -138,6 +138,68 @@ def language_id(text: Column) -> Column:
     return F.when(best.getField("score") > 0, best.getField("lang"))
 
 
+# PII scrubbing patterns: (label, RE2-safe regex, replacement). RE2-safe
+# means no lookbehind/backrefs, so the SAME pattern runs in Spark (Java
+# regex) and any RE2 engine — portability of the redaction rule is part of
+# the contract (a corpus scrubbed twice by different engines must agree).
+# Order matters: emails first (they contain dots/digits an IP/phone rule
+# could nibble), then phones (requires leading +, avoiding false hits on
+# plain digit runs), then IPv4.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d[\d ]{6,}\d", "<PHONE>"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails / +intl phones / IPv4s with typed placeholders.
+
+    A chained ``regexp_replace`` — one pass per pattern, all JVM-side
+    codegen, no Python boundary: at 100 TB this runs at scan speed and the
+    chain stays inside one whole-stage-codegen span (generalizes the
+    reference's regex-normalization habit, main.py:217-232, to the
+    corpus-scrubbing op every training pipeline ships).
+    """
+    out = text
+    for _, pattern, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 500,
+    stride: int = 400,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character windows.
+
+    One row per chunk (``chunk_id``, ``chunk``): chunk i covers
+    ``[i*stride, i*stride + window)``; the last window may be short; a
+    document shorter than one window yields exactly one chunk. The fan-out
+    is ``explode(sequence(...))`` — narrow, no shuffle, and the chunk count
+    is integer arithmetic so the SAME rows come out of any engine. This is
+    the RAG / pretraining context-window chunker; token-budget packing is
+    the inverse (see q_pack_sequences).
+    """
+    n = F.length(F.col(text_col))
+    nch = F.when(n <= window, F.lit(1)).otherwise(
+        F.expr(
+            f"(length({text_col}) - {window} + {stride - 1}) div {stride}"
+        ).cast("int")
+        + 1
+    )
+    return (
+        df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), nch - 1)))
+        .withColumn(
+            "chunk",
+            F.expr(f"substring({text_col}, chunk_id * {stride} + 1, {window})"),
+        )
+        .drop(text_col)
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: 64-bit stable hash of normalized text
     (lowercase, collapsed whitespace) — the exact-dedup key at scale."""

@@ -349,6 +349,135 @@ def q_text_tokens(spark, sf_dir):
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+\d[\d ]{6,}\d"
+_PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+@q(
+    "q_text_pii_scrub",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             substring(text, 1, 40) || ' contact user' ||
+             CAST(doc_id AS VARCHAR) ||
+             '@example.com or +45 12 34 5678 from 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS t
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS scrubbed
+      FROM p)
+    SELECT doc_id, scrubbed,
+           CASE WHEN NOT regexp_matches(scrubbed, '{_PII_EMAIL}')
+                 AND NOT regexp_matches(scrubbed, '{_PII_PHONE}')
+                 AND NOT regexp_matches(scrubbed, '{_PII_IP}')
+                THEN 1 ELSE 0 END AS clean
+    FROM s
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """North star (B31 ext): PII redaction — the corpus-scrubbing pass every
+    training pipeline runs before anything else. The fixture text carries no
+    real PII, so the query PLANTS a deterministic email/phone/IP per doc,
+    scrubs with ops/text.py::scrub_pii (chained regexp_replace, RE2-safe so
+    the redaction rule is engine-portable), and emits a per-row ``clean``
+    self-check that must be 1 everywhere — the oracle proves both the
+    redacted text and the no-residual property exactly."""
+    d = _cat(spark, sf_dir).documents
+    planted = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +45 12 34 5678 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    scrubbed = T.scrub_pii(planted)
+    clean = (
+        ~scrubbed.rlike(_PII_EMAIL)
+        & ~scrubbed.rlike(_PII_PHONE)
+        & ~scrubbed.rlike(_PII_IP)
+    )
+    return d.select(
+        "doc_id", scrubbed.alias("scrubbed"), clean.cast("int").alias("clean")
+    )
+
+
+@q(
+    "q_pack_sequences",
+    r"""
+    WITH t AS (SELECT source, doc_id,
+                      len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+               FROM documents),
+         c AS (SELECT source, doc_id, n_tok,
+                      SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+    SELECT source, (cum - n_tok) // 2048 AS seq,
+           COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok
+    FROM c GROUP BY source, seq
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """North star (B31 ext): concatenate-and-cut sequence packing — docs are
+    laid head-to-tail per source in deterministic doc_id order and cut every
+    2048 tokens; a doc belongs to the bin where it starts. This is the
+    pretraining packing shape (maximal fill, no padding waste). ONE window
+    shuffle on (source, doc_id) and the bin id is pure integer arithmetic on
+    the running sum — reproducible on any engine, any partitioning. Returns
+    per-bin doc and token counts (the fill-efficiency audit)."""
+    d = _cat(spark, sf_dir).documents
+    n_tok = T.token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.select(
+        "source", "doc_id", n_tok.alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn("seq", F.expr("(cum - n_tok) div 2048"))
+        .groupBy("source", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+    )
+
+
+@q(
+    "q_chunk_documents",
+    """
+    WITH n AS (SELECT doc_id, text,
+                      CASE WHEN length(text) <= 500 THEN 1
+                           ELSE (length(text) - 500 + 399) // 400 + 1
+                      END AS nch
+               FROM documents),
+         e AS (SELECT doc_id, text,
+                      UNNEST(range(0, nch)) AS chunk_id
+               FROM n)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           substring(text, CAST(chunk_id AS INT) * 400 + 1, 500) AS chunk
+    FROM e
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """North star (B31 ext): overlapping context-window chunking (window 500
+    chars, stride 400 → 100 overlap) — the RAG / long-doc splitting op, the
+    inverse of q_pack_sequences. ops/text.py::chunk_documents fans out via
+    explode(sequence(...)): narrow (no shuffle), and the chunk count is
+    integer arithmetic so any engine derives the SAME rows."""
+    d = _cat(spark, sf_dir).documents
+    return T.chunk_documents(d.select("doc_id", "text")).select(
+        "doc_id", "chunk_id", "chunk"
+    )
+
+
 @q(
     "q_text_topterms",
     """
