@@ -143,12 +143,15 @@ def language_id(text: Column) -> Column:
 # regex) and any RE2 engine — portability of the redaction rule is part of
 # the contract (a corpus scrubbed twice by different engines must agree).
 # Order matters: emails first (they contain dots/digits an IP/phone rule
-# could nibble), then phones (requires leading +, avoiding false hits on
-# plain digit runs), then IPv4.
+# could nibble), then IPv4, then phones LAST — the phone pattern greedily
+# spans digits+spaces (spaced phone formats), so a phone directly followed
+# by an IP would have its leading octet eaten if phones ran first; IPs
+# contain dots, which the phone pattern cannot cross, so IP-first is safe
+# (pinned by tests/test_corpus_ops.py).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+\d[\d ]{6,}\d", "<PHONE>"),
     ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d ]{6,}\d", "<PHONE>"),
 ]
 
 

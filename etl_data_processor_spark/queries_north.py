@@ -272,6 +272,43 @@ def q_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk_exact(emb, queries, k=10)
 
 
+@q(
+    "q_emb_centroids",
+    f"""
+    WITH cv AS (
+        SELECT label, {_DUCK_QVEC.format(col='embedding')} AS ce FROM embeddings
+    ),
+    e AS (
+        SELECT label, UNNEST(ce) AS qv, UNNEST(range(len(ce))) AS pos FROM cv
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           CAST(FLOOR(((CAST(SUM(qv) AS DOUBLE) / 10000000.0) / COUNT(*))
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS centroid
+    FROM e GROUP BY label, pos
+    """,
+)
+def q_emb_centroids(spark, sf_dir):
+    """North star (B32 ext): per-label embedding centroids — the cluster
+    statistics step of every embedding pipeline (k-means stats, class
+    prototypes, drift monitoring). posexplode fans each vector into
+    (pos, component), one partial+final hash agg computes all 64 dims of
+    all labels in a single shuffle. Components are fixed-point-quantized
+    int64 (ops/similarity.py) so the sum is EXACT and order-independent;
+    the final divide runs on identical operands in both engines. The int64
+    running sum bounds corpus size at ~1e11 rows per (label,pos) before
+    overflow — switch the sum to DECIMAL(38,0) beyond that."""
+    e = _cat(spark, sf_dir).embeddings
+    ex = e.select(
+        "label",
+        F.posexplode(SIM._quantize(F.col("embedding"))).alias("pos", "qv"),
+    )
+    agg = ex.groupBy("label", "pos").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    c = (F.col("s").cast("double") / F.lit(10000000.0)) / F.col("n")
+    return agg.select("label", "pos", SIM.stable_round6(c).alias("centroid"))
+
+
 @q("q_cosine_lsh")  # rows-only: LSH bucketing is approximate by design
 def q_cosine_lsh(spark, sf_dir):
     """Random-hyperplane LSH cosine top-k, AND-OR construction (2 tables ×
@@ -368,8 +405,8 @@ _PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
       SELECT doc_id,
              regexp_replace(regexp_replace(regexp_replace(t,
                '{_PII_EMAIL}', '<EMAIL>', 'g'),
-               '{_PII_PHONE}', '<PHONE>', 'g'),
-               '{_PII_IP}', '<IP>', 'g') AS scrubbed
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed
       FROM p)
     SELECT doc_id, scrubbed,
            CASE WHEN NOT regexp_matches(scrubbed, '{_PII_EMAIL}')

@@ -32,6 +32,11 @@ DEFAULT_CONF: dict[str, str] = {
     # (unix_micros) only accept LTZ, and keeping the scan column LTZ keeps
     # timestamp predicates pushable into parquet (a cast-on-top would not be).
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as INT64 micros, not Spark's legacy INT96 default:
+    # INT96 row groups carry NO min/max statistics, so every timestamp
+    # column the engine writes would be un-skippable on later range scans
+    # (caught by tests/test_io.py::test_write_clustered_tightens_rowgroup_stats).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

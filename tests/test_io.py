@@ -169,3 +169,60 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)" in plan
     expected = orders.filter(F.col("o_totalprice") > 300000.0).count()
     assert filtered.count() == expected
+
+
+def test_write_clustered_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
+    """write_clustered: range-partition + in-file sort must produce
+    near-disjoint per-file ts ranges (the property parquet min/max skipping
+    feeds on), where a hash-repartitioned write leaves every file spanning
+    ~the full range (no skipping possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_data_processor_spark.io import write_clustered
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "ts", "value")
+
+    clustered = str(tmp_path / "clustered")
+    write_clustered(ev, clustered, by=["ts"], n_files=8)
+    scattered = str(tmp_path / "scattered")
+    ev.repartition(8).write.mode("overwrite").parquet(scattered)
+
+    def file_ranges(d):
+        out = []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "ts"
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    def overlap_fraction(ranges):
+        # fraction of file pairs whose ts ranges intersect
+        hits = total = 0
+        for i in range(len(ranges)):
+            for j in range(i + 1, len(ranges)):
+                total += 1
+                if ranges[i][1] >= ranges[j][0] and ranges[j][1] >= ranges[i][0]:
+                    hits += 1
+        return hits / max(total, 1)
+
+    cl = file_ranges(clustered)
+    sc = file_ranges(scattered)
+    assert len(cl) >= 4 and len(sc) >= 4
+    # clustered: ranges are near-disjoint (boundary touch allowed)
+    assert overlap_fraction(cl) <= 0.25
+    # hash-scattered: essentially every file spans every other file's range
+    assert overlap_fraction(sc) >= 0.9
+    # and the data survives the layout change
+    assert (
+        spark.read.parquet(clustered).count() == ev.count()
+    )
