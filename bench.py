@@ -49,6 +49,9 @@ HEADLINE = [
     "q_project_compute",
     "q_date_trunc",
     "q_json_extract",
+    "q_pack_sequences",
+    "q_chunk_documents",
+    "q_emb_centroids",
 ]
 
 
