@@ -505,3 +505,48 @@ def test_streaming_cdc_upsert_snapshot(spark, tmp_path):
         for r in read_snapshot(spark, out).collect()
     }
     assert snap2 == snap
+
+
+def test_stream_static_broadcast_enrichment(spark, events_stream_dir, sf_dir):
+    """B36 ext: stream-static join — the streaming dimension-enrichment
+    workhorse (per-micro-batch lookup against a slowly-changing static
+    table; no state store involved, the static side is re-planned each
+    batch and broadcast when small). Stream and batch enrichment must
+    agree exactly."""
+    from etl_data_processor_spark.io import Catalog
+
+    # static "user dim" derived deterministically from the customer table
+    dim = (
+        Catalog(spark, sf_dir)
+        .customer.select(
+            (F.col("c_custkey") % 500).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("segment").alias("segment"))
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    enriched = (
+        stream.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    got = {
+        (r.segment, r.n, r.cents)
+        for r in _drain(enriched, "t_ss_join", "complete").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    want = {
+        (r.segment, r.n, r.cents)
+        for r in batch.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 2
