@@ -180,6 +180,70 @@ _DUCK_CC = f"""
 """
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled power-iteration PageRank in DuckDB integer arithmetic —
+    exactly mirrors ops/graph.py::pagerank_exact (init/base/damping use
+    the same integer divisions, so every intermediate rank is identical)."""
+    sql = """
+    WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT c*2 AS src, s*2+1 AS dst FROM pairs
+              UNION ALL SELECT s*2+1 AS src, c*2 AS dst FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    consts AS (SELECT 1000000000000 // COUNT(*) AS init FROM deg),
+    it0 AS (SELECT src, init AS rank_q FROM deg, consts)"""
+    for k in range(1, iters + 1):
+        sql += f""",
+    it{k} AS (
+      SELECT n.src,
+             (15 * c.init) // 100 + (85 * COALESCE(x.s, 0)) // 100 AS rank_q
+      FROM deg n CROSS JOIN consts c
+      LEFT JOIN (SELECT e.dst AS src, SUM(r.rank_q // d.deg) AS s
+                 FROM edges e JOIN it{k - 1} r ON e.src = r.src
+                 JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst) x ON n.src = x.src)"""
+    sql += f"""
+    SELECT src AS node, rank_q FROM it{iters}
+    ORDER BY rank_q DESC, src LIMIT 20"""
+    return sql
+
+
+@q("q_pagerank", _pagerank_oracle())
+def q_pagerank(spark, sf_dir):
+    """B49 ext: PageRank over the customer–supplier trade graph (bipartite,
+    symmetrized) — the SECOND iterative-graph pattern next to connected
+    components, with numeric per-iteration state. All arithmetic is integer
+    (rank mass in 1e-12 units, contributions via integer division), so the
+    5-iteration result is engine-exact and the oracle is the unrolled SQL
+    — no 'approximately equal' escape hatch. Top-20 hubs with
+    deterministic (rank, node) tiebreak; each iteration is ONE edge-list
+    shuffle + node-sized joins, the same cost shape GraphX/Pregel pays."""
+    from etl_data_processor_spark.ops.graph import pagerank_exact
+
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    r = pagerank_exact(edges, iters=5)
+    return (
+        r.orderBy(F.col("rank_q").desc(), F.col("src"))
+        .limit(20)
+        .select(F.col("src").alias("node"), "rank_q")
+    )
+
+
 @q(
     "q_dedup_clusters",
     "WITH RECURSIVE "

@@ -148,3 +148,54 @@ def test_decontaminate_matches_exact_cross_join(spark, sf_dir):
 
     kept = {r["doc_id"] for r in decontaminate(train, bench).collect()}
     assert kept == set(tsh) - contaminated
+
+
+def test_pagerank_matches_python_model(spark, sf_dir):
+    """pagerank_exact vs a pure-Python mirror of the same integer
+    arithmetic: EVERY node's rank must be identical (not approximately) —
+    the integer-division design is what makes the distributed result
+    reproducible. Also pins partition invariance."""
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.ops.graph import pagerank_exact
+
+    cat = Catalog(spark, sf_dir)
+    pairs = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edge_rows = [(r["c"], r["s"]) for r in pairs.collect()]
+    sym = edge_rows + [(b, a) for a, b in edge_rows]
+
+    # pure-Python mirror
+    deg: dict[int, int] = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    init = 10**12 // n
+    base = 15 * init // 100
+    rank = {v: init for v in deg}
+    for _ in range(5):
+        s: dict[int, int] = {v: 0 for v in deg}
+        for a, b in sym:
+            s[b] += rank[a] // deg[a]
+        rank = {v: base + s[v] * 85 // 100 for v in deg}
+
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    got = {
+        r["src"]: r["rank_q"] for r in pagerank_exact(edges, iters=5).collect()
+    }
+    assert got == rank
+
+    # partition invariance: a different physical layout, identical ranks
+    got2 = {
+        r["src"]: r["rank_q"]
+        for r in pagerank_exact(edges.repartition(7), iters=5).collect()
+    }
+    assert got2 == rank
