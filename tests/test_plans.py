@@ -405,3 +405,21 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """q_chunk_documents: the explode(sequence) fan-out must stay narrow —
+    NO Exchange anywhere; chunking 100 TB is then a pure map over the
+    scan."""
+    plan = plan_of(QUERIES["q_chunk_documents"](spark, sf_dir))
+    assert "Generate explode" in plan or "Generate" in plan
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_single_window_exchange(spark, sf_dir):
+    """q_pack_sequences: exactly one hash exchange (the (source) window);
+    the bin groupBy reuses nothing heavier — partial+final agg on top."""
+    plan = plan_of(QUERIES["q_pack_sequences"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Window" in plan
+    assert "HashAggregate" in plan
