@@ -245,6 +245,86 @@ def q_pagerank(spark, sf_dir):
 
 
 @q(
+    "q_graph_degrees",
+    """
+    WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    deg AS (SELECT node, kind, COUNT(*) AS degree FROM (
+              SELECT c AS node, 'customer' AS kind FROM pairs
+              UNION ALL SELECT s AS node, 'supplier' AS kind FROM pairs)
+            GROUP BY node, kind)
+    SELECT kind, degree, COUNT(*) AS n_nodes
+    FROM deg GROUP BY kind, degree
+    """,
+)
+def q_graph_degrees(spark, sf_dir):
+    """B49 ext: degree distribution of the customer-supplier trade graph —
+    the first thing you compute on any graph (skew detection: a power-law
+    tail here is exactly the hot-key signal salted_join exists for). Two
+    hash aggregates, both partial+final; no joins beyond the edge build."""
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    nodes = pairs.select(F.col("c").alias("node"), F.lit("customer").alias("kind")).unionAll(
+        pairs.select(F.col("s").alias("node"), F.lit("supplier").alias("kind"))
+    )
+    deg = nodes.groupBy("node", "kind").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("kind", "degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@q(
+    "q_graph_triangles",
+    """
+    WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT DISTINCT a.s AS u, b.s AS v
+              FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT (SELECT COUNT(DISTINCT u || '/' || v) FROM edges) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def q_graph_triangles(spark, sf_dir):
+    """B49 ext: triangle counting — the classic distributed-graph benchmark
+    (clustering-coefficient numerator). Graph: supplier co-purchase (two
+    suppliers linked iff some customer buys from both) — non-bipartite, so
+    triangles exist. Edges oriented low→high id; a triangle is counted ONCE
+    as (u<v<w): e(u,v) ⋈ e(v,w) ⋈ e(u,w) — two hash joins on the oriented
+    edge list, the standard MapReduce formulation. At scale the orientation
+    trick is the load balancer: every wedge is enumerated at its lowest
+    vertex, which caps the fan-out of high-degree nodes."""
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        cat.lineitem.join(cat.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = pairs.select(F.col("c").alias("jc"), F.col("s").alias("u"))
+    b = pairs.select(F.col("c").alias("jc"), F.col("s").alias("v"))
+    edges = (
+        a.join(b, "jc")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(tri)
+
+
+@q(
     "q_dedup_clusters",
     "WITH RECURSIVE "
     + _DUCK_CC.format(shingles=_DUCK_SHINGLES)
