@@ -96,3 +96,48 @@ def test_pack_sequences_bin_invariants(spark, sf_dir):
         assert bins[0]["seq"] == 0
         seqs = [r["seq"] for r in bins]
         assert seqs == list(range(len(seqs))), f"{src} bins not dense"
+
+
+# ---- property-based (hypothesis): batched — one Spark job per example set
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_ASCII = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FF),
+    max_size=1500,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_ASCII, min_size=1, max_size=30))
+def test_chunk_roundtrip_random_texts(spark, texts):
+    """Chunk reassembly (drop overlap, concat) reconstructs ANY text —
+    random lengths 0..1500 across the window/stride boundaries."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = T.chunk_documents(df, window=500, stride=400).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        rebuilt = "".join(c["chunk"][:400] for c in chunks[:-1]) + chunks[-1]["chunk"]
+        assert rebuilt == t, (len(t), [len(c["chunk"]) for c in chunks])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_ASCII, min_size=1, max_size=30))
+def test_scrub_pii_idempotent_random_texts(spark, texts):
+    """scrub(scrub(x)) == scrub(x) for arbitrary text — the placeholders
+    must never re-trigger any pattern."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    rows = df.select(
+        "i",
+        T.scrub_pii(F.col("t")).alias("s1"),
+        T.scrub_pii(T.scrub_pii(F.col("t"))).alias("s2"),
+    ).collect()
+    for r in rows:
+        assert r["s1"] == r["s2"]
