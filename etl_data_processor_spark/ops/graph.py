@@ -35,7 +35,7 @@ curation), composed over ops.dedup's pair generators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops import dedup as D
@@ -218,3 +218,34 @@ def pagerank_exact(
             .localCheckpoint(eager=False)
         )
     return state.select("src", "rank_q")
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    score: Column,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster dedup with a PLUGGABLE canonical policy: keep the highest-
+    ``score`` member of each near-dup cluster (ties → lowest id) instead of
+    dedup_keep's lowest-id canonical. This is the curation-grade choice —
+    when a cluster mixes a clean original and an OCR-mangled copy, min-id
+    keeps whichever crawled first; score-based keeps the best one. Same
+    cost shape as dedup_keep: clusters are pair-graph-sized, the drop set
+    broadcasts, the corpus itself is never shuffled."""
+    clusters = dedup_clusters(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col, shingled=shingled
+    )
+    scored = docs.select(F.col(id_col), score.alias("__score"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col(id_col)
+    )
+    drop = (
+        clusters.join(scored, id_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") > 1)
+        .select(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")

@@ -364,6 +364,47 @@ def q_dedup_keep(spark, sf_dir):
     )
 
 
+@q(
+    "q_dedup_best",
+    "WITH RECURSIVE "
+    + _DUCK_CC.format(shingles=_DUCK_SHINGLES)
+    + r""",
+    qual AS (
+      SELECT doc_id, ROUND(GREATEST(0.0,
+          LEAST(length(text)/200.0, 1.0)
+          * (length(regexp_replace(text, '[^A-Za-zæøå ]', '', 'g'))::DOUBLE
+             / GREATEST(length(text), 1))
+          * (1.0 - 4.0 * (length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                          / GREATEST(length(text), 1)))
+      ), 6) AS q
+      FROM documents),
+    ranked AS (
+      SELECT l.node, ROW_NUMBER() OVER (PARTITION BY l.component
+                                        ORDER BY qu.q DESC, l.node) AS rk
+      FROM labels l JOIN qual qu ON qu.doc_id = l.node)
+    SELECT d.doc_id, d.source, qu.q AS quality
+    FROM documents d JOIN qual qu USING (doc_id)
+    WHERE d.doc_id NOT IN (SELECT node FROM ranked WHERE rk > 1)
+    """,
+)
+def q_dedup_best(spark, sf_dir):
+    """B49/B22 ext: cluster dedup with a QUALITY-BASED canonical policy —
+    keep the highest-quality member of each near-dup cluster (ties →
+    lowest doc_id), not the lowest id. When a cluster mixes a clean
+    original with a mangled copy, min-id keeps whichever crawled first;
+    this keeps the best one — the curation-grade choice. Both engines
+    order by the identical rounded-double quality (q_text_quality proves
+    bit-equality), so the selection is exact. Same scale shape as
+    q_dedup_keep: drop set broadcasts, corpus never shuffles."""
+    from etl_data_processor_spark.ops.graph import dedup_keep_best
+
+    d = _cat(spark, sf_dir).documents
+    kept = dedup_keep_best(d, score=T.quality_score(F.col("text")), threshold=0.8)
+    return kept.select(
+        "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
+    )
+
+
 @q("q_dedup_simhash")  # rows-only: xxhash64 signatures aren't reproducible in DuckDB
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (hamming <= 8 over 64-bit signatures,

@@ -199,3 +199,45 @@ def test_pagerank_matches_python_model(spark, sf_dir):
         for r in pagerank_exact(edges.repartition(7), iters=5).collect()
     }
     assert got2 == rank
+
+
+def test_dedup_best_keeps_highest_quality(spark, sf_dir):
+    """dedup_keep_best vs pure-Python model: union-find over the engine's
+    own (oracle-verified) pair list, then keep argmax-quality per component
+    (ties → lowest id) plus all singletons. Runs at any SF — this is the
+    sf0.1 verification path where the recursive-CTE oracle is infeasible."""
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.ops import text as T
+    from etl_data_processor_spark.ops.dedup import minhash_lsh_pairs
+    from etl_data_processor_spark.ops.graph import dedup_keep_best
+
+    docs = Catalog(spark, sf_dir).documents
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    ]
+    quality = {
+        r["doc_id"]: (r["q"], r["doc_id"])
+        for r in docs.select(
+            "doc_id", T.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    comp = _union_find(pairs)
+    best: dict[int, int] = {}
+    for node, c in comp.items():
+        if c not in best or (quality[node][0], -node) > (
+            quality[best[c]][0],
+            -best[c],
+        ):
+            best[c] = node
+    paired = set(comp)
+    keep_expected = (set(quality) - paired) | set(best.values())
+
+    got = {
+        r["doc_id"]
+        for r in dedup_keep_best(
+            docs, score=T.quality_score(F.col("text")), threshold=0.8
+        ).collect()
+    }
+    assert got == keep_expected
