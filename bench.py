@@ -92,17 +92,33 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+    out = {
+        "metric": "headline_query_set_wall_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Regression guardrail (VERDICT r1 #7): per-query deltas vs the committed
+    # round-1 snapshot, so a slowdown is visible in the bench artifact itself.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_baseline.json")
+    try:
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == sf:
+            bq = base.get("queries", {})
+            out["baseline_value"] = base.get("value")
+            out["delta_vs_baseline"] = {
+                n: round(t - bq[n], 3) for n, t in timings.items() if n in bq
             }
-        )
-    )
+            out["regressions_gt_20pct"] = sorted(
+                n
+                for n, t in timings.items()
+                if n in bq and bq[n] >= 0.2 and t > bq[n] * 1.2
+            )
+    except (OSError, ValueError):
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -39,6 +39,29 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Rebase every TIMESTAMP_NTZ column to TIMESTAMP (LTZ) preserving the
+    naive wall time as UTC, independent of the session timezone.
+
+    The NTZ→LTZ input cast interprets the naive wall time in the SESSION
+    timezone, so we cancel exactly that shift: from_utc_timestamp(col,
+    session_tz) re-adds the session offset the implicit cast subtracted,
+    leaving the naive micros interpreted as UTC wall time in ANY session
+    timezone — bit-identical to DuckDB's epoch_us on the same file (and to
+    what the epoch-µs operators in ops/cdc.py and queries_rel2.py require;
+    unix_micros rejects NTZ). A bare to_utc_timestamp(col, 'UTC') would NOT
+    be tz-independent: under e.g. America/Los_Angeles the implicit cast
+    shifts first and 12:00 NTZ would surface as 20:00 UTC.
+    """
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(
+                field.name,
+                F.from_utc_timestamp(F.col(field.name), F.current_timezone()),
+            )
+    return df
+
+
 def read_csv(spark: SparkSession, path: str, schema=None, **options) -> DataFrame:
     """CSV source; permissive by default (reference skips malformed records
     rather than failing the run — main.py:98-103)."""
@@ -124,17 +147,9 @@ class Catalog:
         # Normalize TIMESTAMP_NTZ → TIMESTAMP (LTZ). Our own sessions read
         # tz-naive parquet as LTZ directly (inferTimestampNTZ=false,
         # session.py) so this is a no-op there; a foreign session with Spark's
-        # default NTZ inference still gets LTZ columns here. to_utc_timestamp
-        # interprets the naive micros as UTC wall time regardless of the
-        # session timezone — bit-identical to DuckDB's epoch_us on the same
-        # file (and to what the epoch-µs operators in ops/cdc.py and
-        # queries_rel2.py require; unix_micros rejects NTZ).
-        for field in df.schema.fields:
-            if isinstance(field.dataType, TimestampNTZType):
-                df = df.withColumn(
-                    field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
-                )
-        return df
+        # default NTZ inference still gets LTZ columns here (see
+        # normalize_ntz for the session-tz-independence argument).
+        return normalize_ntz(df)
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

@@ -162,6 +162,7 @@ def pagerank_exact(
     iters: int = 5,
     total_q: int = 1_000_000_000_000,
     damping_pct: int = 85,
+    validate: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank in EXACT integer arithmetic (micro-unit
     ranks), so any engine derives bit-identical scores — the iterative-
@@ -169,8 +170,12 @@ def pagerank_exact(
     numeric state instead of labels.
 
     ``edges`` is a directed (src, dst) edge list (pass both directions for
-    an undirected graph; every node must have out-degree ≥ 1, which holds
-    by construction when nodes come from the edge list itself). Each
+    an undirected graph). CONTRACT: every node must have out-degree ≥ 1 —
+    the node set is derived from the src column, so dst-only (dangling)
+    nodes are absent from the returned ranks and their mass is not
+    redistributed. This holds by construction for symmetrized edge lists;
+    for a general directed graph pass ``validate=True`` to fail fast
+    instead of silently dropping danglers. Each
     iteration: contribution = rank div out_degree (integer division —
     deterministic, no float summation-order drift), one hash-shuffle
     aggregate on dst, then rank' = (15%·init) + (85%·Σcontrib) in integer
@@ -186,6 +191,21 @@ def pagerank_exact(
     edges = edges.cache()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     n = deg.count()  # one tiny driver scalar; the iteration stays distributed
+    if validate:
+        dangling = (
+            edges.select(F.col("dst").alias("src"))
+            .distinct()
+            .join(deg, "src", "left_anti")
+            .count()
+        )
+        if dangling:
+            edges.unpersist()
+            deg.unpersist()
+            raise ValueError(
+                f"pagerank_exact: {dangling} dangling node(s) have in-edges "
+                "but out-degree 0; their rank would be silently dropped. "
+                "Symmetrize the edge list or add self-loops."
+            )
     init_q = total_q // n
     base_q = (100 - damping_pct) * init_q // 100
     # State carries (src, deg, rank_q) so the contribution join is ONE
@@ -217,7 +237,14 @@ def pagerank_exact(
             # to hash shuffles and the algorithm is unchanged.
             .localCheckpoint(eager=False)
         )
-    return state.select("src", "rank_q")
+    # Materialize the final state BEFORE dropping the loop's working set —
+    # an eager checkpoint cuts the result free of the edges/deg lineage, so
+    # unpersisting them cannot trigger a recompute-from-source later. Without
+    # the unpersist, repeated calls leak executor storage (ADVICE r1).
+    result = state.select("src", "rank_q").localCheckpoint(eager=True)
+    edges.unpersist()
+    deg.unpersist()
+    return result
 
 
 def dedup_keep_best(

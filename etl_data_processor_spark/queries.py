@@ -638,9 +638,9 @@ def q_except(spark, sf_dir):
     "q_win_rank",
     """
     SELECT c_custkey, c_mktsegment, c_acctbal,
-           ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
-           RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
-           DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn,
+           CAST(RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS drnk
     FROM customer
     """,
 )
@@ -908,7 +908,7 @@ def q_flagship(spark, sf_dir):
     "q_win_dist",
     """
     SELECT c_custkey, c_mktsegment,
-           NTILE(4) OVER w AS quartile,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
            CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS pct_rank,
            CAST(FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS cume,
            FIRST_VALUE(c_custkey) OVER w AS first_in_seg,

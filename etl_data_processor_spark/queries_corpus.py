@@ -122,7 +122,7 @@ def q_sample_stratified(spark, sf_dir):
         QUALIFY ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) = 1
     )
     SELECT lang, {_SPLIT_SQL.replace('doc_id', 'doc_id')} AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM kept GROUP BY lang, split
     """,
 )
@@ -245,7 +245,8 @@ _PIPELINE_ORACLE = f"""
               CAST(FLOOR(quality * 4294967296.0) AS BIGINT)
     )
     SELECT source, COUNT(*) AS n_kept,
-           SUM(CAST(FLOOR(quality * 1000000.0 + 0.5) AS BIGINT)) AS sum_q6
+           CAST(SUM(CAST(FLOOR(quality * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_q6
     FROM sampled GROUP BY source
     """
 

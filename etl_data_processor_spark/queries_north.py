@@ -203,7 +203,7 @@ def _pagerank_oracle(iters: int = 5) -> str:
                  JOIN deg d ON e.src = d.src
                  GROUP BY e.dst) x ON n.src = x.src)"""
     sql += f"""
-    SELECT src AS node, rank_q FROM it{iters}
+    SELECT src AS node, CAST(rank_q AS BIGINT) AS rank_q FROM it{iters}
     ORDER BY rank_q DESC, src LIMIT 20"""
     return sql
 
@@ -437,11 +437,11 @@ ranked AS (
     SELECT query_id, vec_id,
            CAST(FLOOR((dot / (SQRT(cc) * SQRT(qq))) * 1000000.0 + 0.5) AS DOUBLE)
                / 1000000.0 AS cosine,
-           ROW_NUMBER() OVER (
+           CAST(ROW_NUMBER() OVER (
                PARTITION BY query_id
                ORDER BY CAST(FLOOR((dot / (SQRT(cc) * SQRT(qq))) * 1000000.0 + 0.5) AS DOUBLE) DESC,
                         vec_id ASC
-           ) AS rank
+           ) AS INTEGER) AS rank
     FROM scored
 )
 SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
@@ -633,14 +633,15 @@ def q_text_pii_scrub(spark, sf_dir):
     "q_pack_sequences",
     r"""
     WITH t AS (SELECT source, doc_id,
-                      len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+                      len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> x <> '')) AS n_tok
                FROM documents),
          c AS (SELECT source, doc_id, n_tok,
                       SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                                        ROWS UNBOUNDED PRECEDING) AS cum
                FROM t)
-    SELECT source, (cum - n_tok) // 2048 AS seq,
-           COUNT(*) AS n_docs, SUM(n_tok) AS sum_tok
+    SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok
     FROM c GROUP BY source, seq
     """,
 )
@@ -1098,8 +1099,8 @@ def q_stream_session(spark, sf_dir):
     """
     SELECT doc_id,
            length(text) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
-           ascii(substr(text, length(text), 1)) AS last_byte,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+           CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS last_byte,
            lower(hex(encode(substr(text, 1, 4)))) AS head_hex
     FROM documents
     """,
@@ -1213,7 +1214,7 @@ def q_array_agg(spark, sf_dir):
 def q_udtf(spark, sf_dir):
     """B35: Spark 4 user-defined table function — explodes each document into
     (doc_id, token, token_index) rows via a Python UDTF."""
-    from pyspark.sql.functions import udtf, lit
+    from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: bigint, token: string, token_index: int")
     class TokenizeUDTF:
@@ -1222,7 +1223,6 @@ def q_udtf(spark, sf_dir):
                 yield doc_id, tok, i
 
     d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 10)
-    rows = d.select("doc_id", "text").collect()
     # UDTF invocation via lateral join on the DataFrame API
     spark.udtf.register("tokenize_udtf", TokenizeUDTF)
     d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")

@@ -139,7 +139,7 @@ def q_filter_null(spark, sf_dir):
     "q_null_ordering",
     """
     SELECT c_custkey, seg,
-           ROW_NUMBER() OVER (ORDER BY seg ASC NULLS FIRST, c_custkey ASC) AS rn
+           CAST(ROW_NUMBER() OVER (ORDER BY seg ASC NULLS FIRST, c_custkey ASC) AS INTEGER) AS rn
     FROM (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg FROM customer)
     """,
 )
@@ -729,7 +729,8 @@ def q_salted_join(spark, sf_dir):
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         FROM flagged
     )
-    SELECT user_id, session_seq, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           COUNT(*) AS n_events,
            (MAX(us) - MIN(us)) AS duration_us
     FROM sessions GROUP BY user_id, session_seq
     """,
@@ -989,7 +990,7 @@ def q_profile(spark, sf_dir):
 @q(
     "q_profile_hist",
     """
-    SELECT bucket, 0.0 + bucket * 50000.0 AS bucket_lo, COUNT(*) AS n
+    SELECT bucket, CAST(bucket * 50000.0 AS DOUBLE) AS bucket_lo, COUNT(*) AS n
     FROM (
         SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 50000.0), 0), 9) AS BIGINT) AS bucket
         FROM orders

@@ -102,7 +102,7 @@ def q_tpch_q6(spark, sf_dir):
     SELECT supp_nation, cust_nation, l_year, {sql_dsum(sql_revenue())} AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-               YEAR(CAST(l.l_shipdate AS DATE)) AS l_year,
+               CAST(YEAR(CAST(l.l_shipdate AS DATE)) AS INTEGER) AS l_year,
                l.l_extendedprice, l.l_discount
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -159,7 +159,7 @@ def q_tpch_q7(spark, sf_dir):
     SELECT o_year,
            {_SQL_Q8_RATIO} AS mkt_share
     FROM (
-        SELECT YEAR(CAST(o.o_orderdate AS DATE)) AS o_year,
+        SELECT CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
                l.l_extendedprice, l.l_discount, n1.n_name AS supp_nation
         FROM lineitem l
         JOIN part p     ON l.l_partkey = p.p_partkey

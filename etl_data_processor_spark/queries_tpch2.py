@@ -237,7 +237,7 @@ def q_tpch_q4(spark, sf_dir):
     f"""
     SELECT nation, o_year, {_SQL_Q9_PROFIT} AS sum_profit
     FROM (
-        SELECT n.n_name AS nation, YEAR(CAST(o.o_orderdate AS DATE)) AS o_year,
+        SELECT n.n_name AS nation, CAST(YEAR(CAST(o.o_orderdate AS DATE)) AS INTEGER) AS o_year,
                l.l_extendedprice, l.l_discount, l.l_quantity, p.p_retailprice
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -347,10 +347,10 @@ def q_tpch_q11(spark, sf_dir):
     "q_tpch_q12",
     """
     SELECT l_returnflag AS ship_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-               AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-               AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
       AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'

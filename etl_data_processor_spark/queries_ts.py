@@ -273,7 +273,7 @@ def q_text_bigrams(spark, sf_dir):
         ) GROUP BY doc_id, bigram
     ),
     top AS (SELECT doc_id, MAX(c) AS top_cnt FROM bc GROUP BY doc_id)
-    SELECT s.doc_id, s.n_tokens,
+    SELECT s.doc_id, CAST(s.n_tokens AS INTEGER) AS n_tokens,
            {_SQL_ROUND6.format(x="s.n_distinct / s.n_tokens")} AS distinct_ratio,
            CASE WHEN s.n_tokens > 1
                 THEN {_SQL_ROUND6.format(x="COALESCE(t.top_cnt, 0) / (s.n_tokens - 1)")}

@@ -20,15 +20,20 @@ which resolves the latest version — writers never mutate a version in
 place, so concurrent reads are safe.
 
 At 100 TB each merge inherits apply_changes' shape: the snapshot is
-scanned, never shuffled; only the (small) micro-batch moves. Version
-pruning/compaction is a retention policy left to the caller, as in any
-log-structured table format.
+scanned, never shuffled; only the (small) micro-batch moves. The snapshot
+lifecycle is completed by :func:`expire_versions` (retention: drop old
+version directories, Delta's VACUUM) and :func:`compact_snapshot`
+(small-file compaction of the live version, Delta's OPTIMIZE) — a
+streaming sink that only ever appends versions otherwise accretes one
+directory per micro-batch and thousands of tiny files, which at scale
+turns every snapshot read into a listing + open storm.
 """
 
 from __future__ import annotations
 
 import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -88,3 +93,53 @@ def streaming_upsert_sink(
         )
 
     return apply
+
+
+def expire_versions(target_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all but the newest ``keep_last`` version
+    directories; returns the versions removed. Readers always resolve the
+    LATEST version (read_snapshot), so dropping older ones never changes
+    what a reader sees — it only forfeits time travel below the horizon.
+    Keep at least 2 so an in-flight replayed batch N (which reads the
+    latest version strictly below N) still finds its base."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(target_dir)
+    drop = vs[:-keep_last]
+    for v in drop:
+        shutil.rmtree(os.path.join(target_dir, f"v={v}"))
+    return drop
+
+
+def compact_snapshot(
+    spark: SparkSession, target_dir: str, target_files: int = 1
+) -> int:
+    """Small-file compaction of the LIVE version: rewrite the newest
+    snapshot's many per-batch files into ``target_files`` files, in place.
+    Returns the compacted version number.
+
+    foreachBatch sinks write one version per micro-batch, each with
+    shuffle-partition-many small files; compaction coalesces narrow (no
+    shuffle — ``coalesce`` only merges read splits) and the data is
+    byte-equivalent. The swap is copy-on-write: the compacted files land in
+    a scratch directory first, then a directory rename replaces the old
+    version — readers that already resolved the old path keep a consistent
+    (identical) view, new readers see the compacted one. (A crash between
+    the two renames below can leave the version briefly absent; a manifest
+    commit à la Delta closes even that window — out of scope for plain
+    parquet, and the pre-rename snapshot remains under ``.pre`` for manual
+    recovery.)"""
+    vs = _versions(target_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshot versions under {target_dir}")
+    live = vs[-1]
+    src = os.path.join(target_dir, f"v={live}")
+    scratch = os.path.join(target_dir, f".compact-v={live}")
+    backup = os.path.join(target_dir, f".pre-v={live}")
+    spark.read.parquet(src).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    os.rename(src, backup)
+    os.rename(scratch, src)
+    shutil.rmtree(backup)
+    return live

@@ -27,6 +27,47 @@ import __spark_entry__ as entry_mod  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+def canon_type_duck(t) -> str:
+    """Canonicalize a DuckDB logical type to Spark simpleString vocabulary."""
+    s = str(t).lower()
+    if s.endswith("[]"):
+        return f"array<{canon_type_duck(s[:-2])}>"
+    s = s.replace("varchar", "string").replace("blob", "binary")
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s == "real":
+        return "float"
+    if s == "integer":
+        return "int"
+    return s
+
+
+def canon_type_spark(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return s
+
+
+def check_types(sdf, rel) -> list[str]:
+    """Compare Spark schema to DuckDB result types by column name.
+
+    A typed (Arrow-serialized) value hash distinguishes int64 from int128
+    (HUGEINT), float from double, date from timestamp, and decimal scales —
+    numerically-equal results still mismatch. This assertion makes that
+    class of drift impossible to reintroduce silently (VERDICT r1 item 1/2).
+    """
+    duck = {c: canon_type_duck(t) for c, t in zip(rel.columns, rel.types)}
+    drift = []
+    for f in sdf.schema.fields:
+        if f.name in duck and canon_type_spark(f.dataType) != duck[f.name]:
+            drift.append(
+                f"{f.name}: spark={canon_type_spark(f.dataType)} "
+                f"duckdb={duck[f.name]}"
+            )
+    return drift
+
+
 def canon_cell(v):
     """Canonicalize a cell for engine-independent comparison."""
     if v is None:
@@ -75,9 +116,10 @@ def main(only: list[str]) -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            dcols = [d[0] for d in cur.description]
-            drows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            type_drift = check_types(sdf, rel)
+            drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -87,6 +129,8 @@ def main(only: list[str]) -> int:
             status.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             status.append(f"schema spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if type_drift:
+            status.append(f"type drift: {'; '.join(type_drift)}")
         if not status:
             s, d = canon_rows(scols, srows), canon_rows(dcols, drows)
             if s != d:

@@ -226,3 +226,30 @@ def test_write_clustered_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     assert (
         spark.read.parquet(clustered).count() == ev.count()
     )
+
+
+def test_ntz_normalization_is_session_tz_independent(spark):
+    """ADVICE r1 (medium): normalize_ntz must interpret NTZ wall time as UTC
+    under ANY session timezone. The previous to_utc_timestamp(col, 'UTC')
+    form shifted NTZ 12:00 to 20:00 UTC under an America/Los_Angeles
+    session (the implicit NTZ→LTZ cast applies the session offset first);
+    from_utc_timestamp(col, current_timezone()) cancels that shift exactly."""
+    from etl_data_processor_spark.io import normalize_ntz
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/Los_Angeles", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.sql(
+                "SELECT TIMESTAMP_NTZ '2024-06-01 12:00:00' AS ts"
+            )
+            out = normalize_ntz(df)
+            assert not any(
+                t.dataType.typeName().startswith("timestamp_ntz")
+                for t in out.schema.fields
+            )
+            micros = out.select(F.unix_micros("ts").alias("us")).collect()[0].us
+            # 2024-06-01T12:00:00Z epoch micros, regardless of session tz
+            assert micros == 1717243200000000, (tz, micros)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

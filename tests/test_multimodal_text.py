@@ -35,9 +35,61 @@ def test_fake_feature_extractor(spark):
     assert feats[2].first_byte == -1
 
 
-def test_decode_image_is_documented_stub():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+def test_decode_image_probe_switch():
+    """decode_image follows the runtime probe: really decodes when PIL/cv2
+    is importable, raises the documented NotImplementedError when neither
+    is (this container's mode)."""
+    codec = MM.probe_codecs()
+    if codec is None:
+        with pytest.raises(NotImplementedError):
+            MM.decode_image(b"\x89PNG")
+    else:
+        # hand-built 24-bit 2x3 BMP (pure bytes; no codec needed to WRITE)
+        assert MM.decode_image(_tiny_bmp(2, 3)) == (2, 3)
+
+
+def _tiny_bmp(w: int, h: int) -> bytes:
+    """Minimal valid 24-bit BMP, rows padded to 4 bytes."""
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    pix = (b"\x00\x00\xff" * w + b"\x00" * pad) * h
+    header = (
+        b"BM"
+        + (54 + len(pix)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+    )
+    return header + pix
+
+
+def test_image_dims_extractor_same_schema_both_modes(spark):
+    """VERDICT r1 #4: the stub/real switch keeps an identical schema. The
+    forced-stub branch yields (-1, -1, decoded=0) for every row; the probed
+    branch (stub here too, codec-less container — but really-decoding where
+    PIL/cv2 exists) must produce the same columns and types. With a codec
+    present, the hand-built BMP decodes to its true dimensions and the junk
+    blob still error-isolates to the stub row values."""
+    rows = [(1, _tiny_bmp(2, 3)), (2, b"not an image")]
+    df = spark.createDataFrame(rows, ["doc_id", "blob"])
+    stub = MM.image_dims_extractor(df, force_stub=True)
+    probed = MM.image_dims_extractor(df)
+    assert stub.schema == probed.schema == MM.DIMS_SCHEMA
+    s = {r.doc_id: r for r in stub.collect()}
+    p = {r.doc_id: r for r in probed.collect()}
+    assert (s[1].width, s[1].height, s[1].decoded) == (-1, -1, 0)
+    assert s[1].n_bytes == len(_tiny_bmp(2, 3))
+    if MM.probe_codecs() is None:
+        assert (p[1].width, p[1].height, p[1].decoded) == (-1, -1, 0)
+    else:
+        assert (p[1].width, p[1].height, p[1].decoded) == (2, 3, 1)
+    # junk blob: per-row error isolation, never a task failure
+    assert (p[2].width, p[2].height, p[2].decoded) == (-1, -1, 0)
 
 
 def test_language_id_heuristic(spark):
