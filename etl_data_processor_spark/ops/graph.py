@@ -81,12 +81,84 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _cc_single_task(e: DataFrame) -> DataFrame:
+    """Union-find over the whole edge list in ONE executor task.
+
+    The edge list is coalesced (narrow, no shuffle) to a single partition
+    and closed with path-compressed union-find inside ``mapInPandas`` —
+    executor-side, never collected to the driver. Output contract is
+    identical to the star rounds: (node, component=min member id).
+    """
+    import pandas as pd
+
+    def close(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                u, v = int(u), int(v)
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # root at the smaller id so the final relabel is cheap
+                    if ru < rv:
+                        parent[rv] = ru
+                    else:
+                        parent[ru] = rv
+        if parent:
+            nodes = list(parent)
+            yield pd.DataFrame(
+                {
+                    "node": pd.Series(nodes, dtype="int64"),
+                    "component": pd.Series(
+                        [find(x) for x in nodes], dtype="int64"
+                    ),
+                }
+            )
+
+    return e.coalesce(1).mapInPandas(close, "node long, component long")
+
+
+# Below this many edges the pair graph closes in one union-find task
+# (memory bound: ~200 B/node in the Python dict -> ~400 MB worst case,
+# comfortably inside one executor). Near-dup pair graphs are SMALL even at
+# 100 TB corpus scale — pairs are the rare event dedup exists to find — so
+# this is the common path; the distributed star rounds take over beyond it.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component is
     the minimum node id of the connected component. Nodes with no edges are
-    not emitted — callers keep singletons via anti-join (see dedup_keep)."""
+    not emitted — callers keep singletons via anti-join (see dedup_keep).
+
+    Two physical strategies behind one contract (the initial edge count —
+    already needed for convergence signatures — picks one, no extra job):
+
+    - ``n <= small_graph_edges``: single-task union-find (_cc_single_task).
+      A tiny graph pays pure scheduling overhead in the star rounds (each
+      round is ~4 shuffle stages); one narrow task closes it outright.
+    - larger: alternating large-star/small-star rounds (module docstring) —
+      fully distributed, O(log^2 n) rounds, edge-list-only state.
+
+    Set ``small_graph_edges=0`` to force the distributed path (tests pin
+    both paths against each other).
+    """
     def signature(df: DataFrame) -> tuple[int, int]:
         # the agg action doubles as the checkpoint materializer (lazy
         # localCheckpoint persists on its first job) — one job per round,
@@ -99,6 +171,8 @@ def connected_components(
 
     e = _canonical_edges(edges, src, dst).localCheckpoint(eager=False)
     prev = signature(e)
+    if prev[0] <= small_graph_edges:
+        return _cc_single_task(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur = signature(e)

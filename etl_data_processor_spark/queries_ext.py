@@ -1,0 +1,610 @@
+"""Round-2 extension batch: next-tier engine surface beyond SURVEY.md §2's
+round-1 registry. Each entry is a first-class operator with a DuckDB oracle:
+
+- interval merge (gaps-and-islands overlap coalescing)
+- per-group top-k (rank-filtered window, no global sort)
+- bigram language-model conditional probabilities
+- embedding int8 quantization (symmetric, integer-exact audit stats)
+- sparse TF cosine pairs via rare-term inverted-index join
+- snapshot diff (added/removed/changed between table versions)
+- skew diagnosis (heavy-hitter keys + share/ratio stats)
+- winsorized aggregation (exact-percentile clipping)
+- deterministic per-group sampling (hash-ranked top-k per group)
+- multimodal dimension probe (stub/real decode switch, same schema)
+
+Reference parity: the reference (main.py:1-422) has none of these; they are
+north-star scope (SURVEY.md §2 Part B extensions) — the operations a
+large-scale training-data pipeline needs beyond round 1's families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.registry import q, cat as _cat
+from etl_data_processor_spark.ops import sampling as S
+from etl_data_processor_spark.ops.exact import dec
+from etl_data_processor_spark.ops.similarity import stable_round6
+
+_SQL_ROUND6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+
+
+# =====================================================================
+# Interval merge (gaps-and-islands)
+# =====================================================================
+
+@q(
+    "q_interval_merge",
+    """
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         >= s
+                    THEN 0 ELSE 1 END AS is_new
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s, e,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS start_us, MAX(e) AS end_us, COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def q_interval_merge(spark, sf_dir):
+    """Merge overlapping intervals per key (gaps-and-islands): each event
+    opens a 10-minute interval; intervals that touch coalesce into one.
+    The classic overlap-coalescing op (uptime stitching, ad-session
+    unioning, IP-lease merging) that plain groupBy cannot express: an
+    interval belongs with its neighbors only if the RUNNING max end reaches
+    its start, so the island id is a running sum over that flag. All µs
+    integer arithmetic — engine-exact. ONE shuffle on user_id; both windows
+    and the final aggregate reuse the same hash partitioning (same plan
+    economy as q_sessionize, which merges by fixed GAP; this merges by
+    interval OVERLAP — the two are different operators)."""
+    ev = _cat(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id", "event_id", us.alias("s"), (us + F.lit(600_000_000)).alias("e")
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e >= F.col("s"), 0).otherwise(1).alias("is_new"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("is_new").over(w_run).cast("long")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("start_us"),
+        F.max("e").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# =====================================================================
+# Per-group top-k
+# =====================================================================
+
+@q(
+    "q_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority class — the per-GROUP top-k companion to
+    q_topk's global TakeOrderedAndProject. The rank-filter plan never
+    globally sorts: one hash shuffle on the group key, a per-partition sort,
+    and Spark pushes the rk<=3 bound into the window as a group limit
+    (WindowGroupLimit) so each partition keeps only k rows per group before
+    the filter — at 100 TB this is the difference between shuffling every
+    group's full contents and shuffling k rows per group."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _cat(spark, sf_dir)
+        .orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# =====================================================================
+# Bigram language-model conditional probabilities
+# =====================================================================
+
+@q(
+    "q_text_ngram_lm",
+    f"""
+    WITH bg AS (
+        SELECT bigram, COUNT(*) AS c12 FROM (
+            SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+            FROM (SELECT string_split(text, ' ') AS w FROM documents)
+        ) GROUP BY bigram
+    ),
+    parts AS (
+        SELECT string_split(bigram, ' ')[1] AS w1,
+               string_split(bigram, ' ')[2] AS w2, c12
+        FROM bg
+    ),
+    heads AS (SELECT w1, SUM(c12) AS c1 FROM parts GROUP BY w1)
+    SELECT p.w1, p.w2, p.c12, CAST(h.c1 AS BIGINT) AS c1,
+           {_SQL_ROUND6.format(x="p.c12 * 1.0 / h.c1")} AS cond_p
+    FROM parts p JOIN heads h ON p.w1 = h.w1
+    QUALIFY ROW_NUMBER() OVER (ORDER BY p.c12 DESC, p.w1, p.w2) <= 50
+    """,
+)
+def q_text_ngram_lm(spark, sf_dir):
+    """Bigram language-model estimation: P(w2|w1) = c(w1,w2) / c(w1·) with
+    the denominator summed over bigram STARTS (so the probabilities per w1
+    sum to exactly 1) — the n-gram LM counting pass of corpus analytics,
+    one step past q_text_bigrams' raw counts. The conditional is an exact
+    integer ratio evaluated identically on both engines, stable-rounded.
+    Plan: explode → bigram agg → re-agg on w1 (vocabulary-sized, broadcast
+    back) → top-50. The second aggregation input is the bigram TABLE, not
+    the corpus — at 100 TB the corpus is scanned once."""
+    d = _cat(spark, sf_dir).documents
+    words = F.split("text", " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    parts = bg.select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+        "c12",
+    )
+    heads = parts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        parts.join(F.broadcast(heads), "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            stable_round6(F.col("c12") * F.lit(1.0) / F.col("c1")).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
+
+
+# =====================================================================
+# Embedding int8 quantization
+# =====================================================================
+
+@q(
+    "q_emb_quantize",
+    """
+    WITH v AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ),
+    qd AS (
+        SELECT vec_id, label, mx,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) / mx * 127.0 + 0.5)
+                             AS BIGINT)) AS qv
+        FROM v WHERE mx > 0
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(mx * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS scale_q6,
+           CAST(list_sum(qv) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_sat
+    FROM qd
+    """,
+)
+def q_emb_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    vector-compression step before an at-scale ANN index ships (4x memory
+    cut; IVF/LSH recall barely moves). Per vector: scale = max|x|, q_i =
+    round-half-up(x_i/scale*127). Quantized values are INTEGERS, so the
+    audit stats (sum of codes, saturation count) are engine-exact with no
+    float-summation escape hatch; the scale is stable-rounded. Pure array
+    expressions (transform/aggregate/filter) — JVM-side, no Python, no
+    shuffle at all: a narrow map over the corpus, which is the only
+    acceptable shape for a 100 TB recompression pass."""
+    e = _cat(spark, sf_dir).embeddings
+    xd = lambda x: x.cast("double")  # noqa: E731
+    v = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(xd(x)))
+        ).alias("mx"),
+    ).filter(F.col("mx") > 0)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(xd(x) / F.col("mx") * F.lit(127.0) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    qd = v.select("vec_id", "label", "mx", qv.alias("qv"))
+    return qd.select(
+        "vec_id",
+        "label",
+        stable_round6(F.col("mx")).alias("scale_q6"),
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_q"),
+        F.size(F.filter("qv", lambda x: F.abs(x) >= 127))
+        .cast("long")
+        .alias("n_sat"),
+    )
+
+
+# =====================================================================
+# Sparse cosine pairs via rare-term inverted index
+# =====================================================================
+
+@q(
+    "q_tfidf_cosine_pairs",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY doc_id, token
+    ),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    rare AS (
+        SELECT token FROM tf CROSS JOIN nd GROUP BY token, n_docs
+        HAVING COUNT(*) <= GREATEST(20, n_docs // 10)
+    ),
+    rtf AS (SELECT tf.* FROM tf JOIN rare USING (token)),
+    nrm AS (SELECT doc_id, SUM(tf * tf) AS ss FROM rtf GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.tf * b.tf) AS dot
+        FROM rtf a JOIN rtf b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, CAST(dot AS BIGINT) AS dot,
+           {_SQL_ROUND6.format(x="dot / (SQRT(na.ss) * SQRT(nb.ss))")} AS cosine
+    FROM dots JOIN nrm na ON na.doc_id = id_a JOIN nrm nb ON nb.doc_id = id_b
+    QUALIFY ROW_NUMBER() OVER (ORDER BY dot DESC, id_a, id_b) <= 100
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """SPARSE document similarity: cosine over term-frequency vectors
+    restricted to rare terms, pairs generated through an inverted-index
+    self-join on the term — the classic sparse counterpart to the
+    dense-embedding q_cosine_* family. Rare-term blocking is the scale
+    lever: a term shared by d documents contributes d^2 candidate pairs,
+    so capping df bounds the join quadratically while common terms
+    (stopwords) carry no similarity signal anyway. The cap is RELATIVE —
+    df <= max(20, n_docs/10) — so selectivity holds at any corpus size
+    (a fixed cap silently empties as the corpus grows: every term's df
+    scales with it). Dot products are exact integer sums; only the final
+    normalization touches floats (stable-rounded). Top-100 pairs by
+    integer dot with deterministic tiebreak."""
+    d = _cat(spark, sf_dir).documents
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df")
+            <= F.greatest(F.lit(20), F.expr("n_docs div 10"))
+        )
+    )
+    rtf = tf.join(F.broadcast(rare.select("token")), "token")
+    nrm = rtf.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("ss"))
+    a = rtf.select(
+        F.col("token"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = rtf.select(
+        F.col("token"), F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("ss").alias("ss_a"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("ss").alias("ss_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            stable_round6(
+                F.col("dot") / (F.sqrt("ss_a") * F.sqrt("ss_b"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("dot"), F.asc("id_a"), F.asc("id_b"))
+        .limit(100)
+    )
+
+
+# =====================================================================
+# Snapshot diff
+# =====================================================================
+
+@q(
+    "q_snapshot_diff",
+    """
+    WITH v1 AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+    v2 AS (
+        SELECT c_custkey AS k,
+               CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 97 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000 AS k, c_acctbal AS bal
+        FROM customer WHERE c_custkey % 31 = 0
+    )
+    SELECT COALESCE(v1.k, v2.k) AS k,
+           CASE WHEN v1.k IS NULL THEN 'added'
+                WHEN v2.k IS NULL THEN 'removed'
+                ELSE 'changed' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.bal <> v2.bal
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Table-version diff: classify every key as added / removed / changed
+    between two snapshots — the audit op behind CDC validation, replication
+    checks, and incremental-build invalidation (the complement of
+    q_cdc_upsert, which APPLIES changes; this one RECOVERS them). The
+    second snapshot is derived deterministically (drop every 97th key,
+    shift every 13th balance, add every 31st key under an offset). ONE
+    full outer join on the key, unchanged rows filtered out — at 100 TB
+    both sides shuffle once on the key; with pre-bucketed snapshots
+    (write_bucketed) even that exchange disappears. The +100.0 balance
+    shift is exact in doubles, so 'changed' is bit-deterministic."""
+    c = _cat(spark, sf_dir).customer
+    v1 = c.select(F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("bal"))
+    v2 = (
+        c.filter(F.col("c_custkey") % 97 != 0)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(
+                F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + F.lit(100.0)
+            )
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 31 == 0).select(
+                (F.col("c_custkey") + F.lit(1000000)).alias("k"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+    )
+    j = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.k") == F.col("v2.k"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("v1.k"), F.col("v2.k")).alias("k"),
+        F.when(F.col("v1.k").isNull(), F.lit("added"))
+        .when(F.col("v2.k").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        F.col("v1.bal").alias("b1"),
+        F.col("v2.bal").alias("b2"),
+    ).filter(
+        F.col("v1.k").isNull()
+        | F.col("v2.k").isNull()
+        | (F.col("b1") != F.col("b2"))
+    ).select("k", "change")
+
+
+# =====================================================================
+# Skew diagnosis
+# =====================================================================
+
+@q(
+    "q_skew_diagnose",
+    f"""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM per_key)
+    SELECT key, CAST(n AS BIGINT) AS n,
+           {_SQL_ROUND6.format(x="n * 1.0 / total")} AS share_q6,
+           {_SQL_ROUND6.format(x="n * 1.0 * n_keys / total")} AS ratio_to_avg_q6
+    FROM per_key CROSS JOIN tot
+    QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, key) <= 10
+    """,
+)
+def q_skew_diagnose(spark, sf_dir):
+    """Join/agg skew diagnosis: the top-10 heaviest keys with their corpus
+    share and ratio-to-average — the measurement that DECIDES between a
+    plain shuffle join, AQE skew splitting, and an explicit salted join
+    (q_salted_join is the cure; this is the diagnosis). One partial+final
+    aggregate on the key, a 2-value scalar frame broadcast back, top-10.
+    At 100 TB this is the cheapest possible full-data pass (map-side
+    combine reduces each partition to its distinct keys) and the output is
+    bounded, so it runs as a pre-flight check before any heavy join."""
+    li = _cat(spark, sf_dir).lineitem
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = per_key.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n",
+            stable_round6(F.col("n") * F.lit(1.0) / F.col("total")).alias(
+                "share_q6"
+            ),
+            stable_round6(
+                F.col("n") * F.lit(1.0) * F.col("n_keys") / F.col("total")
+            ).alias("ratio_to_avg_q6"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# Winsorized aggregation
+# =====================================================================
+
+@q(
+    "q_winsorize",
+    f"""
+    WITH pct AS (
+        SELECT o_orderpriority,
+               {_SQL_ROUND6.format(x="quantile_cont(o_totalprice, 0.05)")} AS p05,
+               {_SQL_ROUND6.format(x="quantile_cont(o_totalprice, 0.95)")} AS p95
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(LEAST(GREATEST(o_totalprice, p05), p95)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS winsorized_sum,
+           CAST(SUM(CASE WHEN o_totalprice < p05 OR o_totalprice > p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders o JOIN pct p ON o.o_orderpriority = p.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorized (outlier-clipped) aggregation: clip each order's price to
+    its priority class's [p5, p95] band, then aggregate — the robust-stats
+    pass that keeps a handful of fat-finger rows from dominating a revenue
+    rollup (quality-score clamping in corpus curation is the same op).
+    The percentile bounds are stable-rounded BEFORE clipping so a final-ulp
+    interpolation difference between engines cannot flip a boundary row,
+    and the clipped sum runs in DECIMAL(18,4) — exact, order-independent.
+    Plan: one exact-percentile agg per class (group-bounded sort), bounds
+    broadcast back onto the fact, one grouped sum. At 100 TB swap the exact
+    percentile for percentile_approx and nothing else changes."""
+    o = _cat(spark, sf_dir).orders
+    pct = o.groupBy("o_orderpriority").agg(
+        stable_round6(F.percentile("o_totalprice", F.lit(0.05))).alias("p05"),
+        stable_round6(F.percentile("o_totalprice", F.lit(0.95))).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return (
+        o.join(F.broadcast(pct), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec(clipped)).cast("double").alias("winsorized_sum"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("p05"))
+                    | (F.col("o_totalprice") > F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )
+
+
+# =====================================================================
+# Deterministic per-group sampling
+# =====================================================================
+
+@q(
+    "q_group_sample_topk",
+    f"""
+    SELECT doc_id, lang, source, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY {S.hash32_sql('doc_id')}, doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 2
+    """,
+)
+def q_group_sample_topk(spark, sf_dir):
+    """Deterministic per-group sampling: exactly k=2 docs per (lang,
+    source) cell, chosen by portable-hash rank — the bounded-output cousin
+    of q_sample_stratified (which keeps a FRACTION per stratum; this keeps
+    a COUNT, the eval-set / debugging-sample contract). The hash order is
+    engine- and layout-independent (ops/sampling.py mixer), so the sample
+    is reproducible anywhere; the rank filter becomes a per-group limit
+    inside the window (no global sort, k rows per group cross the wire)."""
+    d = _cat(spark, sf_dir).documents
+    w = Window.partitionBy("lang", "source").orderBy(
+        S.hash32(F.col("doc_id")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+    )
+
+
+# =====================================================================
+# Multimodal dimension probe
+# =====================================================================
+
+@q(
+    "q_multimodal_dims",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(-1 AS BIGINT) AS width, CAST(-1 AS BIGINT) AS height,
+           CAST(0 AS BIGINT) AS decoded
+    FROM documents
+    """,
+)
+def q_multimodal_dims(spark, sf_dir):
+    """The stub/real decode switch as a gate-checked query: run
+    image_dims_extractor (ops/multimodal.py) over text-derived blobs in
+    PROBED mode. Text bytes are not decodable images, so the per-row error
+    isolation yields (-1, -1, decoded=0) whether or not a codec library is
+    present — the oracle is therefore valid in BOTH modes, which is exactly
+    the same-schema/same-fallback contract VERDICT r1 #4 asked to pin. The
+    n_bytes column is computed Spark-side from the real blob, proving the
+    Arrow plumbing runs; decode-dependent values stay deterministic."""
+    from etl_data_processor_spark.ops.multimodal import (
+        image_dims_extractor,
+        to_blob,
+    )
+
+    d = _cat(spark, sf_dir).documents
+    blobs = d.select("doc_id", to_blob(F.col("text")).alias("blob"))
+    return image_dims_extractor(blobs)

@@ -41,9 +41,13 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {node: roots[find(node)] for node in parent}
 
 
-def _cc_spark(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+def _cc_spark(
+    spark, edges: list[tuple[int, int]], small_graph_edges: int = 10**6
+) -> dict[int, int]:
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(df).collect()
+    out = connected_components(
+        df, small_graph_edges=small_graph_edges
+    ).collect()
     got = {r["node"]: r["component"] for r in out}
     assert len(got) == len(out), "duplicate node labels emitted"
     return got
@@ -57,11 +61,15 @@ TOPOLOGIES = {
 }
 
 
+@pytest.mark.parametrize("path", ["single_task", "star_rounds"])
 @pytest.mark.parametrize("name", sorted(TOPOLOGIES))
-def test_cc_matches_union_find(spark, name):
+def test_cc_matches_union_find(spark, name, path):
+    # small_graph_edges=0 forces the distributed star rounds; the default
+    # takes the single-task union-find — both must match the Python model
     edges = TOPOLOGIES[name]
     expected = _union_find([e for e in edges if e[0] != e[1]])
-    assert _cc_spark(spark, edges) == expected
+    thr = 0 if path == "star_rounds" else 10**6
+    assert _cc_spark(spark, edges, small_graph_edges=thr) == expected
 
 
 def test_cc_long_chain_converges(spark):
@@ -69,8 +77,26 @@ def test_cc_long_chain_converges(spark):
     # rounds; star-contraction must finish within the default max_iter=30
     # (O(log^2 n)) and still label every node with the chain minimum.
     edges = [(i, i + 1) for i in range(63)]
-    got = _cc_spark(spark, edges)
+    got = _cc_spark(spark, edges, small_graph_edges=0)
     assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_paths_agree_on_random_graphs(spark):
+    """The single-task union-find and the distributed star rounds are two
+    physical strategies for ONE logical operator: exact agreement on random
+    multigraphs (dups, reversed edges, self-loops, skewed components)."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randrange(30, 120)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(20, 150))
+        ]
+        fast = _cc_spark(spark, edges)
+        slow = _cc_spark(spark, edges, small_graph_edges=0)
+        assert fast == slow, f"trial {trial}: paths diverge"
 
 
 def test_cc_partition_invariance(spark):

@@ -431,3 +431,19 @@ def test_pack_sequences_single_window_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
     assert "Window" in plan
     assert "HashAggregate" in plan
+
+
+def test_topk_per_group_plans_window_group_limit(spark, sf_dir):
+    """q_topk_per_group: the rank<=k filter must plan as WindowGroupLimit in
+    BOTH Partial (before the exchange) and Final mode — the partial pass is
+    what makes per-group top-k scale: each map task forwards at most k rows
+    per group instead of the group's full contents."""
+    phys = (
+        QUERIES["q_topk_per_group"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in phys
+    assert "Partial" in phys and "Final" in phys
+    assert "TakeOrdered" not in phys  # no global sort path
