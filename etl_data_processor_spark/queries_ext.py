@@ -11,6 +11,8 @@ round-1 registry. Each entry is a first-class operator with a DuckDB oracle:
 - winsorized aggregation (exact-percentile clipping)
 - deterministic per-group sampling (hash-ranked top-k per group)
 - multimodal dimension probe (stub/real decode switch, same schema)
+- data-quality constraint audit (referential/unique/range/domain checks)
+- incremental aggregate-state maintenance (mergeable partial states)
 
 Reference parity: the reference (main.py:1-422) has none of these; they are
 north-star scope (SURVEY.md §2 Part B extensions) — the operations a
@@ -608,3 +610,141 @@ def q_multimodal_dims(spark, sf_dir):
     d = _cat(spark, sf_dir).documents
     blobs = d.select("doc_id", to_blob(F.col("text")).alias("blob"))
     return image_dims_extractor(blobs)
+
+
+# =====================================================================
+# Data-quality constraint audit
+# =====================================================================
+
+@q(
+    "q_constraints",
+    """
+    SELECT 'orders_fk_customer' AS constraint, COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'customer_pk_unique', COUNT(*),
+           CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer
+    UNION ALL
+    SELECT 'lineitem_ranges', COUNT(*),
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           OR l_discount < 0 OR l_discount > 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_status_domain', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'documents_text_nonempty', COUNT(*),
+           CAST(SUM(CASE WHEN text IS NULL OR trim(text) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM documents
+    """,
+)
+def q_constraints(spark, sf_dir):
+    """Data-quality constraint audit (dbt-test / Deequ shape): referential
+    integrity, key uniqueness, range bounds, value domains, and non-empty
+    checks, each emitted as (constraint, n_checked, n_violations) — the
+    pre-flight gate a production pipeline runs before publishing a table.
+    Every per-table group of checks folds into ONE conditional-sum scan of
+    that table (range + domain checks are free riders on the same pass);
+    the referential check is a broadcast LEFT join counted on the miss
+    side. All counts are integers — engine-exact. At 100 TB: one scan per
+    audited table and one bounded join, nothing else."""
+    cat = _cat(spark, sf_dir)
+    o, c, li, d = cat.orders, cat.customer, cat.lineitem, cat.documents
+    fk = (
+        o.join(F.broadcast(c.select("c_custkey")),
+               o["o_custkey"] == c["c_custkey"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(F.lit("orders_fk_customer").alias("constraint"), "n_checked", "n_violations")
+    )
+    pk = c.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("customer_pk_unique").alias("constraint"), "n_checked", "n_violations")
+    rng = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("lineitem_ranges").alias("constraint"), "n_checked", "n_violations")
+    dom = o.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("orders_status_domain").alias("constraint"), "n_checked", "n_violations")
+    txt = d.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.trim("text") == ""), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    ).select(F.lit("documents_text_nonempty").alias("constraint"), "n_checked", "n_violations")
+    return fk.unionByName(pk).unionByName(rng).unionByName(dom).unionByName(txt)
+
+
+# =====================================================================
+# Incremental aggregate-state maintenance
+# =====================================================================
+
+@q(
+    "q_agg_incremental",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 4) AS DOUBLE)
+               AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_incremental(spark, sf_dir):
+    """Incremental (materialized-view) aggregate maintenance: the fact table
+    arrives as independent shards, each shard reduces to a PARTIAL state
+    (count + exact decimal sum) on its own, and the view merges states —
+    never re-reading closed shards. The oracle recomputes from ALL raw rows,
+    so the gate proves merge(partials) == full recompute EXACTLY: decimal
+    addition is associative (a float sum would drift with the regroup,
+    which is why the state carries DECIMAL and rounds only at the edge —
+    same discipline as ops/exact.dsum and the q_ts_rollup_cascade
+    sums-of-sums proof). This is the nightly-rollup / streaming-OVERWRITE
+    pattern at 100 TB: new data costs one shard pass + a state-sized merge."""
+    li = _cat(spark, sf_dir).lineitem
+    # shards: deterministic split of the fact (stands in for daily arrivals)
+    shard = (F.col("l_orderkey") % 4).alias("__shard")
+    partials = (
+        li.select("l_returnflag", "l_extendedprice", shard)
+        .groupBy("l_returnflag", "__shard")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(dec("l_extendedprice")).alias("psum"),  # exact state
+        )
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 4).cast("double").alias("total"),
+    )
