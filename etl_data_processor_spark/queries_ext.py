@@ -748,3 +748,186 @@ def q_agg_incremental(spark, sf_dir):
         F.sum("pn").alias("n"),
         F.round(F.sum("psum"), 4).cast("double").alias("total"),
     )
+
+
+# =====================================================================
+# Exponentially weighted moving average (closed form)
+# =====================================================================
+
+@q(
+    "q_ts_ewma",
+    f"""
+    WITH o AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER w AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS n,
+           {_SQL_ROUND6.format(
+               x="SUM(CASE WHEN rn = 1 THEN POW(0.9, n - 1) "
+                 "ELSE 0.1 * POW(0.9, n - rn) END * value)")} AS ewma
+    FROM o GROUP BY user_id
+    """,
+)
+def q_ts_ewma(spark, sf_dir):
+    """Exponentially weighted moving average (alpha = 0.1) of each user's
+    value stream — the online-smoothing op (load averaging, metric
+    smoothing, momentum) whose textbook form is a sequential recurrence
+    s_t = a*x_t + (1-a)*s_(t-1). Recurrences don't distribute; the closed
+    form does: s_n = (1-a)^(n-1)*x_1 + sum a*(1-a)^(n-i)*x_i, turning the
+    scan into ONE window (row_number) + one weighted-sum aggregate on the
+    same user_id partitioning — a single shuffle, same plan economy as
+    q_sessionize. pow() ulps and double summation order are absorbed by
+    stable rounding (weights decay geometrically, so the sum is
+    well-conditioned)."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    o = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id"))
+        .alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.9), F.col("n") - 1)
+    ).otherwise(F.lit(0.1) * F.pow(F.lit(0.9), F.col("n") - F.col("rn")))
+    return o.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n"),
+        stable_round6(F.sum(weight * F.col("value"))).alias("ewma"),
+    )
+
+
+# =====================================================================
+# Robust z-score outlier detection (median / MAD)
+# =====================================================================
+
+@q(
+    "q_robust_zscore",
+    f"""
+    WITH med AS (
+        SELECT event_type,
+               {_SQL_ROUND6.format(x="quantile_cont(value, 0.5)")} AS med
+        FROM events GROUP BY event_type
+    ),
+    mad AS (
+        SELECT e.event_type,
+               {_SQL_ROUND6.format(x="quantile_cont(abs(e.value - m.med), 0.5)")} AS mad
+        FROM events e JOIN med m ON e.event_type = m.event_type
+        GROUP BY e.event_type
+    )
+    SELECT e.event_type, m.med, d.mad, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type, m.med, d.mad
+    """,
+)
+def q_robust_zscore(spark, sf_dir):
+    """Robust outlier detection: median + MAD (median absolute deviation)
+    per group, then count rows beyond 3 robust standard deviations
+    (1.4826*MAD ~ sigma under normality) — the outlier gate that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it hunts
+    (quality-score anomaly sweeps in corpus curation use exactly this).
+    Both medians are stable-rounded BEFORE reuse so interpolation ulps
+    can't flip a boundary row. Plan: two exact-percentile aggregates
+    (the second over |x - med| with med broadcast back) + one conditional
+    count — three passes over the group, all on the same partitioning; at
+    100 TB swap percentile for percentile_approx, shape unchanged."""
+    ev = _cat(spark, sf_dir).events
+    med = ev.groupBy("event_type").agg(
+        stable_round6(F.percentile("value", F.lit(0.5))).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        stable_round6(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        ).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# =====================================================================
+# Exact-arithmetic correlation
+# =====================================================================
+
+@q(
+    "q_corr_exact",
+    f"""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(19,4))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+               SUM(CAST(l_quantity AS DECIMAL(12,4))
+                   * CAST(l_quantity AS DECIMAL(19,4))) AS sxx,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+               SUM(CAST(l_quantity AS DECIMAL(12,4))
+                   * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           {_SQL_ROUND6.format(
+               x="(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+                 "(SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+                 "SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))")}
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def q_corr_exact(spark, sf_dir):
+    """Pearson correlation per group in EXACT arithmetic: the five moment
+    sums run as DECIMAL (associative — partition order can't move them),
+    and only the final closed-form ratio touches doubles, on operands that
+    are bit-identical across engines. The builtin corr() is a float
+    accumulator whose result depends on partition order — unusable under a
+    differential gate and quietly nondeterministic at 100 TB; moment sums
+    in decimal are the scalable fix (same one-pass partial+final plan,
+    five extra columns of map-side combine)."""
+    li = _cat(spark, sf_dir).lineitem
+    # Oracle uses DECIMAL(19,4) operands: DuckDB multiplies in the INPUT's
+    # physical width (int64 for p<=18 -> overflow), so p=19 forces int128.
+    # Spark widens products itself, so (12,4) keeps its result at (25,8) —
+    # both sides are exact integers at scale 8, hence equal
+    x = F.col("l_quantity").cast("decimal(12,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    corr = (nd * d("sxy") - d("sx") * d("sy")) / (
+        F.sqrt(nd * d("sxx") - d("sx") * d("sx"))
+        * F.sqrt(nd * d("syy") - d("sy") * d("sy"))
+    )
+    return s.select(
+        "l_returnflag", "n", stable_round6(corr).alias("corr_qty_price")
+    )
