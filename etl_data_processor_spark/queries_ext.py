@@ -931,3 +931,42 @@ def q_corr_exact(spark, sf_dir):
     return s.select(
         "l_returnflag", "n", stable_round6(corr).alias("corr_qty_price")
     )
+
+
+# =====================================================================
+# Z-order (Morton) curve value
+# =====================================================================
+
+def _zorder_oracle() -> str:
+    from etl_data_processor_spark.io import zorder_value_sql
+
+    zx = "o_custkey % 65536"
+    zy = "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 65536"
+    return f"""
+    SELECT o_orderkey, {zorder_value_sql(f'({zx})', f'({zy})')} AS zval
+    FROM orders
+    """
+
+
+@q("q_zorder_value", _zorder_oracle())
+def q_zorder_value(spark, sf_dir):
+    """The Morton (Z-order) interleave itself, oracle-checked bit-for-bit:
+    customer key x order epoch-day quantized to 16 bits each, interleaved
+    into one 32-bit curve position (io.py::zorder_value — the sort key
+    write_zordered lays files out by). Pure shift/mask Column arithmetic,
+    narrow plan, no shuffle; the DuckDB side is emitted by zorder_value_sql
+    from the SAME bit schedule so the two cannot drift. The curve is what
+    gives a two-key layout row-group locality in BOTH keys (SCALE.md
+    round-2 notes); checking it exactly here means the layout op's key math
+    is under the differential gate, not just the layout test."""
+    from etl_data_processor_spark.io import zorder_value
+
+    o = _cat(spark, sf_dir).orders
+    x = F.col("o_custkey") % 65536
+    y = (
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        % 65536
+    )
+    return o.select("o_orderkey", zorder_value(x, y).alias("zval"))

@@ -253,3 +253,57 @@ def test_ntz_normalization_is_session_tz_independent(spark):
             assert micros == 1717243200000000, (tz, micros)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_write_zordered_gives_both_keys_locality(spark, tmp_path):
+    """write_zordered: per-file (x, y) bounding boxes must be small in BOTH
+    dimensions, while write_clustered on x alone leaves y unconstrained —
+    the reason a two-key scan pattern needs the space-filling curve. The
+    assertion compares normalized bounding-box areas: the z-order layout's
+    mean area must be a fraction of the x-clustered layout's."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.io import write_clustered, write_zordered
+
+    n = 1 << 14
+    side = 1 << 7  # full (x, y) grid [0,128)^2, x and y INDEPENDENT
+    df = spark.range(n).select(
+        (F.col("id") % side).alias("x"),
+        ((F.col("id") / side).cast("long") % side).alias("y"),
+    )
+    zpath = str(tmp_path / "zord")
+    cpath = str(tmp_path / "clust")
+    write_zordered(df, zpath, F.col("x"), F.col("y"), n_files=16)
+    write_clustered(df, cpath, ["x"], n_files=16)
+
+    def mean_extents(path):
+        xs, ys = [], []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("x"), F.max("x"), F.min("y"), F.max("y"), F.count("*")
+                )
+                .collect()[0]
+            )
+            if r[4] == 0:
+                continue
+            xs.append((r[1] - r[0] + 1) / side)
+            ys.append((r[3] - r[2] + 1) / side)
+        assert len(xs) >= 8
+        return sum(xs) / len(xs), sum(ys) / len(ys)
+
+    zx, zy = mean_extents(zpath)
+    cx, cy = mean_extents(cpath)
+    # On uniform data the bounding-box AREA is layout-invariant (1/n_files
+    # of the grid either way); what the curve buys is bounded extent in
+    # BOTH dims. 16 files over a 2-level Morton split -> ~quarter-range
+    # boxes; x-clustering leaves y unconstrained, so a y-only predicate
+    # can never skip a file there.
+    assert zx <= 0.5 and zy <= 0.5, (zx, zy)
+    assert cy >= 0.9, cy  # x-clustered: y range is the whole domain
+    assert zy < cy / 2, (zy, cy)
+    # the data survives the layout change
+    assert spark.read.parquet(zpath).count() == n

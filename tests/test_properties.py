@@ -23,6 +23,14 @@ PARTITION_INVARIANT_SAMPLE = [
     "q_dedup_minhash",
     "q_cosine_topk",
     "q_flagship_q3",
+    # round-2 extension batch: window/sampling/stat ops must not depend on
+    # physical layout either (the deterministic-sampling and decimal-moment
+    # designs exist precisely for this property)
+    "q_interval_merge",
+    "q_group_sample_topk",
+    "q_emb_quantize",
+    "q_corr_exact",
+    "q_agg_incremental",
 ]
 
 
@@ -92,3 +100,50 @@ def test_hll_sketch_merge_properties(spark, sf_dir):
 
     exact = o.select(F.countDistinct("o_custkey")).collect()[0][0]
     assert abs(whole - exact) / exact < 0.05
+
+
+def test_quantize_reconstruction_error_bound(spark, sf_dir):
+    """int8 quantization invariant: round-half-up guarantees the
+    reconstruction error |x - q*scale/127| <= scale/127/2 + ulp slack for
+    every element of every vector — the bound that makes the 4x compression
+    safe for ANN recall. Checked exhaustively over the fixture embeddings
+    with a single all-elements aggregate (no per-row Python)."""
+    from etl_data_processor_spark.ops.similarity import stable_round6  # noqa: F401
+
+    e = Catalog(spark, sf_dir).embeddings
+    mx = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    v = e.select("vec_id", "embedding", mx.alias("mx")).filter(F.col("mx") > 0)
+    err = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            x.cast("double")
+            - F.floor(x.cast("double") / F.col("mx") * 127.0 + 0.5)
+            * F.col("mx")
+            / 127.0
+        ),
+    )
+    worst = v.select(
+        (F.array_max(err) / (F.col("mx") / 127.0)).alias("rel")
+    ).agg(F.max("rel").alias("worst")).collect()[0].worst
+    assert worst <= 0.5 + 1e-9, worst
+
+
+def test_interval_merge_islands_are_maximal(spark, sf_dir):
+    """Structural invariant of q_interval_merge: within a user, merged
+    islands are disjoint AND separated by a real gap (next start strictly
+    after previous end) — i.e. the merge is maximal, no two output islands
+    could have been coalesced further."""
+    out = entry_mod.queries()["q_interval_merge"](spark, sf_dir)
+    rows = sorted(
+        ((r.user_id, r.start_us, r.end_us) for r in out.collect())
+    )
+    by_user: dict = {}
+    for u, s, e in rows:
+        assert s <= e
+        by_user.setdefault(u, []).append((s, e))
+    gaps_checked = 0
+    for u, spans in by_user.items():
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 > e1, (u, e1, s2)  # disjoint AND non-mergeable
+            gaps_checked += 1
+    assert gaps_checked > 0
