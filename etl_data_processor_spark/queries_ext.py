@@ -970,3 +970,123 @@ def q_zorder_value(spark, sf_dir):
         % 65536
     )
     return o.select("o_orderkey", zorder_value(x, y).alias("zval"))
+
+
+# =====================================================================
+# Bigram-LM document score (perplexity-style quality signal)
+# =====================================================================
+
+@q(
+    "q_text_lm_score",
+    f"""
+    WITH docbg AS (
+        SELECT doc_id,
+               unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bigram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    bg AS (SELECT bigram, COUNT(*) AS c12 FROM docbg GROUP BY bigram),
+    heads AS (
+        SELECT string_split(bigram, ' ')[1] AS w1, SUM(c12) AS c1
+        FROM bg GROUP BY w1
+    ),
+    lm AS (
+        SELECT bigram, -ln(c12 * 1.0 / c1) AS nll
+        FROM bg JOIN heads ON string_split(bigram, ' ')[1] = heads.w1
+    )
+    SELECT d.doc_id, COUNT(*) AS n_bigrams,
+           {_SQL_ROUND6.format(x="SUM(lm.nll) / COUNT(*)")} AS avg_nll
+    FROM docbg d JOIN lm ON d.bigram = lm.bigram
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_lm_score(spark, sf_dir):
+    """Perplexity-style document scoring under the corpus's own bigram LM:
+    avg over a doc's bigrams of -ln P(w2|w1) — the statistical quality
+    signal next to q_text_quality's surface ratios (KenLM-filter shape:
+    high avg-NLL = improbable word sequences = boilerplate/garble). Self-
+    trained, so every doc bigram exists in the LM (no smoothing branch to
+    diverge on). The LM table is vocabulary-sized and BROADCASTS onto the
+    per-doc bigram stream — the corpus itself is exploded once and never
+    shuffled except the final per-doc aggregate, which reuses the explode's
+    doc_id grouping. ln() runs on exact integer ratios; per-doc averages
+    stable-rounded."""
+    d = _cat(spark, sf_dir).documents
+    words = F.split("text", " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    docbg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bg = docbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    heads = bg.groupBy(
+        F.split("bigram", " ").getItem(0).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    lm = bg.join(
+        F.broadcast(heads),
+        F.split(F.col("bigram"), " ").getItem(0) == F.col("w1"),
+    ).select(
+        "bigram", (-F.log(F.col("c12") * F.lit(1.0) / F.col("c1"))).alias("nll")
+    )
+    return (
+        docbg.join(F.broadcast(lm), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            stable_round6(F.sum("nll") / F.count(F.lit(1))).alias("avg_nll"),
+        )
+    )
+
+
+# =====================================================================
+# Permissive parsing with corrupt-record accounting
+# =====================================================================
+
+@q(
+    "q_permissive_parse",
+    """
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 37 = 0
+                    THEN substr(props, 1, length(props) - 2)
+                    ELSE props END AS j
+        FROM events
+    )
+    SELECT CAST(SUM(CASE WHEN json_valid(j) THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+           CAST(SUM(CASE WHEN json_valid(j)
+                         THEN CAST(j ->> 'k' AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS total_k
+    FROM raw
+    """,
+)
+def q_permissive_parse(spark, sf_dir):
+    """Permissive semi-structured parsing (reference A3, main.py:98-103:
+    skip malformed records, never fail the run): every 37th event's JSON is
+    deterministically corrupted, then parsed with from_json — bad rows
+    yield NULL structs that are COUNTED, not thrown, and the aggregate
+    consumes only the good rows. This is the PERMISSIVE-mode contract as an
+    oracle-checked query (the readers' mode flag is exercised in
+    tests/test_io.py; this pins the same semantics in the expression
+    layer). One narrow parse + one global aggregate; at 100 TB malformed
+    data costs accounting, not job retries."""
+    ev = _cat(spark, sf_dir).events
+    # truncation (not appended garbage): Spark's Jackson parser accepts
+    # trailing content after a complete object, so an APPENDED corruption
+    # would silently parse — a cut-off record is malformed to every engine
+    j = F.when(
+        F.col("event_id") % 37 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    parsed = ev.select(
+        F.from_json(j, "k BIGINT", {"mode": "PERMISSIVE"}).alias("p")
+    )
+    good = F.col("p").isNotNull() & F.col("p.k").isNotNull()
+    return parsed.agg(
+        F.sum(F.when(good, 1).otherwise(0)).cast("long").alias("n_good"),
+        F.sum(F.when(good, 0).otherwise(1)).cast("long").alias("n_corrupt"),
+        F.sum(F.when(good, F.col("p.k")).otherwise(0))
+        .cast("long")
+        .alias("total_k"),
+    )
