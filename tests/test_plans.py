@@ -447,3 +447,23 @@ def test_topk_per_group_plans_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in phys
     assert "Partial" in phys and "Final" in phys
     assert "TakeOrdered" not in phys  # no global sort path
+
+
+def test_ext_broadcast_pins(spark, sf_dir):
+    """Round-2 extension ops: the bounded side must broadcast — the
+    vocabulary-sized LM in q_text_lm_score, the rare-token set in
+    q_tfidf_cosine_pairs, and the 1-row totals frame in q_skew_diagnose.
+    If any of these degrade to a shuffle join, the corpus-sized side
+    starts moving at 100 TB."""
+    for name in ("q_text_lm_score", "q_tfidf_cosine_pairs", "q_skew_diagnose"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BroadcastExchange" in plan, name
+
+
+def test_emb_quantize_plan_is_narrow(spark, sf_dir):
+    """q_emb_quantize is a pure recompression map: NO exchange of any kind
+    may appear — the only acceptable shape for a 100 TB corpus pass."""
+    import re
+
+    plan = plan_of(QUERIES["q_emb_quantize"](spark, sf_dir))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
