@@ -57,3 +57,97 @@ def hll_merge(
 
 def hll_estimate(sketch: Column) -> Column:
     return F.hll_sketch_estimate(sketch)
+
+
+# =====================================================================
+# Count-min sketch (tall form)
+# =====================================================================
+
+def cms_partial(
+    df: DataFrame,
+    group_cols: list[str],
+    key: Column,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch over an integer key, in TALL form: one output row
+    per (group, cms_row, bucket) with its counter — at most depth*width
+    rows per group, whatever the input size. This is the frequency-
+    estimation counterpart to the HLL distinct sketch: bounded-size,
+    exactly mergeable (counters are plain sums — see cms_merge), and the
+    estimate for any key is min over rows of its bucket counter, an
+    OVERestimate by construction (collisions only add).
+
+    Why tall form instead of a packed array<long> state: the bucket
+    aggregation IS Spark's partial+final combine — each mapper reduces its
+    partition to <= depth*width counter rows before the exchange, which is
+    precisely the CMS update loop a custom UDAF would run, with zero custom
+    state code and plan-native mergeability. The per-row hash is the
+    portable 32-bit mixer (ops/sampling.py) seeded by cms_row, so sketches
+    are engine-reproducible and even oracle-checkable — unlike xxhash64-
+    based sketches (DuckDB lacks xxhash64)."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(depth - 1))
+    ).alias("cms_row")
+    tall = df.select(*group_cols, key.alias("__k")).select(
+        *group_cols, "__k", rows
+    )
+    bucketed = tall.select(
+        *group_cols,
+        "cms_row",
+        # seed differs per sketch row -> depth independent-ish hash funcs
+        F.pmod(
+            hash32(F.col("__k") + F.col("cms_row") * F.lit(0x9E3779B9), seed=7),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy(*group_cols, "cms_row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Merge tall-form sketches (same depth/width): counters simply sum.
+    Exactly associative — merge(parts) == sketch(whole), pinned by test."""
+    gc = list(group_cols or [])
+    return sketches.groupBy(*gc, "cms_row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate frequencies for ``keys``: min over sketch rows of the
+    key's bucket counter (0 if a bucket row is absent). The keys frame is
+    the small side (broadcast); the sketch is bounded at depth*width rows
+    per group."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    gc = list(group_cols or [])
+    probes = keys.select(
+        *gc, F.col(key_col).alias("__k")
+    ).select(
+        *gc,
+        "__k",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("cms_row"),
+    ).select(
+        *gc,
+        "__k",
+        "cms_row",
+        F.pmod(
+            hash32(F.col("__k") + F.col("cms_row") * F.lit(0x9E3779B9), seed=7),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    joined = probes.join(sketch, gc + ["cms_row", "bucket"], "left")
+    return joined.groupBy(*gc, "__k").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt")
+    ).withColumnRenamed("__k", key_col)

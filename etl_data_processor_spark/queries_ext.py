@@ -1090,3 +1090,60 @@ def q_permissive_parse(spark, sf_dir):
         .cast("long")
         .alias("total_k"),
     )
+
+
+# =====================================================================
+# Count-min sketch (mergeable frequency estimation)
+# =====================================================================
+
+def _cms_oracle() -> str:
+    h = S.hash32_sql("user_id + r * 2654435769", seed=7)
+    return f"""
+    WITH tall AS (
+        SELECT user_id, UNNEST(range(0, 4)) AS r FROM events
+    ),
+    b AS (SELECT user_id, r, ({h}) % 256 AS bucket FROM tall),
+    sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM b GROUP BY r, bucket),
+    truec AS (
+        SELECT user_id, COUNT(*) AS true_cnt FROM events GROUP BY user_id
+        QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) <= 10
+    ),
+    probes AS (
+        SELECT t.user_id, t.true_cnt, p.r, ({S.hash32_sql("t.user_id + p.r * 2654435769", seed=7)}) % 256 AS bucket
+        FROM truec t CROSS JOIN (SELECT UNNEST(range(0, 4)) AS r) p
+    )
+    SELECT p.user_id, CAST(MAX(p.true_cnt) AS BIGINT) AS true_cnt,
+           CAST(MIN(COALESCE(s.cnt, 0)) AS BIGINT) AS est_cnt
+    FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+    GROUP BY p.user_id
+    """
+
+
+@q("q_sketch_cms", _cms_oracle())
+def q_sketch_cms(spark, sf_dir):
+    """Count-min sketch heavy-hitter estimation, fully ORACLE-CHECKED —
+    possible because the sketch lives in tall form over the portable hash
+    mixer, so both engines build bit-identical counters (the HLL family is
+    rows-only precisely because its registers aren't portable). d=4 rows x
+    w=256 buckets over events.user_id; output = the 10 true-heaviest users
+    with true vs estimated counts (est >= true always; equality when no
+    collision). At 100 TB the sketch is <= d*w counter rows per group
+    REGARDLESS of input size — the frequency analog of the HLL pattern:
+    materialize per-slice, merge by summing counters (ops/sketches.py::
+    cms_merge), never re-read raw data."""
+    from etl_data_processor_spark.ops.sketches import cms_estimate, cms_partial
+
+    ev = _cat(spark, sf_dir).events
+    sketch = cms_partial(ev, [], F.col("user_id"), depth=4, width=256)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top.select("user_id"), "user_id", depth=4, width=256)
+    return top.join(est, "user_id").select(
+        "user_id",
+        F.col("true_cnt").cast("long").alias("true_cnt"),
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+    )

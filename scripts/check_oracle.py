@@ -94,8 +94,11 @@ def main(only: list[str]) -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
+        pat = f"{SF_DIR}/{t}.parquet"
+        if os.path.isdir(pat):  # Spark-written table = directory of parts
+            pat = f"{pat}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
 
     queries = entry_mod.queries()

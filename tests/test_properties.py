@@ -147,3 +147,32 @@ def test_interval_merge_islands_are_maximal(spark, sf_dir):
             assert s2 > e1, (u, e1, s2)  # disjoint AND non-mergeable
             gaps_checked += 1
     assert gaps_checked > 0
+
+
+def test_cms_merge_and_overestimate_properties(spark, sf_dir):
+    """Count-min invariants: (1) merge(per-slice sketches) is IDENTICAL to
+    the whole-data sketch (counters are plain sums — the materialize-once /
+    merge-later contract); (2) the estimate never underestimates, for EVERY
+    key (collisions only add)."""
+    from etl_data_processor_spark.ops import sketches as SK
+
+    ev = Catalog(spark, sf_dir).events
+
+    whole = SK.cms_partial(ev, [], F.col("user_id"))
+    parts = SK.cms_merge(
+        SK.cms_partial(ev.filter(F.col("event_id") % 2 == 0), [], F.col("user_id"))
+        .unionByName(
+            SK.cms_partial(
+                ev.filter(F.col("event_id") % 2 == 1), [], F.col("user_id")
+            )
+        )
+    )
+    a = {(r.cms_row, r.bucket): r.cnt for r in whole.collect()}
+    b = {(r.cms_row, r.bucket): r.cnt for r in parts.collect()}
+    assert a == b  # exact mergeability
+
+    truec = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = SK.cms_estimate(whole, truec.select("user_id"), "user_id")
+    joined = truec.join(est, "user_id")
+    viol = joined.filter(F.col("est_cnt") < F.col("true_cnt")).count()
+    assert viol == 0  # CMS never underestimates
