@@ -21,6 +21,7 @@ from etl_data_processor_spark import queries_tpch as _q_tpch  # noqa: F401 (regi
 from etl_data_processor_spark import queries_tpch2 as _q_tpch2  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_cdc as _q_cdc  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_ext as _q_ext  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_ext2 as _q_ext2  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 
 

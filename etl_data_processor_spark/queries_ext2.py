@@ -1,0 +1,789 @@
+"""Round-2 extension batch #2: analytics / set-similarity / recursive /
+pandas-exact operator families, each with a DuckDB oracle.
+
+- cohort retention (first-touch cohort day x day-offset active users)
+- Markov event transitions (lag sequence -> conditional probabilities)
+- OHLC time-series resample (arg_min/arg_max open/close per bucket)
+- ratio-to-report (share of group total via window sum)
+- exact weighted median (cumulative-weight window, integer cents)
+- seasonal anomaly cells (hour-of-day baseline, integer cross-multiply)
+- 2D skyline / Pareto frontier (two-phase distributed: local per-salt
+  skyline -> global pass over the tiny candidate union)
+- binned range join (the range-join-optimization plan: interval -> bin
+  explode, point -> bin, equi-join + residual — no BNL/cartesian)
+- BPE-ish regex token accounting (reference-free tokenizer proxy)
+- prefix-filter exact Jaccard join (AllPairs/PPJoin: recall 1 by the
+  prefix-filtering lemma, precision 1 by exact verify — the *exact*
+  counterpart to MinHash-LSH dedup)
+- containment join (|A∩B|/|A| — quote/subset detection, both directions)
+- hierarchy closure by pointer doubling (root + depth in O(log d) rounds,
+  oracle = recursive CTE)
+- per-group z-score via applyInPandas with an *exact-moments* oracle
+  (integer centi-unit sums -> identical IEEE op sequence in pandas and
+  DuckDB — the first fully ORACLED pandas-UDF operator)
+
+Reference parity: none of these exist in the reference (main.py:1-422);
+they are north-star scope (SURVEY.md §2 Part B extensions, family B56).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_data_processor_spark.registry import q, cat as _cat
+from etl_data_processor_spark.ops.dedup import exact_jaccard, word_shingles
+from etl_data_processor_spark.ops.similarity import stable_round6
+from etl_data_processor_spark.queries_north import _DUCK_SHINGLES
+
+_ROUND6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+
+
+def _cents(col: str):
+    """Positive money double -> exact integer cents (engine-independent:
+    FLOOR(x*100+0.5) is the same IEEE sequence on both engines)."""
+    return F.floor(F.col(col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+_CENTS_SQL = "CAST(FLOOR({c} * 100.0 + 0.5) AS BIGINT)"
+
+
+# =====================================================================
+# Cohort retention
+# =====================================================================
+
+@q(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-seen day, counted
+    per (cohort day, days-since-cohort). The canonical product-analytics
+    rollup. Plan: first-touch groupBy(user) and the activity join share the
+    user_id hash partitioning (one logical shuffle reused), and the final
+    aggregate is cohort-days x offsets — tiny. Scales: the fact table is
+    scanned twice but shuffled on user_id only."""
+    ev = _cat(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("int")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+# =====================================================================
+# Markov event transitions
+# =====================================================================
+
+@q(
+    "q_markov_transitions",
+    f"""
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n,
+           {_ROUND6.format(x="CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)")}
+           AS p6
+    FROM cnt
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current). Sequence-model shape for behavioral data.
+    ONE shuffle on user_id for the lead window; the transition aggregate is
+    |types|^2 rows. The probability is count/group-total in identical IEEE
+    ops on both engines (exact integer counts -> double division)."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = F.sum("n").over(Window.partitionBy("event_type"))
+    return cnt.select(
+        "event_type",
+        "next_type",
+        "n",
+        stable_round6(
+            F.col("n").cast("double") / tot.cast("double")
+        ).alias("p6"),
+    )
+
+
+# =====================================================================
+# OHLC resample
+# =====================================================================
+
+@q(
+    "q_ts_ohlc",
+    """
+    SELECT event_type,
+           (epoch_us(ts) // 900000000) * 900000000 AS bucket_us,
+           arg_min(value, event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, event_id) AS close,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_ts_ohlc(spark, sf_dir):
+    """OHLC resample: open/high/low/close per (series, 15-min bucket) —
+    the financial-tick downsampling shape. open/close are min_by/max_by on
+    the unique event_id (deterministic; no sort needed), so the whole op is
+    ONE partial+final hash aggregate — no window, no per-bucket sort.
+    Values pass through untouched (no float arithmetic), engine-exact."""
+    ev = _cat(spark, sf_dir).events
+    bucket = F.expr("(unix_micros(ts) div 900000000) * 900000000").alias(
+        "bucket_us"
+    )
+    return ev.groupBy("event_type", bucket).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# =====================================================================
+# Ratio-to-report
+# =====================================================================
+
+@q(
+    "q_ratio_to_report",
+    f"""
+    WITH g AS (
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
+                   AS sum_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus, o_orderpriority, sum_cents,
+           {_ROUND6.format(x="CAST(sum_cents AS DOUBLE) / CAST(SUM(sum_cents) OVER (PARTITION BY o_orderstatus) AS DOUBLE)")}
+           AS share6
+    FROM g
+    """,
+)
+def q_ratio_to_report(spark, sf_dir):
+    """Ratio-to-report: each priority's share of its status group's total.
+    The contribution-analysis window op. Exact integer cents aggregate ->
+    a tiny window over the group frame (post-agg rows, not the fact table),
+    so the fact shuffle is the aggregate's only exchange."""
+    o = _cat(spark, sf_dir).orders
+    g = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(_cents("o_totalprice")).alias("sum_cents")
+    )
+    tot = F.sum("sum_cents").over(Window.partitionBy("o_orderstatus"))
+    return g.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "sum_cents",
+        stable_round6(
+            F.col("sum_cents").cast("double") / tot.cast("double")
+        ).alias("share6"),
+    )
+
+
+# =====================================================================
+# Exact weighted median
+# =====================================================================
+
+@q(
+    "q_weighted_median",
+    f"""
+    WITH li AS (
+        SELECT l_returnflag,
+               {_CENTS_SQL.format(c="l_extendedprice")} AS v,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    g AS (
+        SELECT l_returnflag, v, CAST(SUM(w) AS BIGINT) AS w
+        FROM li GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT l_returnflag, v,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        FROM g
+    )
+    SELECT l_returnflag, CAST(MIN(v) AS BIGINT) AS wmedian_cents
+    FROM c WHERE cum * 2 >= tot GROUP BY 1
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted median (price cents weighted by quantity) per group:
+    smallest v whose cumulative weight reaches half the total. All integer
+    arithmetic (cum*2 >= tot avoids any division), so engine-exact.
+    Plan: pre-aggregate per (group, v) FIRST — the cumulative window then
+    runs over distinct values, not raw rows (at 100 TB that is the
+    difference between a window over billions and over thousands); the
+    groupBy, both windows and the final MIN all reuse one l_returnflag
+    hash partitioning."""
+    li = _cat(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        _cents("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    g = li.groupBy("l_returnflag", "v").agg(F.sum("w").alias("w"))
+    wo = Window.partitionBy("l_returnflag").orderBy("v")
+    cum = F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("w").over(Window.partitionBy("l_returnflag"))
+    return (
+        g.select("l_returnflag", "v", cum.alias("cum"), tot.alias("tot"))
+        .filter(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("wmedian_cents"))
+    )
+
+
+# =====================================================================
+# Seasonal anomaly cells
+# =====================================================================
+
+@q(
+    "q_anomaly_seasonal",
+    """
+    WITH cells AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(hour(ts) AS INTEGER) AS hr, COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT event_type, hr, CAST(SUM(n) AS BIGINT) AS total
+        FROM cells GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days FROM events)
+    SELECT c.event_type, c.day, c.hr, c.n, t.total, nd.n_days
+    FROM cells c
+    JOIN tot t ON c.event_type = t.event_type AND c.hr = t.hr, nd
+    WHERE c.n * nd.n_days > 2 * t.total
+    """,
+)
+def q_anomaly_seasonal(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: flag (type, day, hour) cells
+    whose count exceeds 2x the hour-of-day average for that type. The
+    threshold is the integer cross-multiplication n * n_days > 2 * total
+    — no division, engine-exact. Plan: one cell aggregate, a re-aggregate
+    of the (tiny) cells frame for baselines, a 1-row broadcast for the
+    day count — the fact table shuffles once."""
+    ev = _cat(spark, sf_dir).events
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("event_type", "hr").agg(
+        F.sum("n").alias("total")
+    )
+    ndays = ev.agg(F.countDistinct(F.to_date("ts")).alias("n_days"))
+    return (
+        cells.join(totals, ["event_type", "hr"])
+        .crossJoin(F.broadcast(ndays))
+        .filter(F.col("n") * F.col("n_days") > 2 * F.col("total"))
+        .select("event_type", "day", "hr", "n", "total", "n_days")
+    )
+
+
+# =====================================================================
+# 2D skyline (Pareto frontier), two-phase distributed
+# =====================================================================
+
+def _skyline_pass(df, part_cols):
+    """Keep points not dominated within (part_cols) groups, maximizing
+    (price_c, d). Dominated iff a strictly-higher-price point has d >= ours
+    (RANGE frame over the integer price) or an equal-price point has d >
+    ours."""
+    w_hi = (
+        Window.partitionBy(*part_cols)
+        .orderBy("price_c")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy(*part_cols, "price_c")
+    return (
+        df.withColumn("__mdh", F.max("d").over(w_hi))
+        .withColumn("__mds", F.max("d").over(w_same))
+        .filter(
+            (F.col("__mdh").isNull() | (F.col("__mdh") < F.col("d")))
+            & (F.col("__mds") <= F.col("d"))
+        )
+        .drop("__mdh", "__mds")
+    )
+
+
+@q(
+    "q_skyline",
+    f"""
+    WITH pts AS (
+        SELECT o_orderkey, {_CENTS_SQL.format(c="o_totalprice")} AS price_c,
+               epoch_us(o_orderdate) AS d
+        FROM orders
+    )
+    SELECT p.o_orderkey, p.price_c, p.d FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q2
+        WHERE q2.price_c >= p.price_c AND q2.d >= p.d
+          AND (q2.price_c > p.price_c OR q2.d > p.d)
+    )
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """2D skyline (Pareto frontier): orders not dominated on
+    (total price, order date) — the multi-criteria shortlist operator.
+    TWO-PHASE distributed algorithm: phase 1 computes a local skyline
+    inside each of 32 hash-salt partitions (dominated-anywhere implies
+    dominated-locally is false, but dominated-locally implies
+    dominated-globally, so phase 1 only drops true losers and every global
+    skyline point survives); phase 2 re-runs the same window pass globally
+    over the O(salts x skyline) survivor set — tiny, so its single-
+    partition sort is free. The oracle is the independent NOT EXISTS
+    definition, not the window formulation."""
+    o = _cat(spark, sf_dir).orders
+    pts = o.select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("price_c"),
+        F.unix_micros(F.col("o_orderdate")).alias("d"),
+    )
+    salted = pts.withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(32))
+    )
+    local = _skyline_pass(salted, ["__salt"]).drop("__salt")
+    return _skyline_pass(local, [])
+
+
+# =====================================================================
+# Binned range join
+# =====================================================================
+
+_BIN_US = 300_000_000  # 5 minutes, == the interval length
+
+
+@q(
+    "q_range_bin_join",
+    f"""
+    WITH err AS (
+        SELECT event_id AS incident_id, epoch_us(ts) AS s,
+               epoch_us(ts) + {_BIN_US} AS e
+        FROM events WHERE event_type = 'error'
+    ),
+    clk AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'click')
+    SELECT incident_id, COUNT(*) AS n_clicks
+    FROM err, clk WHERE t >= s AND t < e
+    GROUP BY incident_id
+    """,
+)
+def q_range_bin_join(spark, sf_dir):
+    """Point-in-interval range join via BINNING: each 5-min incident window
+    explodes to the 1-2 bins it overlaps (bin width == interval length),
+    each point maps to exactly one bin, and the join becomes an EQUI join
+    on the bin key + a residual range filter. A pair can only meet in the
+    point's single bin, so no dedup is needed. This is the range-join
+    optimization re-expressed declaratively: the naive plan is a
+    BroadcastNestedLoop/cartesian at O(N*M); this is one hash shuffle on
+    the bin key with per-bin locality (pinned BNL-free by
+    tests/test_plans.py)."""
+    ev = _cat(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("s"),
+        (us + F.lit(_BIN_US)).alias("e"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(us.alias("t"))
+    errb = err.withColumn(
+        "bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_BIN_US}"), F.expr(f"(e - 1) div {_BIN_US}")
+            )
+        ),
+    )
+    clkb = clk.withColumn("bin", F.expr(f"t div {_BIN_US}"))
+    return (
+        errb.join(clkb, "bin")
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .groupBy("incident_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
+# =====================================================================
+# BPE-ish regex token accounting
+# =====================================================================
+
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@q(
+    "q_text_bpe_tokens",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe,
+               len(list_distinct(regexp_extract_all(text, '{_BPE_PAT}')))
+                   AS n_bpe_distinct
+        FROM documents
+    )
+    SELECT doc_id, n_bpe, n_bpe_distinct,
+           CASE WHEN n_bpe > 0
+                THEN CAST(n_bpe_distinct AS DOUBLE) / CAST(n_bpe AS DOUBLE)
+                ELSE 0.0 END AS distinct_ratio
+    FROM t
+    """,
+)
+def q_text_bpe_tokens(spark, sf_dir):
+    """BPE-ish token accounting: pre-tokenizer pieces (letter runs, single
+    digits, punctuation runs of 1) per document plus the distinct-piece
+    ratio — the training-cost / vocabulary-pressure estimator that
+    whitespace token counts miss. Pure regexp_extract_all Column
+    expressions (pattern is lookaround-free so Java regex and RE2 agree);
+    narrow plan, no shuffle."""
+    d = _cat(spark, sf_dir).documents
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), 0)
+    t = d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_bpe"),
+        F.size(F.array_distinct(pieces)).cast("long").alias(
+            "n_bpe_distinct"
+        ),
+    )
+    return t.select(
+        "doc_id",
+        "n_bpe",
+        "n_bpe_distinct",
+        F.when(
+            F.col("n_bpe") > 0,
+            F.col("n_bpe_distinct").cast("double")
+            / F.col("n_bpe").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("distinct_ratio"),
+    )
+
+
+# =====================================================================
+# Prefix-filter exact Jaccard join (AllPairs/PPJoin)
+# =====================================================================
+
+_SHINGLES_CTE = (
+    "SELECT doc_id, " + _DUCK_SHINGLES + " AS toks "
+    "FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)"
+)
+
+
+@q(
+    "q_jaccard_join_prefix",
+    f"""
+    WITH tk AS ({_SHINGLES_CTE})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+               AS jaccard
+    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= 0.7
+    """,
+)
+def q_jaccard_join_prefix(spark, sf_dir):
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin): order each doc's distinct tokens rarest-global-df-first; for
+    threshold t=0.7 a doc of n tokens keeps a prefix of
+    n - ceil(0.7n) + 1 tokens; the prefix-filtering lemma guarantees any
+    pair with Jaccard >= t shares a prefix token (recall 1 — unlike
+    MinHash-LSH there is NO probabilistic miss), and the exact-Jaccard
+    verify keeps precision 1. Plan: token df aggregate + per-doc rank
+    window + equi-join on the (rare) prefix tokens — candidate volume is
+    driven by rare tokens, never all-pairs. The oracle is the naive
+    all-pairs definition, so the gate proves the filter drops nothing."""
+    d = _cat(spark, sf_dir).documents
+    tk = d.select("doc_id", word_shingles(F.col("text")).alias("toks"))
+    tk.cache()  # consumed by ranking and twice by the verify join
+    ex = tk.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(dfreq, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    # prefix length n - ceil(0.7n) + 1, with ceil(0.7n) == (7n+9) div 10
+    # computed in exact integers
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(7*n + 9) div 10") + 1
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    j = exact_jaccard(F.col("ta"), F.col("tb"))
+    return (
+        cand.join(
+            tk.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")),
+            "id_a",
+        )
+        .join(
+            tk.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")),
+            "id_b",
+        )
+        .withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# =====================================================================
+# Containment join
+# =====================================================================
+
+@q(
+    "q_containment_join",
+    f"""
+    WITH tk AS ({_SHINGLES_CTE}),
+    pairs AS (
+        SELECT a.doc_id AS cid, b.doc_id AS kid,
+               len(list_intersect(a.toks, b.toks)) AS nc,
+               len(a.toks) AS na
+        FROM tk a JOIN tk b ON a.doc_id <> b.doc_id
+    )
+    SELECT cid AS contained_id, kid AS container_id,
+           CAST(nc AS DOUBLE) / na AS containment
+    FROM pairs WHERE 10 * nc >= 9 * na
+    """,
+)
+def q_containment_join(spark, sf_dir):
+    """Containment join: (a contained-in b) when >= 90% of a's distinct
+    tokens appear in b — the quote / subset-document detector that
+    symmetric Jaccard misses (a tiny doc quoted inside a huge one has low
+    Jaccard but containment 1). Plan: inverted-index self-join counts
+    co-occurring tokens per pair (zero-overlap pairs never materialize),
+    per-doc sizes join back, and the 0.9 test is the integer
+    cross-multiplication 10*nc >= 9*na — exact, no float threshold."""
+    d = _cat(spark, sf_dir).documents
+    tk = d.select("doc_id", word_shingles(F.col("text")).alias("toks"))
+    tk.cache()  # exploded index + two size joins
+    sizes = tk.select("doc_id", F.size("toks").alias("nt"))
+    ex = tk.select("doc_id", F.explode("toks").alias("tok"))
+    a = ex.select(F.col("doc_id").alias("id_a"), "tok")
+    b = ex.select(F.col("doc_id").alias("id_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    both = (
+        common.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nb")),
+            "id_b",
+        )
+    )
+    d1 = both.filter(10 * F.col("nc") >= 9 * F.col("na")).select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        (F.col("nc").cast("double") / F.col("na")).alias("containment"),
+    )
+    d2 = both.filter(10 * F.col("nc") >= 9 * F.col("nb")).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        (F.col("nc").cast("double") / F.col("nb")).alias("containment"),
+    )
+    return d1.unionAll(d2)
+
+
+# =====================================================================
+# Hierarchy closure by pointer doubling
+# =====================================================================
+
+@q(
+    "q_hierarchy_closure",
+    """
+    WITH RECURSIVE up AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS dist FROM part
+        UNION ALL
+        SELECT node, cur // 8, dist + 1 FROM up WHERE cur >= 8
+    )
+    SELECT node AS p_partkey, cur AS root, CAST(dist AS INTEGER) AS depth
+    FROM up WHERE cur < 8
+    """,
+)
+def q_hierarchy_closure(spark, sf_dir):
+    """Hierarchy closure (root + depth) over the derived part forest
+    parent(k) = k div 8, roots k < 8 — the org-chart / BOM recursive
+    query Spark SQL lacks. POINTER DOUBLING: state (node, anc, dist)
+    repeatedly substitutes anc := anc(anc), dist += dist(anc), so a
+    depth-d forest resolves in O(log d) self-join rounds instead of d
+    per-level rounds — at 100 TB each round is one equi-join shuffle and
+    the round count stays single digits for any realistic hierarchy.
+    localCheckpoint truncates the per-round lineage (same pattern as
+    ops/graph.py connected components); the per-round scalar count is the
+    standard convergence action. Oracle = DuckDB recursive CTE, i.e. the
+    per-level definition — the gate proves doubling computes the same
+    closure."""
+    p = _cat(spark, sf_dir).part.select(F.col("p_partkey").alias("node"))
+    state = p.select(
+        "node",
+        F.when(F.col("node") < 8, F.col("node"))
+        .otherwise(F.expr("node div 8"))
+        .alias("anc"),
+        F.when(F.col("node") < 8, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("dist"),
+    ).localCheckpoint()
+    for _ in range(40):  # 2^40 depth bound — convergence breaks far earlier
+        amap = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("d2"),
+        )
+        state = (
+            state.join(amap, "anc")
+            .select(
+                "node",
+                F.col("anc2").alias("anc"),
+                (F.col("dist") + F.col("d2")).cast("int").alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        if state.filter(F.col("anc") >= 8).count() == 0:
+            break
+    return state.select(
+        F.col("node").alias("p_partkey"),
+        F.col("anc").alias("root"),
+        F.col("dist").alias("depth"),
+    )
+
+
+# =====================================================================
+# Per-group z-score via applyInPandas, exact-moments oracle
+# =====================================================================
+
+_ZSCORE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("z6", DoubleType()),
+    ]
+)
+
+
+def _zscore_pdf(pdf):
+    """Per-group z-score with EXACT integer moments: centi-unit values are
+    summed as integers (no float accumulation order-dependence), then the
+    mean/variance/z sequence below is the IDENTICAL IEEE op sequence the
+    oracle SQL spells out — so the result is bit-reproducible across
+    engines, partitionings and pandas versions."""
+    import numpy as np
+    import pandas as pd
+
+    vu = np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    n = len(vu)
+    s1 = int(vu.sum())
+    s2 = int((vu * vu).sum())
+    m = float(s1) / n
+    var = (float(s2) - m * float(s1)) / (n - 1)
+    z = (vu.astype(np.float64) - m) / math.sqrt(var)
+    z6 = np.floor(z * 1000000.0 + 0.5) / 1000000.0
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "z6": z6,
+        }
+    )
+
+
+@q(
+    "q_zscore_pandas",
+    """
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vu
+        FROM events
+    ),
+    s AS (
+        SELECT event_type, CAST(SUM(vu) AS BIGINT) AS s1,
+               CAST(SUM(vu * vu) AS BIGINT) AS s2, COUNT(*) AS n
+        FROM v GROUP BY 1
+    )
+    SELECT v.event_id, v.event_type,
+           CAST(FLOOR(
+               ((CAST(vu AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                / sqrt((CAST(s2 AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / n) * CAST(s1 AS DOUBLE))
+                       / (n - 1)))
+               * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS z6
+    FROM v JOIN s ON v.event_type = s.event_type
+    """,
+)
+def q_zscore_pandas(spark, sf_dir):
+    """Per-group z-score normalization via grouped applyInPandas — the
+    first fully ORACLED pandas-UDF operator (q_apply_in_pandas is
+    rows-only). The trick making a Python UDF differentially testable:
+    moments are computed from exact integer centi-unit sums, and the
+    float ops that follow are written as the same IEEE sequence in numpy
+    and in the oracle SQL (div, mul, sub, correctly-rounded sqrt), so
+    results match bit-for-bit. Plan: one shuffle on the group key,
+    Arrow-batched both ways."""
+    ev = _cat(spark, sf_dir).events
+    return (
+        ev.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_zscore_pdf, schema=_ZSCORE_SCHEMA)
+    )

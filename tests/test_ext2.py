@@ -1,0 +1,224 @@
+"""Tests for the round-2 extension batch #2 (queries_ext2.py):
+plan pins for the binned range join, algorithmic equivalence checks for
+the two-phase skyline and pointer-doubling hierarchy closure, recall
+proof for the prefix filter, and layout invariance for the pandas
+z-score. Value correctness is covered by the DuckDB oracles
+(scripts/check_oracle.py); these tests pin what the oracle can't see —
+plan shape and partitioning-independence."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+from etl_data_processor_spark.queries_ext2 import _skyline_pass
+
+QUERIES = entry_mod.queries()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_range_bin_join_is_equi_not_bnl(spark, sf_dir):
+    """The binning rewrite must plan as a hash equi-join — a
+    BroadcastNestedLoop or cartesian here is the O(N*M) plan the operator
+    exists to avoid."""
+    plan = plan_of(QUERIES["q_range_bin_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join, on the bin key
+
+
+def test_range_bin_join_equals_naive_theta(spark, sf_dir):
+    """Binned plan == naive theta-join result (pairs counted once even
+    when the interval spans two bins)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if "ts" not in dict(ev.dtypes) or ev.schema["ts"].dataType.typeName() == "long":
+        from etl_data_processor_spark.io import Catalog
+
+        ev = Catalog(spark, sf_dir).events
+    us = F.unix_micros(F.col("ts"))
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        us.alias("s"),
+        (us + F.lit(300_000_000)).alias("e"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(us.alias("t"))
+    naive = (
+        err.crossJoin(clk)
+        .filter((F.col("t") >= F.col("s")) & (F.col("t") < F.col("e")))
+        .groupBy("incident_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    got = QUERIES["q_range_bin_join"](spark, sf_dir)
+    assert rows(got) == rows(naive)
+
+
+def test_skyline_two_phase_equals_single_phase(spark, sf_dir):
+    """The salted local pass must drop only globally-dominated points:
+    two-phase == one global pass."""
+    from etl_data_processor_spark.io import Catalog
+
+    o = Catalog(spark, sf_dir).orders
+    pts = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long").alias(
+            "price_c"
+        ),
+        F.unix_micros(F.col("o_orderdate")).alias("d"),
+    )
+    single = _skyline_pass(pts, [])
+    got = QUERIES["q_skyline"](spark, sf_dir)
+    assert rows(got) == rows(single)
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    pts = [tuple(r) for r in QUERIES["q_skyline"](spark, sf_dir).collect()]
+    for _, p1, d1 in pts:
+        for _, p2, d2 in pts:
+            dominated = (
+                p2 >= p1 and d2 >= d1 and (p2 > p1 or d2 > d1)
+            )
+            assert not dominated
+
+
+def test_hierarchy_doubling_equals_per_level(spark, sf_dir):
+    """Pointer doubling == naive one-level-at-a-time ancestor walk."""
+    from etl_data_processor_spark.io import Catalog
+
+    p = Catalog(spark, sf_dir).part.select(
+        F.col("p_partkey").alias("node")
+    )
+    state = p.select(
+        "node", F.col("node").alias("cur"), F.lit(0).alias("dist")
+    )
+    done = state.filter(F.col("cur") < 8)
+    frontier = state.filter(F.col("cur") >= 8)
+    out = [done]
+    for _ in range(40):
+        if frontier.limit(1).count() == 0:
+            break
+        frontier = frontier.select(
+            "node",
+            F.expr("cur div 8").alias("cur"),
+            (F.col("dist") + 1).alias("dist"),
+        ).localCheckpoint()
+        out.append(frontier.filter(F.col("cur") < 8))
+        frontier = frontier.filter(F.col("cur") >= 8)
+    import functools
+
+    naive = functools.reduce(lambda a, b: a.unionAll(b), out).select(
+        F.col("node").alias("p_partkey"),
+        F.col("cur").alias("root"),
+        F.col("dist").cast("int").alias("depth"),
+    )
+    got = QUERIES["q_hierarchy_closure"](spark, sf_dir)
+    assert rows(got) == rows(naive)
+
+
+def test_prefix_filter_recall_is_total(spark, sf_dir):
+    """Every pair with exact Jaccard >= t must survive the prefix filter
+    (the lemma's recall-1 guarantee) — checked against brute force."""
+    from etl_data_processor_spark.io import Catalog
+    from etl_data_processor_spark.ops.dedup import exact_jaccard, word_shingles
+
+    d = Catalog(spark, sf_dir).documents
+    tk = d.select("doc_id", word_shingles(F.col("text")).alias("toks"))
+    a = tk.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = tk.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", exact_jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", "jaccard")
+    )
+    got = QUERIES["q_jaccard_join_prefix"](spark, sf_dir)
+    assert rows(got) == rows(brute)
+
+
+def test_zscore_pandas_layout_invariant(spark, sf_dir):
+    """The exact-moments z-score must not depend on partition layout —
+    integer sums are order-independent, floats would not be."""
+    from etl_data_processor_spark.io import Catalog
+    from etl_data_processor_spark.queries_ext2 import (
+        _ZSCORE_SCHEMA,
+        _zscore_pdf,
+    )
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "event_type", "value"
+    )
+    base = (
+        ev.groupBy("event_type").applyInPandas(_zscore_pdf, _ZSCORE_SCHEMA)
+    )
+    scrambled = (
+        ev.repartition(17)
+        .groupBy("event_type")
+        .applyInPandas(_zscore_pdf, _ZSCORE_SCHEMA)
+    )
+    assert rows(base) == rows(scrambled)
+
+
+def test_weighted_median_halves(spark, sf_dir):
+    """At least half the total weight sits at or below the reported
+    weighted median, and strictly less than half sits strictly below."""
+    from etl_data_processor_spark.io import Catalog
+
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5)
+        .cast("long")
+        .alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    med = {
+        r["l_returnflag"]: r["wmedian_cents"]
+        for r in QUERIES["q_weighted_median"](spark, sf_dir).collect()
+    }
+    stats = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum("w").alias("tot"),
+            *[
+                F.sum(
+                    F.when(F.col("v") <= F.lit(m), F.col("w")).otherwise(0)
+                ).alias(f"le_{flag}")
+                for flag, m in med.items()
+            ],
+        )
+        .collect()
+    )
+    for r in stats:
+        flag = r["l_returnflag"]
+        assert 2 * r[f"le_{flag}"] >= r["tot"]
+
+
+def test_markov_probabilities_sum_to_one(spark, sf_dir):
+    got = QUERIES["q_markov_transitions"](spark, sf_dir)
+    sums = (
+        got.groupBy("event_type")
+        .agg(F.sum("p6").alias("s"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-4  # round6 per-cell drift bound
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC must plan as one hash aggregate — no window/sort stage."""
+    plan = plan_of(QUERIES["q_ts_ohlc"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
