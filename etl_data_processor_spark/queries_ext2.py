@@ -711,6 +711,94 @@ def q_hierarchy_closure(spark, sf_dir):
 
 
 # =====================================================================
+# Last-touch attribution
+# =====================================================================
+
+@q(
+    "q_attribution_last_touch",
+    """
+    WITH seq AS (
+        SELECT event_id, user_id, event_type,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS attributed_to
+        FROM events
+    )
+    SELECT event_id, user_id, attributed_to
+    FROM seq WHERE event_type = 'purchase'
+    """,
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the user's most
+    recent preceding non-purchase event (NULL when the purchase opens the
+    history). The conversion-credit op marketing analytics runs on every
+    clickstream. One window shuffle on user_id; `last(..., ignorenulls)`
+    over a conditional projection skips interleaved purchases without a
+    second pass or a self-join."""
+    ev = _cat(spark, sf_dir).events
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("attributed_to", attributed)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "attributed_to")
+    )
+
+
+# =====================================================================
+# Sliding-window distinct users
+# =====================================================================
+
+@q(
+    "q_sliding_distinct",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    ex AS (
+        SELECT CAST(day + CAST(i AS INTEGER) AS DATE) AS wend, user_id
+        FROM du, range(7) r(i)
+    )
+    SELECT wend, COUNT(DISTINCT user_id) AS n_users
+    FROM ex GROUP BY wend
+    """,
+)
+def q_sliding_distinct(spark, sf_dir):
+    """Trailing-7-day distinct active users per day (rolling DAU->WAU).
+    Distinct counts do NOT merge across overlapping windows, so the
+    classic rewrite: reduce to distinct (day, user) FIRST (the only pass
+    over the fact table), then explode each day to the <=7 window-ends it
+    feeds and re-count distinct per end. Shuffle volume is
+    |distinct day-user| * 7, independent of raw event volume — the reason
+    this beats recomputing each window from raw events at 100 TB.
+    (Window ends run 6 days past the last activity day by construction —
+    trailing windows that still contain it.)"""
+    ev = _cat(spark, sf_dir).events
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    ex = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "user_id",
+    ).select(
+        F.date_add(F.col("day"), F.col("i")).alias("wend"), "user_id"
+    )
+    return ex.groupBy("wend").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+# =====================================================================
 # Per-group z-score via applyInPandas, exact-moments oracle
 # =====================================================================
 
