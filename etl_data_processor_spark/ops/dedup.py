@@ -245,6 +245,11 @@ def minhash_lsh_pairs(
         id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
     )
     buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
+    # both sides of the self-join consume the bucket frame — without the
+    # persist the whole shingle->hash->signature subtree executes twice
+    # (once per side). At 100 TB this is exactly the "materialize the
+    # signature table once" practice.
+    buckets = buckets.cache()
 
     left = buckets.alias("a")
     right = buckets.alias("b")

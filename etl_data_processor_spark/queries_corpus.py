@@ -261,7 +261,7 @@ def q_corpus_pipeline(spark, sf_dir):
     the tiny pair graph and the final per-source aggregate."""
     from etl_data_processor_spark.ops.dedup import (
         _parallelize,
-        decontaminate,
+        minhash_lsh_pairs_between,
         with_shingles,
     )
     from etl_data_processor_spark.ops.graph import dedup_keep
@@ -277,11 +277,24 @@ def q_corpus_pipeline(spark, sf_dir):
     sh_train = shingled.filter(~F.col("source").isin(bench_srcs))
     sh_bench = shingled.filter(F.col("source").isin(bench_srcs))
     train = d.filter(~F.col("source").isin(bench_srcs))
-    bench = d.filter(F.col("source").isin(bench_srcs))
-    clean = decontaminate(
-        train, bench, threshold=0.8,
-        shingled_train=sh_train, shingled_benchmark=sh_bench,
+    # Decontamination inlined (vs calling ops.dedup.decontaminate) so the
+    # contaminated-id set — benchmark-bounded, tiny — can be PINNED: every
+    # downstream stage (cluster-dedup pairs, the kept-corpus anti-join, the
+    # scoring join) consumes `clean`, and without the pin each consumer
+    # re-executes the whole bipartite-LSH subtree inside clean's plan
+    # (measured ~2s x 2 extra at sf0.1). With it, re-deriving clean is a
+    # corpus scan + broadcast anti-join — the 100 TB-safe shape.
+    contaminated = (
+        minhash_lsh_pairs_between(
+            train, d.filter(F.col("source").isin(bench_srcs)),
+            threshold=0.8,
+            shingled_left=sh_train, shingled_right=sh_bench,
+        )
+        .select(F.col("id_l").alias("doc_id"))
+        .distinct()
+        .cache()
     )
+    clean = train.join(F.broadcast(contaminated), "doc_id", "left_anti")
     kept = dedup_keep(
         clean, threshold=0.8,
         shingled=sh_train.join(

@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 
 from etl_data_processor_spark.registry import q, cat as _cat
 from etl_data_processor_spark.ops.dedup import exact_jaccard, word_shingles
+from etl_data_processor_spark.ops.sampling import hash32_sql
 from etl_data_processor_spark.ops.similarity import stable_round6
 from etl_data_processor_spark.queries_north import _DUCK_SHINGLES
 
@@ -707,6 +708,124 @@ def q_hierarchy_closure(spark, sf_dir):
         F.col("node").alias("p_partkey"),
         F.col("anc").alias("root"),
         F.col("dist").alias("depth"),
+    )
+
+
+# =====================================================================
+# Portable HyperLogLog (fully oracled sketch)
+# =====================================================================
+
+# alpha_m for m=64 registers: 0.7213/(1+1.079/m), embedded as the SAME
+# double literal on both engines
+_HLL_ALPHA = 0.7093409548395029
+_HLL_M = 64
+
+
+def _hll_registers(keyed, group_cols: list[str], key):
+    """(group..., reg, m): per-register max leading-zero rank from the
+    portable 32-bit hash — 6 low bits pick the register, the remaining 26
+    bits yield rho = 27 - bitlength (27 when all zero)."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    h = hash32(key)
+    reg = F.pmod(h, F.lit(_HLL_M))
+    rest = F.expr(f"__h div {_HLL_M}")
+    rho = F.when(rest == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin(rest))
+    )
+    return (
+        keyed.withColumn("__h", h)
+        .select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+@q(
+    "q_sketch_hll_portable",
+    f"""
+    WITH h AS (
+        SELECT event_type, {hash32_sql("user_id")} AS h
+        FROM (SELECT event_type, user_id FROM events)
+    ),
+    r AS (SELECT event_type, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest
+          FROM h),
+    rho AS (
+        SELECT event_type, reg,
+               MAX(CASE WHEN rest = 0 THEN 27
+                        ELSE 27 - length(bin(rest)) END) AS m
+        FROM r GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, COUNT(*) AS nobs,
+               SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS s_obs
+        FROM rho GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, CAST({_HLL_M} - nobs AS BIGINT) AS v,
+               CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+               / (s_obs + ({_HLL_M} - nobs) * 1.0) AS e_raw
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT est.event_type,
+           CAST(FLOOR(
+               (CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                     THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                     ELSE e_raw END) * 1000000.0 + 0.5
+           ) AS DOUBLE) / 1000000.0 AS hll6,
+           ex.exact_distinct
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+)
+def q_sketch_hll_portable(spark, sf_dir):
+    """PORTABLE HyperLogLog distinct-count sketch, fully oracled — the
+    HLL counterpart to q_sketch_cms: registers are built from the portable
+    32-bit hash mixer (ops/sampling.hash32), so DuckDB derives the
+    bit-identical register file, and the estimator below is written as the
+    same IEEE sequence on both engines (per-register 2^-M terms are exact
+    powers of two, so their sum is order-independent; ln drift is absorbed
+    by round6). 6-bit register index, rho = 27 - bitlength(26-bit rest),
+    m=64, small-range linear counting below 2.5m. The register file is a
+    tall (group, reg, max-rho) frame — MERGEABLE by construction (max
+    re-aggregates; pinned by test against day-sliced partials), which is
+    the materialize-partials-once / merge-later 100 TB cardinality
+    pattern. Exact distinct counts ride along for error inspection.
+    Plan: one hash aggregate over (group, reg) then a 64-rows-per-group
+    re-aggregate — no distinct shuffle of raw keys at any point."""
+    ev = _cat(spark, sf_dir).events
+    regs = _hll_registers(
+        ev.select("event_type", "user_id"), ["event_type"], F.col("user_id")
+    )
+    term = F.lit(1.0) / F.expr("cast(shiftleft(1L, m) as double)")
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nobs"), F.sum(term).alias("s_obs")
+    )
+    est = agg.select(
+        "event_type",
+        (F.lit(_HLL_M) - F.col("nobs")).cast("long").alias("v"),
+        (
+            F.lit(_HLL_ALPHA)
+            * F.lit(float(_HLL_M * _HLL_M))
+            / (F.col("s_obs") + (F.lit(_HLL_M) - F.col("nobs")) * F.lit(1.0))
+        ).alias("e_raw"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(F.col("e_raw"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.select(
+            "event_type", stable_round6(corrected).alias("hll6")
+        )
+        .join(exact, "event_type")
+        .select("event_type", "hll6", "exact_distinct")
     )
 
 

@@ -48,6 +48,23 @@ def join_agg(o, li):
     )
 
 
+def q18_shape(o, li):
+    """TPC-H Q18 (large-volume customer) shape: per-order lineitem
+    aggregate, HAVING filter, join back to orders. On bucketed tables BOTH
+    the per-order aggregate and the join consume the bucket layout — the
+    aggregate needs no exchange (partial==final within a bucket) and the
+    join is co-located: the whole query plans zero fact exchanges."""
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select("o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 def timed(df, reps: int = 3) -> float:
     df.collect()  # warm codegen
     best = float("inf")
@@ -100,6 +117,26 @@ def main() -> None:
     b = {tuple(r) for r in bucketed.collect()}
     assert a == b, "bucketed join changed the result"
 
+    # heavy TPC-H shape: Q18 (agg + HAVING + join-back on the same key) —
+    # bucketing serves BOTH the aggregate and the join
+    li_full = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li_full.write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("probe_lineitem_full_b")
+    )
+    lifb = spark.table("probe_lineitem_full_b")
+    q18_plain = q18_shape(o, li_full)
+    q18_bucketed = q18_shape(ob, lifb)
+    t_q18_plain = timed(q18_plain)
+    t_q18_bucketed = timed(q18_bucketed)
+    x_q18_plain = n_exchanges(q18_plain)
+    x_q18_bucketed = n_exchanges(q18_bucketed)
+    a = {tuple(r) for r in q18_plain.collect()}
+    b = {tuple(r) for r in q18_bucketed.collect()}
+    assert a == b, "bucketed Q18 shape changed the result"
+
     print(
         json.dumps(
             {
@@ -109,12 +146,17 @@ def main() -> None:
                 "bucketed_exchanges": x_bucketed,
                 "bucket_build_sec": t_build,
                 "n_buckets": n_buckets,
+                "q18_plain_sec": t_q18_plain,
+                "q18_plain_exchanges": x_q18_plain,
+                "q18_bucketed_sec": t_q18_bucketed,
+                "q18_bucketed_exchanges": x_q18_bucketed,
                 "sf_dir": SF_DIR,
             }
         )
     )
     spark.sql("DROP TABLE IF EXISTS probe_orders_b")
     spark.sql("DROP TABLE IF EXISTS probe_lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS probe_lineitem_full_b")
 
 
 if __name__ == "__main__":

@@ -217,6 +217,39 @@ def test_markov_probabilities_sum_to_one(spark, sf_dir):
         assert abs(r["s"] - 1.0) < 1e-4  # round6 per-cell drift bound
 
 
+def test_hll_portable_registers_merge(spark, sf_dir):
+    """HLL register files are max-mergeable: building per-day partial
+    register files and merging them (max per register) must equal the
+    registers built over the whole table — the materialize-partials /
+    merge-later cardinality pattern."""
+    from etl_data_processor_spark.io import Catalog
+    from etl_data_processor_spark.queries_ext2 import _hll_registers
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    whole = _hll_registers(
+        ev.select("event_type", "user_id"), ["event_type"], F.col("user_id")
+    )
+    partials = _hll_registers(
+        ev, ["event_type", "day"], F.col("user_id")
+    )
+    merged = partials.groupBy("event_type", "reg").agg(
+        F.max("m").alias("m")
+    )
+    assert rows(merged) == rows(whole)
+
+
+def test_hll_portable_estimate_close_to_exact(spark, sf_dir):
+    got = QUERIES["q_sketch_hll_portable"](spark, sf_dir).collect()
+    assert got
+    for r in got:
+        # m=64 -> ~13% standard error; 3 sigma bound
+        assert abs(r["hll6"] - r["exact_distinct"]) <= max(
+            5, 0.4 * r["exact_distinct"]
+        )
+
+
 def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     """OHLC must plan as one hash aggregate — no window/sort stage."""
     plan = plan_of(QUERIES["q_ts_ohlc"](spark, sf_dir))
