@@ -918,6 +918,295 @@ def q_sliding_distinct(spark, sf_dir):
 
 
 # =====================================================================
+# Portable SimHash (fully oracled signature)
+# =====================================================================
+
+_M32 = 1 << 32
+
+
+def _charfold32(tok):
+    """Portable 32-bit polynomial string hash (Horner, base 31, mod 2^32)
+    as a pure Column fold — char codes via ascii(substr), so DuckDB
+    derives the bit-identical value (xxhash64, the production hash, has no
+    DuckDB twin; this hash exists to make the signature DIFFERENTIALLY
+    TESTABLE — swap back for xxhash64 at scale, same plan shape)."""
+    codes = F.when(
+        F.length(tok) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + c) % F.lit(_M32),
+    )
+
+
+_CHARFOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({t}) + 1), "
+    "i -> CAST(ascii(substr({t}, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+    "(a, c) -> (a * 31 + c) % 4294967296)"
+)
+
+
+@q(
+    "q_simhash_portable",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS t
+        FROM documents
+    ),
+    h AS (SELECT doc_id, {_CHARFOLD_SQL.format(t="t")} AS h FROM tok),
+    bits AS (
+        SELECT doc_id, CAST(b.b AS INTEGER) AS bit,
+               CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM h, UNNEST(range(32)) AS b(b)
+    ),
+    votes AS (SELECT doc_id, bit, SUM(s) AS v FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id
+    """,
+)
+def q_simhash_portable(spark, sf_dir):
+    """PORTABLE SimHash: 32-bit near-dup signature by per-bit token-hash
+    voting, fully value-matched against DuckDB — the third portable sketch
+    family after count-min (q_sketch_cms) and HyperLogLog
+    (q_sketch_hll_portable); the production simhash (q_dedup_simhash,
+    xxhash64-based) stays rows-only because DuckDB cannot reproduce
+    xxhash64. Same single-pass array-accumulator plan as ops.dedup.simhash
+    (one 32-counter vote fold per doc, no explode, no shuffle beyond the
+    parallelism repartition); the oracle spells the identical math as a
+    tall-form SQL — two different algorithm SHAPES, one set of values."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(_cat(spark, sf_dir).documents.select("doc_id", "text"))
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hashes = F.transform(toks, _charfold32)
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return d.select("doc_id", sig.alias("sig"))
+
+
+# =====================================================================
+# Exact OLS trend per series
+# =====================================================================
+
+@q(
+    "q_trend_ols",
+    """
+    WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+    v AS (
+        SELECT event_type,
+               CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vu
+        FROM events, d0
+    ),
+    mo AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(vu) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * vu) AS BIGINT) AS sxy
+        FROM v GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+        FROM mo
+    )
+    SELECT est.event_type, est.n,
+           CAST(FLOOR(slope * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               AS slope6,
+           CAST(FLOOR(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                       / mo.n) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               AS intercept6
+    FROM est JOIN mo ON est.event_type = mo.event_type
+    """,
+)
+def q_trend_ols(spark, sf_dir):
+    """Per-series least-squares trend (slope + intercept of centi-value
+    over day index) with EXACT integer moments: n, Σx, Σy, Σx², Σxy are
+    int64 aggregates (order-independent), and slope/intercept are derived
+    by an identical IEEE sequence on both engines — the q_corr_exact /
+    q_zscore_pandas technique applied to regression. The day index is
+    measured from MIN(day) (1-row broadcast), keeping x small enough that
+    every cross-moment stays exact in int64 at any scale factor. ONE
+    partial+final aggregate over the fact table; the moment frame is
+    |series| rows."""
+    ev = _cat(spark, sf_dir).events
+    v = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("vu"),
+    )
+    d0 = v.agg(F.min("day").alias("d0"))
+    j = v.crossJoin(F.broadcast(d0)).select(
+        "event_type",
+        F.datediff(F.col("day"), F.col("d0")).cast("long").alias("x"),
+        "vu",
+    )
+    mo = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("vu").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("vu")).alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    est = mo.withColumn("slope", slope)
+    intercept = (
+        F.col("sy").cast("double") - F.col("slope") * F.col("sx").cast("double")
+    ) / F.col("n")
+    return est.select(
+        "event_type",
+        "n",
+        stable_round6(F.col("slope")).alias("slope6"),
+        stable_round6(intercept).alias("intercept6"),
+    )
+
+
+# =====================================================================
+# Entity-resolution golden record
+# =====================================================================
+
+@q(
+    "q_golden_record",
+    """
+    WITH RECURSIVE k AS (SELECT DISTINCT p_name FROM part),
+    ids AS (SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS nid FROM k),
+    pairs AS (
+        SELECT a.p_name AS na, b.p_name AS nb
+        FROM k a JOIN k b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS (
+        SELECT ia.nid AS u, ib.nid AS v
+        FROM pairs JOIN ids ia ON na = ia.p_name JOIN ids ib ON nb = ib.p_name
+    ),
+    sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+    walk AS (
+        SELECT nid AS node, nid AS comp FROM ids
+        UNION
+        SELECT e.v AS node, w.comp FROM walk w JOIN sym e ON e.u = w.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS comp FROM walk GROUP BY node),
+    m AS (
+        SELECT c.comp, p.p_name, p.p_brand, p.p_retailprice
+        FROM part p JOIN ids i ON p.p_name = i.p_name
+        JOIN comp c ON i.nid = c.node
+    ),
+    agg AS (
+        SELECT comp, MIN(p_name) AS canonical_name, COUNT(*) AS n_members,
+               COUNT(DISTINCT p_name) AS n_variants,
+               MAX(p_retailprice) AS price_max
+        FROM m GROUP BY comp
+    ),
+    bc AS (SELECT comp, p_brand, COUNT(*) AS c FROM m GROUP BY 1, 2),
+    bm AS (
+        SELECT comp, p_brand AS brand_mode FROM (
+            SELECT comp, p_brand,
+                   ROW_NUMBER() OVER (PARTITION BY comp
+                                      ORDER BY c DESC, p_brand) AS rk
+            FROM bc
+        ) WHERE rk = 1
+    )
+    SELECT canonical_name, n_members, n_variants, price_max, brand_mode
+    FROM agg JOIN bm ON agg.comp = bm.comp
+    """,
+)
+def q_golden_record(spark, sf_dir):
+    """Entity-resolution GOLDEN RECORD: fuzzy-match part names (levenshtein
+    <= 2, lossless length-band blocking), close the match graph with
+    connected components, then consolidate one record per entity cluster —
+    lexicographic-min canonical name, deterministic brand mode (count desc,
+    brand asc), max price, member/variant counts. This is the master-data
+    deliverable B49+B50 exist to feed. Names map to dense integer node ids
+    by sorted rank (the CC contract wants longs; at 100 TB swap the
+    rank window for a fingerprint id — plan shape unchanged). Cluster
+    graphs are pair-bounded and tiny; the only full-table work is one scan
+    of part joined to the broadcast-scale name->cluster map."""
+    from etl_data_processor_spark.ops.graph import connected_components
+    from etl_data_processor_spark.ops.text import fuzzy_key_pairs
+
+    part = _cat(spark, sf_dir).part
+    ids = (
+        part.select("p_name")
+        .distinct()
+        .withColumn("nid", F.row_number().over(Window.orderBy("p_name")))
+    )
+    ids.cache()  # consumed by both edge endpoints + the member map
+    pairs = fuzzy_key_pairs(part, "p_name", max_dist=2)
+    edges = (
+        pairs.join(
+            ids.select(F.col("p_name").alias("key_a"), F.col("nid").alias("id_a")),
+            "key_a",
+        )
+        .join(
+            ids.select(F.col("p_name").alias("key_b"), F.col("nid").alias("id_b")),
+            "key_b",
+        )
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges)
+    comp = (
+        ids.join(cc, ids["nid"] == cc["node"], "left")
+        .select(
+            "p_name", F.coalesce(F.col("component"), F.col("nid")).alias("comp")
+        )
+    )
+    m = part.select("p_name", "p_brand", "p_retailprice").join(
+        F.broadcast(comp), "p_name"
+    )
+    agg = m.groupBy("comp").agg(
+        F.min("p_name").alias("canonical_name"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("p_name").alias("n_variants"),
+        F.max("p_retailprice").alias("price_max"),
+    )
+    bc = m.groupBy("comp", "p_brand").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("comp").orderBy(F.col("c").desc(), F.col("p_brand"))
+    bm = (
+        bc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("comp", F.col("p_brand").alias("brand_mode"))
+    )
+    return agg.join(bm, "comp").select(
+        "canonical_name", "n_members", "n_variants", "price_max", "brand_mode"
+    )
+
+
+# =====================================================================
 # Per-group z-score via applyInPandas, exact-moments oracle
 # =====================================================================
 

@@ -1210,10 +1210,24 @@ def q_array_agg(spark, sf_dir):
     )
 
 
-@q("q_udtf")  # rows-only: UDTF output is Python-side generated
+@q(
+    "q_udtf",
+    r"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id, ws[CAST(t.i AS INTEGER)] AS token,
+           CAST(t.i - 1 AS INTEGER) AS token_index
+    FROM d, UNNEST(range(1, len(ws) + 1)) AS t(i)
+    """,
+)
 def q_udtf(spark, sf_dir):
     """B35: Spark 4 user-defined table function — explodes each document into
-    (doc_id, token, token_index) rows via a Python UDTF."""
+    (doc_id, token, token_index) rows via a Python UDTF. Oracled since
+    round 2: Python str.split() on these docs == the RE2 whitespace split
+    the SQL spells out, so the UDTF output is fully value-checked (it was
+    rows-only in round 1)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id: bigint, token: string, token_index: int")
