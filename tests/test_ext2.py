@@ -255,3 +255,61 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     plan = plan_of(QUERIES["q_ts_ohlc"](spark, sf_dir))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_trend_ols_single_aggregate_no_window(spark, sf_dir):
+    """The OLS moments must come from one partial+final aggregate over the
+    fact table — a window or sort here would be the wrong plan."""
+    plan = plan_of(QUERIES["q_trend_ols"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan  # the 1-row min-day frame must broadcast
+
+
+def test_golden_record_cluster_map_broadcasts(spark, sf_dir):
+    """The name->cluster map is pair-bounded and must broadcast — a
+    shuffle of the full part table against it would be the 100 TB
+    anti-pattern."""
+    plan = plan_of(QUERIES["q_golden_record"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_set_similarity_joins_are_equi(spark, sf_dir):
+    """Prefix-filter and containment joins must plan as hash equi-joins on
+    the token key — never nested-loop all-pairs."""
+    for name in ["q_jaccard_join_prefix", "q_containment_join"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_portable_is_narrow(spark, sf_dir):
+    """The portable SimHash signature plan must stay narrow: no join, no
+    window, no aggregate exchange — per-doc array folds only."""
+    plan = plan_of(QUERIES["q_simhash_portable"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_simhash_portable_matches_reference_fold(spark, sf_dir):
+    """The 32-bit signature equals a per-row Python recomputation of the
+    same definition (char-fold hash + majority bit voting)."""
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in QUERIES["q_simhash_portable"](spark, sf_dir).collect()
+    }
+    from etl_data_processor_spark.io import Catalog
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text").collect()
+    M32 = 1 << 32
+    for r in docs:
+        votes = [0] * 32
+        for tok in r["text"].strip().lower().split():
+            h = 0
+            for ch in tok:
+                h = (h * 31 + ord(ch)) % M32
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(32) if votes[b] > 0)
+        assert got[r["doc_id"]] == sig, r["doc_id"]
