@@ -89,6 +89,37 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_by: list[str]
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leave every other partition untouched — the idempotent-backfill
+    primitive (re-running a day's job rewrites that day, never truncates
+    the table, unlike mode='overwrite' whose static form drops ALL
+    partitions). Scoped via the writer option, not a session conf, so
+    concurrent writers with different semantics don't race on global
+    state. At 100 TB this is how incremental daily builds stay
+    re-runnable."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footer schemas of every file under
+    ``path`` (``mergeSchema``) so late-added columns surface as nulls on
+    old files instead of being silently dropped (Spark's default reads the
+    schema of ONE footer). Worth its one-time footer-listing cost only on
+    evolving tables — static tables should keep the default single-footer
+    read."""
+    return normalize_ntz(
+        spark.read.option("mergeSchema", "true").parquet(path)
+    )
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

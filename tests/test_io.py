@@ -307,3 +307,64 @@ def test_write_zordered_gives_both_keys_locality(spark, tmp_path):
     assert zy < cy / 2, (zy, cy)
     # the data survives the layout change
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_overwrite_partitions_is_surgical(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite replaces only the partitions present in
+    the incoming frame — the idempotent daily-backfill contract; static
+    overwrite would truncate every other partition."""
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.io import (
+        Catalog,
+        overwrite_partitions,
+        write_parquet,
+    )
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", "user_id", F.to_date("ts").alias("day")
+    )
+    days = [r["day"] for r in ev.select("day").distinct().orderBy("day").limit(3).collect()]
+    base = ev.filter(F.col("day").isin(days))
+    path = str(tmp_path / "tbl")
+    write_parquet(base, path, partition_by=["day"])
+    before_other = (
+        spark.read.parquet(path).filter(F.col("day") != days[1]).count()
+    )
+
+    # backfill day[1] with a reduced set (every other event)
+    patch = base.filter(
+        (F.col("day") == days[1]) & (F.col("event_id") % 2 == 0)
+    )
+    n_patch = patch.count()
+    overwrite_partitions(patch, path, ["day"])
+
+    got = spark.read.parquet(path)
+    assert got.filter(F.col("day") != days[1]).count() == before_other
+    assert got.filter(F.col("day") == days[1]).count() == n_patch
+    # idempotent: re-running the same backfill changes nothing
+    overwrite_partitions(patch, path, ["day"])
+    assert spark.read.parquet(path).count() == before_other + n_patch
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """mergeSchema read surfaces late-added columns as nulls on old files
+    instead of dropping them."""
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.io import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("old").alias("tag")).write.parquet(
+        f"{path}/part=1"
+    )
+    spark.range(5, 8).select(
+        F.col("id"),
+        F.lit("new").alias("tag"),
+        F.lit(1.5).alias("score"),
+    ).write.parquet(f"{path}/part=2")
+
+    got = read_parquet_evolved(spark, path)
+    assert "score" in got.columns
+    assert got.count() == 8
+    assert got.filter(F.col("score").isNull()).count() == 5
