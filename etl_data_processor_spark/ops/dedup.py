@@ -436,6 +436,71 @@ def simhash_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    tk: DataFrame,
+    id_col: str = "doc_id",
+    toks_col: str = "toks",
+    threshold_frac: tuple[int, int] = (7, 10),
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin): ``tk`` is (id, toks: array<string> of DISTINCT set elements);
+    returns (id_a, id_b, jaccard) for all pairs with Jaccard >= p/q
+    (``threshold_frac``), id_a < id_b.
+
+    Elements are ranked rarest-global-frequency-first (ties by value); a
+    set of n elements keeps a prefix of n - ceil(p*n/q) + 1. The
+    prefix-filtering lemma guarantees any qualifying pair shares a prefix
+    element (recall 1 — no probabilistic miss, unlike MinHash-LSH), and
+    the exact-Jaccard verify keeps precision 1. The prefix length uses
+    exact integer arithmetic: ceil(p*n/q) == (p*n + q - 1) div q.
+
+    Plan: element-frequency aggregate + per-set rank window + equi-join on
+    the (rare) prefix elements — candidate volume is driven by rare
+    elements, never all-pairs."""
+    p_, q_ = threshold_frac
+    thr = p_ / q_
+    tk = tk.select(id_col, toks_col)
+    tk.cache()  # consumed by ranking and twice by the verify join
+    ex = tk.select(
+        id_col, F.size(toks_col).alias("n"), F.explode(toks_col).alias("tok")
+    )
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    ranked = ex.join(dfreq, "tok").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("df", "tok")),
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr(f"({p_}*n + {q_ - 1}) div {q_}") + 1
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            tk.select(F.col(id_col).alias("id_a"), F.col(toks_col).alias("ta")),
+            "id_a",
+        )
+        .join(
+            tk.select(F.col(id_col).alias("id_b"), F.col(toks_col).alias("tb")),
+            "id_b",
+        )
+        .withColumn("jaccard", exact_jaccard(F.col("ta"), F.col("tb")))
+        .filter(F.col("jaccard") >= thr)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs_between(
     left: DataFrame,
     right: DataFrame,

@@ -538,50 +538,11 @@ def q_jaccard_join_prefix(spark, sf_dir):
     window + equi-join on the (rare) prefix tokens — candidate volume is
     driven by rare tokens, never all-pairs. The oracle is the naive
     all-pairs definition, so the gate proves the filter drops nothing."""
+    from etl_data_processor_spark.ops.dedup import prefix_filter_jaccard_pairs
+
     d = _cat(spark, sf_dir).documents
     tk = d.select("doc_id", word_shingles(F.col("text")).alias("toks"))
-    tk.cache()  # consumed by ranking and twice by the verify join
-    ex = tk.select(
-        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
-    )
-    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(dfreq, "tok").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
-        ),
-    )
-    # prefix length n - ceil(0.7n) + 1, with ceil(0.7n) == (7n+9) div 10
-    # computed in exact integers
-    pref = ranked.filter(
-        F.col("rn") <= F.col("n") - F.expr("(7*n + 9) div 10") + 1
-    )
-    cand = (
-        pref.alias("a")
-        .join(
-            pref.alias("b"),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    j = exact_jaccard(F.col("ta"), F.col("tb"))
-    return (
-        cand.join(
-            tk.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta")),
-            "id_a",
-        )
-        .join(
-            tk.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb")),
-            "id_b",
-        )
-        .withColumn("jaccard", j)
-        .filter(F.col("jaccard") >= 0.7)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return prefix_filter_jaccard_pairs(tk, "doc_id", "toks", (7, 10))
 
 
 # =====================================================================
@@ -826,6 +787,117 @@ def q_sketch_hll_portable(spark, sf_dir):
         )
         .join(exact, "event_type")
         .select("event_type", "hll6", "exact_distinct")
+    )
+
+
+# =====================================================================
+# Sliding-window distinct via merged HLL registers
+# =====================================================================
+
+@q(
+    "q_sliding_distinct_hll",
+    f"""
+    WITH h AS (
+        SELECT CAST(ts AS DATE) AS day, {hash32_sql("user_id")} AS h
+        FROM (SELECT ts, user_id FROM events)
+    ),
+    r AS (SELECT day, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM h),
+    rho AS (
+        SELECT day, reg,
+               MAX(CASE WHEN rest = 0 THEN 27
+                        ELSE 27 - length(bin(rest)) END) AS m
+        FROM r GROUP BY 1, 2
+    ),
+    ex AS (
+        SELECT CAST(day + CAST(t.i AS INTEGER) AS DATE) AS wend, reg, m
+        FROM rho, range(7) AS t(i)
+    ),
+    mg AS (SELECT wend, reg, MAX(m) AS m FROM ex GROUP BY 1, 2),
+    agg AS (
+        SELECT wend, COUNT(*) AS nobs,
+               SUM(1.0 / CAST((1::BIGINT << m) AS DOUBLE)) AS s_obs
+        FROM mg GROUP BY 1
+    ),
+    est AS (
+        SELECT wend, CAST({_HLL_M} - nobs AS BIGINT) AS v,
+               CAST({_HLL_ALPHA!r} AS DOUBLE) * {_HLL_M * _HLL_M}.0
+               / (s_obs + ({_HLL_M} - nobs) * 1.0) AS e_raw
+        FROM agg
+    ),
+    exact AS (
+        SELECT wend, COUNT(DISTINCT user_id) AS exact_users
+        FROM (
+            SELECT CAST(CAST(ts AS DATE) + CAST(t.i AS INTEGER) AS DATE)
+                       AS wend, user_id
+            FROM events, range(7) AS t(i)
+        ) GROUP BY 1
+    )
+    SELECT est.wend,
+           CAST(FLOOR(
+               (CASE WHEN e_raw <= {2.5 * _HLL_M!r} AND v > 0
+                     THEN {_HLL_M}.0 * ln({_HLL_M}.0 / v)
+                     ELSE e_raw END) * 1000000.0 + 0.5
+           ) AS DOUBLE) / 1000000.0 AS hll6,
+           exact.exact_users
+    FROM est JOIN exact ON est.wend = exact.wend
+    """,
+)
+def q_sliding_distinct_hll(spark, sf_dir):
+    """Trailing-7-day distinct users via MERGED HLL register files — the
+    at-scale counterpart to q_sliding_distinct's exact rewrite. Per-day
+    register files (64 rows/day, built once from the fact table) explode
+    to the <=7 window-ends they feed and merge by MAX — so the sliding
+    re-aggregation touches 64 x days rows TOTAL, independent of both the
+    event volume and the user cardinality (the exact form shuffles
+    |distinct day-user| x 7). Same portable register/estimator math as
+    q_sketch_hll_portable, so the whole thing — including the
+    approximation — is value-matched against DuckDB; exact counts ride
+    along to expose the HLL error."""
+    ev = _cat(spark, sf_dir).events
+    regs_day = _hll_registers(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        ["day"],
+        F.col("user_id"),
+    )
+    ex = regs_day.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "day",
+        "reg",
+        "m",
+    ).select(F.date_add(F.col("day"), F.col("i")).alias("wend"), "reg", "m")
+    merged = ex.groupBy("wend", "reg").agg(F.max("m").alias("m"))
+    term = F.lit(1.0) / F.expr("cast(shiftleft(1L, m) as double)")
+    agg = merged.groupBy("wend").agg(
+        F.count(F.lit(1)).alias("nobs"), F.sum(term).alias("s_obs")
+    )
+    est = agg.select(
+        "wend",
+        (F.lit(_HLL_M) - F.col("nobs")).cast("long").alias("v"),
+        (
+            F.lit(_HLL_ALPHA)
+            * F.lit(float(_HLL_M * _HLL_M))
+            / (F.col("s_obs") + (F.lit(_HLL_M) - F.col("nobs")) * F.lit(1.0))
+        ).alias("e_raw"),
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / F.col("v")),
+    ).otherwise(F.col("e_raw"))
+    du = ev.select(F.to_date("ts").alias("day"), "user_id")
+    exact = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add(F.col("day"), F.col("i")).alias("wend"), "user_id")
+        .groupBy("wend")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        est.select("wend", stable_round6(corrected).alias("hll6"))
+        .join(exact, "wend")
+        .select("wend", "hll6", "exact_users")
     )
 
 

@@ -31,7 +31,53 @@ PARTITION_INVARIANT_SAMPLE = [
     "q_emb_quantize",
     "q_corr_exact",
     "q_agg_incremental",
+    # round-2 batch #2/#3: sketch, similarity-join and trend ops — the
+    # portable-hash and exact-moments designs promise layout independence
+    "q_sketch_hll_portable",
+    "q_jaccard_join_prefix",
+    "q_trend_ols",
+    "q_sliding_distinct_hll",
 ]
+
+
+def test_prefix_filter_equals_bruteforce_on_random_corpora(spark):
+    """The prefix-filtering lemma implementation must equal brute force on
+    adversarial random corpora — small vocabularies force heavy
+    global-frequency TIES, the place where a wrong rank order silently
+    breaks recall (the fixture gate can't exercise this)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.ops.dedup import (
+        exact_jaccard,
+        prefix_filter_jaccard_pairs,
+    )
+
+    for seed in [1, 7, 42]:
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(6)]
+        docs = []
+        for i in range(14):
+            n = rng.randint(1, 6)
+            docs.append((i, sorted(rng.sample(vocab, n))))
+        tk = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_pairs(
+                tk, "doc_id", "toks", (7, 10)
+            ).collect()
+        }
+        a = tk.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+        b = tk.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(exact_jaccard(F.col("ta"), F.col("tb")) >= 0.7)
+            .collect()
+        }
+        assert got == brute, (seed, got ^ brute)
 
 
 def canon(rows, cols):
