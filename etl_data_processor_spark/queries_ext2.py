@@ -990,6 +990,102 @@ def q_sliding_distinct(spark, sf_dir):
 
 
 # =====================================================================
+# Period-over-period change
+# =====================================================================
+
+@q(
+    "q_period_over_period",
+    f"""
+    WITH wk AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
+                   AS rev_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, week, rev_cents,
+           CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+               {_ROUND6.format(x="CAST(rev_cents - prev AS DOUBLE) / CAST(prev AS DOUBLE)")}
+           END AS wow6
+    FROM (
+        SELECT *, LAG(rev_cents) OVER (PARTITION BY o_orderpriority
+                                       ORDER BY week) AS prev
+        FROM wk
+    )
+    """,
+)
+def q_period_over_period(spark, sf_dir):
+    """Week-over-week revenue change per priority — the period-comparison
+    op every BI layer ships. Exact integer cents aggregate; the lag window
+    and the ratio run over the tiny weekly frame, so the fact shuffle is
+    the aggregate's only exchange; the change ratio is exact-int division
+    in identical IEEE ops (NULL for the first week / zero base)."""
+    o = _cat(spark, sf_dir).orders
+    wk = o.groupBy(
+        "o_orderpriority",
+        F.to_date(F.date_trunc("week", F.col("o_orderdate"))).alias("week"),
+    ).agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
+    prev = F.lag("rev_cents").over(
+        Window.partitionBy("o_orderpriority").orderBy("week")
+    )
+    withprev = wk.withColumn("prev", prev)
+    wow = F.when(
+        F.col("prev").isNotNull() & (F.col("prev") != 0),
+        stable_round6(
+            (F.col("rev_cents") - F.col("prev")).cast("double")
+            / F.col("prev").cast("double")
+        ),
+    )
+    return withprev.select(
+        "o_orderpriority", "week", "rev_cents", wow.alias("wow6")
+    )
+
+
+# =====================================================================
+# Top event paths (sequence mining)
+# =====================================================================
+
+@q(
+    "q_top_paths",
+    """
+    WITH seq AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t2,
+               LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS t3
+        FROM events
+    )
+    SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+    FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_top_paths(spark, sf_dir):
+    """Top-20 length-3 event paths across user journeys — the sequence-
+    mining rollup behind flow diagrams. One window shuffle on user_id (two
+    leads share the frame), one path aggregate (|types|^3 rows max), and
+    the limit plans as TakeOrdered — no global sort materializes.
+    Deterministic ties: (count desc, path asc)."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t1", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+# =====================================================================
 # Incremental dedup (delta-ingest pairs)
 # =====================================================================
 
