@@ -852,7 +852,8 @@ def q_sliding_distinct_hll(spark, sf_dir):
     |distinct day-user| x 7). Same portable register/estimator math as
     q_sketch_hll_portable, so the whole thing — including the
     approximation — is value-matched against DuckDB; exact counts ride
-    along to expose the HLL error."""
+    along here to expose the HLL error (a production run at scale drops
+    the exact branch — it IS the cost this operator exists to avoid)."""
     ev = _cat(spark, sf_dir).events
     regs_day = _hll_registers(
         ev.select(F.to_date("ts").alias("day"), "user_id"),

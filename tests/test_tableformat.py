@@ -1,0 +1,124 @@
+"""Log-structured parquet table format (etl_data_processor_spark/
+tableformat.py): snapshot isolation, time travel, optimistic concurrency,
+compaction and vacuum."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark import tableformat as TF
+
+
+def ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+def test_append_is_transactional_and_versioned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = TF.append(spark.range(0, 5), t)
+    v1 = TF.append(spark.range(5, 8), t)
+    assert (v0, v1) == (0, 1)
+    assert ids(TF.read(spark, t)) == list(range(8))
+    # time travel: the first snapshot is still replayable
+    assert ids(TF.read(spark, t, version=0)) == list(range(5))
+    assert [c["mode"] for c in TF.history(t)] == ["append", "append"]
+
+
+def test_overwrite_replaces_snapshot_with_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 5), t)
+    v = TF.overwrite(spark.range(100, 103), t)
+    assert ids(TF.read(spark, t)) == [100, 101, 102]
+    assert ids(TF.read(spark, t, version=v - 1)) == list(range(5))
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(5):
+        TF.append(spark.range(i * 10, i * 10 + 10).repartition(4), t)
+    before = ids(TF.read(spark, t))
+    v = TF.compact(spark, t, target_files=2)
+    assert ids(TF.read(spark, t)) == before
+    # one live group after compaction
+    assert len(TF._live_groups(t)) == 1
+    # pre-compaction snapshot still replays the old layout
+    assert ids(TF.read(spark, t, version=v - 1)) == before
+
+
+def test_append_rebases_on_conflict_overwrite_fails(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 3), t)
+
+    # simulate a racing writer claiming the next version
+    real_publish = TF._try_publish
+    raced = {"done": False}
+
+    def racing_publish(table_dir, version, commit):
+        if not raced["done"]:
+            raced["done"] = True
+            real_publish(
+                table_dir,
+                version,
+                {"version": version, "mode": "append", "ts_unix": 0,
+                 "actions": []},
+            )
+        return real_publish(table_dir, version, commit)
+
+    TF._try_publish = racing_publish
+    try:
+        v = TF.append(spark.range(3, 6), t)  # loses v1, lands at v2
+    finally:
+        TF._try_publish = real_publish
+    assert v == 2
+    assert ids(TF.read(spark, t)) == list(range(6))
+
+    # overwrite computed against a stale head must refuse
+    head = TF._versions(t)[-1]
+    real_publish(
+        t, head + 1,
+        {"version": head + 1, "mode": "append", "ts_unix": 0, "actions": []},
+    )
+    g = TF._write_group(spark.range(99, 100), t)
+    with pytest.raises(TF.ConflictError):
+        TF._commit(t, "overwrite", [g], removes_from=head)
+
+
+def test_vacuum_reclaims_old_and_orphaned_groups(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 5), t)
+    TF.overwrite(spark.range(5, 9), t)
+    # crash-orphan: a data group no commit ever referenced
+    os.makedirs(os.path.join(t, "data", "deadbeef" * 4))
+    dropped = TF.vacuum(t, keep_versions=1)
+    assert len(dropped) == 2  # the overwritten group + the orphan
+    assert ids(TF.read(spark, t)) == [5, 6, 7, 8]
+    # time travel beyond retention is gone (files deleted)
+    with pytest.raises(Exception):
+        TF.read(spark, t, version=0).collect()
+
+
+def test_upsert_composes_with_apply_changes(spark, tmp_path):
+    """The CDC MERGE op composes with the table format: read snapshot,
+    apply a change batch, commit as overwrite — the Delta MERGE loop in
+    plain parquet."""
+    from etl_data_processor_spark.ops.cdc import apply_changes
+
+    t = str(tmp_path / "t")
+    TF.append(
+        spark.range(0, 10).select(
+            F.col("id"), (F.col("id") * 10).alias("val")
+        ),
+        t,
+    )
+    changes = spark.createDataFrame(
+        [(3, 999, "U"), (11, 110, "I"), (5, 0, "D")], "id long, val long, op string"
+    )
+    snap = TF.read(spark, t)
+    merged = apply_changes(snap, changes, key="id")
+    TF.overwrite(merged, t)
+    got = {r["id"]: r["val"] for r in TF.read(spark, t).collect()}
+    assert got[3] == 999 and got[11] == 110 and 5 not in got
+    assert len(got) == 10
