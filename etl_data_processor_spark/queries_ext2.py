@@ -991,6 +991,78 @@ def q_sliding_distinct(spark, sf_dir):
 
 
 # =====================================================================
+# Table-format lifecycle (log-structured commits end-to-end)
+# =====================================================================
+
+@q(
+    "q_tableformat_lifecycle",
+    f"""
+    WITH snap AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN {_CENTS_SQL.format(c="o_totalprice")} + 100
+                    ELSE {_CENTS_SQL.format(c="o_totalprice")} END AS cents
+        FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM snap GROUP BY 1
+    """,
+)
+def q_tableformat_lifecycle(spark, sf_dir):
+    """END-TO-END lifecycle of the log-structured table format
+    (tableformat.py), oracle-gated: append orders with orderkey%3==0,
+    append the %5 slice, transactionally OVERWRITE the %5 slice's rows
+    with +100-cent corrected values (read-modify-write through a snapshot
+    read), compact, then aggregate the head snapshot. The oracle computes
+    the expected FINAL state directly from the fixture — so the gate
+    proves commits, snapshot isolation, replace semantics and compaction
+    preserve exactly the right rows. Runs in a throwaway table dir; every
+    stage is a committed version (history length 4)."""
+    import tempfile
+
+    from etl_data_processor_spark import tableformat as TF
+
+    o = _cat(spark, sf_dir).orders.select(
+        "o_orderkey", "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    t = tempfile.mkdtemp(prefix="tf_lifecycle_")
+    TF.append(o.filter(F.col("o_orderkey") % 3 == 0), t)
+    TF.append(
+        o.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 3 != 0)
+        ),
+        t,
+    )
+    snap = TF.read(spark, t)
+    corrected = snap.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("cents") + 100
+        ).otherwise(F.col("cents")).alias("cents"),
+    )
+    TF.overwrite(corrected, t)
+    TF.compact(spark, t, target_files=2)
+    assert len(TF.history(t)) == 4
+    result = (
+        TF.read(spark, t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        # materialize BEFORE deleting the throwaway table — the caller
+        # consumes the (lazy) result after this function returns
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(t, ignore_errors=True)
+    return result
+
+
+# =====================================================================
 # Period-over-period change
 # =====================================================================
 
