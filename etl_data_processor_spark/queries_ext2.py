@@ -450,6 +450,121 @@ def q_range_bin_join(spark, sf_dir):
 
 
 # =====================================================================
+# Equi-depth histogram profiling
+# =====================================================================
+
+_DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+@q(
+    "q_profile_equidepth",
+    f"""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, {_DECILES!r}) AS bs
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT e.event_type, e.value,
+               CAST(len(list_filter(b.bs, x -> e.value > x)) AS INTEGER)
+                   AS bucket
+        FROM events e JOIN b ON e.event_type = b.event_type
+    )
+    SELECT event_type, bucket, COUNT(*) AS n,
+           MIN(value) AS bucket_min, MAX(value) AS bucket_max
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q_profile_equidepth(spark, sf_dir):
+    """Equi-depth (decile) histogram per series — the profiling complement
+    to q_profile_hist's fixed grid: bucket BOUNDARIES adapt to the data
+    (what query optimizers store), so skewed distributions still get ~10%
+    of rows per bucket. Exact interpolated deciles (engine parity proven
+    by q_percentile_exact) come from one aggregate; each row's bucket is
+    the count of boundaries below it — an array filter against the
+    broadcast per-group boundary row, no sort, no ntile (a global ntile
+    would single-partition the sort at 100 TB; this is two hash
+    aggregates + a broadcast join)."""
+    ev = _cat(spark, sf_dir).events
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.array(*[F.lit(p) for p in _DECILES])).alias(
+            "bs"
+        )
+    )
+    a = ev.select("event_type", "value").join(F.broadcast(b), "event_type")
+    bucket = F.size(
+        F.filter(F.col("bs"), lambda x: F.col("value") > x)
+    ).cast("int")
+    return (
+        a.select("event_type", "value", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("bucket_min"),
+            F.max("value").alias("bucket_max"),
+        )
+    )
+
+
+# =====================================================================
+# Readability scoring
+# =====================================================================
+
+@q(
+    "q_text_readability",
+    f"""
+    WITH c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+')) AS words,
+               GREATEST(CAST(1 AS BIGINT),
+                        len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables,
+           CASE WHEN words > 0 THEN
+               {_ROUND6.format(x="206.835 - 1.015 * (CAST(words AS DOUBLE) / sentences) - 84.6 * (CAST(syllables AS DOUBLE) / words)")}
+           END AS flesch6
+    FROM c
+    """,
+)
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document from regexp-counted words,
+    sentence marks and vowel-group syllable approximations — the
+    readability-based quality signal in the C4/Gopher filtering lineage.
+    Pure Column expressions (narrow, no shuffle); the score is exact-int
+    divisions and fixed literals, so both engines produce the identical
+    double (round6 for belt and braces). NULL when a doc has no words."""
+    d = _cat(spark, sf_dir).documents
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0)).cast("long")
+    sentences = F.greatest(
+        F.lit(1).cast("long"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), 0)).cast("long"),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)
+    ).cast("long")
+    c = d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        syllables.alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+    )
+    return c.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        F.when(F.col("words") > 0, stable_round6(flesch)).alias("flesch6"),
+    )
+
+
+# =====================================================================
 # BPE-ish regex token accounting
 # =====================================================================
 
