@@ -182,6 +182,37 @@ def _band_buckets(
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
 
 
+def minhash_band_buckets(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """(id, band, sig) band-bucket keys from a (id, shingles) frame — the
+    reusable LSH index artifact. Compute ONCE per corpus and slice by id
+    membership for every downstream use (self-pairs, bipartite pairs,
+    incremental delta joins): signatures are the expensive narrow pass, and
+    the bucket frame is what a 100 TB pipeline would persist as its
+    signature table. Parameters are seed-deterministic, so bucket frames
+    built separately (e.g. yesterday's corpus and today's delta) are
+    join-compatible."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+    p = (1 << 31) - 1
+    params = _affine_params(num_hashes, p)
+    hashed = shingled.withColumn(
+        "__h",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
+        ),
+    )
+    sigs = hashed.select(
+        id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
+    )
+    return _band_buckets(sigs, id_col, bands, rows_per_band)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -191,6 +222,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     shingled: DataFrame | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs, exact-verified.
 
@@ -214,10 +246,15 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 4.
     Rows/bands trade recall for cost: r = num_hashes/bands; the default
     16 bands × 2 rows gives recall 1-(1-j²)^16 — ≥ 1-8e-8 at j≥0.8.
-    """
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
 
+    ``buckets`` (optional): a precomputed band-bucket frame from
+    :func:`minhash_band_buckets` (possibly a filtered slice of a larger
+    corpus index) — pass it when a pipeline reuses one signature pass
+    across stages. One base hash per shingle, then universal-hash
+    permutations h_i = (a_i*h + b_i) mod p (Mersenne prime) — num_hashes
+    multiply-adds instead of num_hashes full string hashes per shingle,
+    all 62-bit-safe under ANSI mode.
+    """
     if shingled is not None:
         sh = shingled.select(id_col, "shingles")
     else:
@@ -226,30 +263,13 @@ def minhash_lsh_pairs(
         ).select(id_col, "shingles")
         sh.cache()  # reused for signatures and for the verify join
 
-    # One base hash per shingle, then universal-hash permutations
-    # h_i = (a_i*h + b_i) mod p (Mersenne prime) — num_hashes multiply-adds
-    # instead of num_hashes full string hashes per shingle, all 62-bit-safe
-    # under ANSI mode. The base-hash array is materialized as its own
-    # projection so the per-param transform reuses it instead of re-hashing
-    # the strings num_hashes times.
-    p = (1 << 31) - 1
-    params = _affine_params(num_hashes, p)
-    hashed = sh.withColumn(
-        "__h",
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
-        ),
-    )
-    sigs = hashed.select(
-        id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
-    )
-    buckets = _band_buckets(sigs, id_col, bands, rows_per_band)
-    # both sides of the self-join consume the bucket frame — without the
-    # persist the whole shingle->hash->signature subtree executes twice
-    # (once per side). At 100 TB this is exactly the "materialize the
-    # signature table once" practice.
-    buckets = buckets.cache()
+    if buckets is None:
+        buckets = minhash_band_buckets(sh, id_col, num_hashes, bands)
+        # both sides of the self-join consume the bucket frame — without
+        # the persist the whole shingle->hash->signature subtree executes
+        # twice (once per side). At 100 TB this is exactly the
+        # "materialize the signature table once" practice.
+        buckets = buckets.cache()
 
     left = buckets.alias("a")
     right = buckets.alias("b")
@@ -512,6 +532,8 @@ def minhash_lsh_pairs_between(
     threshold: float = 0.8,
     shingled_left: DataFrame | None = None,
     shingled_right: DataFrame | None = None,
+    buckets_left: DataFrame | None = None,
+    buckets_right: DataFrame | None = None,
 ) -> DataFrame:
     """Bipartite MinHash-LSH near-dup pairs ACROSS two corpora — the
     cross-table form of ``minhash_lsh_pairs`` (same signatures, same band
@@ -521,14 +543,16 @@ def minhash_lsh_pairs_between(
     The primary use is train-vs-benchmark decontamination: neither corpus
     is self-joined, so cost is |left ∩ right bucket collisions|, not either
     table's quadratic. Both sides MUST use the same hash params — they do,
-    because ``_affine_params`` is seed-deterministic."""
-    rows_per_band = num_hashes // bands
-    assert rows_per_band * bands == num_hashes
-    p = (1 << 31) - 1
-    params = _affine_params(num_hashes, p)
+    because ``_affine_params`` is seed-deterministic. ``buckets_left`` /
+    ``buckets_right`` accept precomputed :func:`minhash_band_buckets`
+    slices (keyed by ``id_col``) so a pipeline pays the signature pass
+    once."""
 
     def prep(
-        df: DataFrame, alias: str, pre: DataFrame | None
+        df: DataFrame,
+        alias: str,
+        pre: DataFrame | None,
+        bk: DataFrame | None,
     ) -> tuple[DataFrame, DataFrame]:
         if pre is not None:
             sh = pre.select(F.col(id_col).alias(alias), "shingles")
@@ -537,20 +561,19 @@ def minhash_lsh_pairs_between(
                 _parallelize(df.select(id_col, text_col)), text_col, k
             ).select(F.col(id_col).alias(alias), "shingles")
             sh.cache()
-        hashed = sh.withColumn(
-            "__h",
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)),
-            ),
+        if bk is None:
+            bk = minhash_band_buckets(
+                sh.select(F.col(alias).alias(id_col), "shingles"),
+                id_col,
+                num_hashes,
+                bands,
+            )
+        return sh, bk.select(
+            F.col(id_col).alias(alias), "band", "sig"
         )
-        sigs = hashed.select(
-            alias, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
-        )
-        return sh, _band_buckets(sigs, alias, bands, rows_per_band)
 
-    sh_l, bk_l = prep(left, "id_l", shingled_left)
-    sh_r, bk_r = prep(right, "id_r", shingled_right)
+    sh_l, bk_l = prep(left, "id_l", shingled_left, buckets_left)
+    sh_r, bk_r = prep(right, "id_r", shingled_right, buckets_right)
     candidates = (
         bk_l.join(bk_r, ["band", "sig"]).select("id_l", "id_r").distinct()
     )

@@ -194,13 +194,15 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingled: DataFrame | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup clusters over MinHash-LSH pairs: (doc_id, component,
     cluster_size, is_canonical). Canonical = the min doc_id of the cluster
     (deterministic; production would rank by quality score instead — swap the
     min for a row_number over that score)."""
     pairs = D.minhash_lsh_pairs(
-        docs, threshold=threshold, id_col=id_col, text_col=text_col, shingled=shingled
+        docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        shingled=shingled, buckets=buckets,
     )
     cc = connected_components(pairs.select("id_a", "id_b"))
     w = Window.partitionBy("component")
@@ -219,13 +221,15 @@ def dedup_keep(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingled: DataFrame | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The kept corpus after cluster-level dedup: singletons (never paired)
     plus one canonical doc per near-dup cluster — the anti-join composition
     a curation pipeline actually ships. Left-anti against the (small)
     non-canonical set broadcasts; the full corpus is never shuffled."""
     clusters = dedup_clusters(
-        docs, threshold=threshold, id_col=id_col, text_col=text_col, shingled=shingled
+        docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        shingled=shingled, buckets=buckets,
     )
     drop = clusters.filter(F.col("is_canonical") == 0).select(id_col)
     return docs.join(F.broadcast(drop), id_col, "left_anti")

@@ -261,6 +261,7 @@ def q_corpus_pipeline(spark, sf_dir):
     the tiny pair graph and the final per-source aggregate."""
     from etl_data_processor_spark.ops.dedup import (
         _parallelize,
+        minhash_band_buckets,
         minhash_lsh_pairs_between,
         with_shingles,
     )
@@ -276,6 +277,12 @@ def q_corpus_pipeline(spark, sf_dir):
     shingled.cache()
     sh_train = shingled.filter(~F.col("source").isin(bench_srcs))
     sh_bench = shingled.filter(F.col("source").isin(bench_srcs))
+    # ... and pay the SIGNATURE pass once per side too: the band-bucket
+    # index is the persistable artifact; cluster-dedup below reuses the
+    # train index (sliced to the clean survivors) instead of re-signing
+    # ~95% of the corpus a second time.
+    bk_train = minhash_band_buckets(sh_train).cache()
+    bk_bench = minhash_band_buckets(sh_bench)
     train = d.filter(~F.col("source").isin(bench_srcs))
     # Decontamination inlined (vs calling ops.dedup.decontaminate) so the
     # contaminated-id set — benchmark-bounded, tiny — can be PINNED: every
@@ -289,6 +296,7 @@ def q_corpus_pipeline(spark, sf_dir):
             train, d.filter(F.col("source").isin(bench_srcs)),
             threshold=0.8,
             shingled_left=sh_train, shingled_right=sh_bench,
+            buckets_left=bk_train, buckets_right=bk_bench,
         )
         .select(F.col("id_l").alias("doc_id"))
         .distinct()
@@ -298,6 +306,9 @@ def q_corpus_pipeline(spark, sf_dir):
     kept = dedup_keep(
         clean, threshold=0.8,
         shingled=sh_train.join(
+            clean.select("doc_id"), "doc_id", "left_semi"
+        ),
+        buckets=bk_train.join(
             clean.select("doc_id"), "doc_id", "left_semi"
         ),
     )
