@@ -23,6 +23,22 @@ def _setup_logging() -> logging.Logger:
     return logger
 
 
+def _import_all_query_modules() -> None:
+    """Populate the registry with EVERY query module (the CLI previously
+    imported only three and silently hid the rest of the registry)."""
+    from etl_data_processor_spark import (  # noqa: F401
+        queries,
+        queries_cdc,
+        queries_corpus,
+        queries_ext,
+        queries_ext2,
+        queries_north,
+        queries_rel2,
+        queries_tpch,
+        queries_tpch2,
+        queries_ts,
+    )
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="etl_data_processor_spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -43,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     log = _setup_logging()
 
     if args.cmd == "list":
-        from etl_data_processor_spark import queries, queries_north, queries_rel2  # noqa: F401
+        _import_all_query_modules()
         from etl_data_processor_spark.registry import ORACLE, QUERIES
 
         for name in sorted(QUERIES):
@@ -71,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "query":
-        from etl_data_processor_spark import queries, queries_north, queries_rel2  # noqa: F401
+        _import_all_query_modules()
         from etl_data_processor_spark.registry import QUERIES
 
         if args.name not in QUERIES:

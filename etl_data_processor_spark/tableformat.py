@@ -247,6 +247,43 @@ def read(
     return spark.read.parquet(*paths)
 
 
+def table_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    key: str,
+) -> DataFrame:
+    """Row-level diff between two committed versions — what changed
+    between yesterday's and today's snapshot: (key, change) with change in
+    {'added', 'removed', 'changed'}. Time travel makes this a pure
+    composition: read both versions, full-outer on the key, compare the
+    remaining columns as structs. The scan cost is the two snapshots'
+    live files; no log of row-level deltas is needed (and at file-group
+    granularity none exists)."""
+    from pyspark.sql import functions as F
+
+    old = read(spark, table_dir, version=v_old)
+    new = read(spark, table_dir, version=v_new)
+    cols = [c for c in old.columns if c != key]
+    o = old.select(
+        F.col(key), F.struct(*[F.col(c) for c in cols]).alias("__o")
+    )
+    n = new.select(
+        F.col(key), F.struct(*[F.col(c) for c in cols]).alias("__n")
+    )
+    j = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("__o").isNull(), F.lit("added"))
+        .when(F.col("__n").isNull(), F.lit("removed"))
+        .when(F.col("__o") != F.col("__n"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col(key), change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )
+
+
 def history(table_dir: str) -> list[dict]:
     """The commit log, oldest first — the audit trail."""
     return [_read_commit(table_dir, v) for v in _versions(table_dir)]

@@ -155,3 +155,27 @@ def test_streaming_sink_is_exactly_once_under_replay(spark, tmp_path):
     # simulate the failure-recovery path: batch 0 is delivered again
     TF.streaming_append_sink(t)(spark.range(0, 10), 0)
     assert ids(TF.read(spark, t)) == before
+
+
+def test_table_diff_classifies_changes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(
+        spark.range(0, 6).select(F.col("id"), (F.col("id") * 10).alias("v")),
+        t,
+    )
+    v_old = 0
+    v_new = TF.overwrite(
+        spark.range(2, 8).select(
+            F.col("id"),
+            F.when(F.col("id") == 3, 999).otherwise(F.col("id") * 10).alias(
+                "v"
+            ),
+        ),
+        t,
+    )
+    got = {
+        r["id"]: r["change"]
+        for r in TF.table_diff(spark, t, v_old, v_new, key="id").collect()
+    }
+    assert got == {0: "removed", 1: "removed", 3: "changed",
+                   6: "added", 7: "added"}
