@@ -94,6 +94,41 @@ def test_skyline_is_mutually_nondominated(spark, sf_dir):
             assert not dominated
 
 
+def test_skyline_ties_on_random_grids(spark):
+    """Skyline on random SMALL-DOMAIN grids — heavy price/date ties are
+    where the two-window dominance logic can silently break (the fixture's
+    near-unique prices never exercise equal-price/equal-date cases).
+    Checked against the O(n^2) python definition, duplicates included."""
+    import random
+
+    from etl_data_processor_spark.queries_ext2 import _skyline_pass
+
+    for seed in [3, 11, 29]:
+        rng = random.Random(seed)
+        pts = [
+            (i, rng.randint(0, 4), rng.randint(0, 4)) for i in range(40)
+        ]
+        df = spark.createDataFrame(pts, "o_orderkey long, price_c long, d long")
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(4))
+        )
+        got = {
+            tuple(r)
+            for r in _skyline_pass(
+                _skyline_pass(salted, ["__salt"]).drop("__salt"), []
+            ).collect()
+        }
+        brute = {
+            (k, p, d)
+            for (k, p, d) in pts
+            if not any(
+                p2 >= p and d2 >= d and (p2 > p or d2 > d)
+                for (_, p2, d2) in pts
+            )
+        }
+        assert got == brute, (seed, got ^ brute)
+
+
 def test_hierarchy_doubling_equals_per_level(spark, sf_dir):
     """Pointer doubling == naive one-level-at-a-time ancestor walk."""
     from etl_data_processor_spark.io import Catalog
