@@ -1628,6 +1628,96 @@ def q_golden_record(spark, sf_dir):
 
 
 # =====================================================================
+# Grouped-agg pandas UDF (exact-moments oracle)
+# =====================================================================
+
+@q(
+    "q_pandas_grouped_agg",
+    """
+    WITH v AS (
+        SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vu
+        FROM events
+    )
+    SELECT event_type,
+           CAST(FLOOR((CAST(SUM(vu) AS DOUBLE) / COUNT(*) / 100.0)
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS mean6
+    FROM v GROUP BY event_type
+    """,
+)
+def q_pandas_grouped_agg(spark, sf_dir):
+    """GROUPED_AGG pandas UDF (Series -> scalar), completing the Python
+    UDF surface matrix (scalar udf / pandas_udf / UDTF / applyInPandas /
+    mapInPandas are covered elsewhere). Differentially testable by the
+    exact-moments discipline: the UDF sums integer centi-units (numpy
+    int64 — order-independent), then divides in the same IEEE sequence
+    the oracle spells out. Plan: partial aggregation does NOT apply to
+    pandas aggregates — Spark shuffles raw rows to the group — which is
+    exactly why the built-in-expression form (q_agg_group) is the hot
+    path and this exists as surface coverage."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _mean6(v):
+        import numpy as np
+
+        vu = np.floor(v.to_numpy() * 100.0 + 0.5).astype(np.int64)
+        m = float(int(vu.sum())) / len(vu) / 100.0
+        return math.floor(m * 1000000.0 + 0.5) / 1000000.0
+
+    # real type objects (this module's postponed annotations would reach
+    # pandas_udf as unresolvable strings)
+    _mean6.__annotations__ = {"v": pd.Series, "return": float}
+    mean6 = pandas_udf(_mean6, "double")
+
+    ev = _cat(spark, sf_dir).events
+    return ev.groupBy("event_type").agg(mean6("value").alias("mean6"))
+
+
+# =====================================================================
+# mapInArrow (RecordBatch-level transform)
+# =====================================================================
+
+@q(
+    "q_map_in_arrow",
+    """
+    SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars_arrow,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS INTEGER)
+               AS n_spaces
+    FROM documents
+    """,
+)
+def q_map_in_arrow(spark, sf_dir):
+    """mapInArrow: the RecordBatch-level transform API (Spark 4) — the
+    lowest-overhead Python boundary (no pandas conversion; pyarrow
+    compute kernels operate on Arrow buffers directly). Character and
+    space counts per doc via pa.compute — deterministic, so fully
+    oracled. Use this API when a Python stage is unavoidable AND the
+    logic maps to Arrow kernels; it beats mapInPandas by skipping the
+    pandas materialization entirely."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def counts(batches):
+        for batch in batches:
+            texts = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.utf8_length(texts), pa.int32()),
+                    pc.cast(
+                        pc.count_substring(texts, " "), pa.int32()
+                    ),
+                ],
+                ["doc_id", "n_chars_arrow", "n_spaces"],
+            )
+
+    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    return d.mapInArrow(
+        counts, "doc_id long, n_chars_arrow int, n_spaces int"
+    )
+
+
+# =====================================================================
 # Per-group z-score via applyInPandas, exact-moments oracle
 # =====================================================================
 
