@@ -1628,6 +1628,102 @@ def q_golden_record(spark, sf_dir):
 
 
 # =====================================================================
+# Jaro-Winkler fuzzy similarity (oracled against DuckDB's native fn)
+# =====================================================================
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Standard Jaro-Winkler (match window max(|a|,|b|)/2-1, transposition
+    halving, prefix scale 0.1 up to 4 chars, boost threshold 0.7) —
+    verified bit-compatible with DuckDB's jaro_winkler_similarity on the
+    fixture vocabulary; round6 on both sides absorbs any last-ulp
+    engine difference in the final float combine."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i in range(l1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / l1 + matches / l2 + (matches - t) / matches) / 3
+    if j > 0.7:
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        return j + pre * 0.1 * (1 - j)
+    return j
+
+
+@q(
+    "q_fuzzy_jw",
+    """
+    WITH k AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS key_a, b.p_name AS key_b,
+           CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS jw6
+    FROM k a JOIN k b ON a.p_name < b.p_name
+    WHERE CAST(FLOOR(jaro_winkler_similarity(a.p_name, b.p_name)
+                     * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 >= 0.8
+    """,
+)
+def q_fuzzy_jw(spark, sf_dir):
+    """Jaro-Winkler fuzzy key similarity >= 0.8 over DISTINCT part names —
+    the typo-tolerant entity-match scorer that complements levenshtein
+    (q_fuzzy_match): JW weights shared prefixes, the right bias for
+    product/person names. Oracled against DuckDB's NATIVE
+    jaro_winkler_similarity — the Python implementation must reproduce a
+    C++ engine's algorithm exactly (match window, transposition halving,
+    prefix boost), which the gate proves. Plan: distinct-first (A13 — the
+    pair space is bounded by key CARDINALITY, not row count), small-dim
+    self-join, Arrow-batched pandas UDF for the scorer; at larger key
+    cardinalities block first (fuzzy_key_pairs' length bands)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _jw6(a, b):
+        return pd.Series(
+            [
+                math.floor(_jaro_winkler(x, y) * 1000000.0 + 0.5) / 1000000.0
+                for x, y in zip(a, b)
+            ]
+        )
+
+    _jw6.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    jw6 = pandas_udf(_jw6, "double")
+
+    k = _cat(spark, sf_dir).part.select("p_name").distinct()
+    a = k.select(F.col("p_name").alias("key_a"))
+    b = k.select(F.col("p_name").alias("key_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .withColumn("jw6", jw6(F.col("key_a"), F.col("key_b")))
+        .filter(F.col("jw6") >= 0.8)
+    )
+
+
+# =====================================================================
 # Grouped-agg pandas UDF (exact-moments oracle)
 # =====================================================================
 

@@ -80,6 +80,34 @@ def test_prefix_filter_equals_bruteforce_on_random_corpora(spark):
         assert got == brute, (seed, got ^ brute)
 
 
+def test_jaro_winkler_matches_duckdb_on_random_strings(spark):
+    """The Python Jaro-Winkler must reproduce DuckDB's C++ implementation
+    on adversarial random strings (repeats, shared prefixes, length
+    skew) — not just the fixture vocabulary."""
+    import math
+    import random
+
+    import duckdb
+
+    from etl_data_processor_spark.queries_ext2 import _jaro_winkler
+
+    rng = random.Random(5)
+    alpha = "abcde"
+    strs = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+        for _ in range(60)
+    ]
+    con = duckdb.connect()
+    for a in strs[:30]:
+        for b in strs[30:]:
+            duck = con.sql(
+                "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+            ).fetchone()[0]
+            mine = _jaro_winkler(a, b)
+            r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+            assert r6(duck) == r6(mine), (a, b, duck, mine)
+
+
 def canon(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
 
