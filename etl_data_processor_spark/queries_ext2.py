@@ -1628,6 +1628,131 @@ def q_golden_record(spark, sf_dir):
 
 
 # =====================================================================
+# MMR diversification (greedy diverse top-k, unrolled oracle)
+# =====================================================================
+
+_MMR_QVEC = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+    "*10000000.0+0.5) AS BIGINT))"
+)
+_MMR_COS6 = (
+    "CAST(FLOOR((CAST(SUM(a.v[i]*b.v[i]) AS DOUBLE)"
+    " / (SQRT(CAST(SUM(a.v[i]*a.v[i]) AS DOUBLE))"
+    " * SQRT(CAST(SUM(b.v[i]*b.v[i]) AS DOUBLE))))"
+    " * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+)
+
+
+@q(
+    "q_mmr_diversify",
+    f"""
+    WITH cv AS (
+        SELECT vec_id, {_MMR_QVEC} AS v FROM embeddings WHERE vec_id < 100
+    ),
+    cos AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, {_MMR_COS6} AS c6
+        FROM cv a, cv b, range(1, 65) t(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    rel AS (
+        SELECT ib AS vec_id, c6 AS rel6 FROM cos WHERE ia = 0 AND ib <> 0
+    ),
+    s1 AS (SELECT vec_id, rel6 FROM rel ORDER BY rel6 DESC, vec_id LIMIT 1),
+    m2 AS (
+        SELECT r.vec_id, 0.7 * r.rel6 - 0.3 * c.c6 AS sc
+        FROM rel r JOIN cos c
+          ON c.ia = (SELECT vec_id FROM s1) AND c.ib = r.vec_id
+        WHERE r.vec_id <> (SELECT vec_id FROM s1)
+    ),
+    s2 AS (SELECT vec_id, sc FROM m2 ORDER BY sc DESC, vec_id LIMIT 1),
+    m3 AS (
+        SELECT r.vec_id,
+               0.7 * r.rel6 - 0.3 * GREATEST(c1.c6, c2.c6) AS sc
+        FROM rel r
+        JOIN cos c1 ON c1.ia = (SELECT vec_id FROM s1) AND c1.ib = r.vec_id
+        JOIN cos c2 ON c2.ia = (SELECT vec_id FROM s2) AND c2.ib = r.vec_id
+        WHERE r.vec_id NOT IN
+              ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+    ),
+    s3 AS (SELECT vec_id, sc FROM m3 ORDER BY sc DESC, vec_id LIMIT 1)
+    SELECT 1 AS step, vec_id,
+           CAST(FLOOR(rel6 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               AS score6
+    FROM s1
+    UNION ALL
+    SELECT 2, vec_id,
+           CAST(FLOOR(sc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 FROM s2
+    UNION ALL
+    SELECT 3, vec_id,
+           CAST(FLOOR(sc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 FROM s3
+    """,
+)
+def q_mmr_diversify(spark, sf_dir):
+    """Maximal-marginal-relevance diversification: greedily pick 3 results
+    for query vector 0 maximizing 0.7·relevance − 0.3·max-similarity-to-
+    already-selected — the dedup-aware reranker for retrieval (and for
+    picking DIVERSE few-shot exemplars from a corpus). Inherently
+    sequential: each step is a distributed argmax (TakeOrdered) whose
+    1-row result broadcasts into the next round's max-sim join — k driver
+    round-trips of one row each, the irreducible cost of the greedy
+    definition. Scores are fixed-point cosines (round6) so both engines
+    agree bit-for-bit; the oracle UNROLLS the three greedy steps in SQL
+    (the q_pagerank unrolled-iteration technique). Candidates vec_id<100
+    keep the oracle's all-pairs cosine CTE small."""
+    from etl_data_processor_spark.ops.similarity import dec_cosine
+
+    emb = _cat(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    rel = (
+        cand.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            dec_cosine(F.col("embedding"), F.col("__q")).alias("rel6"),
+        )
+        .cache()
+    )
+    lam, one_m = F.lit(0.7), F.lit(0.3)
+    picked: list[tuple[int, int, float]] = []
+    sel_ids: list[int] = []
+    for step in range(1, 4):
+        pool = rel.filter(~F.col("vec_id").isin(sel_ids)) if sel_ids else rel
+        if sel_ids:
+            sel_vecs = F.broadcast(
+                rel.filter(F.col("vec_id").isin(sel_ids)).select(
+                    F.col("embedding").alias("__s")
+                )
+            )
+            maxsim = (
+                pool.crossJoin(sel_vecs)
+                .withColumn(
+                    "__sim", dec_cosine(F.col("embedding"), F.col("__s"))
+                )
+                .groupBy("vec_id", "rel6")
+                .agg(F.max("__sim").alias("__ms"))
+                .withColumn("sc", lam * F.col("rel6") - one_m * F.col("__ms"))
+            )
+        else:
+            maxsim = pool.withColumn("sc", F.col("rel6"))
+        top = (
+            maxsim.orderBy(F.desc("sc"), F.asc("vec_id"))
+            .limit(1)
+            .select("vec_id", "sc")
+            .collect()[0]
+        )
+        picked.append(
+            (step, top["vec_id"], math.floor(top["sc"] * 1e6 + 0.5) / 1e6)
+        )
+        sel_ids.append(top["vec_id"])
+    return spark.createDataFrame(
+        picked, "step int, vec_id long, score6 double"
+    )
+
+
+# =====================================================================
 # Jaro-Winkler fuzzy similarity (oracled against DuckDB's native fn)
 # =====================================================================
 
