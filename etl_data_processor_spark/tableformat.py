@@ -79,26 +79,58 @@ def _read_commit(table_dir: str, v: int) -> dict:
         return json.load(fh)
 
 
-def _live_groups(table_dir: str, version: int | None = None) -> list[str]:
+def _live_adds(table_dir: str, version: int | None = None) -> list[dict]:
     """Replay the log up to ``version`` (inclusive; None = head) and return
-    the live data-file-group names."""
+    the live ADD actions (group name + any recorded stats), in commit
+    order."""
     versions = _versions(table_dir)
     if version is not None:
         versions = [v for v in versions if v <= version]
-    live: list[str] = []
+    live: list[dict] = []
     for v in versions:
         for a in _read_commit(table_dir, v)["actions"]:
             if a["op"] == "add":
-                live.append(a["group"])
+                live.append(a)
             elif a["op"] == "remove":
-                live.remove(a["group"])
+                live = [x for x in live if x["group"] != a["group"]]
     return live
 
 
-def _write_group(df: DataFrame, table_dir: str) -> str:
+def _live_groups(table_dir: str, version: int | None = None) -> list[str]:
+    return [a["group"] for a in _live_adds(table_dir, version)]
+
+
+def _write_group(
+    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
+) -> str | tuple[str, dict]:
     group = uuid.uuid4().hex
     df.write.parquet(os.path.join(_data_dir(table_dir), group))
-    return group
+    if stats_cols is None:
+        return group
+    return group, _group_stats(df, table_dir, group, stats_cols)
+
+
+def _group_stats(
+    df: DataFrame, table_dir: str, group: str, stats_cols: list[str]
+) -> dict:
+    """Per-group min/max for ``stats_cols``, read back from the files just
+    written (one tiny scan — parquet footers answer min/max without
+    touching data pages). JSON-serializable columns only (numeric/string);
+    the commit log carries them so readers can skip groups without
+    opening any file."""
+    from pyspark.sql import functions as F
+
+    back = df.sparkSession.read.parquet(
+        os.path.join(_data_dir(table_dir), group)
+    )
+    row = back.agg(
+        *[F.min(c).alias(f"__mn_{c}") for c in stats_cols],
+        *[F.max(c).alias(f"__mx_{c}") for c in stats_cols],
+    ).collect()[0]
+    return {
+        c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"]}
+        for c in stats_cols
+    }
 
 
 def _try_publish(table_dir: str, version: int, commit: dict) -> bool:
@@ -115,17 +147,25 @@ def _try_publish(table_dir: str, version: int, commit: dict) -> bool:
     return True
 
 
+def _add_action(group, stats=None) -> dict:
+    a = {"op": "add", "group": group}
+    if stats is not None:
+        a["stats"] = stats
+    return a
+
+
 def _commit(
     table_dir: str,
     mode: str,
-    adds: list[str],
+    adds: list[dict],
     removes_from: int | None,
     max_retries: int = 20,
 ) -> int:
-    """Publish a commit. ``removes_from`` is the snapshot version whose
-    live set this commit removes (None for pure appends). Appends rebase
-    on conflict; remove-bearing commits (overwrite/compact) raise
-    ConflictError if the head moved past their base snapshot."""
+    """Publish a commit. ``adds`` are ADD action dicts (group + optional
+    stats); ``removes_from`` is the snapshot version whose live set this
+    commit removes (None for pure appends). Appends rebase on conflict;
+    remove-bearing commits (overwrite/compact) raise ConflictError if the
+    head moved past their base snapshot."""
     for _ in range(max_retries):
         head = (_versions(table_dir) or [-1])[-1]
         if removes_from is not None and head != removes_from:
@@ -143,8 +183,7 @@ def _commit(
             "mode": mode,
             "ts_unix": time.time(),
             "actions": (
-                [{"op": "remove", "group": g} for g in removes]
-                + [{"op": "add", "group": g} for g in adds]
+                [{"op": "remove", "group": g} for g in removes] + adds
             ),
         }
         if _try_publish(table_dir, head + 1, commit):
@@ -153,12 +192,19 @@ def _commit(
     raise ConflictError(f"could not publish after {max_retries} retries")
 
 
-def append(df: DataFrame, table_dir: str) -> int:
+def append(
+    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
+) -> int:
     """Transactional append: new rows become visible atomically at the
     returned version. Concurrent appends serialize via retry (no data
-    rewrite — rebasing an append is free)."""
-    group = _write_group(df, table_dir)
-    return _commit(table_dir, "append", [group], removes_from=None)
+    rewrite — rebasing an append is free). ``stats_cols``: record
+    per-group min/max in the commit so :func:`read_pruned` can skip the
+    group without opening a file."""
+    if stats_cols is None:
+        group = _write_group(df, table_dir)
+        return _commit(table_dir, "append", [_add_action(group)], None)
+    group, stats = _write_group(df, table_dir, stats_cols)
+    return _commit(table_dir, "append", [_add_action(group, stats)], None)
 
 
 def overwrite(df: DataFrame, table_dir: str) -> int:
@@ -167,7 +213,9 @@ def overwrite(df: DataFrame, table_dir: str) -> int:
     read and the publish (stale remove-set)."""
     base = (_versions(table_dir) or [-1])[-1]
     group = _write_group(df, table_dir)
-    return _commit(table_dir, "overwrite", [group], removes_from=base)
+    return _commit(
+        table_dir, "overwrite", [_add_action(group)], removes_from=base
+    )
 
 
 def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> int:
@@ -179,7 +227,9 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> int:
     base = (_versions(table_dir) or [-1])[-1]
     df = read(spark, table_dir, version=base)
     group = _write_group(df.coalesce(target_files), table_dir)
-    return _commit(table_dir, "compact", [group], removes_from=base)
+    return _commit(
+        table_dir, "compact", [_add_action(group)], removes_from=base
+    )
 
 
 def _committed_txns(table_dir: str) -> set[str]:
@@ -216,7 +266,7 @@ def append_idempotent(
             "mode": "append",
             "txn": txn_id,
             "ts_unix": time.time(),
-            "actions": [{"op": "add", "group": group}],
+            "actions": [_add_action(group)],
         }
         if _try_publish(table_dir, head + 1, commit):
             return head + 1
@@ -245,6 +295,77 @@ def read(
         raise ValueError(f"no table at {table_dir} (version={version})")
     paths = [os.path.join(_data_dir(table_dir), g) for g in groups]
     return spark.read.parquet(*paths)
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Data-skipping range read: open ONLY live groups whose recorded
+    [min, max] for ``col`` overlaps [lo, hi] (groups committed without
+    stats are conservatively kept), then apply the exact filter. The
+    Delta data-skipping pattern: the log answers "which files can
+    contain this range" with zero file I/O — at 100 TB a selective
+    time-range read touches one day's groups, not the table."""
+    from pyspark.sql import functions as F
+
+    adds = _live_adds(table_dir, version)
+    if not adds:
+        raise ValueError(f"no table at {table_dir} (version={version})")
+
+    def may_match(a: dict) -> bool:
+        st = a.get("stats", {}).get(col)
+        if st is None or st["min"] is None or st["max"] is None:
+            return True  # no stats -> cannot skip
+        return st["max"] >= lo and st["min"] <= hi
+
+    keep = [a["group"] for a in adds if may_match(a)]
+    paths = [
+        os.path.join(_data_dir(table_dir), g)
+        for g in (keep or [a["group"] for a in adds])
+    ]
+    df = spark.read.parquet(*paths)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not keep:  # nothing can match: keep the schema, drop every row
+        return df.filter(F.lit(False))
+    return df.filter(pred)
+
+
+def pruned_group_count(
+    table_dir: str, col: str, lo, hi, version: int | None = None
+) -> tuple[int, int]:
+    """(groups that must be opened, total live groups) for a range read —
+    the observable data-skipping ratio."""
+    adds = _live_adds(table_dir, version)
+    opened = sum(
+        1
+        for a in adds
+        if (st := a.get("stats", {}).get(col)) is None
+        or st["min"] is None
+        or st["max"] is None
+        or (st["max"] >= lo and st["min"] <= hi)
+    )
+    return opened, len(adds)
+
+
+def maintain(
+    spark: SparkSession, table_dir: str, max_live_groups: int = 16
+) -> int | None:
+    """Compaction daemon step: compact when the live group count exceeds
+    ``max_live_groups`` (streaming appends accumulate one group per
+    batch). Call periodically — e.g. from foreachBatch every N batches;
+    a lost compaction race (concurrent append) is safely skipped and
+    retried on the next maintenance tick."""
+    if len(_live_groups(table_dir)) <= max_live_groups:
+        return None
+    try:
+        return compact(spark, table_dir)
+    except ConflictError:
+        return None  # a writer slipped in; next tick retries
 
 
 def table_diff(

@@ -179,3 +179,40 @@ def test_table_diff_classifies_changes(spark, tmp_path):
     }
     assert got == {0: "removed", 1: "removed", 3: "changed",
                    6: "added", 7: "added"}
+
+
+def test_read_pruned_skips_groups_via_commit_stats(spark, tmp_path):
+    """Range reads must open only the groups whose recorded min/max
+    overlaps the predicate — the log answers with zero file I/O."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        TF.append(
+            spark.range(lo, lo + 100).select(F.col("id")),
+            t,
+            stats_cols=["id"],
+        )
+    opened, total = TF.pruned_group_count(t, "id", 120, 180)
+    assert (opened, total) == (1, 3)
+    got = ids(TF.read_pruned(spark, t, "id", 120, 180))
+    assert got == list(range(120, 181))
+    # out-of-range read returns empty but keeps the schema
+    empty = TF.read_pruned(spark, t, "id", 900, 999)
+    assert empty.count() == 0 and empty.columns == ["id"]
+    # stats-free groups are conservatively opened
+    TF.append(spark.range(500, 510), t)  # no stats
+    opened, total = TF.pruned_group_count(t, "id", 120, 180)
+    assert (opened, total) == (2, 4)
+    assert ids(TF.read_pruned(spark, t, "id", 120, 180)) == list(
+        range(120, 181)
+    )
+
+
+def test_maintain_compacts_past_threshold(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(6):
+        TF.append(spark.range(i * 10, i * 10 + 10), t)
+    assert TF.maintain(spark, t, max_live_groups=8) is None  # under budget
+    v = TF.maintain(spark, t, max_live_groups=4)
+    assert v is not None
+    assert len(TF._live_groups(t)) == 1
+    assert ids(TF.read(spark, t)) == list(range(60))
