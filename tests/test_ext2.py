@@ -184,6 +184,103 @@ def test_prefix_filter_recall_is_total(spark, sf_dir):
     assert rows(got) == rows(brute)
 
 
+def test_containment_join_equals_bruteforce_random(spark):
+    """Inverted-index containment == brute force on random small-vocab
+    corpora (zero-overlap pairs never materialize in the index — the test
+    proves none of them could have passed the threshold anyway)."""
+    import random
+
+    for seed in [2, 13]:
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(8)]
+        rows = [
+            (i, sorted(set(rng.sample(vocab, rng.randint(1, 6)))))
+            for i in range(12)
+        ]
+        tk = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+        sizes = tk.select("doc_id", F.size("toks").alias("nt"))
+        ex = tk.select("doc_id", F.explode("toks").alias("tok"))
+        a = ex.select(F.col("doc_id").alias("id_a"), "tok")
+        b = ex.select(F.col("doc_id").alias("id_b"), "tok")
+        common = (
+            a.join(b, "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        both = common.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("nt").alias("na")),
+            "id_a",
+        ).join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("nt").alias("nb")),
+            "id_b",
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in both.filter(10 * F.col("nc") >= 9 * F.col("na")).collect()
+        } | {
+            (r["id_b"], r["id_a"])
+            for r in both.filter(10 * F.col("nc") >= 9 * F.col("nb")).collect()
+        }
+        sets = dict((i, set(t)) for i, t in rows)
+        brute = {
+            (i, j)
+            for i in sets
+            for j in sets
+            if i != j
+            and 10 * len(sets[i] & sets[j]) >= 9 * len(sets[i])
+        }
+        # got uses (contained, container) ordering; brute likewise
+        assert got == brute, (seed, got ^ brute)
+
+
+def test_hierarchy_doubling_on_random_fanout(spark):
+    """Pointer doubling must close forests of ANY fanout, not just the
+    fixture's div-8 tree: random divisors and deeper chains."""
+    from pyspark.sql import functions as F2
+
+    for c, n in [(2, 300), (5, 457)]:
+        nodes = spark.range(1, n).select(F2.col("id").alias("node"))
+        state = nodes.select(
+            "node",
+            F2.when(F2.col("node") < c, F2.col("node"))
+            .otherwise(F2.expr(f"node div {c}"))
+            .alias("anc"),
+            F2.when(F2.col("node") < c, F2.lit(0))
+            .otherwise(F2.lit(1))
+            .cast("int")
+            .alias("dist"),
+        ).localCheckpoint()
+        for _ in range(40):
+            amap = state.select(
+                F2.col("node").alias("anc"),
+                F2.col("anc").alias("anc2"),
+                F2.col("dist").alias("d2"),
+            )
+            state = (
+                state.join(amap, "anc")
+                .select(
+                    "node",
+                    F2.col("anc2").alias("anc"),
+                    (F2.col("dist") + F2.col("d2")).cast("int").alias("dist"),
+                )
+                .localCheckpoint()
+            )
+            if state.filter(F2.col("anc") >= c).count() == 0:
+                break
+        got = {
+            (r["node"], r["anc"], r["dist"]) for r in state.collect()
+        }
+        want = set()
+        for k in range(1, n):
+            cur, d = k, 0
+            while cur >= c:
+                cur //= c
+                d += 1
+            want.add((k, cur, d))
+        assert got == want, (c, len(got ^ want))
+
+
 def test_zscore_pandas_layout_invariant(spark, sf_dir):
     """The exact-moments z-score must not depend on partition layout —
     integer sums are order-independent, floats would not be."""
