@@ -676,7 +676,7 @@ def q_jaccard_join_prefix(spark, sf_dir):
     )
     SELECT cid AS contained_id, kid AS container_id,
            CAST(nc AS DOUBLE) / na AS containment
-    FROM pairs WHERE 10 * nc >= 9 * na
+    FROM pairs WHERE nc > 0 AND 10 * nc >= 9 * na
     """,
 )
 def q_containment_join(spark, sf_dir):
@@ -686,7 +686,9 @@ def q_containment_join(spark, sf_dir):
     Jaccard but containment 1). Plan: inverted-index self-join counts
     co-occurring tokens per pair (zero-overlap pairs never materialize),
     per-doc sizes join back, and the 0.9 test is the integer
-    cross-multiplication 10*nc >= 9*na — exact, no float threshold."""
+    cross-multiplication 10*nc >= 9*na — exact, no float threshold (the
+    oracle guards nc > 0: the index never materializes zero-overlap
+    pairs, and 10·0 >= 9·0 would pass vacuously for an empty-set doc)."""
     d = _cat(spark, sf_dir).documents
     tk = d.select("doc_id", word_shingles(F.col("text")).alias("toks"))
     tk.cache()  # exploded index + two size joins
@@ -727,6 +729,48 @@ def q_containment_join(spark, sf_dir):
 # Hierarchy closure by pointer doubling
 # =====================================================================
 
+def _pointer_double_closure(nodes, base: int = 8):
+    """(node, anc, dist) closure of parent(k) = k div ``base`` (roots
+    k < base) by pointer doubling over an arbitrary node SET (ids may be
+    non-contiguous: a LEFT join with an arithmetic single-step fallback
+    handles ancestors that are not themselves tracked nodes — an inner
+    join would silently drop those chains)."""
+    state = nodes.select(
+        "node",
+        F.when(F.col("node") < base, F.col("node"))
+        .otherwise(F.expr(f"node div {base}"))
+        .alias("anc"),
+        F.when(F.col("node") < base, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("dist"),
+    ).localCheckpoint()
+    arith_anc = F.when(F.col("anc") < base, F.col("anc")).otherwise(
+        F.expr(f"anc div {base}")
+    )
+    arith_d = F.when(F.col("anc") < base, F.lit(0)).otherwise(F.lit(1))
+    for _ in range(40):  # 2^40 depth bound — convergence breaks far earlier
+        amap = state.select(
+            F.col("node").alias("anc"),
+            F.col("anc").alias("anc2"),
+            F.col("dist").alias("d2"),
+        )
+        state = (
+            state.join(amap, "anc", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("anc2"), arith_anc).alias("anc"),
+                (F.col("dist") + F.coalesce(F.col("d2"), arith_d))
+                .cast("int")
+                .alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        if state.filter(F.col("anc") >= base).count() == 0:
+            break
+    return state
+
+
 @q(
     "q_hierarchy_closure",
     """
@@ -747,39 +791,15 @@ def q_hierarchy_closure(spark, sf_dir):
     depth-d forest resolves in O(log d) self-join rounds instead of d
     per-level rounds — at 100 TB each round is one equi-join shuffle and
     the round count stays single digits for any realistic hierarchy.
+    Untracked ancestors (non-contiguous key spaces) take an arithmetic
+    single step instead of being dropped (gap-pinned by test).
     localCheckpoint truncates the per-round lineage (same pattern as
     ops/graph.py connected components); the per-round scalar count is the
     standard convergence action. Oracle = DuckDB recursive CTE, i.e. the
     per-level definition — the gate proves doubling computes the same
     closure."""
     p = _cat(spark, sf_dir).part.select(F.col("p_partkey").alias("node"))
-    state = p.select(
-        "node",
-        F.when(F.col("node") < 8, F.col("node"))
-        .otherwise(F.expr("node div 8"))
-        .alias("anc"),
-        F.when(F.col("node") < 8, F.lit(0))
-        .otherwise(F.lit(1))
-        .cast("int")
-        .alias("dist"),
-    ).localCheckpoint()
-    for _ in range(40):  # 2^40 depth bound — convergence breaks far earlier
-        amap = state.select(
-            F.col("node").alias("anc"),
-            F.col("anc").alias("anc2"),
-            F.col("dist").alias("d2"),
-        )
-        state = (
-            state.join(amap, "anc")
-            .select(
-                "node",
-                F.col("anc2").alias("anc"),
-                (F.col("dist") + F.col("d2")).cast("int").alias("dist"),
-            )
-            .localCheckpoint()
-        )
-        if state.filter(F.col("anc") >= 8).count() == 0:
-            break
+    state = _pointer_double_closure(p, base=8)
     return state.select(
         F.col("node").alias("p_partkey"),
         F.col("anc").alias("root"),

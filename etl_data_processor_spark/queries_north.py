@@ -1214,7 +1214,9 @@ def q_array_agg(spark, sf_dir):
     "q_udtf",
     r"""
     WITH d AS (
-        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS ws
         FROM documents WHERE doc_id < 10
     )
     SELECT doc_id, ws[CAST(t.i AS INTEGER)] AS token,
@@ -1223,18 +1225,28 @@ def q_array_agg(spark, sf_dir):
     """,
 )
 def q_udtf(spark, sf_dir):
-    """B35: Spark 4 user-defined table function — explodes each document into
-    (doc_id, token, token_index) rows via a Python UDTF. Oracled since
-    round 2: Python str.split() on these docs == the RE2 whitespace split
-    the SQL spells out, so the UDTF output is fully value-checked (it was
-    rows-only in round 1)."""
+    """B35: Spark 4 user-defined table function — explodes each document
+    into (doc_id, token, token_index) rows via a Python UDTF. Oracled
+    since round 2. The UDTF tokenizes with an ASCII-\\s+ regex split and
+    drops empty tokens — EXACTLY the RE2 semantics the oracle SQL spells
+    out (list_filter over regexp_split_to_array), including the edge
+    cases str.split() would diverge on: empty/whitespace-only text (zero
+    rows both sides) and Unicode whitespace (a non-separator on both
+    sides)."""
+    import re
+
     from pyspark.sql.functions import udtf
+
+    _ws = re.compile(r"\s+", re.ASCII)
 
     @udtf(returnType="doc_id: bigint, token: string, token_index: int")
     class TokenizeUDTF:
         def eval(self, doc_id: int, text: str):
-            for i, tok in enumerate(text.split()):
-                yield doc_id, tok, i
+            i = 0
+            for tok in _ws.split(text):
+                if tok:
+                    yield doc_id, tok, i
+                    i += 1
 
     d = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 10)
     # UDTF invocation via lateral join on the DataFrame API

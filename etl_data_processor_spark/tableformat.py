@@ -18,16 +18,19 @@ prefix of the log.
 Commit protocol (the part that makes it ACID-ish on a shared filesystem):
   1. write the new data files under data/<uuid>/ (invisible to readers —
      nothing references them yet);
-  2. publish by creating _log/v{N+1}.json with O_CREAT|O_EXCL — the
-     filesystem arbitrates racing writers; the loser sees EEXIST,
+  2. publish by fully writing the commit JSON to a hidden temp file and
+     atomically LINKING it to _log/v{N+1}.json — content exists before
+     the name, so readers can never see a partial commit, and the
+     filesystem arbitrates racing writers (the loser sees EEXIST,
      re-reads the log, and RETRIES: an append rebases trivially onto the
-     new head, an overwrite/compact raises ConflictError (its remove-set
-     was computed against a stale snapshot).
+     new head, an overwrite/compact raises ConflictError — its
+     remove-set was computed against a stale snapshot).
   3. a crash between 1 and 2 leaves an unreferenced directory — invisible
-     to readers, reclaimed by vacuum().
+     to readers, reclaimed by vacuum() after a retention window that
+     protects in-flight writers.
 
 This is exactly Delta Lake's optimistic-concurrency design (Armbrust et
-al., VLDB'20) reduced to its core; swap the O_EXCL create for a
+al., VLDB'20) reduced to its core; swap the atomic link for a
 putIfAbsent on object stores. At 100 TB the log stays tiny (file-group
 granularity), readers never list the data directory (no eventual-
 consistency hazards), and compaction is a normal committed rewrite.
@@ -71,7 +74,7 @@ def _versions(table_dir: str) -> list[int]:
         _version_of(f)
         for f in os.listdir(d)
         if f.startswith("v") and f.endswith(".json")
-    )
+    )  # hidden .tmp-* publish staging files are excluded by the prefix
 
 
 def _read_commit(table_dir: str, v: int) -> dict:
@@ -100,14 +103,10 @@ def _live_groups(table_dir: str, version: int | None = None) -> list[str]:
     return [a["group"] for a in _live_adds(table_dir, version)]
 
 
-def _write_group(
-    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
-) -> str | tuple[str, dict]:
+def _write_group(df: DataFrame, table_dir: str) -> str:
     group = uuid.uuid4().hex
     df.write.parquet(os.path.join(_data_dir(table_dir), group))
-    if stats_cols is None:
-        return group
-    return group, _group_stats(df, table_dir, group, stats_cols)
+    return group
 
 
 def _group_stats(
@@ -134,17 +133,27 @@ def _group_stats(
 
 
 def _try_publish(table_dir: str, version: int, commit: dict) -> bool:
-    """Atomically claim ``version`` via O_CREAT|O_EXCL. True on success,
-    False if another writer won the race."""
-    os.makedirs(_log_dir(table_dir), exist_ok=True)
-    path = os.path.join(_log_dir(table_dir), f"v{version:08d}.json")
+    """Atomically claim ``version``: the commit JSON is fully written to a
+    hidden temp file first, then LINKED to the version name — readers can
+    never observe an empty/partial commit (the content exists before the
+    name does), and a crash mid-write leaves only an invisible temp file,
+    never a bricked log. link() fails with EEXIST when another writer won
+    the race. True on success, False on a lost race."""
+    d = _log_dir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"v{version:08d}.json")
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(commit, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        json.dump(commit, fh)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def _add_action(group, stats=None) -> dict:
@@ -200,10 +209,12 @@ def append(
     rewrite — rebasing an append is free). ``stats_cols``: record
     per-group min/max in the commit so :func:`read_pruned` can skip the
     group without opening a file."""
-    if stats_cols is None:
-        group = _write_group(df, table_dir)
-        return _commit(table_dir, "append", [_add_action(group)], None)
-    group, stats = _write_group(df, table_dir, stats_cols)
+    group = _write_group(df, table_dir)
+    stats = (
+        _group_stats(df, table_dir, group, stats_cols)
+        if stats_cols is not None
+        else None
+    )
     return _commit(table_dir, "append", [_add_action(group, stats)], None)
 
 
@@ -324,15 +335,13 @@ def read_pruned(
         return st["max"] >= lo and st["min"] <= hi
 
     keep = [a["group"] for a in adds if may_match(a)]
-    paths = [
-        os.path.join(_data_dir(table_dir), g)
-        for g in (keep or [a["group"] for a in adds])
-    ]
+    if not keep:  # nothing can match: one group supplies the schema,
+        # a constant-false filter drops every row without a data read
+        one = os.path.join(_data_dir(table_dir), adds[0]["group"])
+        return spark.read.parquet(one).filter(F.lit(False))
+    paths = [os.path.join(_data_dir(table_dir), g) for g in keep]
     df = spark.read.parquet(*paths)
-    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
-    if not keep:  # nothing can match: keep the schema, drop every row
-        return df.filter(F.lit(False))
-    return df.filter(pred)
+    return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
 def pruned_group_count(
@@ -410,20 +419,32 @@ def history(table_dir: str) -> list[dict]:
     return [_read_commit(table_dir, v) for v in _versions(table_dir)]
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> list[str]:
+def vacuum(
+    table_dir: str, keep_versions: int = 1, min_age_seconds: float = 600.0
+) -> list[str]:
     """Delete data-file groups referenced ONLY by versions older than the
     last ``keep_versions`` (plus crash-orphaned groups no version ever
     published). Bounds time travel to the kept versions — the standard
-    retention/cost trade."""
+    retention/cost trade.
+
+    ``min_age_seconds`` protects IN-FLIGHT writers: a group that has been
+    written but whose commit has not yet published looks exactly like a
+    crash orphan, so anything younger than the window is spared (Delta's
+    retention-check idea). Lower it only when no writer can be active."""
     versions = _versions(table_dir)
     kept = versions[-keep_versions:] if keep_versions else []
     needed: set[str] = set()
     for v in kept:
         needed.update(_live_groups(table_dir, v))
     dropped = []
+    now = time.time()
     ddir = _data_dir(table_dir)
     for g in os.listdir(ddir) if os.path.isdir(ddir) else []:
-        if g not in needed:
-            shutil.rmtree(os.path.join(ddir, g))
-            dropped.append(g)
+        path = os.path.join(ddir, g)
+        if g in needed:
+            continue
+        if now - os.path.getmtime(path) < min_age_seconds:
+            continue  # possibly an in-flight writer's group
+        shutil.rmtree(path)
+        dropped.append(g)
     return sorted(dropped)

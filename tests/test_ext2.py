@@ -234,45 +234,31 @@ def test_containment_join_equals_bruteforce_random(spark):
         assert got == brute, (seed, got ^ brute)
 
 
-def test_hierarchy_doubling_on_random_fanout(spark):
-    """Pointer doubling must close forests of ANY fanout, not just the
-    fixture's div-8 tree: random divisors and deeper chains."""
+def test_hierarchy_doubling_on_random_fanout_and_gaps(spark):
+    """Pointer doubling must close forests of ANY fanout — including
+    NON-CONTIGUOUS node sets where a node's ancestor id is not itself a
+    tracked node (the inner-join formulation silently dropped such
+    chains; the left-join + arithmetic-fallback version must not)."""
     from pyspark.sql import functions as F2
 
-    for c, n in [(2, 300), (5, 457)]:
-        nodes = spark.range(1, n).select(F2.col("id").alias("node"))
-        state = nodes.select(
-            "node",
-            F2.when(F2.col("node") < c, F2.col("node"))
-            .otherwise(F2.expr(f"node div {c}"))
-            .alias("anc"),
-            F2.when(F2.col("node") < c, F2.lit(0))
-            .otherwise(F2.lit(1))
-            .cast("int")
-            .alias("dist"),
-        ).localCheckpoint()
-        for _ in range(40):
-            amap = state.select(
-                F2.col("node").alias("anc"),
-                F2.col("anc").alias("anc2"),
-                F2.col("dist").alias("d2"),
-            )
-            state = (
-                state.join(amap, "anc")
-                .select(
-                    "node",
-                    F2.col("anc2").alias("anc"),
-                    (F2.col("dist") + F2.col("d2")).cast("int").alias("dist"),
-                )
-                .localCheckpoint()
-            )
-            if state.filter(F2.col("anc") >= c).count() == 0:
-                break
+    from etl_data_processor_spark.queries_ext2 import _pointer_double_closure
+
+    cases = [
+        (2, list(range(1, 300))),                     # contiguous
+        (5, list(range(1, 457))),                     # contiguous
+        (8, [k for k in range(1, 900) if k % 3 != 0]),  # gapped: many
+        # nodes' div-8 ancestors are multiples of 3 and thus untracked
+    ]
+    for c, ks in cases:
+        nodes = spark.createDataFrame(
+            [(k,) for k in ks], "node long"
+        )
+        state = _pointer_double_closure(nodes, base=c)
         got = {
             (r["node"], r["anc"], r["dist"]) for r in state.collect()
         }
         want = set()
-        for k in range(1, n):
+        for k in ks:
             cur, d = k, 0
             while cur >= c:
                 cur //= c

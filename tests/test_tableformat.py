@@ -83,7 +83,7 @@ def test_append_rebases_on_conflict_overwrite_fails(spark, tmp_path):
     )
     g = TF._write_group(spark.range(99, 100), t)
     with pytest.raises(TF.ConflictError):
-        TF._commit(t, "overwrite", [g], removes_from=head)
+        TF._commit(t, "overwrite", [TF._add_action(g)], removes_from=head)
 
 
 def test_vacuum_reclaims_old_and_orphaned_groups(spark, tmp_path):
@@ -92,7 +92,9 @@ def test_vacuum_reclaims_old_and_orphaned_groups(spark, tmp_path):
     TF.overwrite(spark.range(5, 9), t)
     # crash-orphan: a data group no commit ever referenced
     os.makedirs(os.path.join(t, "data", "deadbeef" * 4))
-    dropped = TF.vacuum(t, keep_versions=1)
+    # retention guard first: fresh groups are spared (in-flight writers)
+    assert TF.vacuum(t, keep_versions=1) == []
+    dropped = TF.vacuum(t, keep_versions=1, min_age_seconds=0)
     assert len(dropped) == 2  # the overwritten group + the orphan
     assert ids(TF.read(spark, t)) == [5, 6, 7, 8]
     # time travel beyond retention is gone (files deleted)
