@@ -32,6 +32,7 @@ def _import_all_query_modules() -> None:
         queries_corpus,
         queries_ext,
         queries_ext2,
+        queries_ext3,
         queries_north,
         queries_rel2,
         queries_tpch,

@@ -354,3 +354,51 @@ def dedup_keep_best(
         .select(id_col)
     )
     return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (capped at ``max_hops``) from
+    any seed node, over a directed (src, dst) edge list — reachability /
+    blast-radius analysis (pass both directions for undirected graphs).
+    ``seeds`` is a one-column (node) frame; returns (node, dist) for every
+    node within ``max_hops`` of a seed, dist = 0 for the seeds themselves.
+
+    FRONTIER-based expansion: each round joins only the newly-discovered
+    nodes against the edge list (not the accumulated set), so round cost is
+    O(edges incident to the frontier) — the textbook Pregel BFS. The edge
+    list is repartitioned by src ONCE and cached: every round's join reuses
+    that layout, so only the (node-bounded) frontier side shuffles.
+    Early-stops when a round discovers nothing (one count per round — a
+    scalar job on the already-checkpointed frontier, same convergence
+    pattern as connected_components). Equivalent to ``max_hops`` rounds of
+    Bellman-Ford relaxation — the oracle unrolls exactly that recurrence.
+    """
+    edges = edges.select("src", "dst").repartition("src").cache()
+    dist = (
+        seeds.select(F.col("node"), F.lit(0).alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        reached = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src"), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if new.isEmpty():
+            break
+        dist = dist.unionByName(new).localCheckpoint(eager=False)
+        frontier = new.select("node")
+    result = dist.localCheckpoint(eager=True)
+    edges.unpersist()
+    return result

@@ -169,12 +169,16 @@ def _commit(
     adds: list[dict],
     removes_from: int | None,
     max_retries: int = 20,
+    explicit_removes: list[str] | None = None,
 ) -> int:
     """Publish a commit. ``adds`` are ADD action dicts (group + optional
-    stats); ``removes_from`` is the snapshot version whose live set this
-    commit removes (None for pure appends). Appends rebase on conflict;
-    remove-bearing commits (overwrite/compact) raise ConflictError if the
-    head moved past their base snapshot."""
+    stats); ``removes_from`` is the snapshot version this commit's
+    remove-set was computed against (None for pure appends) — by default
+    the whole live set at that version is removed, or pass
+    ``explicit_removes`` to remove only specific groups (partial rewrite,
+    e.g. MERGE). Appends rebase on conflict; remove-bearing commits
+    (overwrite/compact/merge) raise ConflictError if the head moved past
+    their base snapshot."""
     for _ in range(max_retries):
         head = (_versions(table_dir) or [-1])[-1]
         if removes_from is not None and head != removes_from:
@@ -182,11 +186,12 @@ def _commit(
                 f"{mode} based on v{removes_from} but head is v{head}; "
                 "recompute against the current snapshot"
             )
-        removes = (
-            _live_groups(table_dir, removes_from)
-            if removes_from is not None
-            else []
-        )
+        if removes_from is None:
+            removes = []
+        elif explicit_removes is not None:
+            removes = explicit_removes
+        else:
+            removes = _live_groups(table_dir, removes_from)
         commit = {
             "version": head + 1,
             "mode": mode,
@@ -241,6 +246,120 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> int:
     return _commit(
         table_dir, "compact", [_add_action(group)], removes_from=base
     )
+
+
+def _touched_groups(
+    changes: DataFrame, adds: list[dict], key: str
+) -> list[str]:
+    """Live groups a MERGE must rewrite: a group with recorded [min, max]
+    stats for ``key`` is touched iff at least one change key falls inside
+    its range (groups committed without key stats are conservatively
+    touched). Decided with ONE pass over the change batch — the group
+    intervals are a tiny broadcast table; the data files are never opened.
+
+    Soundness: parquet min/max are exact, so any table row with key k in
+    group g satisfies g.min <= k <= g.max — a change to key k therefore
+    always touches every group that can contain k. Pruning can only
+    over-approximate (rewrite amplification), never miss a matched row.
+    """
+    intervals = [
+        (a["group"], a["stats"][key]["min"], a["stats"][key]["max"])
+        for a in adds
+        if a.get("stats", {}).get(key) is not None
+        and a["stats"][key]["min"] is not None
+    ]
+    no_stats = [
+        a["group"]
+        for a in adds
+        if a.get("stats", {}).get(key) is None
+        or a["stats"][key]["min"] is None
+    ]
+    if not intervals:
+        return no_stats
+    from pyspark.sql import functions as F
+
+    spark = changes.sparkSession
+    # the key column's Spark type drives the interval columns' types so the
+    # between-comparison is exact (no string/number coercion surprises)
+    ktype = dict(changes.dtypes)[key]
+    iv = spark.createDataFrame(
+        [(g, str(mn), str(mx)) for g, mn, mx in intervals],
+        "grp string, mn string, mx string",
+    ).select(
+        "grp",
+        F.col("mn").cast(ktype).alias("mn"),
+        F.col("mx").cast(ktype).alias("mx"),
+    )
+    hit = (
+        changes.select(F.col(key).alias("__k"))
+        .join(
+            F.broadcast(iv),
+            (F.col("__k") >= F.col("mn")) & (F.col("__k") <= F.col("mx")),
+        )
+        .select("grp")
+        .distinct()
+        .collect()
+    )  # bounded by the live group count, not the data
+    return sorted({r["grp"] for r in hit} | set(no_stats))
+
+
+def merge(
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """Transactional MERGE INTO the table: apply a CDC change batch
+    (op 'U' upsert / 'I' insert / 'D' delete, full row images — see
+    ops.cdc.apply_changes) rewriting ONLY the file groups whose recorded
+    key-range stats overlap the batch's keys. Untouched groups stay live
+    unmodified — at 100 TB a merge of one day's changes into a
+    key-ordered table rewrites that day's groups, not the table.
+
+    Returns ``(version, rewritten_groups, total_live_groups)`` — the
+    observable write-amplification ratio. Conflict rule: like overwrite,
+    fails with ConflictError if any commit lands after the base snapshot
+    (the remove-set would be stale); retry by re-running the merge.
+
+    This is the Delta MERGE execution model (touched-file pruning via
+    data skipping, copy-on-write rewrite, atomic commit) on the plain
+    parquet log. Pass ``stats_cols=[key]`` so future merges can prune
+    against the groups this merge writes."""
+    base = (_versions(table_dir) or [-1])[-1]
+    adds = _live_adds(table_dir, base)
+    if not adds:
+        raise ValueError(f"no table at {table_dir}")
+    touched = _touched_groups(changes, adds, key)
+    if touched:
+        target = spark.read.parquet(
+            *[os.path.join(_data_dir(table_dir), g) for g in touched]
+        )
+    else:
+        # pure-insert batch: empty target with the table schema
+        from pyspark.sql import functions as F
+
+        target = spark.read.parquet(
+            os.path.join(_data_dir(table_dir), adds[0]["group"])
+        ).filter(F.lit(False))
+    from etl_data_processor_spark.ops.cdc import apply_changes
+
+    merged = apply_changes(target, changes, key=key, op_col=op_col)
+    group = _write_group(merged, table_dir)
+    stats = (
+        _group_stats(merged, table_dir, group, stats_cols)
+        if stats_cols is not None
+        else None
+    )
+    v = _commit(
+        table_dir,
+        "merge",
+        [_add_action(group, stats)],
+        removes_from=base,
+        explicit_removes=touched,
+    )
+    return v, len(touched), len(adds)
 
 
 def _committed_txns(table_dir: str) -> set[str]:

@@ -1,0 +1,124 @@
+"""Extension batch #3 ops: portable bloom-filter join pruning
+(ops/bloom.py) and multi-source BFS (ops/graph.py::bfs_hops)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.ops import bloom as B
+from etl_data_processor_spark.ops.graph import bfs_hops
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every inserted key must test positive — the property the pruned
+    join's correctness rests on. Random 31-bit keys, small m to make the
+    filter dense (high fp pressure, zero fn tolerance)."""
+    rnd = random.Random(7)
+    keys = [rnd.randrange(1 << 31) for _ in range(2000)]
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    words = B.build_bloom(kdf, "k", m_bits=1 << 12, k=4)
+    hits = (
+        kdf.filter(B.might_contain(F.col("k"), words, 1 << 12, k=4))
+        .count()
+    )
+    assert hits == len(keys)  # every row survives: zero false negatives
+
+
+def test_bloom_false_positive_rate_is_sane(spark):
+    """Non-member keys should mostly test negative at the default sizing
+    (n=1000 keys in m=2^16 bits, k=5 -> fp well under 1%)."""
+    member = spark.range(0, 1000).select(F.col("id").alias("k"))
+    words = B.build_bloom(member, "k")
+    probe = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("k"))
+    fp = probe.filter(B.might_contain(F.col("k"), words, 1 << 16)).count()
+    assert fp < 200  # 1% of 20k probes; expected ~0-10
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    """Differential on random data: prune-then-join == plain join,
+    bit-for-bit (no false negatives), under a deliberately tiny filter
+    (dense bits -> many false positives must still be killed by the
+    exact join)."""
+    rnd = random.Random(13)
+    fact = spark.createDataFrame(
+        [(rnd.randrange(500), i) for i in range(5000)], "fk long, v long"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 500, 7)], "dk long, name string"
+    )
+    plain = sorted(
+        (r["fk"], r["v"], r["name"])
+        for r in fact.join(dim, fact["fk"] == dim["dk"]).collect()
+    )
+    pruned = sorted(
+        (r["fk"], r["v"], r["name"])
+        for r in B.bloom_pruned_join(
+            fact, dim, "fk", "dk", m_bits=256, k=2
+        ).collect()
+    )
+    assert pruned == plain
+
+
+def test_bloom_filter_evaluates_at_the_scan(spark):
+    """The membership predicate must land in the fact side's Filter BEFORE
+    the join — that is the whole point (rows die pre-exchange)."""
+    fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    j = B.bloom_pruned_join(fact, dim, "fk", "dk")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the bit-test Filter must sit BELOW the join (physical plans print
+    # top-down: a child's line comes after its parent's)
+    assert "shiftrightunsigned" in plan
+    assert plan.index("shiftrightunsigned") > plan.index("Join")
+    assert j.count() == 10
+
+
+# ---------------------------------------------------------------- BFS
+
+def _naive_bfs(edges: list[tuple[int, int]], seeds: set[int], hops: int):
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, hops + 1):
+        nxt = set()
+        for u, v in edges:
+            if u in frontier and v not in dist:
+                nxt.add(v)
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_naive_on_random_graphs(spark):
+    rnd = random.Random(99)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(150)
+        ]
+        seeds = {rnd.randrange(n) for _ in range(3)}
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = {
+            r["node"]: r["dist"]
+            for r in bfs_hops(e, s, max_hops=4).collect()
+        }
+        assert got == _naive_bfs(edges, seeds, 4)
+
+
+def test_bfs_early_stops_and_caps(spark):
+    """A chain 0->1->...->9 from seed 0: capped at 3 hops only nodes 0..3
+    appear; an isolated seed returns just itself at dist 0."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(e, s, 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    iso = spark.createDataFrame([(777,)], "node long")
+    got2 = {r["node"]: r["dist"] for r in bfs_hops(e, iso, 3).collect()}
+    assert got2 == {777: 0}

@@ -209,6 +209,120 @@ def test_read_pruned_skips_groups_via_commit_stats(spark, tmp_path):
     )
 
 
+def _kv(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 10).alias("val")
+    )
+
+
+def test_merge_rewrites_only_touched_groups(spark, tmp_path):
+    """MERGE with key-range stats must rewrite exactly the groups whose
+    range overlaps the change keys; the others stay live under their
+    original group ids (no data movement)."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        TF.append(_kv(spark, lo, lo + 100), t, stats_cols=["id"])
+    untouched_before = {
+        a["group"]
+        for a in TF._live_adds(t)
+        if a["stats"]["id"]["min"] >= 100
+    }
+    changes = spark.createDataFrame(
+        [(3, 999, "U"), (7, 0, "D"), (1000, 123, "I")],
+        "id long, val long, op string",
+    )
+    v, rewritten, total = TF.merge(
+        spark, t, changes, key="id", stats_cols=["id"]
+    )
+    assert (rewritten, total) == (1, 3)  # only the [0,100) group
+    untouched_after = {
+        a["group"]
+        for a in TF._live_adds(t)
+        if a.get("stats", {}).get("id", {}).get("min", -1) is not None
+        and a["stats"]["id"]["min"] >= 100
+        and a["stats"]["id"]["max"] <= 299
+    }
+    assert untouched_before <= untouched_after
+    got = {r["id"]: r["val"] for r in TF.read(spark, t).collect()}
+    assert got[3] == 999 and 7 not in got and got[1000] == 123
+    assert len(got) == 300  # 300 - 1 delete + 1 insert
+    # time travel: pre-merge snapshot intact
+    assert len(TF.read(spark, t, version=v - 1).collect()) == 300
+
+
+def test_merge_equals_full_apply_changes(spark, tmp_path):
+    """Differential: pruned MERGE == read -> apply_changes -> overwrite."""
+    from etl_data_processor_spark.ops.cdc import apply_changes
+
+    t = str(tmp_path / "t")
+    for lo in (0, 50):
+        TF.append(_kv(spark, lo, lo + 50), t, stats_cols=["id"])
+    changes = spark.createDataFrame(
+        [(10, 1, "U"), (60, 2, "U"), (99, 0, "D"), (500, 3, "I")],
+        "id long, val long, op string",
+    )
+    expected = sorted(
+        (r["id"], r["val"])
+        for r in apply_changes(
+            TF.read(spark, t), changes, key="id"
+        ).collect()
+    )
+    TF.merge(spark, t, changes, key="id")
+    got = sorted((r["id"], r["val"]) for r in TF.read(spark, t).collect())
+    assert got == expected
+
+
+def test_merge_pure_insert_batch_touches_nothing(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t, stats_cols=["id"])
+    changes = spark.createDataFrame(
+        [(100, 5, "I"), (101, 6, "U")], "id long, val long, op string"
+    )  # 'U' on an absent key upserts -> insert
+    v, rewritten, total = TF.merge(spark, t, changes, key="id")
+    assert (rewritten, total) == (0, 1)
+    got = ids(TF.read(spark, t))
+    assert got == list(range(10)) + [100, 101]
+
+
+def test_merge_conservative_without_stats(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t)  # no stats recorded
+    TF.append(_kv(spark, 10, 20), t, stats_cols=["id"])
+    changes = spark.createDataFrame(
+        [(15, 0, "D")], "id long, val long, op string"
+    )
+    v, rewritten, total = TF.merge(spark, t, changes, key="id")
+    assert (rewritten, total) == (2, 2)  # stats-less group can't be skipped
+    assert ids(TF.read(spark, t)) == [i for i in range(20) if i != 15]
+
+
+def test_merge_conflicts_on_stale_base(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t, stats_cols=["id"])
+    changes = spark.createDataFrame(
+        [(3, 0, "D")], "id long, val long, op string"
+    )
+    real_publish = TF._try_publish
+    raced = {"done": False}
+
+    def racing_publish(table_dir, version, commit):
+        if not raced["done"]:
+            raced["done"] = True
+            real_publish(
+                table_dir, version,
+                {"version": version, "mode": "append", "ts_unix": 0,
+                 "actions": []},
+            )
+        return real_publish(table_dir, version, commit)
+
+    TF._try_publish = racing_publish
+    try:
+        with pytest.raises(TF.ConflictError):
+            TF.merge(spark, t, changes, key="id")
+    finally:
+        TF._try_publish = real_publish
+
+
 def test_maintain_compacts_past_threshold(spark, tmp_path):
     t = str(tmp_path / "t")
     for i in range(6):
