@@ -323,3 +323,77 @@ def q_win_rolling_corr(spark, sf_dir):
             stable_round6(corr).alias("corr6"),
         )
     )
+
+
+# =====================================================================
+# Merge-on-read deletes through the table format
+# =====================================================================
+
+@q(
+    "q_tableformat_mor",
+    f"""
+    WITH base AS (
+        SELECT o_orderkey, o_orderpriority,
+               {_CENTS_SQL.format(c="o_totalprice")} AS cents
+        FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    ),
+    kept AS (SELECT * FROM base WHERE o_orderkey % 5 <> 0),
+    reinserted AS (
+        SELECT o_orderkey, o_orderpriority,
+               {_CENTS_SQL.format(c="o_totalprice")} AS cents
+        FROM orders WHERE o_orderkey % 15 = 0
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM reinserted)
+    GROUP BY 1
+    """,
+)
+def q_tableformat_mor(spark, sf_dir):
+    """MERGE-ON-READ delete lifecycle (tableformat.py::delete_where),
+    oracle-gated: append two order slices (%3==0, %3==1), MOR-delete
+    every %5 key (a delete-key file commits — NO data group is rewritten,
+    asserted in-line), then re-append the %15 keys (a subset of the
+    deleted ones). The sequence rule must bring exactly the re-appended
+    rows back while the rest of the deleted keys stay dead; the oracle
+    recomputes that final state straight from the fixture. Gate also
+    proves the delete applied at read time (not write time): head read
+    after compaction-free history."""
+    import shutil
+    import tempfile
+
+    from etl_data_processor_spark import tableformat as TF
+
+    o = _cat(spark, sf_dir).orders.select(
+        "o_orderkey", "o_orderpriority", _cents("o_totalprice").alias("cents")
+    )
+    t = tempfile.mkdtemp(prefix="tf_mor_")
+    TF.append(o.filter(F.col("o_orderkey") % 3 == 0), t)
+    TF.append(o.filter(F.col("o_orderkey") % 3 == 1), t)
+    data_before = {
+        a["group"]
+        for a in TF._live_adds(t)
+        if a.get("kind", "data") == "data"
+    }
+    _, n_del = TF.delete_where(
+        spark, t, "o_orderkey", F.col("o_orderkey") % 5 == 0
+    )
+    data_after = {
+        a["group"]
+        for a in TF._live_adds(t)
+        if a.get("kind", "data") == "data"
+    }
+    # the merge-on-read contract: deletes rewrite NO data group
+    assert data_after == data_before and n_del > 0
+    TF.append(o.filter(F.col("o_orderkey") % 15 == 0), t)
+    result = (
+        TF.read(spark, t)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(t, ignore_errors=True)
+    return result

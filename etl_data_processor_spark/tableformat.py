@@ -85,7 +85,9 @@ def _read_commit(table_dir: str, v: int) -> dict:
 def _live_adds(table_dir: str, version: int | None = None) -> list[dict]:
     """Replay the log up to ``version`` (inclusive; None = head) and return
     the live ADD actions (group name + any recorded stats), in commit
-    order."""
+    order. Each returned action carries ``_seq`` — the version of the
+    commit that added it (replay-derived, not stored) — which orders data
+    groups against merge-on-read delete files."""
     versions = _versions(table_dir)
     if version is not None:
         versions = [v for v in versions if v <= version]
@@ -93,10 +95,17 @@ def _live_adds(table_dir: str, version: int | None = None) -> list[dict]:
     for v in versions:
         for a in _read_commit(table_dir, v)["actions"]:
             if a["op"] == "add":
-                live.append(a)
+                live.append({**a, "_seq": v})
             elif a["op"] == "remove":
                 live = [x for x in live if x["group"] != a["group"]]
     return live
+
+
+def _split_adds(adds: list[dict]) -> tuple[list[dict], list[dict]]:
+    """(data adds, delete-file adds)."""
+    data = [a for a in adds if a.get("kind", "data") == "data"]
+    dels = [a for a in adds if a.get("kind") == "deletes"]
+    return data, dels
 
 
 def _live_groups(table_dir: str, version: int | None = None) -> list[str]:
@@ -328,20 +337,26 @@ def merge(
     parquet log. Pass ``stats_cols=[key]`` so future merges can prune
     against the groups this merge writes."""
     base = (_versions(table_dir) or [-1])[-1]
-    adds = _live_adds(table_dir, base)
-    if not adds:
+    data, dels = _split_adds(_live_adds(table_dir, base))
+    if not data:
         raise ValueError(f"no table at {table_dir}")
-    touched = _touched_groups(changes, adds, key)
+    touched = _touched_groups(changes, data, key)
     if touched:
-        target = spark.read.parquet(
-            *[os.path.join(_data_dir(table_dir), g) for g in touched]
+        # live MOR deletes apply to the touched target (a deleted key's
+        # 'U' change must INSERT, not resurrect the old row); untouched
+        # groups keep their delete files, which stay live
+        target = _assemble(
+            spark,
+            table_dir,
+            [a for a in data if a["group"] in set(touched)],
+            dels,
         )
     else:
         # pure-insert batch: empty target with the table schema
         from pyspark.sql import functions as F
 
         target = spark.read.parquet(
-            os.path.join(_data_dir(table_dir), adds[0]["group"])
+            os.path.join(_data_dir(table_dir), data[0]["group"])
         ).filter(F.lit(False))
     from etl_data_processor_spark.ops.cdc import apply_changes
 
@@ -359,7 +374,7 @@ def merge(
         removes_from=base,
         explicit_removes=touched,
     )
-    return v, len(touched), len(adds)
+    return v, len(touched), len(data)
 
 
 def _committed_txns(table_dir: str) -> set[str]:
@@ -415,16 +430,97 @@ def streaming_append_sink(table_dir: str):
     return sink
 
 
+def _assemble(
+    spark: SparkSession,
+    table_dir: str,
+    data_adds: list[dict],
+    del_adds: list[dict],
+) -> DataFrame:
+    """Build the logical snapshot from data groups + merge-on-read delete
+    files. Without deletes: one multi-path scan (fast path). With them:
+    each data group is tagged with its commit sequence and anti-joined
+    against the (broadcast-small) union of delete-key files whose sequence
+    is LATER — a delete never touches rows appended after it (re-inserted
+    keys survive), the Iceberg v2 equality-delete rule."""
+    from pyspark.sql import functions as F
+
+    ddir = _data_dir(table_dir)
+    if not del_adds:
+        return spark.read.parquet(*[os.path.join(ddir, a["group"]) for a in data_adds])
+    key = del_adds[0]["key"]
+    if any(d["key"] != key for d in del_adds):
+        raise ValueError("all live delete files must share one key column")
+    by_seq: dict[int, list[str]] = {}
+    for a in data_adds:
+        by_seq.setdefault(a["_seq"], []).append(a["group"])
+    parts = [
+        spark.read.parquet(*[os.path.join(ddir, g) for g in groups])
+        .withColumn("__dseq", F.lit(seq))
+        for seq, groups in by_seq.items()
+    ]
+    data = parts[0]
+    for p in parts[1:]:
+        data = data.unionByName(p)
+    dparts = [
+        spark.read.parquet(os.path.join(ddir, d["group"])).select(
+            F.col(key).alias("__dkey"), F.lit(d["_seq"]).alias("__xseq")
+        )
+        for d in del_adds
+    ]
+    dels = dparts[0]
+    for p in dparts[1:]:
+        dels = dels.unionByName(p)
+    return data.join(
+        F.broadcast(dels),
+        (data[key] == dels["__dkey"]) & (F.col("__xseq") > F.col("__dseq")),
+        "left_anti",
+    ).drop("__dseq")
+
+
 def read(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read at ``version`` (None = head). Only log-referenced
-    files are opened — no data-directory listing."""
-    groups = _live_groups(table_dir, version)
-    if not groups:
+    files are opened — no data-directory listing. Live merge-on-read
+    delete files are applied (anti-join) transparently."""
+    data, dels = _split_adds(_live_adds(table_dir, version))
+    if not data:
         raise ValueError(f"no table at {table_dir} (version={version})")
-    paths = [os.path.join(_data_dir(table_dir), g) for g in groups]
-    return spark.read.parquet(*paths)
+    return _assemble(spark, table_dir, data, dels)
+
+
+def delete_where(
+    spark, table_dir: str, key: str, cond
+) -> tuple[int, int]:
+    """MERGE-ON-READ delete: write the matching rows' ``key`` values as an
+    equality-delete file and commit it — NO data group is rewritten or
+    removed. Readers anti-join the delete keys against data groups with an
+    EARLIER commit sequence, so a later re-insert of the same key
+    survives. ``compact()`` folds the deletes in (rewrites clean data and
+    drops the delete files) — the read-amplification / write-
+    amplification trade Iceberg v2 calls merge-on-read vs copy-on-write:
+    at 100 TB, deleting one user's rows costs one key-file write instead
+    of rewriting every touched data file; compaction pays the rewrite
+    once, asynchronously.
+
+    Returns ``(version, n_delete_keys)``. Conflicts like overwrite: the
+    predicate was evaluated against the base snapshot, so any commit
+    racing past it fails this delete (re-run against the new head)."""
+    base = (_versions(table_dir) or [-1])[-1]
+    snap = read(spark, table_dir, version=base)
+    keys = snap.filter(cond).select(key).distinct()
+    group = _write_group(keys, table_dir)
+    n = spark.read.parquet(
+        os.path.join(_data_dir(table_dir), group)
+    ).count()
+    v = _commit(
+        table_dir,
+        "delete",
+        [{"op": "add", "group": group, "kind": "deletes", "key": key}],
+        removes_from=base,
+        explicit_removes=[],
+    )
+    return v, n
 
 
 def read_pruned(
@@ -443,8 +539,8 @@ def read_pruned(
     time-range read touches one day's groups, not the table."""
     from pyspark.sql import functions as F
 
-    adds = _live_adds(table_dir, version)
-    if not adds:
+    data, dels = _split_adds(_live_adds(table_dir, version))
+    if not data:
         raise ValueError(f"no table at {table_dir} (version={version})")
 
     def may_match(a: dict) -> bool:
@@ -453,31 +549,31 @@ def read_pruned(
             return True  # no stats -> cannot skip
         return st["max"] >= lo and st["min"] <= hi
 
-    keep = [a["group"] for a in adds if may_match(a)]
+    keep = [a for a in data if may_match(a)]
     if not keep:  # nothing can match: one group supplies the schema,
         # a constant-false filter drops every row without a data read
-        one = os.path.join(_data_dir(table_dir), adds[0]["group"])
+        one = os.path.join(_data_dir(table_dir), data[0]["group"])
         return spark.read.parquet(one).filter(F.lit(False))
-    paths = [os.path.join(_data_dir(table_dir), g) for g in keep]
-    df = spark.read.parquet(*paths)
+    # delete files always apply in full (their keys may target kept groups)
+    df = _assemble(spark, table_dir, keep, dels)
     return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
 def pruned_group_count(
     table_dir: str, col: str, lo, hi, version: int | None = None
 ) -> tuple[int, int]:
-    """(groups that must be opened, total live groups) for a range read —
-    the observable data-skipping ratio."""
-    adds = _live_adds(table_dir, version)
+    """(data groups that must be opened, total live data groups) for a
+    range read — the observable data-skipping ratio."""
+    data, _ = _split_adds(_live_adds(table_dir, version))
     opened = sum(
         1
-        for a in adds
+        for a in data
         if (st := a.get("stats", {}).get(col)) is None
         or st["min"] is None
         or st["max"] is None
         or (st["max"] >= lo and st["min"] <= hi)
     )
-    return opened, len(adds)
+    return opened, len(data)
 
 
 def maintain(

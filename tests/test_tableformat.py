@@ -323,6 +323,99 @@ def test_merge_conflicts_on_stale_base(spark, tmp_path):
         TF._try_publish = real_publish
 
 
+def test_mor_delete_rewrites_nothing(spark, tmp_path):
+    """Merge-on-read delete: rows disappear from reads but every data
+    group stays live untouched — only a delete-key file is committed."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 50), t, stats_cols=["id"])
+    TF.append(_kv(spark, 50, 100), t, stats_cols=["id"])
+    data_before = {
+        a["group"] for a in TF._live_adds(t) if a.get("kind", "data") == "data"
+    }
+    v, n = TF.delete_where(spark, t, "id", F.col("id") % 10 == 3)
+    assert n == 10
+    assert TF.history(t)[-1]["mode"] == "delete"
+    data_after = {
+        a["group"] for a in TF._live_adds(t) if a.get("kind", "data") == "data"
+    }
+    assert data_after == data_before  # no rewrite, no removal
+    assert ids(TF.read(spark, t)) == [i for i in range(100) if i % 10 != 3]
+    # time travel: the pre-delete snapshot still has every row
+    assert ids(TF.read(spark, t, version=v - 1)) == list(range(100))
+
+
+def test_mor_reinserted_keys_survive_older_deletes(spark, tmp_path):
+    """The sequence rule: a delete only affects data committed BEFORE it,
+    so appending a deleted key afterwards brings it back."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t)
+    TF.delete_where(spark, t, "id", F.col("id") < 3)
+    assert ids(TF.read(spark, t)) == list(range(3, 10))
+    TF.append(_kv(spark, 0, 2), t)  # re-insert two deleted keys
+    assert ids(TF.read(spark, t)) == [0, 1] + list(range(3, 10))
+
+
+def test_compact_folds_deletes_in(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 40), t)
+    TF.delete_where(spark, t, "id", F.col("id") >= 30)
+    before = ids(TF.read(spark, t))
+    TF.compact(spark, t)
+    assert ids(TF.read(spark, t)) == before == list(range(30))
+    adds = TF._live_adds(t)
+    assert len(adds) == 1 and adds[0].get("kind", "data") == "data"
+
+
+def test_read_pruned_applies_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for lo in (0, 100):
+        TF.append(_kv(spark, lo, lo + 100), t, stats_cols=["id"])
+    TF.delete_where(spark, t, "id", F.col("id").isin(120, 130, 5))
+    opened, total = TF.pruned_group_count(t, "id", 100, 199)
+    assert (opened, total) == (1, 2)  # delete files don't count as data
+    got = ids(TF.read_pruned(spark, t, "id", 100, 199))
+    assert got == [i for i in range(100, 200) if i not in (120, 130)]
+
+
+def test_merge_does_not_resurrect_mor_deleted_rows(spark, tmp_path):
+    """An 'U' change on a key that a live delete file killed must INSERT
+    the new image, not merge against the dead row; unmatched dead keys
+    stay dead."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t, stats_cols=["id"])
+    TF.delete_where(spark, t, "id", F.col("id").isin(4, 5))
+    changes = spark.createDataFrame(
+        [(4, 444, "U")], "id long, val long, op string"
+    )
+    TF.merge(spark, t, changes, key="id")
+    got = {r["id"]: r["val"] for r in TF.read(spark, t).collect()}
+    assert got[4] == 444 and 5 not in got and len(got) == 9
+
+
+def test_delete_conflicts_on_stale_base(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t)
+    real_publish = TF._try_publish
+    raced = {"done": False}
+
+    def racing_publish(table_dir, version, commit):
+        if not raced["done"]:
+            raced["done"] = True
+            real_publish(
+                table_dir, version,
+                {"version": version, "mode": "append", "ts_unix": 0,
+                 "actions": []},
+            )
+        return real_publish(table_dir, version, commit)
+
+    TF._try_publish = racing_publish
+    try:
+        with pytest.raises(TF.ConflictError):
+            TF.delete_where(spark, t, "id", F.col("id") == 1)
+    finally:
+        TF._try_publish = real_publish
+
+
 def test_maintain_compacts_past_threshold(spark, tmp_path):
     t = str(tmp_path / "t")
     for i in range(6):
