@@ -402,3 +402,40 @@ def bfs_hops(
     result = dist.localCheckpoint(eager=True)
     edges.unpersist()
     return result
+
+
+def sssp_bounded(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Bounded multi-source shortest path over WEIGHTED directed edges
+    (src, dst, w) with positive integer weights: minimum path cost from
+    any seed using at most ``rounds`` edges — Bellman-Ford relaxation,
+    the weighted generalization of :func:`bfs_hops`. Unlike BFS, a
+    frontier-only expansion is wrong here (a longer-hop path can be
+    cheaper), so every round relaxes the FULL current distance table:
+    cand = dist ⋈ edges, then min per node — one node-bounded shuffle
+    per round against the src-partitioned cached edge list. Integer
+    costs ⇒ engine-exact; the oracle unrolls the identical recurrence.
+    Returns (node, dist)."""
+    edges = edges.select("src", "dst", "w").repartition("src").cache()
+    dist = (
+        seeds.select(F.col("node"), F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(rounds):
+        cand = edges.join(
+            dist.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    result = dist.localCheckpoint(eager=True)
+    edges.unpersist()
+    return result

@@ -397,3 +397,407 @@ def q_tableformat_mor(spark, sf_dir):
     )
     shutil.rmtree(t, ignore_errors=True)
     return result
+
+
+# =====================================================================
+# A/B test analysis (two-proportion z-test, exact integer counts)
+# =====================================================================
+
+@q(
+    "q_ab_ztest",
+    f"""
+    WITH c AS (
+        SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+        FROM events
+    )
+    SELECT n_a, k_a, n_b, k_b,
+           {_ROUND6.format(x="CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS rate_a6,
+           {_ROUND6.format(x="CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE)")} AS rate_b6,
+           {_ROUND6.format(
+               x="(CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+                 " - CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+                 " / SQRT(CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"
+                 " * (1.0 - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+                 " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+           )} AS z6
+    FROM c
+    """,
+)
+def q_ab_ztest(spark, sf_dir):
+    """Experimentation primitive: two-proportion z-test over a
+    deterministic variant assignment (user_id parity — the hash-split
+    ops are the production assigner). ONE conditional aggregate pass
+    computes both arms' exposure/conversion counts (integers); the
+    rate/z arithmetic is a fixed IEEE sequence on the four BIGINTs, so
+    the statistic is engine-exact to 6 decimals. At 100 TB: a single
+    partial+final aggregate, no shuffle of raw events beyond it."""
+    ev = _cat(spark, sf_dir).events
+    is_a = (F.col("user_id") % 2 == 0).cast("long")
+    is_b = (F.col("user_id") % 2 == 1).cast("long")
+    conv = (F.col("event_type") == "purchase").cast("long")
+    c = ev.agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(is_a * conv).alias("k_a"),
+        F.sum(is_b).alias("n_b"),
+        F.sum(is_b * conv).alias("k_b"),
+    )
+    n_a, k_a = F.col("n_a"), F.col("k_a")
+    n_b, k_b = F.col("n_b"), F.col("k_b")
+    ra = k_a.cast("double") / n_a.cast("double")
+    rb = k_b.cast("double") / n_b.cast("double")
+    p = (k_a + k_b).cast("double") / (n_a + n_b).cast("double")
+    z = (ra - rb) / F.sqrt(
+        p * (F.lit(1.0) - p)
+        * (F.lit(1.0) / n_a.cast("double") + F.lit(1.0) / n_b.cast("double"))
+    )
+    return c.select(
+        "n_a", "k_a", "n_b", "k_b",
+        stable_round6(ra).alias("rate_a6"),
+        stable_round6(rb).alias("rate_b6"),
+        stable_round6(z).alias("z6"),
+    )
+
+
+# =====================================================================
+# RFM segmentation
+# =====================================================================
+
+@q(
+    "q_rfm_segments",
+    f"""
+    WITH per_user AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate),
+                         MAX(MAX(o_orderdate)) OVER ()) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tiles AS (
+        SELECT o_custkey,
+               CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER) AS r_tile,
+               CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey) AS INTEGER) AS f_tile,
+               CAST(NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS INTEGER) AS m_tile
+        FROM per_user
+    )
+    SELECT r_tile, f_tile, m_tile, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM tiles GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: per-customer recency (days since last
+    order vs the global max date), frequency, monetary (exact cents),
+    each quintiled with a DETERMINISTIC total order (metric, custkey) so
+    the tiling is engine-exact; output is segment cell sizes. The NTILE
+    global sorts are the small per-user aggregate, not the fact table —
+    at 100 TB swap NTILE for the equi-depth histogram op
+    (q_hist_deciles' technique) to avoid the single-reducer sort."""
+    o = _cat(spark, sf_dir).orders
+    per_user = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_cents("o_totalprice")).alias("monetary_cents"),
+    ).select(
+        "o_custkey",
+        F.datediff(
+            F.max("last_order").over(Window.partitionBy()), F.col("last_order")
+        ).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    tiles = per_user.select(
+        "o_custkey",
+        F.ntile(5).over(
+            Window.orderBy("recency_days", "o_custkey")
+        ).alias("r_tile"),
+        F.ntile(5).over(
+            Window.orderBy("frequency", "o_custkey")
+        ).alias("f_tile"),
+        F.ntile(5).over(
+            Window.orderBy("monetary_cents", "o_custkey")
+        ).alias("m_tile"),
+    )
+    return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# =====================================================================
+# Weighted shortest path (bounded Bellman-Ford)
+# =====================================================================
+
+def _sssp_oracle(rounds: int = 3) -> str:
+    sql = """
+    WITH pairs AS (SELECT o_custkey AS c, l_suppkey AS s,
+                          COUNT(DISTINCT l_orderkey) AS nord
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   GROUP BY 1, 2),
+    edges AS (SELECT c*2 AS src, s*2+1 AS dst, 1 + nord % 5 AS w FROM pairs
+              UNION ALL
+              SELECT s*2+1 AS src, c*2 AS dst, 1 + nord % 5 AS w FROM pairs),
+    d0 AS (SELECT DISTINCT c*2 AS node, CAST(0 AS BIGINT) AS dist
+           FROM pairs WHERE c % 97 = 0)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+    d{k} AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d{k - 1}
+               UNION ALL
+               SELECT e.dst AS node, d.dist + e.w AS dist
+               FROM d{k - 1} d JOIN edges e ON e.src = d.node
+             ) GROUP BY node)"""
+    sql += f"""
+    SELECT node, dist FROM d{rounds}"""
+    return sql
+
+
+@q("q_graph_sssp", _sssp_oracle())
+def q_graph_sssp(spark, sf_dir):
+    """B49 ext: bounded WEIGHTED shortest path (ops/graph.py::
+    sssp_bounded) from the seed customers over the trade graph, edge
+    cost 1 + (distinct orders % 5) — cheapest ≤3-edge route. Bellman-
+    Ford relaxation rounds (a frontier-only walk is wrong under weights:
+    a longer-hop path can be cheaper); integer costs make the result
+    engine-exact against the unrolled oracle."""
+    from etl_data_processor_spark.ops.graph import sssp_bounded
+
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .agg(F.countDistinct("l_orderkey").alias("nord"))
+    )
+    w = (F.lit(1) + F.col("nord") % 5).alias("w")
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"), w
+    ).unionAll(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"),
+            (F.col("c") * 2).alias("dst"),
+            w,
+        )
+    )
+    seeds = (
+        pairs.filter(F.col("c") % 97 == 0)
+        .select((F.col("c") * 2).alias("node"))
+        .distinct()
+    )
+    return sssp_bounded(edges, seeds, rounds=3)
+
+
+# =====================================================================
+# CUSUM change-point detection (exact integer arithmetic)
+# =====================================================================
+
+@q(
+    "q_ts_cusum",
+    """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+               CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS cum,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS k
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, day, nd * cum - k * tot AS s_scaled
+        FROM scored
+    )
+    SELECT event_type, day AS change_day,
+           CAST(ABS(s_scaled) AS BIGINT) AS s_abs
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY ABS(s_scaled) DESC, day) AS rk
+        FROM s
+    ) WHERE rk = 1
+    """,
+)
+def q_ts_cusum(spark, sf_dir):
+    """CUSUM change-point estimate per event type: with daily counts x_k,
+    the statistic S_k = N·cumsum_k − k·total is N × (cumsum_k − k·mean) —
+    the classic CUSUM numerator scaled into PURE INTEGER arithmetic (no
+    float mean, engine-exact); the argmax |S_k| day is the estimated
+    change point. Two window passes over the tiny per-day aggregate; the
+    raw events shuffle once into the daily rollup."""
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(wp).alias("nd"),
+        F.sum("cnt").over(wp).alias("tot"),
+        F.sum("cnt").over(wo).alias("cum"),
+        F.row_number().over(wo).cast("long").alias("k"),
+    )
+    s = scored.select(
+        "event_type",
+        "day",
+        (F.col("nd") * F.col("cum") - F.col("k") * F.col("tot")).alias(
+            "s_scaled"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.abs(F.col("s_scaled")).desc(), F.col("day")
+        )
+    )
+    return (
+        s.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("s_scaled")).alias("s_abs"),
+        )
+    )
+
+
+# =====================================================================
+# Lag-1 autocorrelation (exact integer moments)
+# =====================================================================
+
+@q(
+    "q_ts_autocorr",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, cnt AS x,
+               LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS y
+        FROM daily
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x*x) AS BIGINT) AS sxx,
+               CAST(SUM(y*y) AS BIGINT) AS syy,
+               CAST(SUM(x*y) AS BIGINT) AS sxy
+        FROM lagged WHERE y IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n,
+           {_ROUND6.format(
+               x="CAST(n*sxy - sx*sy AS DOUBLE) "
+                 "/ SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) "
+                 "/ SQRT(CAST(n*syy - sy*sy AS DOUBLE))"
+           )} AS autocorr6
+    FROM m WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+    """,
+)
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the daily event-count series per type —
+    seasonality detection. The lag pairs come from one window pass; the
+    five moments accumulate as BIGINTs (exact), and the final Pearson
+    arithmetic is the same IEEE sequence as q_win_rolling_corr."""
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lagged = daily.select(
+        "event_type",
+        F.col("cnt").alias("x"),
+        F.lag("cnt").over(
+            Window.partitionBy("event_type").orderBy("day")
+        ).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    x, y = F.col("x"), F.col("y")
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    corr = (
+        (n * sxy - sx * sy).cast("double")
+        / F.sqrt(dx.cast("double"))
+        / F.sqrt(dy.cast("double"))
+    )
+    return (
+        m.filter((dx > 0) & (dy > 0))
+        .select("event_type", "n", stable_round6(corr).alias("autocorr6"))
+    )
+
+
+# =====================================================================
+# Benford first-digit audit
+# =====================================================================
+
+@q(
+    "q_benford",
+    f"""
+    WITH d AS (
+        SELECT CAST(SUBSTR(CAST({_CENTS_SQL.format(c="o_totalprice")}
+                           AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+    ),
+    c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+        FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           {_ROUND6.format(x="CAST(n AS DOUBLE) / CAST(total AS DOUBLE)")}
+               AS freq6,
+           {_ROUND6.format(
+               x="LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+           )} AS benford6
+    FROM c
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the fraud/
+    data-quality screen: observed first-significant-digit frequencies
+    next to the Benford expectation log10(1+1/d). One aggregate over a
+    digit extracted with integer/string ops (cents are exact ints, so
+    the first digit is unambiguous — no float formatting hazards)."""
+    o = _cat(spark, sf_dir).orders
+    digit = F.substring(
+        _cents("o_totalprice").cast("string"), 1, 1
+    ).cast("long")
+    c = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy())
+        )
+    )
+    freq = F.col("n").cast("double") / F.col("total").cast("double")
+    benford = F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    return c.select(
+        "digit",
+        "n",
+        stable_round6(freq).alias("freq6"),
+        stable_round6(benford).alias("benford6"),
+    )

@@ -592,6 +592,50 @@ def maintain(
         return None  # a writer slipped in; next tick retries
 
 
+class IncrementalBreakError(RuntimeError):
+    """A non-append commit interrupted incremental consumption; the
+    consumer must re-sync from a full snapshot read."""
+
+
+def read_appends_since(
+    spark: SparkSession, table_dir: str, since_version: int
+) -> tuple[DataFrame | None, int]:
+    """Incremental consumption (change-data-feed for append-only flows):
+    the rows added by APPEND commits in ``(since_version, head]``, plus
+    the head version to checkpoint for the next call. Returns
+    ``(None, head)`` when nothing new landed. This is what lets a
+    downstream pipeline tail the table — each tick processes only the new
+    file groups (no re-scan of the table), exactly the Delta/Iceberg
+    incremental-read pattern; pair it with ``append_idempotent`` on the
+    producer and the whole chain is exactly-once.
+
+    Raises :class:`IncrementalBreakError` if any commit in the range is
+    not an append (overwrite/compact/merge/delete): file-group
+    granularity cannot express those as row deltas, so the consumer must
+    reprocess from a snapshot (``read``) and resume from that version —
+    the same contract Delta's CDF has without a row-tracking log."""
+    head = (_versions(table_dir) or [-1])[-1]
+    new_groups: list[str] = []
+    for v in _versions(table_dir):
+        if v <= since_version or v > head:
+            continue
+        c = _read_commit(table_dir, v)
+        if c["mode"] != "append":
+            raise IncrementalBreakError(
+                f"non-append commit v{v} ({c['mode']}) in range; re-sync "
+                "from a snapshot read"
+            )
+        new_groups.extend(
+            a["group"]
+            for a in c["actions"]
+            if a["op"] == "add" and a.get("kind", "data") == "data"
+        )
+    if not new_groups:
+        return None, head
+    paths = [os.path.join(_data_dir(table_dir), g) for g in new_groups]
+    return spark.read.parquet(*paths), head
+
+
 def table_diff(
     spark: SparkSession,
     table_dir: str,

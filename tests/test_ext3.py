@@ -122,3 +122,47 @@ def test_bfs_early_stops_and_caps(spark):
     iso = spark.createDataFrame([(777,)], "node long")
     got2 = {r["node"]: r["dist"] for r in bfs_hops(e, iso, 3).collect()}
     assert got2 == {777: 0}
+
+
+def _naive_bf(edges, seeds, rounds):
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in edges:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_matches_naive_bellman_ford(spark):
+    from etl_data_processor_spark.ops.graph import sssp_bounded
+
+    rnd = random.Random(5)
+    for trial in range(3):
+        n = 40
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n), rnd.randrange(1, 6))
+            for _ in range(120)
+        ]
+        seeds = {rnd.randrange(n) for _ in range(2)}
+        e = spark.createDataFrame(edges, "src long, dst long, w long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = {
+            r["node"]: r["dist"]
+            for r in sssp_bounded(e, s, rounds=4).collect()
+        }
+        assert got == _naive_bf(edges, seeds, 4)
+
+
+def test_sssp_prefers_cheap_long_path(spark):
+    """0->2 direct costs 10; 0->1->2 costs 2 — the 2-edge path must win
+    (this is exactly what a frontier-only BFS would get wrong)."""
+    from etl_data_processor_spark.ops.graph import sssp_bounded
+
+    e = spark.createDataFrame(
+        [(0, 2, 10), (0, 1, 1), (1, 2, 1)], "src long, dst long, w long"
+    )
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp_bounded(e, s, 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

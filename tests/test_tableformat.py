@@ -323,6 +323,33 @@ def test_merge_conflicts_on_stale_base(spark, tmp_path):
         TF._try_publish = real_publish
 
 
+def test_incremental_read_tails_appends(spark, tmp_path):
+    """A downstream consumer checkpoints the version and processes only
+    new file groups each tick; a compaction breaks the incremental
+    contract and forces a snapshot re-sync."""
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 5), t)
+    df, v = TF.read_appends_since(spark, t, -1)
+    assert ids(df) == list(range(5)) and v == 0
+    # nothing new -> None, same checkpoint
+    df2, v2 = TF.read_appends_since(spark, t, v)
+    assert df2 is None and v2 == 0
+    TF.append(spark.range(5, 8), t)
+    TF.append(spark.range(8, 9), t)
+    df3, v3 = TF.read_appends_since(spark, t, v)
+    assert ids(df3) == list(range(5, 9)) and v3 == 2
+    # a non-append commit in range breaks incremental consumption
+    TF.compact(spark, t)
+    with pytest.raises(TF.IncrementalBreakError):
+        TF.read_appends_since(spark, t, v3)
+    # consumer re-syncs from the snapshot and resumes from head
+    head = TF._versions(t)[-1]
+    assert ids(TF.read(spark, t)) == list(range(9))
+    TF.append(spark.range(9, 11), t)
+    df4, v4 = TF.read_appends_since(spark, t, head)
+    assert ids(df4) == [9, 10] and v4 == head + 1
+
+
 def test_mor_delete_rewrites_nothing(spark, tmp_path):
     """Merge-on-read delete: rows disappear from reads but every data
     group stays live untouched — only a delete-key file is committed."""
