@@ -801,3 +801,215 @@ def q_benford(spark, sf_dir):
         stable_round6(freq).alias("freq6"),
         stable_round6(benford).alias("benford6"),
     )
+
+
+# =====================================================================
+# Exact shared-substring-run dedup (verbatim-span detection)
+# =====================================================================
+
+@q(
+    "q_dedup_substring",
+    """
+    WITH sh AS (
+        SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+            SELECT doc_id,
+                   UNNEST([{'pos': i,
+                            'g': array_to_string(w[i:i+7], ' ')}
+                           for i in range(1, len(w) - 6)]) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 8
+        )
+    ),
+    matches AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT id_a, id_b,
+               CAST(COUNT(*) + 7 AS BIGINT) AS run_tokens
+        FROM (
+            SELECT id_a, id_b, diag, pa,
+                   pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, diag
+                                           ORDER BY pa) AS grp
+            FROM matches
+        )
+        GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b, MAX(run_tokens) AS max_run
+    FROM runs GROUP BY 1, 2 HAVING MAX(run_tokens) >= 12
+    """,
+)
+def q_dedup_substring(spark, sf_dir):
+    """EXACT shared-substring detection (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better', the ExactSubstr
+    operator re-expressed relationally): doc pairs sharing a verbatim
+    token run of >= 12 tokens, with the longest run length. Instead of a
+    suffix array: 8-gram shingles WITH POSITIONS equi-join across docs
+    (one shuffle on the shingle), then consecutive matched positions on
+    the same alignment diagonal collapse into runs via the islands trick
+    (pos - row_number is constant within a consecutive run) — a run of
+    L >= 8 tokens matches exactly L-7 consecutive diagonal shingles, so
+    max_run = longest island + 7. All relational: scales as one
+    shingle-shuffle + one window, no per-doc suffix structures; swap the
+    shingle string for its hash at 100 TB (same plan, smaller shuffle).
+    Complements MinHash (bag-of-shingles similarity) with POSITIONAL
+    verbatim-quote detection."""
+    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 7),
+        lambda i: F.array_join(F.slice(w, i, 8), " "),
+    )
+    sh = (
+        d.filter(F.size(w) >= 8)
+        .select("doc_id", F.posexplode(grams).alias("p", "g"))
+        .select("doc_id", (F.col("p") + 1).alias("pos"), "g")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "g"
+    )
+    matches = a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    )
+    runs = (
+        matches.withColumn("grp", F.col("pa") - rn)
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + 7).alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("run_tokens").alias("max_run"))
+        .filter(F.col("max_run") >= 12)
+    )
+
+
+# =====================================================================
+# Feature hashing (the hashing trick, portable)
+# =====================================================================
+
+@q(
+    "q_feature_hash",
+    None,  # registered below with the charfold SQL fragment
+)
+def q_feature_hash(spark, sf_dir):
+    """ML-prep: the hashing trick over categorical columns — each
+    'col=value' token maps to index charfold32(token) % 64 with a ±1
+    sign from hash bit 8 (Weinberger et al., ICML'09). Output is the
+    column-sum of the implied design matrix (count + signed sum per
+    index) — the verifiable aggregate; the per-row sparse vector is the
+    same two expressions under a collect_list. Pure JVM column
+    arithmetic, one aggregate pass, engine-exact via the portable
+    polynomial hash."""
+    from etl_data_processor_spark.queries_ext2 import _charfold32
+
+    o = _cat(spark, sf_dir).orders
+    feats = F.explode(
+        F.array(
+            F.concat(F.lit("pri="), F.col("o_orderpriority")),
+            F.concat(F.lit("status="), F.col("o_orderstatus")),
+            F.concat(
+                F.lit("cust="), (F.col("o_custkey") % 100).cast("string")
+            ),
+        )
+    ).alias("tok")
+    toks = o.select(feats)
+    h = _charfold32(F.col("tok"))
+    sign = F.when(
+        F.call_function(
+            "shiftrightunsigned", h, F.lit(8)
+        ).bitwiseAND(F.lit(1)) == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1)).cast("long")
+    return (
+        toks.select((h % 64).alias("idx"), sign.alias("s"))
+        .groupBy("idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").alias("signed_sum"),
+        )
+    )
+
+
+# =====================================================================
+# Leave-one-out target encoding
+# =====================================================================
+
+@q(
+    "q_target_encode",
+    f"""
+    WITH y AS (
+        SELECT o_orderkey, o_orderpriority AS cat,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    stats AS (
+        SELECT o_orderkey, cat, y,
+               CAST(COUNT(*) OVER (PARTITION BY cat) AS BIGINT) AS n,
+               CAST(SUM(y) OVER (PARTITION BY cat) AS BIGINT) AS k
+        FROM y
+    )
+    SELECT o_orderkey, cat,
+           {_ROUND6.format(
+               x="CAST(k - y AS DOUBLE) / CAST(n - 1 AS DOUBLE)"
+           )} AS loo6
+    FROM stats WHERE n > 1
+    """,
+)
+def q_target_encode(spark, sf_dir):
+    """ML-prep: leave-one-out target encoding of order priority against
+    the 'fulfilled' target — per row, the category's target rate
+    EXCLUDING the row itself ((k - y_i)/(n - 1)), the standard
+    leakage-safe encoder. One window pass computes both category moments
+    as exact integers; only the final division is floating point.
+    Singleton categories are excluded (undefined LOO)."""
+    o = _cat(spark, sf_dir).orders
+    y = (F.col("o_orderstatus") == "F").cast("long")
+    base = o.select(
+        "o_orderkey", F.col("o_orderpriority").alias("cat"), y.alias("y")
+    )
+    wp = Window.partitionBy("cat")
+    stats = base.select(
+        "o_orderkey",
+        "cat",
+        "y",
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("y").over(wp).alias("k"),
+    )
+    loo = (F.col("k") - F.col("y")).cast("double") / (
+        F.col("n") - F.lit(1)
+    ).cast("double")
+    return (
+        stats.filter(F.col("n") > 1)
+        .select("o_orderkey", "cat", stable_round6(loo).alias("loo6"))
+    )
+
+
+# q_feature_hash oracle: needs the charfold fragment, attached post-hoc
+def _register_feature_hash_oracle():
+    from etl_data_processor_spark.queries_ext2 import _CHARFOLD_SQL
+    from etl_data_processor_spark.registry import ORACLE
+
+    ORACLE["q_feature_hash"] = f"""
+    WITH toks AS (
+        SELECT unnest(['pri=' || o_orderpriority,
+                       'status=' || o_orderstatus,
+                       'cust=' || CAST(o_custkey % 100 AS VARCHAR)]) AS tok
+        FROM orders
+    ),
+    h AS (SELECT {_CHARFOLD_SQL.format(t="tok")} AS h FROM toks)
+    SELECT h % 64 AS idx, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END)
+                AS BIGINT) AS signed_sum
+    FROM h GROUP BY 1
+    """.strip()
+
+
+_register_feature_hash_oracle()

@@ -435,6 +435,7 @@ def _assemble(
     table_dir: str,
     data_adds: list[dict],
     del_adds: list[dict],
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Build the logical snapshot from data groups + merge-on-read delete
     files. Without deletes: one multi-path scan (fast path). With them:
@@ -445,8 +446,13 @@ def _assemble(
     from pyspark.sql import functions as F
 
     ddir = _data_dir(table_dir)
+    reader = (
+        spark.read.option("mergeSchema", "true")
+        if merge_schema
+        else spark.read
+    )
     if not del_adds:
-        return spark.read.parquet(*[os.path.join(ddir, a["group"]) for a in data_adds])
+        return reader.parquet(*[os.path.join(ddir, a["group"]) for a in data_adds])
     key = del_adds[0]["key"]
     if any(d["key"] != key for d in del_adds):
         raise ValueError("all live delete files must share one key column")
@@ -454,13 +460,13 @@ def _assemble(
     for a in data_adds:
         by_seq.setdefault(a["_seq"], []).append(a["group"])
     parts = [
-        spark.read.parquet(*[os.path.join(ddir, g) for g in groups])
+        reader.parquet(*[os.path.join(ddir, g) for g in groups])
         .withColumn("__dseq", F.lit(seq))
         for seq, groups in by_seq.items()
     ]
     data = parts[0]
     for p in parts[1:]:
-        data = data.unionByName(p)
+        data = data.unionByName(p, allowMissingColumns=merge_schema)
     dparts = [
         spark.read.parquet(os.path.join(ddir, d["group"])).select(
             F.col(key).alias("__dkey"), F.lit(d["_seq"]).alias("__xseq")
@@ -478,15 +484,23 @@ def _assemble(
 
 
 def read(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Snapshot read at ``version`` (None = head). Only log-referenced
     files are opened — no data-directory listing. Live merge-on-read
-    delete files are applied (anti-join) transparently."""
+    delete files are applied (anti-join) transparently.
+
+    ``merge_schema=True`` enables SCHEMA EVOLUTION: groups written with
+    additional columns union into the widest schema (missing columns
+    read as NULL) — append with a new column, old groups stay valid, no
+    rewrite; the same additive-evolution contract Delta/Iceberg give."""
     data, dels = _split_adds(_live_adds(table_dir, version))
     if not data:
         raise ValueError(f"no table at {table_dir} (version={version})")
-    return _assemble(spark, table_dir, data, dels)
+    return _assemble(spark, table_dir, data, dels, merge_schema=merge_schema)
 
 
 def delete_where(

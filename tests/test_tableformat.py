@@ -452,3 +452,25 @@ def test_maintain_compacts_past_threshold(spark, tmp_path):
     assert v is not None
     assert len(TF._live_groups(t)) == 1
     assert ids(TF.read(spark, t)) == list(range(60))
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    """Appending a group with an extra column must not invalidate old
+    groups: merge_schema=True reads the widest schema, old rows NULL in
+    the new column — additive evolution without rewrites. Works through
+    the MOR delete path too."""
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 3).select(F.col("id")), t)
+    TF.append(
+        spark.range(3, 5).select(F.col("id"), (F.col("id") * 2).alias("v2")),
+        t,
+    )
+    df = TF.read(spark, t, merge_schema=True)
+    assert set(df.columns) == {"id", "v2"}
+    got = {r["id"]: r["v2"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 6, 4: 8}
+    # evolution composes with merge-on-read deletes
+    TF.delete_where(spark, t, "id", F.col("id").isin(1, 4))
+    df2 = TF.read(spark, t, merge_schema=True)
+    got2 = {r["id"]: r["v2"] for r in df2.collect()}
+    assert got2 == {0: None, 2: None, 3: 6}
