@@ -1013,3 +1013,205 @@ def _register_feature_hash_oracle():
 
 
 _register_feature_hash_oracle()
+
+
+# =====================================================================
+# Boilerplate n-gram detection (C4-style corpus cleaning)
+# =====================================================================
+
+@q(
+    "q_boilerplate",
+    """
+    WITH grams AS (
+        SELECT doc_id, u.g AS g FROM (
+            SELECT doc_id,
+                   UNNEST([{'g': array_to_string(w[i:i+2], ' ')}
+                           for i in range(1, len(w) - 1)]) AS u
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+            WHERE len(w) >= 3
+        )
+    )
+    SELECT g AS gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 5
+    """,
+)
+def q_boilerplate(spark, sf_dir):
+    """Boilerplate detection (the C4/RefinedWeb cleaning step): 3-grams
+    occurring in >= 5 DISTINCT documents — headers, footers, license
+    blurbs. One explode + one distinct-count aggregate (partial+final);
+    the output list is vocabulary-sized and broadcasts back as a removal
+    filter. Frequency-based (cross-corpus), complementing
+    q_dedup_substring's PAIRWISE verbatim runs."""
+    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    )
+    return (
+        d.filter(F.size(w) >= 3)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 5)
+    )
+
+
+# =====================================================================
+# Time-weighted average (TWAP)
+# =====================================================================
+
+@q(
+    "q_twap",
+    f"""
+    WITH seq AS (
+        SELECT event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+               date_diff('day', CAST(ts AS DATE),
+                         LEAD(CAST(ts AS DATE)) OVER (
+                             PARTITION BY event_type
+                             ORDER BY ts, event_id)) AS gap_days
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(SUM(gap_days * v_cents) AS BIGINT) AS wv,
+               CAST(SUM(gap_days) AS BIGINT) AS w
+        FROM seq WHERE gap_days IS NOT NULL AND gap_days > 0
+        GROUP BY 1
+    )
+    SELECT event_type, wv, w,
+           {_ROUND6.format(x="CAST(wv AS DOUBLE) / CAST(w AS DOUBLE)")}
+               AS twap6
+    FROM m
+    """,
+)
+def q_twap(spark, sf_dir):
+    """Time-weighted average value per event type (the TWAP/observability
+    primitive: a value holds until the next observation, so each reading
+    weights by its holding interval in days). One lead window + one
+    aggregate; weights and cent-values stay integral, so the weighted
+    moments are exact and only the final division is floating point.
+    Zero-gap (same-day) readings carry no holding time and drop out —
+    identical rule both engines."""
+    ev = _cat(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v_cents"),
+        F.datediff(
+            F.lead(F.col("ts").cast("date")).over(w),
+            F.col("ts").cast("date"),
+        ).alias("gap_days"),
+    )
+    m = (
+        seq.filter(F.col("gap_days").isNotNull() & (F.col("gap_days") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("gap_days") * F.col("v_cents")).alias("wv"),
+            F.sum("gap_days").alias("w"),
+        )
+    )
+    twap = F.col("wv").cast("double") / F.col("w").cast("double")
+    return m.select(
+        "event_type", "wv", "w", stable_round6(twap).alias("twap6")
+    )
+
+
+# =====================================================================
+# Min-max feature scaling
+# =====================================================================
+
+@q(
+    "q_minmax_scale",
+    f"""
+    WITH s AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+               CAST(MIN(FLOOR(value * 100.0 + 0.5)) OVER (
+                   PARTITION BY event_type) AS BIGINT) AS mn,
+               CAST(MAX(FLOOR(value * 100.0 + 0.5)) OVER (
+                   PARTITION BY event_type) AS BIGINT) AS mx
+        FROM events
+    )
+    SELECT event_id, event_type,
+           {_ROUND6.format(
+               x="CAST(v - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE)"
+           )} AS scaled6
+    FROM s WHERE mx > mn
+    """,
+)
+def q_minmax_scale(spark, sf_dir):
+    """ML-prep: per-group min-max scaling of the value column to [0, 1]
+    — one window pass for the group extrema (exact integer cents), one
+    exact-integer subtraction, one final division. Degenerate groups
+    (constant value) are excluded rather than emitting 0/0."""
+    ev = _cat(spark, sf_dir).events
+    v = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    wp = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        v.alias("v"),
+        F.min(v).over(wp).alias("mn"),
+        F.max(v).over(wp).alias("mx"),
+    )
+    scaled = (F.col("v") - F.col("mn")).cast("double") / (
+        F.col("mx") - F.col("mn")
+    ).cast("double")
+    return (
+        s.filter(F.col("mx") > F.col("mn"))
+        .select("event_id", "event_type", stable_round6(scaled).alias("scaled6"))
+    )
+
+
+# =====================================================================
+# Null imputation with the per-group exact median
+# =====================================================================
+
+@q(
+    "q_impute_median",
+    f"""
+    WITH masked AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 10 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS med
+        FROM masked GROUP BY event_type
+    )
+    SELECT m.event_id, m.event_type,
+           CAST(m.v IS NULL AS INTEGER) AS was_imputed,
+           {_ROUND6.format(x="COALESCE(m.v, med.med)")} AS v_filled6
+    FROM masked m JOIN med USING (event_type)
+    """,
+)
+def q_impute_median(spark, sf_dir):
+    """Data-prep: median imputation — fill missing values (deterministic
+    %10 mask standing in for real nulls) with the per-group EXACT
+    interpolated median of the observed values. Medians come from one
+    aggregate over the observed subset and broadcast back onto the full
+    table (group-count-sized join side); no global sort of the corpus.
+    Both engines interpolate lower+(upper-lower)*0.5; stable rounding
+    absorbs final-ulp drift (q_percentile_exact's established parity)."""
+    ev = _cat(spark, sf_dir).events
+    masked = ev.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    med = masked.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    return masked.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("v").isNull().cast("int").alias("was_imputed"),
+        stable_round6(F.coalesce(F.col("v"), F.col("med"))).alias(
+            "v_filled6"
+        ),
+    )
