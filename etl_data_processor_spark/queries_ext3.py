@@ -856,7 +856,11 @@ def q_dedup_substring(spark, sf_dir):
     shingle string for its hash at 100 TB (same plan, smaller shuffle).
     Complements MinHash (bag-of-shingles similarity) with POSITIONAL
     verbatim-quote detection."""
-    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "text")
+    )
     w = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 7),
@@ -865,7 +869,17 @@ def q_dedup_substring(spark, sf_dir):
     sh = (
         d.filter(F.size(w) >= 8)
         .select("doc_id", F.posexplode(grams).alias("p", "g"))
-        .select("doc_id", (F.col("p") + 1).alias("pos"), "g")
+        # join on the 64-bit gram hash, not the gram string: ~8x smaller
+        # shuffle payload, same matches (collision odds ~1e-9 corpus-wide;
+        # at real scale verify candidate runs against the text)
+        .select(
+            "doc_id", (F.col("p") + 1).alias("pos"),
+            F.xxhash64("g").alias("g"),
+        )
+        # both self-join sides consume the shingle frame — without the
+        # persist the split/slice/join expression tree executes twice
+        # (the minhash_lsh_pairs practice: materialize signatures once)
+        .cache()
     )
     a = sh.select(
         F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "g"
@@ -1043,7 +1057,11 @@ def q_boilerplate(spark, sf_dir):
     the output list is vocabulary-sized and broadcasts back as a removal
     filter. Frequency-based (cross-corpus), complementing
     q_dedup_substring's PAIRWISE verbatim runs."""
-    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "text")
+    )
     w = F.split(F.col("text"), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
