@@ -1233,3 +1233,74 @@ def q_impute_median(spark, sf_dir):
             "v_filled6"
         ),
     )
+
+
+# =====================================================================
+# Point-in-time (feature store) join against SCD2 history
+# =====================================================================
+
+@q(
+    "q_pit_join",
+    """
+    WITH hist AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS valid_from_us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                   AS valid_to_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    probe AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts_us,
+           h.value AS feature_value, h.valid_from_us
+    FROM probe p JOIN hist h
+      ON p.user_id = h.user_id
+     AND h.valid_from_us <= p.ts_us
+     AND (h.valid_to_us IS NULL OR p.ts_us < h.valid_to_us)
+    """,
+)
+def q_pit_join(spark, sf_dir):
+    """POINT-IN-TIME join (the feature-store correctness primitive): each
+    click is enriched with the purchase-value feature that was CURRENT at
+    click time, from the SCD2 validity intervals (ops/cdc.py::
+    scd2_history shape). Leakage-free by construction — the interval
+    predicate admits only valid_from <= ts < valid_to, so no feature
+    from the future can attach. Executed as an equi-join on the entity
+    key + interval residual (per-entity histories are short, so the
+    residual scans a handful of rows; at huge history cardinality swap
+    in the binned range join, q_range_bin_join's plan). Exact integer
+    microsecond bounds both engines."""
+    ev = _cat(spark, sf_dir).events
+    hist = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "value",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.lead(F.unix_micros("ts")).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to_us"),
+        )
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    j = probe.alias("p").join(
+        hist.alias("h"),
+        (F.col("p.user_id") == F.col("h.user_id"))
+        & (F.col("h.valid_from_us") <= F.col("p.ts_us"))
+        & (
+            F.col("h.valid_to_us").isNull()
+            | (F.col("p.ts_us") < F.col("h.valid_to_us"))
+        ),
+    )
+    return j.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        "p.ts_us",
+        F.col("h.value").alias("feature_value"),
+        "h.valid_from_us",
+    )
