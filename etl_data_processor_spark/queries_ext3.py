@@ -1304,3 +1304,166 @@ def q_pit_join(spark, sf_dir):
         F.col("h.value").alias("feature_value"),
         "h.valid_from_us",
     )
+
+
+# =====================================================================
+# Ordered string aggregation
+# =====================================================================
+
+@q(
+    "q_string_agg",
+    """
+    SELECT o_custkey,
+           string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey)
+               AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg WITHIN GROUP): the
+    per-customer order-priority sequence in deterministic (date, key)
+    order. Spark has no ordered string_agg, so the portable form is
+    collect_list of a sort-key struct -> array_sort -> transform ->
+    array_join — still ONE hash aggregate + in-row array ops (the sort
+    is per-group in-memory, never a shuffle; at pathological group
+    sizes switch to a window + last-per-group)."""
+    o = _cat(spark, sf_dir).orders
+    items = F.collect_list(
+        F.struct("o_orderdate", "o_orderkey", "o_orderpriority")
+    )
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(items), lambda s: s["o_orderpriority"]
+        ),
+        "|",
+    )
+    return o.groupBy("o_custkey").agg(joined.alias("priorities"))
+
+
+# =====================================================================
+# Funnel time-to-convert quantiles
+# =====================================================================
+
+@q(
+    "q_funnel_ttc",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                   AS first_view_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS first_purchase_us
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT (first_purchase_us - first_view_us) / 1000000 AS ttc_s
+        FROM firsts
+        WHERE first_view_us IS NOT NULL
+          AND first_purchase_us IS NOT NULL
+          AND first_purchase_us >= first_view_us
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(FLOOR(quantile_cont(ttc_s, 0.5) + 0.5) AS BIGINT) AS p50_s,
+           CAST(FLOOR(quantile_cont(ttc_s, 0.9) + 0.5) AS BIGINT) AS p90_s
+    FROM conv
+    """,
+)
+def q_funnel_ttc(spark, sf_dir):
+    """Funnel latency: per-user first view -> first purchase, then the
+    conversion-time distribution (count, p50, p90 in whole seconds).
+    One conditional-MIN aggregate per user (no self-join of the event
+    stream) + one tiny quantile over the converted-user frame. Integer
+    microsecond arithmetic up to the quantile; the interpolated value is
+    rounded half-up to whole seconds (floor(q+0.5) — a raw CAST would
+    truncate differently across engines when the interpolation lands one
+    ulp either side of an integer)."""
+    ev = _cat(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("fv"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("fp"),
+    )
+    conv = firsts.filter(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") >= F.col("fv"))
+    ).select(((F.col("fp") - F.col("fv")) / 1000000).alias("ttc_s"))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.percentile("ttc_s", F.lit(0.5)) + 0.5)
+        .cast("long").alias("p50_s"),
+        F.floor(F.percentile("ttc_s", F.lit(0.9)) + 0.5)
+        .cast("long").alias("p90_s"),
+    )
+
+
+# =====================================================================
+# Linear multi-touch attribution
+# =====================================================================
+
+@q(
+    "q_attribution_linear",
+    f"""
+    WITH purchases AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pts,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, event_id AS click_id, epoch_us(ts) AS cts
+        FROM events WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.user_id, p.purchase_id, p.v_cents, c.click_id,
+               CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+                   AS k
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.cts <= p.pts
+         AND c.cts > p.pts - 604800000000
+    )
+    SELECT click_id, purchase_id,
+           {_ROUND6.format(x="CAST(v_cents AS DOUBLE) / CAST(k AS DOUBLE)")}
+               AS credit_cents6
+    FROM touch
+    """,
+)
+def q_attribution_linear(spark, sf_dir):
+    """LINEAR multi-touch attribution (complementing last-touch,
+    q_attribution_last_touch): every click in the 7 days before a
+    purchase shares the purchase value equally (v/k). Entity equi-join +
+    time residual builds the touch set; one window counts touches per
+    conversion; exact integer cents and window counts, one final
+    division. The per-user join residual is bounded by a user's 7-day
+    click history — at 100 TB this is the binned-range-join shape if
+    histories are heavy."""
+    ev = _cat(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("pts"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v_cents"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        us.alias("cts"),
+    )
+    touch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.lit(7 * 86400 * 1000000)),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "v_cents",
+        F.count(F.lit(1)).over(
+            Window.partitionBy("purchase_id")
+        ).alias("k"),
+    )
+    credit = F.col("v_cents").cast("double") / F.col("k").cast("double")
+    return touch.select(
+        "click_id", "purchase_id", stable_round6(credit).alias("credit_cents6")
+    )

@@ -166,3 +166,45 @@ def test_sssp_prefers_cheap_long_path(spark):
     s = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["dist"] for r in sssp_bounded(e, s, 3).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_pit_join_plan_has_no_nested_loop(spark):
+    """The point-in-time join must execute as an equi-join on the entity
+    key with the interval predicate as a residual — NOT a broadcast
+    nested loop (which would be quadratic at scale)."""
+    import __spark_entry__ as m
+
+    df = m.queries()["q_pit_join"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "user_id" in plan  # the equi key reached the join
+
+
+def test_attribution_linear_credits_sum_to_value(spark):
+    """Conservation: per purchase, the linear credits must sum back to
+    the purchase's cent value (v/k paid k times; round6 per-credit
+    error bounds the total drift by k * 1e-6)."""
+    import __spark_entry__ as m
+    from etl_data_processor_spark.io import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    df = m.queries()["q_attribution_linear"](spark, sf)
+    sums = {
+        r["purchase_id"]: (r["total"], r["k"])
+        for r in df.groupBy("purchase_id")
+        .agg(F.sum("credit_cents6").alias("total"), F.count(F.lit(1)).alias("k"))
+        .collect()
+    }
+    assert len(sums) > 0
+    vals = {
+        r["event_id"]: r["v"]
+        for r in Catalog(spark, sf)
+        .events.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v"),
+        )
+        .collect()
+    }
+    for pid, (total, k) in sums.items():
+        assert abs(total - vals[pid]) <= k * 1e-6 + 1e-9, (pid, total, vals[pid])
