@@ -368,3 +368,42 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
     assert "score" in got.columns
     assert got.count() == 8
     assert got.filter(F.col("score").isNull()).count() == 5
+
+
+def test_bucketed_join_plans_zero_exchanges(spark, tmp_path):
+    """write_bucketed -> join on the bucket key must plan no Exchange on
+    either side (co-partitioned reads), and values must equal the plain
+    join."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.io import read_bucketed, write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 11).alias("vb")
+    )
+    write_bucketed(a, "tb_a", "k", n_buckets=8, sort_col="k")
+    write_bucketed(b, "tb_b", "k", n_buckets=8, sort_col="k")
+    try:
+        ba, bb = read_bucketed(spark, "tb_a"), read_bucketed(spark, "tb_b")
+        j = ba.join(bb, "k").groupBy().agg(
+            F.sum(F.col("va") * F.col("vb")).alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # the join itself consumes the bucket layout: no shuffle below it
+        join_part = plan[plan.index("Join"):]
+        assert len(re.findall(r"\bExchange\b", join_part)) == 0, join_part
+        expected = (
+            a.join(b, "k")
+            .groupBy()
+            .agg(F.sum(F.col("va") * F.col("vb")).alias("s"))
+            .collect()[0]["s"]
+        )
+        assert j.collect()[0]["s"] == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")
