@@ -56,6 +56,18 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list", help="list registry queries")
 
+    p_t = sub.add_parser(
+        "table", help="log-structured table format lifecycle ops"
+    )
+    p_t.add_argument(
+        "action",
+        choices=["history", "show", "compact", "vacuum", "maintain"],
+    )
+    p_t.add_argument("table_dir")
+    p_t.add_argument("--version", type=int, default=None)
+    p_t.add_argument("--limit", type=int, default=20)
+    p_t.add_argument("--keep-versions", type=int, default=3)
+
     args = parser.parse_args(argv)
     log = _setup_logging()
 
@@ -68,9 +80,44 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}\t{kind}")
         return 0
 
+    if args.cmd == "table" and args.action == "history":
+        # log-only action: no Spark session needed
+        from etl_data_processor_spark import tableformat as TF
+
+        for c in TF.history(args.table_dir):
+            adds = sum(1 for a in c["actions"] if a["op"] == "add")
+            rems = sum(1 for a in c["actions"] if a["op"] == "remove")
+            print(
+                f"v{c['version']:08d}\t{c['mode']}\t"
+                f"+{adds} groups\t-{rems} groups"
+            )
+        return 0
+
     from etl_data_processor_spark.session import get_spark
 
     spark = get_spark("cli")
+    if args.cmd == "table":
+        from etl_data_processor_spark import tableformat as TF
+
+        if args.action == "show":
+            df = TF.read(spark, args.table_dir, version=args.version)
+            df.show(args.limit, truncate=False)
+            log.info("%d rows", df.count())
+        elif args.action == "compact":
+            v = TF.compact(spark, args.table_dir)
+            log.info("compacted at v%d", v)
+        elif args.action == "vacuum":
+            dropped = TF.vacuum(
+                args.table_dir, keep_versions=args.keep_versions
+            )
+            log.info("vacuumed %d group(s)", len(dropped))
+        elif args.action == "maintain":
+            v = TF.maintain(spark, args.table_dir)
+            log.info(
+                "maintain: %s",
+                f"compacted at v{v}" if v is not None else "under budget",
+            )
+        return 0
     if args.cmd == "medicines":
         from etl_data_processor_spark.io import write_csv
         from etl_data_processor_spark.pipelines.medicines import (

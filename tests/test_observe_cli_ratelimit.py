@@ -58,3 +58,21 @@ def test_cli_unknown_query(spark):
     from etl_data_processor_spark.__main__ import main
 
     assert main(["query", "q_does_not_exist"]) == 2
+
+
+def test_cli_table_lifecycle(spark, tmp_path, capsys):
+    """`table history/show/compact/vacuum` drive the table format from
+    the CLI (reference A20 parity extended to the storage lifecycle)."""
+    from etl_data_processor_spark import tableformat as TF
+    from etl_data_processor_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 5), t)
+    TF.append(spark.range(5, 8), t)
+    assert main(["table", "history", t]) == 0
+    out = capsys.readouterr().out
+    assert out.count("append") == 2
+    assert main(["table", "compact", t]) == 0
+    assert len(TF._live_groups(t)) == 1
+    assert main(["table", "show", t, "--limit", "3"]) == 0
+    assert main(["table", "vacuum", t, "--keep-versions", "1"]) == 0
