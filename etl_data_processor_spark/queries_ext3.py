@@ -1467,3 +1467,76 @@ def q_attribution_linear(spark, sf_dir):
     return touch.select(
         "click_id", "purchase_id", stable_round6(credit).alias("credit_cents6")
     )
+
+
+# =====================================================================
+# Clamped running balance (sequential per-group fold)
+# =====================================================================
+
+@q(
+    "q_running_clamp",
+    """
+    WITH RECURSIVE steps AS (
+        SELECT user_id, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN -CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                    ELSE  CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+               END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    walk AS (
+        SELECT user_id, event_id, rn,
+               GREATEST(CAST(0 AS BIGINT), delta) AS bal
+        FROM steps WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn,
+               GREATEST(CAST(0 AS BIGINT), w.bal + s.delta) AS bal
+        FROM walk w JOIN steps s
+          ON s.user_id = w.user_id AND s.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, bal FROM walk
+    """,
+)
+def q_running_clamp(spark, sf_dir):
+    """Clamped running balance per user (inventory/credit semantics:
+    balance never goes below zero, so the clamp feeds back into the next
+    step) — a genuinely SEQUENTIAL per-group fold that no window frame
+    can express (max(0, prev + delta) is not associative over prefixes).
+    Executed as ONE shuffle on the group key + an Arrow-batched
+    applyInPandas fold in event order; the oracle is a per-step
+    recursive CTE. Integer cents end-to-end — the second fully-oracled
+    pandas-UDF operator (after q_zscore_pandas) and the first with
+    loop-carried state."""
+    import pandas as pd
+
+    ev = _cat(spark, sf_dir).events
+    delta = F.when(
+        F.col("event_type") == "purchase",
+        -F.floor(F.col("value") * 100.0 + 0.5).cast("long"),
+    ).otherwise(F.floor(F.col("value") * 100.0 + 0.5).cast("long"))
+    steps = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        delta.alias("delta"),
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        bal, out = 0, []
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "bal": pd.Series(out, index=pdf.index, dtype="int64"),
+            }
+        )
+
+    return steps.groupBy("user_id").applyInPandas(
+        fold, "user_id long, event_id long, bal long"
+    )
