@@ -1540,3 +1540,167 @@ def q_running_clamp(spark, sf_dir):
     return steps.groupBy("user_id").applyInPandas(
         fold, "user_id long, event_id long, bal long"
     )
+
+
+# =====================================================================
+# Market-basket lift (co-occurrence mining)
+# =====================================================================
+
+@q(
+    "q_basket_lift",
+    f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS oid, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n_orders FROM items),
+    supp AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM items GROUP BY item),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b ON a.oid = b.oid AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT item_a, item_b, n_ab,
+           {_ROUND6.format(
+               x="CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE) "
+                 "/ (CAST(sa.n_item AS DOUBLE) * CAST(sb.n_item AS DOUBLE))"
+           )} AS lift6
+    FROM pairs
+    JOIN supp sa ON sa.item = item_a
+    JOIN supp sb ON sb.item = item_b
+    CROSS JOIN n
+    """,
+)
+def q_basket_lift(spark, sf_dir):
+    """Market-basket association mining: part pairs co-ordered >= 3 times
+    with their LIFT (P(ab)/(P(a)P(b)) — >1 means genuinely associated,
+    not just both popular). Self-join of the distinct order-item set on
+    the order key (pair cardinality is bounded by per-order item counts,
+    ~7 for TPC-H lineitem — the A-priori support filter keeps output
+    small), item supports broadcast back. Integer counts; one final
+    ratio. At 100 TB: one shuffle to build baskets, pair explosion
+    bounded per basket — the standard distributed FP-growth
+    pre-pass."""
+    li = _cat(spark, sf_dir).lineitem
+    items = li.select(
+        F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n_orders = items.agg(
+        F.countDistinct("oid").alias("n_orders")
+    )
+    supp = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("oid", F.col("item").alias("item_a"))
+    b = items.select("oid", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "oid")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    sa = supp.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("na")
+    )
+    sb = supp.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("nb")
+    )
+    j = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_orders").cast("double")
+        / (F.col("na").cast("double") * F.col("nb").cast("double"))
+    )
+    return j.select(
+        "item_a", "item_b", "n_ab", stable_round6(lift).alias("lift6")
+    )
+
+
+# =====================================================================
+# Per-node clustering coefficient
+# =====================================================================
+
+@q(
+    "q_graph_clustering",
+    f"""
+    WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    edges AS (SELECT DISTINCT a.s AS u, b.s AS v
+              FROM pairs a JOIN pairs b ON a.c = b.c AND a.s < b.s),
+    sym AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u),
+    tri AS (
+        SELECT e1.u AS node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM sym e1 JOIN sym e2
+          ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = LEAST(e1.u, e2.v)
+                     AND e3.v = GREATEST(e1.u, e2.v)
+        WHERE e2.v <> e1.u
+        GROUP BY e1.u
+    )
+    SELECT d.node, d.deg, COALESCE(t.n_tri, 0) // 2 AS n_tri,
+           {_ROUND6.format(
+               x="CAST(COALESCE(t.n_tri, 0) AS DOUBLE) "
+                 "/ CAST(d.deg * (d.deg - 1) AS DOUBLE)"
+           )} AS coeff6
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    WHERE d.deg >= 2
+    """,
+)
+def q_graph_clustering(spark, sf_dir):
+    """Per-node clustering coefficient on the supplier co-trade graph:
+    closed wedges at each node / (deg·(deg−1)) — the local community-
+    density measure (B49 family: degrees → triangles → clustering).
+    Wedges enumerate from the symmetrized edge list joined against the
+    canonical (u<v) edge set for closure, so each closed wedge at a node
+    counts twice (both orientations) and the /2 normalization is exact
+    integer. Two shuffles (wedge join + per-node agg); the canonical
+    edge set broadcasts when small."""
+    cat = _cat(spark, sf_dir)
+    pairs = (
+        cat.lineitem.join(
+            cat.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        pairs.alias("a")
+        .join(pairs.alias("b"), (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e1 = sym.select(F.col("u").alias("n"), F.col("v").alias("w1"))
+    e2 = sym.select(F.col("u").alias("w1"), F.col("v").alias("w2"))
+    wedge = e1.join(e2, "w1").filter(F.col("w2") != F.col("n"))
+    closed = wedge.join(
+        edges.select(
+            F.col("u").alias("cu"), F.col("v").alias("cv")
+        ),
+        (F.least("n", "w2") == F.col("cu"))
+        & (F.greatest("n", "w2") == F.col("cv")),
+    )
+    tri = closed.groupBy(F.col("n").alias("node")).agg(
+        F.count(F.lit(1)).alias("n_tri2")
+    )
+    j = deg.join(tri, "node", "left").filter(F.col("deg") >= 2)
+    n_tri2 = F.coalesce(F.col("n_tri2"), F.lit(0))
+    coeff = n_tri2.cast("double") / (
+        F.col("deg") * (F.col("deg") - 1)
+    ).cast("double")
+    return j.select(
+        "node",
+        "deg",
+        (n_tri2 / 2).cast("long").alias("n_tri"),
+        stable_round6(coeff).alias("coeff6"),
+    )
