@@ -1311,7 +1311,7 @@ def q_pit_join(spark, sf_dir):
 # =====================================================================
 
 @q(
-    "q_string_agg",
+    "q_string_agg_ordered",
     """
     SELECT o_custkey,
            string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey)
@@ -1319,12 +1319,12 @@ def q_pit_join(spark, sf_dir):
     FROM orders GROUP BY o_custkey
     """,
 )
-def q_string_agg(spark, sf_dir):
-    """Ordered string aggregation (LISTAGG/string_agg WITHIN GROUP): the
-    per-customer order-priority sequence in deterministic (date, key)
-    order. Spark has no ordered string_agg, so the portable form is
-    collect_list of a sort-key struct -> array_sort -> transform ->
-    array_join — still ONE hash aggregate + in-row array ops (the sort
+def q_string_agg_ordered(spark, sf_dir):
+    """Ordered string aggregation by a SEPARATE sort key (the companion
+    to q_string_agg's native LISTAGG WITHIN GROUP, which orders by the
+    aggregated expression itself): the per-customer order-priority
+    sequence in (date, key) order. Portable form: collect_list of a
+    sort-key struct -> array_sort -> transform -> array_join — still ONE hash aggregate + in-row array ops (the sort
     is per-group in-memory, never a shuffle; at pathological group
     sizes switch to a window + last-per-group)."""
     o = _cat(spark, sf_dir).orders
