@@ -689,3 +689,187 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN
+# ---------------------------------------------------------------------
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    iters: int = 5,
+    sample_n: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks (Jégou et al., TPAMI
+    2011): the vector splits into ``m_sub`` contiguous subvectors; each
+    subspace trains ``k_codes`` L2 centroids by Lloyd iterations over a
+    BOUNDED smallest-id sample (sample-trained codebooks — the standard
+    practice: the model is tiny and training data need not be the whole
+    corpus; the full corpus is only ever ENCODED, one narrow pass).
+    Seeds are the first ``k_codes`` sample subvectors; argmin ties break
+    to the lowest code. Deterministic — no RNG, stable under
+    partitioning. Returns codebooks[sub][code] = centroid floats."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    # cosine semantics: codebooks live on the unit sphere (dot == cosine)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    X = X / n
+    dim = X.shape[1]
+    assert dim % m_sub == 0, "dim must divide by m_sub"
+    d_sub = dim // m_sub
+    books: list[list[list[float]]] = []
+    for s in range(m_sub):
+        Xs = X[:, s * d_sub:(s + 1) * d_sub]
+        C = Xs[:k_codes].copy()
+        for _ in range(iters):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_codes):
+                mask = assign == c
+                if mask.any():
+                    C[c] = Xs[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in C])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m_sub`` small codes (argmin-L2 per
+    subspace) — one Arrow-batched narrow pass, no shuffle; output is
+    (id, codes array<int>), ~m_sub bytes of index state per vector
+    instead of 4·dim (32x compression at dim=64, m=8)."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub = len(books)
+    d_sub = len(books[0][0])
+    B = np.array(books, dtype=np.float64)  # (m, k, d_sub)
+
+    def gen(batches):
+        for pdf in batches:
+            X = np.array(
+                [list(v) for v in pdf[vec_col]], dtype=np.float64
+            )
+            n = np.linalg.norm(X, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            X = X / n  # unit sphere: asymmetric dot scores rank like cosine
+            codes = np.empty((len(pdf), m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                Xs = X[:, s * d_sub:(s + 1) * d_sub]
+                d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": list(codes)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codes: DataFrame | None = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Asymmetric-distance PQ top-k: each query precomputes its
+    (m_sub × k_codes) dot-product table against the codebooks (driver
+    side — queries are small by contract, the table is model-sized);
+    the corpus side scores each encoded vector with a pure JVM fold
+    score = Σ_sub table[sub][code_sub] — no floats decoded, no Python
+    in the corpus path. One broadcast join + window top-k, the same
+    plan shape as cosine_topk_exact but over ~m bytes/vector.
+
+    ``rerank > 0`` enables the production ADC+re-rank shape: the PQ
+    score builds a per-query SHORTLIST of that size, which joins back
+    to the float vectors for exact cosine re-ranking — recall@k
+    becomes the shortlist's recall (near-1 at modest shortlists), and
+    the expensive exact scorer touches shortlist-sized data, not the
+    corpus. Returns (query_id, vec_id, rank)."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    m_sub = len(books)
+    k_codes = len(books[0])
+    d_sub = len(books[0][0])
+    B = np.array(books, dtype=np.float64)
+    if codes is None:
+        codes = pq_encode(corpus, books, id_col, vec_col)
+    # queries carry id_col like the corpus (cosine_topk_exact convention);
+    # the output aliases it to query_id_col
+    qrows = queries.select(
+        F.col(id_col).alias(query_id_col), vec_col
+    ).collect()
+    tables = []
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        flat = []
+        for s in range(m_sub):
+            qs = qv[s * d_sub:(s + 1) * d_sub]
+            flat.extend(float(x) for x in (B[s] @ qs))
+        tables.append((r[0], flat))
+    tdf = F.broadcast(
+        spark.createDataFrame(tables, [query_id_col, "__tbl"]).withColumn(
+            "__tbl", F.col("__tbl").cast("array<double>")
+        )
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, i) -> "
+        f"acc + element_at(__tbl, CAST(i * {k_codes} + "
+        f"element_at(codes, i + 1) + 1 AS INT)))"
+    )
+    scored = codes.crossJoin(tdf).select(
+        query_id_col, id_col, score.alias("__s")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__s"), F.asc(id_col)
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "rank")
+        )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
+    qvecs = F.broadcast(
+        spark.createDataFrame(
+            [(r[0], [float(x) for x in np.array(list(r[1]))]) for r in qrows],
+            [query_id_col, "__qvec"],
+        ).withColumn("__qvec", F.col("__qvec").cast("array<float>"))
+    )
+    exact = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(qvecs, query_id_col)
+        .withColumn("__c", dec_cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__c"), F.asc(id_col)
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )

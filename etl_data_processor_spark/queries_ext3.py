@@ -1704,3 +1704,86 @@ def q_graph_clustering(spark, sf_dir):
         (n_tri2 / 2).cast("long").alias("n_tri"),
         stable_round6(coeff).alias("coeff6"),
     )
+
+
+# =====================================================================
+# Incremental join maintenance (delta processing)
+# =====================================================================
+
+@q(
+    "q_join_incremental",
+    f"""
+    WITH base_o AS (SELECT o_orderkey, o_custkey,
+                           {_CENTS_SQL.format(c="o_totalprice")} AS cents
+                    FROM orders WHERE o_orderkey % 10 <> 0),
+    delta_o AS (SELECT o_orderkey, o_custkey,
+                       {_CENTS_SQL.format(c="o_totalprice")} AS cents
+                FROM orders WHERE o_orderkey % 10 = 0),
+    base_c AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey % 7 <> 0),
+    delta_c AS (SELECT c_custkey, c_mktsegment FROM customer
+                WHERE c_custkey % 7 = 0)
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM (SELECT * FROM base_o UNION ALL SELECT * FROM delta_o) o
+    JOIN (SELECT * FROM base_c UNION ALL SELECT * FROM delta_c) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_join_incremental(spark, sf_dir):
+    """INCREMENTAL JOIN MAINTENANCE (delta processing / IVM): with base
+    relations A, B and insert deltas ΔA, ΔB, the engine maintains
+    (A∪ΔA) ⋈ (B∪ΔB) as  A⋈B  +  ΔA⋈B + A⋈ΔB + ΔA⋈ΔB — three
+    DELTA-SIDED joins instead of re-joining the full inputs (each delta
+    term broadcasts its delta side; the 100 TB base is scanned, never
+    shuffled, and A⋈B is the previously-materialized result a real
+    deployment reads back). The oracle computes the full join of the
+    unions, so the gate proves the delta algebra loses/duplicates
+    nothing. Companion to q_agg_incremental (aggregate IVM) — this is
+    the join half of view maintenance."""
+    o = _cat(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    c = _cat(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    base_o = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta_o = o.filter(F.col("o_orderkey") % 10 == 0)
+    base_c = c.filter(F.col("c_custkey") % 7 != 0)
+    delta_c = c.filter(F.col("c_custkey") % 7 == 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    maintained = (
+        base_o.join(base_c, on)                      # previously materialized
+        .unionByName(base_o.join(F.broadcast(delta_c), on))
+        .unionByName(delta_o.join(base_c, on))       # delta side broadcasts
+        .unionByName(F.broadcast(delta_o).join(delta_c, on))
+    )
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+# =====================================================================
+# Product-quantization ANN (compressed index + exact re-rank)
+# =====================================================================
+
+@q("q_cosine_pq")  # rows-only: approximate by design (recall pinned in pytest)
+def q_cosine_pq(spark, sf_dir):
+    """B32 ext: PRODUCT-QUANTIZATION top-k (Jégou et al.) — the
+    compressed-index ANN path completing exact / LSH / IVF: vectors
+    encode to 16 subspace codes (16 bytes vs 256 — a 16x smaller
+    index), queries score codes via a broadcast dot-product TABLE with
+    a pure-JVM fold (no floats decoded in the corpus path), and a
+    50-deep shortlist re-ranks EXACTLY (the production ADC+rerank
+    shape: recall@10 >= 0.8 pinned by pytest, vs ~0.4 raw ADC on
+    near-random vectors). Codebooks are sample-trained and
+    deterministic (no RNG — stable under repartitioning, pinned)."""
+    from etl_data_processor_spark.ops.similarity import (
+        pq_cosine_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    books = train_pq_codebooks(emb, m_sub=16, k_codes=16)
+    return pq_cosine_topk(emb, queries, books, k=10, rerank=50)

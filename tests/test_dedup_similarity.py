@@ -239,3 +239,55 @@ def test_lsh_driver_side_probes_match_expression_path(spark, sf_dir):
     a = SIM.lsh_cosine_topk(emb, qs, collect_queries=True, **kw).collect()
     b = SIM.lsh_cosine_topk(emb, qs, collect_queries=False, **kw).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pq_recall_vs_exact(spark, sf_dir):
+    """PQ asymmetric top-10 must recover a solid fraction of the exact
+    cosine top-10 (8 subspaces x 16 codes on dim-64: coarse but the
+    codebooks are trained on the corpus itself)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    books = SIM.train_pq_codebooks(emb, m_sub=16, k_codes=16)
+    exact = SIM.cosine_topk_exact(emb, queries, k=10).collect()
+    # raw ADC: coarse but sane on near-random vectors
+    raw = SIM.pq_cosine_topk(emb, queries, books, k=11).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+    raw_pairs = {
+        (r.query_id, r.vec_id) for r in raw if r.query_id != r.vec_id
+    }
+    assert len(exact_pairs & raw_pairs) / len(exact_pairs) >= 0.3
+    # production shape: PQ shortlist of 50 + exact re-rank
+    rr = SIM.pq_cosine_topk(
+        emb, queries, books, k=11, rerank=50
+    ).collect()
+    rr_pairs = {
+        (r.query_id, r.vec_id) for r in rr if r.query_id != r.vec_id
+    }
+    recall = len(exact_pairs & rr_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+
+
+def test_pq_encode_is_deterministic_and_compact(spark, sf_dir):
+    """Codes must be stable under repartitioning (no RNG) and within the
+    codebook range (16 codes -> 4 bits of real entropy per subspace)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = SIM.train_pq_codebooks(emb, iters=2)
+    c1 = {
+        r.vec_id: tuple(r.codes)
+        for r in SIM.pq_encode(emb, books).collect()
+    }
+    c2 = {
+        r.vec_id: tuple(r.codes)
+        for r in SIM.pq_encode(emb.repartition(7), books).collect()
+    }
+    assert c1 == c2
+    assert all(
+        len(v) == 8 and all(0 <= x < 16 for x in v) for v in c1.values()
+    )  # default m_sub=8, k_codes=16
+
+
+def test_pq_codebooks_deterministic_under_repartition(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = SIM.train_pq_codebooks(emb, iters=2)
+    b2 = SIM.train_pq_codebooks(emb.repartition(5), iters=2)
+    assert b1 == b2
