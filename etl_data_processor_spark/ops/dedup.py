@@ -19,7 +19,7 @@ only affects recall (tunable via bands/rows).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -605,3 +605,63 @@ def decontaminate(
     )
     contaminated = pairs.select(F.col("id_l").alias(id_col)).distinct()
     return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def shared_ngram_runs(
+    docs: DataFrame,
+    k: int = 8,
+    min_run: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shared-substring-run detection (the ExactSubstr operator of
+    Lee et al., 'Deduplicating Training Data Makes Language Models
+    Better', re-expressed relationally): for every doc pair sharing a
+    verbatim run of >= ``min_run`` whitespace tokens, emit
+    (id_a, id_b, max_run) with the longest shared run length.
+
+    Algorithm: k-gram shingles WITH POSITIONS equi-join across docs on
+    the 64-bit gram hash (one shuffle); matches on the same alignment
+    diagonal (pos_a - pos_b) with consecutive positions collapse into
+    runs via the islands trick (pos - row_number is constant within a
+    consecutive run): a shared run of L >= k tokens is exactly L-k+1
+    consecutive diagonal matches, so max_run = longest island + k - 1.
+    No suffix arrays, no per-doc state; the shingle frame is persisted
+    (both self-join sides consume it) and the docs repartition to full
+    parallelism before the CPU-heavy gram expression."""
+    d = _parallelize(docs.select(id_col, text_col))
+    w = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    sh = (
+        d.filter(F.size(w) >= k)
+        .select(id_col, F.posexplode(grams).alias("p", "g"))
+        .select(
+            id_col, (F.col("p") + 1).alias("pos"), F.xxhash64("g").alias("g")
+        )
+        .cache()
+    )
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "g"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("pos").alias("pb"), "g"
+    )
+    matches = a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    )
+    runs = (
+        matches.withColumn("grp", F.col("pa") - rn)
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(F.max("run_tokens").alias("max_run"))
+        .filter(F.col("max_run") >= min_run)
+    )

@@ -856,53 +856,10 @@ def q_dedup_substring(spark, sf_dir):
     shingle string for its hash at 100 TB (same plan, smaller shuffle).
     Complements MinHash (bag-of-shingles similarity) with POSITIONAL
     verbatim-quote detection."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.dedup import shared_ngram_runs
 
-    d = _parallelize(
-        _cat(spark, sf_dir).documents.select("doc_id", "text")
-    )
-    w = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 7),
-        lambda i: F.array_join(F.slice(w, i, 8), " "),
-    )
-    sh = (
-        d.filter(F.size(w) >= 8)
-        .select("doc_id", F.posexplode(grams).alias("p", "g"))
-        # join on the 64-bit gram hash, not the gram string: ~8x smaller
-        # shuffle payload, same matches (collision odds ~1e-9 corpus-wide;
-        # at real scale verify candidate runs against the text)
-        .select(
-            "doc_id", (F.col("p") + 1).alias("pos"),
-            F.xxhash64("g").alias("g"),
-        )
-        # both self-join sides consume the shingle frame — without the
-        # persist the split/slice/join expression tree executes twice
-        # (the minhash_lsh_pairs practice: materialize signatures once)
-        .cache()
-    )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "g"
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "g"
-    )
-    matches = a.join(b, "g").filter(F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
-    )
-    rn = F.row_number().over(
-        Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
-    )
-    runs = (
-        matches.withColumn("grp", F.col("pa") - rn)
-        .groupBy("id_a", "id_b", "diag", "grp")
-        .agg((F.count(F.lit(1)) + 7).alias("run_tokens"))
-    )
-    return (
-        runs.groupBy("id_a", "id_b")
-        .agg(F.max("run_tokens").alias("max_run"))
-        .filter(F.col("max_run") >= 12)
-    )
+    d = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    return shared_ngram_runs(d, k=8, min_run=12)
 
 
 # =====================================================================

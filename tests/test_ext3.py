@@ -208,3 +208,63 @@ def test_attribution_linear_credits_sum_to_value(spark):
     }
     for pid, (total, k) in sums.items():
         assert abs(total - vals[pid]) <= k * 1e-6 + 1e-9, (pid, total, vals[pid])
+
+
+# ------------------------------------------------- shared-substring runs
+
+def _naive_max_runs(texts: dict[int, str], k: int, min_run: int):
+    """Quadratic reference: longest shared token run per doc pair."""
+    toks = {i: t.split(" ") for i, t in texts.items()}
+    out = {}
+    ids = sorted(texts)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = toks[ids[ai]], toks[ids[bi]]
+            best = 0
+            for i in range(len(a)):
+                for j in range(len(b)):
+                    L = 0
+                    while (
+                        i + L < len(a)
+                        and j + L < len(b)
+                        and a[i + L] == b[j + L]
+                    ):
+                        L += 1
+                    best = max(best, L)
+            if best >= max(min_run, k):
+                out[(ids[ai], ids[bi])] = best
+    return out
+
+
+def test_shared_ngram_runs_match_naive_on_planted_spans(spark):
+    """Random word-soup docs with PLANTED shared spans: the relational
+    islands algorithm must find exactly the naive quadratic answer
+    (pairs and max-run lengths)."""
+    from etl_data_processor_spark.ops.dedup import shared_ngram_runs
+
+    rnd = random.Random(42)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def soup(n):
+        return [rnd.choice(vocab) for _ in range(n)]
+
+    span = soup(20)  # the planted verbatim span (20 tokens)
+    docs = {
+        0: soup(10) + span + soup(15),
+        1: soup(5) + span + soup(3),
+        2: soup(8) + span[:14] + soup(12),  # shares only a prefix of it
+        3: soup(40),  # no planted overlap
+        4: span + span,  # repeated span (self-overlap diagonals)
+    }
+    texts = {i: " ".join(t) for i, t in docs.items()}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["max_run"]
+        for r in shared_ngram_runs(df, k=8, min_run=12).collect()
+    }
+    want = _naive_max_runs(texts, k=8, min_run=12)
+    assert got == want, (got, want)
+    # sanity on the construction itself: the planted pairs are present
+    assert got[(0, 1)] >= 20 and (0, 4) in got
