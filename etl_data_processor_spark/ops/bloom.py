@@ -121,7 +121,19 @@ def bloom_pruned_join(
     first. Result == plain join (no false negatives); the win is that
     non-matching fact rows die at the scan instead of crossing the
     exchange — at 100 TB a 1%-selective dim turns a full-fact shuffle
-    into a 1%-fact shuffle for the price of one pass over the dim."""
+    into a 1%-fact shuffle for the price of one pass over the dim.
+
+    Only match-reducing join types are sound: pruning drops fact rows
+    that cannot match, which changes the RESULT of left/full/anti
+    joins (a left join must keep non-matching fact rows; an anti join
+    returns exactly the rows pruning removes). Those types are
+    rejected."""
+    if how not in ("inner", "left_semi", "semi", "leftsemi", "cross"):
+        raise ValueError(
+            f"bloom_pruned_join is only sound for match-reducing joins "
+            f"(inner/semi); got how={how!r} — pruning would change the "
+            "result of outer/anti joins"
+        )
     words = build_bloom(dim.select(dim_key), dim_key, m_bits, k, seed)
     pruned = fact.filter(
         might_contain(F.col(fact_key), words, m_bits, k, seed)

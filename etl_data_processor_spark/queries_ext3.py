@@ -24,12 +24,11 @@ from pyspark.sql import functions as F
 from etl_data_processor_spark.registry import q, cat as _cat
 from etl_data_processor_spark.ops.similarity import stable_round6
 
-_CENTS_SQL = "CAST(FLOOR({c} * 100.0 + 0.5) AS BIGINT)"
-_ROUND6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
-
-
-def _cents(col: str):
-    return F.floor(F.col(col) * F.lit(100.0) + F.lit(0.5)).cast("long")
+from etl_data_processor_spark.queries_ext2 import (  # noqa: E402
+    _CENTS_SQL,
+    _ROUND6,
+    _cents,
+)
 
 
 # =====================================================================
@@ -39,7 +38,8 @@ def _cents(col: str):
 @q(
     "q_tableformat_merge",
     """
-    WITH cut AS (SELECT MAX(c_custkey) // 3 AS cut FROM customer),
+    WITH cut AS (SELECT MAX(c_custkey) // 3 AS cut,
+                        MAX(c_custkey) AS m FROM customer),
     changes AS (
         SELECT c_custkey,
                'MRG#' || CAST(c_custkey AS VARCHAR) AS c_name,
@@ -49,7 +49,7 @@ def _cents(col: str):
                CASE WHEN c_custkey % 31 = 0 THEN 'D' ELSE 'U' END AS op
         FROM customer, cut WHERE c_custkey % 7 = 0 AND c_custkey <= cut
         UNION ALL
-        SELECT c_custkey + 1000000,
+        SELECT c_custkey + m + 1,
                'NEWM#' || CAST(c_custkey AS VARCHAR),
                c_nationkey,
                0.0 AS c_acctbal,
@@ -71,7 +71,8 @@ def q_tableformat_merge(spark, sf_dir):
     (tableformat.py::merge), oracle-gated: the customer table is committed
     as THREE key-range file groups with min/max stats; a CDC batch
     confined to the first key-range third (updates/deletes on %7, inserts
-    above the key space) is merged through the commit log. The merge must
+    at max-key + k, above the key space at any SF) is merged through the
+    commit log. The merge must
     rewrite EXACTLY ONE of the three groups (stats-pruned copy-on-write —
     asserted in-line), and the oracle recomputes the expected final table
     straight from the fixture with FULL-OUTER MERGE semantics, so the
@@ -88,7 +89,8 @@ def q_tableformat_merge(spark, sf_dir):
     m = c.agg(F.max("c_custkey")).collect()[0][0]  # one scalar
     cut = m // 3
     t = tempfile.mkdtemp(prefix="tf_merge_")
-    for lo, hi in ((0, cut), (cut, 2 * cut), (2 * cut, m)):
+    # custkeys start at 0 in the fixture: the first slice is (-1, cut]
+    for lo, hi in ((-1, cut), (cut, 2 * cut), (2 * cut, m)):
         TF.append(
             c.filter(
                 (F.col("c_custkey") > lo) & (F.col("c_custkey") <= hi)
@@ -109,8 +111,11 @@ def q_tableformat_merge(spark, sf_dir):
         .otherwise(F.lit("U"))
         .alias("op"),
     )
+    # insert keys at m + 1 + k: above every group's recorded range at ANY
+    # scale factor (a fixed +1e6 offset collides with real keys and the
+    # third group's range once max(c_custkey) ~ 1e6)
     inserts = first.filter(F.col("c_custkey") % 13 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        (F.col("c_custkey") + F.lit(m + 1)).alias("c_custkey"),
         F.concat(F.lit("NEWM#"), F.col("c_custkey").cast("string")).alias(
             "c_name"
         ),

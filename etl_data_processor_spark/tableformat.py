@@ -248,9 +248,12 @@ def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> int:
     the small-file compaction every streaming ingest needs. A normal
     committed rewrite: readers see either the old layout or the new one,
     never a mix; time travel before the compaction version still replays
-    the old groups (until vacuumed)."""
+    the old groups (until vacuumed). Reads with merge_schema so
+    compacting a schema-evolved table keeps the WIDEST schema (a plain
+    read would infer from one arbitrary footer and could silently drop
+    the newer columns from the rewrite)."""
     base = (_versions(table_dir) or [-1])[-1]
-    df = read(spark, table_dir, version=base)
+    df = read(spark, table_dir, version=base, merge_schema=True)
     group = _write_group(df.coalesce(target_files), table_dir)
     return _commit(
         table_dir, "compact", [_add_action(group)], removes_from=base
@@ -344,12 +347,15 @@ def merge(
     if touched:
         # live MOR deletes apply to the touched target (a deleted key's
         # 'U' change must INSERT, not resurrect the old row); untouched
-        # groups keep their delete files, which stay live
+        # groups keep their delete files, which stay live. merge_schema
+        # keeps the widest schema when touched groups were written at
+        # different evolution stages.
         target = _assemble(
             spark,
             table_dir,
             [a for a in data if a["group"] in set(touched)],
             dels,
+            merge_schema=True,
         )
     else:
         # pure-insert batch: empty target with the table schema
@@ -361,6 +367,12 @@ def merge(
     from etl_data_processor_spark.ops.cdc import apply_changes
 
     merged = apply_changes(target, changes, key=key, op_col=op_col)
+    if not touched and merged.isEmpty():
+        # nothing matched and nothing to insert (e.g. deletes on absent
+        # keys): publishing an empty 'merge' commit would force every
+        # read_appends_since consumer into a full snapshot re-sync for
+        # a no-op — return without committing
+        return base, 0, len(data)
     group = _write_group(merged, table_dir)
     stats = (
         _group_stats(merged, table_dir, group, stats_cols)
@@ -519,10 +531,22 @@ def delete_where(
 
     Returns ``(version, n_delete_keys)``. Conflicts like overwrite: the
     predicate was evaluated against the base snapshot, so any commit
-    racing past it fails this delete (re-run against the new head)."""
+    racing past it fails this delete (re-run against the new head).
+
+    NULL-key rows cannot be equality-deleted (the read-time anti-join
+    condition is never true for NULL) — they are excluded from the
+    delete file and the count; delete them with a copy-on-write
+    ``overwrite`` instead."""
     base = (_versions(table_dir) or [-1])[-1]
-    snap = read(spark, table_dir, version=base)
-    keys = snap.filter(cond).select(key).distinct()
+    snap = read(spark, table_dir, version=base, merge_schema=True)
+    from pyspark.sql import functions as F
+
+    keys = (
+        snap.filter(cond)
+        .select(key)
+        .filter(F.col(key).isNotNull())
+        .distinct()
+    )
     group = _write_group(keys, table_dir)
     n = spark.read.parquet(
         os.path.join(_data_dir(table_dir), group)

@@ -474,3 +474,56 @@ def test_schema_evolution_read(spark, tmp_path):
     df2 = TF.read(spark, t, merge_schema=True)
     got2 = {r["id"]: r["v2"] for r in df2.collect()}
     assert got2 == {0: None, 2: None, 3: 6}
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Compacting a schema-evolved table must keep the widest schema —
+    a plain read would infer from one arbitrary footer and could drop
+    the newer column from the rewrite forever."""
+    t = str(tmp_path / "t")
+    TF.append(spark.range(0, 3).select(F.col("id")), t)
+    TF.append(
+        spark.range(3, 5).select(F.col("id"), (F.col("id") * 2).alias("v2")),
+        t,
+    )
+    TF.compact(spark, t)
+    df = TF.read(spark, t)
+    assert set(df.columns) == {"id", "v2"}
+    got = {r["id"]: r["v2"] for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 6, 4: 8}
+    # and with a live MOR delete in the mix (union across schemas)
+    TF.delete_where(spark, t, "id", F.col("id") == 0)
+    TF.compact(spark, t)
+    assert sorted(
+        r["id"] for r in TF.read(spark, t).collect()
+    ) == [1, 2, 3, 4]
+
+
+def test_merge_noop_batch_publishes_nothing(spark, tmp_path):
+    """Deletes on absent keys (outside every group range) must not
+    publish an empty commit — incremental consumers would pay a full
+    re-sync for a no-op."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t, stats_cols=["id"])
+    head_before = TF._versions(t)[-1]
+    changes = spark.createDataFrame(
+        [(999, 0, "D")], "id long, val long, op string"
+    )
+    v, rewritten, total = TF.merge(spark, t, changes, key="id")
+    assert (v, rewritten) == (head_before, 0)
+    assert TF._versions(t)[-1] == head_before  # no commit landed
+    assert ids(TF.read(spark, t)) == list(range(10))
+
+
+def test_delete_where_excludes_null_keys(spark, tmp_path):
+    """NULL keys cannot be equality-deleted; they must not be written
+    to the delete file nor counted."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(0, 5), (None, 5), (2, 7)], "id long, val long"
+    )
+    TF.append(df, t)
+    v, n = TF.delete_where(spark, t, "id", F.col("val") == 5)
+    assert n == 1  # only id=0; the NULL-key row is excluded
+    rows = {(r["id"], r["val"]) for r in TF.read(spark, t).collect()}
+    assert rows == {(None, 5), (2, 7)}
