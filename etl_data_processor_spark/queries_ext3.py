@@ -1749,3 +1749,48 @@ def q_cosine_pq(spark, sf_dir):
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
     books = train_pq_codebooks(emb, m_sub=16, k_codes=16)
     return pq_cosine_topk(emb, queries, books, k=10, rerank=50)
+
+
+# =====================================================================
+# CDC change-stream compaction (last-write-wins per key)
+# =====================================================================
+
+@q(
+    "q_cdc_compact_batch",
+    """
+    SELECT user_id, event_id, event_type,
+           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def q_cdc_compact_batch(spark, sf_dir):
+    """CDC change-stream COMPACTION (last-write-wins): collapse a raw
+    change stream to at most one change per key — the documented
+    precondition of ops.cdc.apply_changes and tableformat.merge
+    ('at most one change per key; enforce upstream with a last-write-
+    wins window'). One window shuffle on the key with a total (ts,
+    event_id) order; at 100 TB this runs per micro-batch on
+    batch-sized data, never on the accumulated stream."""
+    ev = _cat(spark, sf_dir).events
+    rk = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        ev.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias(
+                "v_cents"
+            ),
+        )
+    )
