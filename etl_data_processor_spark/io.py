@@ -287,3 +287,22 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed table back (catalog read — the bucket spec travels
     with the table metadata, so downstream joins see the layout)."""
     return spark.table(table_name)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (columnar alternative to parquet — Spark-native, same
+    predicate-pushdown/column-pruning story; some warehouses are
+    ORC-standardized). Same partitioning contract as write_parquet."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)

@@ -407,3 +407,25 @@ def test_bucketed_join_plans_zero_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS tb_a")
         spark.sql("DROP TABLE IF EXISTS tb_b")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write/read roundtrip; the range predicate must reach the ORC
+    scan as a pushed filter (same pushdown story as parquet)."""
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.io import read_orc, write_orc
+
+    path = str(tmp_path / "t_orc")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    filtered = back.filter(F.col("id") >= 900)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:120]
+    assert filtered.count() == 100
+    got = sorted(r["id"] for r in filtered.collect())
+    assert got == list(range(900, 1000))
