@@ -1794,3 +1794,103 @@ def q_cdc_compact_batch(spark, sf_dir):
             ),
         )
     )
+
+
+# =====================================================================
+# Maximum drawdown per entity
+# =====================================================================
+
+@q(
+    "q_drawdown",
+    """
+    WITH seq AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+               CAST(MAX(FLOOR(value * 100.0 + 0.5)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS peak
+        FROM events
+    )
+    SELECT user_id, CAST(MAX(peak - v) AS BIGINT) AS max_drawdown_cents
+    FROM seq GROUP BY user_id
+    """,
+)
+def q_drawdown(spark, sf_dir):
+    """Maximum drawdown per user (the classic risk metric: largest drop
+    from a running peak): running-max window then one aggregate —
+    fully window-expressible (unlike the clamped balance, the peak does
+    NOT feed back into the series), integer cents end-to-end."""
+    ev = _cat(spark, sf_dir).events
+    v = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id", v.alias("v"), F.max(v).over(w).alias("peak")
+    )
+    return seq.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("v")).alias("max_drawdown_cents")
+    )
+
+
+# =====================================================================
+# Market concentration (HHI)
+# =====================================================================
+
+@q(
+    "q_hhi",
+    f"""
+    WITH spend AS (
+        SELECT c_mktsegment AS segment, o_custkey,
+               CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS dollars
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT segment,
+               CAST(SUM(dollars * dollars) AS BIGINT) AS ss,
+               CAST(SUM(dollars) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_actors
+        FROM spend GROUP BY 1
+    )
+    SELECT segment, n_actors,
+           {_ROUND6.format(
+               x="CAST(ss AS DOUBLE) "
+                 "/ (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))"
+           )} AS hhi6
+    FROM m
+    """,
+)
+def q_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index per market segment:
+    Σ share_i² computed WITHOUT materializing shares — ss/tot² with
+    exact integer dollar moments (one customer-level aggregate, one
+    segment-level aggregate, both partial+final; the division is the
+    only float op). HHI → 1/n means competitive, → 1 means
+    concentrated — the skew diagnosis for revenue the way
+    q_skew_diagnose is for keys."""
+    cat = _cat(spark, sf_dir)
+    spend = (
+        cat.orders.join(
+            cat.customer,
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(F.sum(F.floor("o_totalprice")).alias("dollars"))
+    )
+    m = spend.groupBy("segment").agg(
+        F.sum(F.col("dollars") * F.col("dollars")).alias("ss"),
+        F.sum("dollars").alias("tot"),
+        F.count(F.lit(1)).alias("n_actors"),
+    )
+    hhi = F.col("ss").cast("double") / (
+        F.col("tot").cast("double") * F.col("tot").cast("double")
+    )
+    return m.select(
+        "segment", "n_actors", stable_round6(hhi).alias("hhi6")
+    )
