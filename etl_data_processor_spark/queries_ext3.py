@@ -1894,3 +1894,131 @@ def q_hhi(spark, sf_dir):
     return m.select(
         "segment", "n_actors", stable_round6(hhi).alias("hhi6")
     )
+
+
+# =====================================================================
+# Kaplan-Meier survival curve (right-censored)
+# =====================================================================
+
+@q(
+    "q_survival_km",
+    f"""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'
+                        THEN CAST(ts AS DATE) END) AS fv
+        FROM events GROUP BY user_id
+    ),
+    p AS (
+        SELECT u.user_id, u.fv,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                        AND CAST(e.ts AS DATE) >= u.fv
+                        THEN CAST(e.ts AS DATE) END) AS fp
+        FROM u JOIN events e ON e.user_id = u.user_id
+        WHERE u.fv IS NOT NULL
+        GROUP BY u.user_id, u.fv
+    ),
+    obs AS (
+        SELECT user_id,
+               CAST(CASE WHEN user_id % 5 = 0
+                         THEN LEAST(date_diff('day', fv, fp), 1)
+                         ELSE date_diff('day', fv, fp) END AS BIGINT)
+                   AS t,
+               CASE WHEN user_id % 5 = 0
+                         AND date_diff('day', fv, fp) > 1
+                    THEN 0 ELSE 1 END AS death
+        FROM p WHERE fp IS NOT NULL
+    ),
+    times AS (
+        SELECT t, CAST(SUM(death) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS ending
+        FROM obs GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(SUM(ending) OVER (ORDER BY t DESC) AS BIGINT)
+                   AS n_risk
+        FROM times
+    )
+    SELECT CAST(t AS INTEGER) AS t, d, n_risk,
+           {_ROUND6.format(
+               x="EXP(SUM(LN(1.0 - CAST(d AS DOUBLE)"
+                 " / CAST(n_risk AS DOUBLE))) OVER (ORDER BY t))"
+           )} AS surv6
+    FROM risk WHERE d > 0 AND d < n_risk
+    """,
+)
+def q_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of view->purchase conversion delay,
+    RIGHT-CENSORED: a deterministic mask (user_id%5==0 lost to
+    follow-up after day 1 — the q_impute_median synthetic-mask
+    precedent, standing in for real dropout) makes censored users count
+    as AT-RISK through day 1 but never as conversions — the estimator
+    that naive ECDF gets wrong. At-risk counts come from ONE descending
+    cumulative window over per-time tallies (never a user self-join);
+    the sequential survival product is the exp-sum-log identity, so it
+    is also one window — two window passes over a delay-bounded frame
+    regardless of user count. ln/exp agree across engines to <=1
+    ulp/term; 6-decimal stable rounding absorbs the tail. Times with
+    d = n_risk (ln(0)) are excluded with the same predicate both
+    sides."""
+    ev = _cat(spark, sf_dir).events
+    d_ts = F.col("ts").cast("date")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", d_ts)).alias("fv")
+    ).filter(F.col("fv").isNotNull())
+    p = (
+        ev.join(u, "user_id")
+        .groupBy("user_id", "fv")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (d_ts >= F.col("fv")),
+                    d_ts,
+                )
+            ).alias("fp")
+        )
+        .filter(F.col("fp").isNotNull())
+    )
+    delay = F.datediff("fp", "fv")
+    masked = F.col("user_id") % 5 == 0
+    obs = p.select(
+        "user_id",
+        F.when(masked, F.least(delay, F.lit(1)))
+        .otherwise(delay)
+        .cast("long")
+        .alias("t"),
+        F.when(masked & (delay > 1), F.lit(0)).otherwise(F.lit(1)).alias(
+            "death"
+        ),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("death").alias("d"), F.count(F.lit(1)).alias("ending")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = times.select(
+        "t", "d", F.sum("ending").over(w_desc).alias("n_risk")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+        ).over(w_asc)
+    )
+    return (
+        risk.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk")))
+        .select(
+            F.col("t").cast("int").alias("t"),
+            "d",
+            "n_risk",
+            stable_round6(surv).alias("surv6"),
+        )
+    )
