@@ -2022,3 +2022,122 @@ def q_survival_km(spark, sf_dir):
             stable_round6(surv).alias("surv6"),
         )
     )
+
+
+# =====================================================================
+# Shannon entropy per group
+# =====================================================================
+
+@q(
+    "q_entropy",
+    f"""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(COUNT(*)) OVER (PARTITION BY source) AS BIGINT)
+                   AS tot
+        FROM documents GROUP BY source, lang
+    )
+    SELECT source,
+           {_ROUND6.format(
+               x="-CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)"
+                 " * LN(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+                 " * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+                 " / 1000000000000.0"
+           )} AS entropy6
+    FROM c GROUP BY source
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Shannon entropy of the language mix per source — the diversity /
+    data-quality screen (entropy 0 = monolingual source; ln|langs| =
+    uniform). Exact integer counts from one aggregate; -Σ p ln p is the
+    only float stage, an identical IEEE sequence both engines. Two
+    partial+final aggregates, no shuffle of raw documents beyond the
+    first."""
+    d = _cat(spark, sf_dir).documents
+    c = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "tot", F.sum("n").over(Window.partitionBy("source"))
+        )
+    )
+    pr = F.col("n").cast("double") / F.col("tot").cast("double")
+    # each term quantizes to 1e-12 fixed point BEFORE the sum: integer
+    # summation is order-independent (a raw float SUM depends on
+    # partition order — the ops/exact discipline)
+    tq = F.floor(pr * F.log(pr) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        c.groupBy("source")
+        .agg(F.sum(tq).alias("__hq"))
+        .select(
+            "source",
+            stable_round6(
+                -(F.col("__hq").cast("double") / F.lit(1e12))
+            ).alias("entropy6"),
+        )
+    )
+
+
+# =====================================================================
+# Mutual information between two categoricals
+# =====================================================================
+
+@q(
+    "q_mutual_info",
+    f"""
+    WITH joint AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS nxy
+        FROM documents GROUP BY source, lang
+    ),
+    mx AS (SELECT source, CAST(SUM(nxy) AS BIGINT) AS nx
+           FROM joint GROUP BY source),
+    my AS (SELECT lang, CAST(SUM(nxy) AS BIGINT) AS ny
+           FROM joint GROUP BY lang),
+    n AS (SELECT CAST(SUM(nxy) AS BIGINT) AS tot FROM joint)
+    SELECT {_ROUND6.format(
+        x="CAST(SUM(CAST(FLOOR(CAST(nxy AS DOUBLE) / CAST(tot AS DOUBLE)"
+          " * LN(CAST(nxy AS DOUBLE) * CAST(tot AS DOUBLE)"
+          " / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))"
+          " * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)"
+          " / 1000000000000.0"
+    )} AS mi6
+    FROM joint JOIN mx USING (source) JOIN my USING (lang) CROSS JOIN n
+    """,
+)
+def q_mutual_info(spark, sf_dir):
+    """Mutual information I(source; lang) — does the source predict the
+    language? (0 = independent; the feature-selection statistic.) Joint
+    counts from one aggregate; the two marginals re-aggregate the TINY
+    joint table (never the corpus) and broadcast back; Σ p_xy ln(p_xy /
+    p_x p_y) is the only float stage, written as one shared IEEE
+    sequence. Everything after the first aggregate is
+    contingency-table-sized."""
+    d = _cat(spark, sf_dir).documents
+    joint = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("nxy")
+    )
+    mx = joint.groupBy("source").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("lang").agg(F.sum("nxy").alias("ny"))
+    n = joint.agg(F.sum("nxy").alias("tot"))
+    j = (
+        joint.join(F.broadcast(mx), "source")
+        .join(F.broadcast(my), "lang")
+        .crossJoin(F.broadcast(n))
+    )
+    term = (
+        F.col("nxy").cast("double") / F.col("tot").cast("double")
+    ) * F.log(
+        F.col("nxy").cast("double")
+        * F.col("tot").cast("double")
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    # fixed-point term quantization -> order-independent integer sum
+    # (the ops/exact discipline; a raw float SUM is partition-order
+    # dependent)
+    tq = F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return j.agg(
+        stable_round6(
+            F.sum(tq).cast("double") / F.lit(1e12)
+        ).alias("mi6")
+    )
