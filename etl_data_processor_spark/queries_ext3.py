@@ -2141,3 +2141,200 @@ def q_mutual_info(spark, sf_dir):
             F.sum(tq).cast("double") / F.lit(1e12)
         ).alias("mi6")
     )
+
+
+# =====================================================================
+# BM25 ranked retrieval
+# =====================================================================
+
+_BM25_TERMS = ("spark", "hash", "window")
+
+
+@q(
+    "q_bm25",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ) GROUP BY doc_id, token
+    ),
+    dl AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY token
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(FLOOR(
+                 LN(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+                           + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+                 * (CAST(t.tf AS DOUBLE) * 2.2)
+                 / (CAST(t.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(d.dl AS DOUBLE)
+                             * CAST(s.n_docs AS DOUBLE)
+                             / CAST(s.sum_dl AS DOUBLE)))
+                 * 1000000000000.0 + 0.5) AS BIGINT) AS termscore_q
+        FROM tf t
+        JOIN df f USING (token)
+        JOIN dl d ON d.doc_id = t.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           {_ROUND6.format(
+               x="CAST(SUM(termscore_q) AS DOUBLE) / 1000000000000.0"
+           )} AS bm25_6
+    FROM scored GROUP BY doc_id
+    ORDER BY SUM(termscore_q) DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson-Sparck Jones, k1=1.2 b=0.75) for
+    a fixed term set — the standard lexical search scorer the TF-IDF
+    family leads to. Plan: one tf aggregate, a TERM-SET-bounded df
+    table (broadcast), doc lengths + corpus stats (scalar broadcast),
+    score inside codegen. Per-term float scores quantize to 1e-12
+    fixed point before the per-doc INTEGER sum (order-independent, the
+    ops/exact discipline); top-20 with deterministic tiebreak. At
+    100 TB: everything after the tf aggregate is vocabulary- or
+    query-bounded."""
+    d = _cat(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = (
+        tf.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    s = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (F.col("tf").cast("double") + norm)
+    )
+    tq = F.floor(score * F.lit(1e12) + F.lit(0.5)).cast("long")
+    agg = s.select("doc_id", tq.alias("tsq")).groupBy("doc_id").agg(
+        F.sum("tsq").alias("sq")
+    )
+    return (
+        agg.orderBy(F.col("sq").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            stable_round6(
+                F.col("sq").cast("double") / F.lit(1e12)
+            ).alias("bm25_6"),
+        )
+    )
+
+
+# =====================================================================
+# Bollinger bands (rolling mean ± 2σ, exact moments)
+# =====================================================================
+
+@q(
+    "q_bollinger",
+    f"""
+    WITH m AS (
+        SELECT event_type, event_id,
+               COUNT(*) OVER w AS n,
+               SUM(v) OVER w AS sx,
+               SUM(v*v) OVER w AS sxx,
+               v
+        FROM (SELECT event_type, event_id, ts,
+                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+              FROM events)
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, event_id,
+           {_ROUND6.format(x="CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")}
+               AS mid6,
+           {_ROUND6.format(
+               x="CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+                 " + 2.0 * SQRT(CAST(n*sxx - sx*sx AS DOUBLE))"
+                 " / CAST(n AS DOUBLE)"
+           )} AS upper6,
+           CAST((v * n > sx + 2 * CAST(FLOOR(
+                SQRT(CAST(n*sxx - sx*sx AS DOUBLE)) + 0.5) AS BIGINT))
+                AS INTEGER) AS breakout
+    FROM m WHERE n = 20
+    """,
+)
+def q_bollinger(spark, sf_dir):
+    """Bollinger bands over the value series per event type: rolling
+    20-row mean ± 2σ from EXACT integer moments (one window pass), and
+    an integer-exact breakout flag — v > mean + 2σ is tested as
+    v·n > sx + 2·round(sqrt(n·sxx − sx²)) so the signal itself never
+    depends on float formatting (the band columns are display values,
+    stable-rounded). Same moment technique as q_win_rolling_corr."""
+    ev = _cat(spark, sf_dir).events
+    v = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    m = ev.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(v).over(w).alias("sx"),
+        F.sum(v * v).over(w).alias("sxx"),
+        v.alias("v"),
+    ).filter(F.col("n") == 20)
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var_q = (n * sxx - sx * sx).cast("double")
+    mid = sx.cast("double") / n.cast("double")
+    upper = mid + F.lit(2.0) * F.sqrt(var_q) / n.cast("double")
+    sigma_int = F.floor(F.sqrt(var_q) + F.lit(0.5)).cast("long")
+    breakout = (
+        F.col("v") * n > sx + F.lit(2) * sigma_int
+    ).cast("int")
+    return m.select(
+        "event_type",
+        "event_id",
+        stable_round6(mid).alias("mid6"),
+        stable_round6(upper).alias("upper6"),
+        breakout.alias("breakout"),
+    )
