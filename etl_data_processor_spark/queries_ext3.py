@@ -1757,9 +1757,9 @@ def q_cosine_pq(spark, sf_dir):
 
 @q(
     "q_cdc_compact_batch",
-    """
+    f"""
     SELECT user_id, event_id, event_type,
-           CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+           {_CENTS_SQL.format(c="value")} AS v_cents
     FROM (
         SELECT user_id, event_id, event_type, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1789,9 +1789,7 @@ def q_cdc_compact_batch(spark, sf_dir):
             "user_id",
             "event_id",
             "event_type",
-            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias(
-                "v_cents"
-            ),
+            _cents("value").alias("v_cents"),
         )
     )
 
@@ -1802,10 +1800,10 @@ def q_cdc_compact_batch(spark, sf_dir):
 
 @q(
     "q_drawdown",
-    """
+    f"""
     WITH seq AS (
         SELECT user_id,
-               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v,
+               {_CENTS_SQL.format(c="value")} AS v,
                CAST(MAX(FLOOR(value * 100.0 + 0.5)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1822,7 +1820,7 @@ def q_drawdown(spark, sf_dir):
     fully window-expressible (unlike the clamped balance, the peak does
     NOT feed back into the series), integer cents end-to-end."""
     ev = _cat(spark, sf_dir).events
-    v = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    v = _cents("value")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1903,7 +1901,8 @@ def q_hhi(spark, sf_dir):
 @q(
     "q_survival_km",
     f"""
-    WITH u AS (
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    u AS (
         SELECT user_id,
                MIN(CASE WHEN event_type = 'view'
                         THEN CAST(ts AS DATE) END) AS fv
@@ -1911,23 +1910,29 @@ def q_hhi(spark, sf_dir):
     ),
     p AS (
         SELECT u.user_id, u.fv,
-               MIN(CASE WHEN e.event_type = 'purchase'
-                        AND CAST(e.ts AS DATE) >= u.fv
-                        THEN CAST(e.ts AS DATE) END) AS fp
+               CASE WHEN u.user_id % 11 = 0 THEN NULL
+                    ELSE MIN(CASE WHEN e.event_type = 'purchase'
+                             AND CAST(e.ts AS DATE) >= u.fv
+                             THEN CAST(e.ts AS DATE) END)
+               END AS fp
         FROM u JOIN events e ON e.user_id = u.user_id
         WHERE u.fv IS NOT NULL
         GROUP BY u.user_id, u.fv
     ),
     obs AS (
         SELECT user_id,
-               CAST(CASE WHEN user_id % 5 = 0
+               CAST(CASE
+                    WHEN fp IS NULL
+                         THEN date_diff('day', fv, (SELECT maxd FROM horizon))
+                    WHEN user_id % 5 = 0
                          THEN LEAST(date_diff('day', fv, fp), 1)
-                         ELSE date_diff('day', fv, fp) END AS BIGINT)
-                   AS t,
-               CASE WHEN user_id % 5 = 0
-                         AND date_diff('day', fv, fp) > 1
-                    THEN 0 ELSE 1 END AS death
-        FROM p WHERE fp IS NOT NULL
+                    ELSE date_diff('day', fv, fp) END AS BIGINT) AS t,
+               CASE
+                    WHEN fp IS NULL THEN 0
+                    WHEN user_id % 5 = 0 AND date_diff('day', fv, fp) > 1
+                         THEN 0
+                    ELSE 1 END AS death
+        FROM p
     ),
     times AS (
         SELECT t, CAST(SUM(death) AS BIGINT) AS d,
@@ -1949,21 +1954,25 @@ def q_hhi(spark, sf_dir):
     """,
 )
 def q_survival_km(spark, sf_dir):
-    """Kaplan-Meier survival curve of view->purchase conversion delay,
-    RIGHT-CENSORED: a deterministic mask (user_id%5==0 lost to
-    follow-up after day 1 — the q_impute_median synthetic-mask
-    precedent, standing in for real dropout) makes censored users count
-    as AT-RISK through day 1 but never as conversions — the estimator
-    that naive ECDF gets wrong. At-risk counts come from ONE descending
-    cumulative window over per-time tallies (never a user self-join);
-    the sequential survival product is the exp-sum-log identity, so it
-    is also one window — two window passes over a delay-bounded frame
-    regardless of user count. ln/exp agree across engines to <=1
-    ulp/term; 6-decimal stable rounding absorbs the tail. Times with
-    d = n_risk (ln(0)) are excluded with the same predicate both
-    sides."""
+    """Kaplan-Meier survival curve of view->purchase conversion delay
+    with PROPER right censoring: non-converters stay AT-RISK until the
+    observation horizon (death = 0 at horizon - first_view) — dropping
+    them would make the curve conditional on eventual conversion, the
+    very ECDF bias KM exists to fix. The fixture's users all convert,
+    so two deterministic masks supply live censoring paths (the
+    q_impute_median synthetic-mask precedent): user_id%11==0 users'
+    purchases are treated unobserved (censored at horizon) and
+    user_id%5==0 users drop out after day 1. At-risk counts come from
+    ONE descending cumulative window over per-time tallies (no user
+    self-join); the sequential survival product is the exp-sum-log
+    identity over a window with DETERMINISTIC order — two window
+    passes over a delay-bounded frame regardless of user count.
+    ln/exp agree across engines to <=1 ulp/term; 6-decimal stable
+    rounding absorbs the tail. Times with d = n_risk (ln(0)) are
+    excluded with the same predicate both sides."""
     ev = _cat(spark, sf_dir).events
     d_ts = F.col("ts").cast("date")
+    horizon = ev.agg(F.max(d_ts).alias("maxd"))
     u = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", d_ts)).alias("fv")
     ).filter(F.col("fv").isNotNull())
@@ -1977,22 +1986,30 @@ def q_survival_km(spark, sf_dir):
                     & (d_ts >= F.col("fv")),
                     d_ts,
                 )
-            ).alias("fp")
+            ).alias("fp0")
         )
-        .filter(F.col("fp").isNotNull())
+        .select(
+            "user_id",
+            "fv",
+            F.when(F.col("user_id") % 11 == 0, F.lit(None)).otherwise(
+                F.col("fp0")
+            ).alias("fp"),
+        )
+        .crossJoin(F.broadcast(horizon))
     )
     delay = F.datediff("fp", "fv")
-    masked = F.col("user_id") % 5 == 0
-    obs = p.select(
-        "user_id",
-        F.when(masked, F.least(delay, F.lit(1)))
+    t = (
+        F.when(F.col("fp").isNull(), F.datediff("maxd", "fv"))
+        .when(F.col("user_id") % 5 == 0, F.least(delay, F.lit(1)))
         .otherwise(delay)
         .cast("long")
-        .alias("t"),
-        F.when(masked & (delay > 1), F.lit(0)).otherwise(F.lit(1)).alias(
-            "death"
-        ),
     )
+    death = (
+        F.when(F.col("fp").isNull(), F.lit(0))
+        .when((F.col("user_id") % 5 == 0) & (delay > 1), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    obs = p.select("user_id", t.alias("t"), death.alias("death"))
     times = obs.groupBy("t").agg(
         F.sum("death").alias("d"), F.count(F.lit(1)).alias("ending")
     )
@@ -2282,7 +2299,7 @@ def q_bm25(spark, sf_dir):
                SUM(v*v) OVER w AS sxx,
                v
         FROM (SELECT event_type, event_id, ts,
-                     CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v
+                     {_CENTS_SQL.format(c="value")} AS v
               FROM events)
         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
@@ -2309,7 +2326,7 @@ def q_bollinger(spark, sf_dir):
     depends on float formatting (the band columns are display values,
     stable-rounded). Same moment technique as q_win_rolling_corr."""
     ev = _cat(spark, sf_dir).events
-    v = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    v = _cents("value")
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

@@ -65,16 +65,45 @@ def test_bloom_pruned_join_equals_plain_join(spark):
 
 def test_bloom_filter_evaluates_at_the_scan(spark):
     """The membership predicate must land in the fact side's Filter BEFORE
-    the join — that is the whole point (rows die pre-exchange)."""
+    the join — that is the whole point (rows die pre-exchange). Checked
+    on the expression path (arrow=False; the arrow path shows an
+    ArrowEvalPython instead of the bit-test)."""
     fact = spark.range(0, 1000).select(F.col("id").alias("fk"))
     dim = spark.range(0, 10).select(F.col("id").alias("dk"))
-    j = B.bloom_pruned_join(fact, dim, "fk", "dk")
+    j = B.bloom_pruned_join(fact, dim, "fk", "dk", arrow=False)
     plan = j._jdf.queryExecution().executedPlan().toString()
     # the bit-test Filter must sit BELOW the join (physical plans print
     # top-down: a child's line comes after its parent's)
     assert "shiftrightunsigned" in plan
     assert plan.index("shiftrightunsigned") > plan.index("Join")
     assert j.count() == 10
+
+
+def test_bloom_batch_path_matches_expression_path(spark):
+    """The numpy membership test must be bit-identical to the
+    expression form on random keys (both member and non-member), and
+    the arrow/expression pruned joins must agree."""
+    rnd = random.Random(31)
+    keys = [rnd.randrange(1 << 31) for _ in range(3000)]
+    kdf = spark.createDataFrame([(x,) for x in keys], "k long")
+    member = spark.createDataFrame(
+        [(x,) for x in keys[:500]], "k long"
+    )
+    words = B.build_bloom(member, "k", m_bits=1 << 12, k=4)
+    expr = set(
+        r["k"]
+        for r in kdf.filter(
+            B.might_contain(F.col("k"), words, 1 << 12, k=4)
+        ).collect()
+    )
+    batch = set(
+        r["k"]
+        for r in kdf.filter(
+            B.might_contain_batch(words, 1 << 12, k=4)(F.col("k"))
+        ).collect()
+    )
+    assert expr == batch
+    assert set(keys[:500]) <= batch  # no false negatives either path
 
 
 # ---------------------------------------------------------------- BFS

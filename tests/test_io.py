@@ -425,7 +425,8 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert back.count() == 1000
     filtered = back.filter(F.col("id") >= 900)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters")[1][:120]
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "GreaterThanOrEqual(id,900)" in pushed, pushed
     assert filtered.count() == 100
     got = sorted(r["id"] for r in filtered.collect())
     assert got == list(range(900, 1000))
