@@ -2355,3 +2355,157 @@ def q_bollinger(spark, sf_dir):
         stable_round6(upper).alias("upper6"),
         breakout.alias("breakout"),
     )
+
+
+# =====================================================================
+# Rank movers (week-over-week rank deltas)
+# =====================================================================
+
+@q(
+    "q_rank_movers",
+    f"""
+    WITH wk AS (
+        SELECT o_custkey,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_custkey, week,
+               CAST(RANK() OVER (PARTITION BY week
+                                 ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS rk
+        FROM wk
+    ),
+    delta AS (
+        SELECT o_custkey, week, rk,
+               LAG(rk) OVER (PARTITION BY o_custkey ORDER BY week)
+                   AS prev_rk
+        FROM ranked
+    )
+    SELECT o_custkey, week, rk, prev_rk,
+           prev_rk - rk AS rank_gain
+    FROM delta
+    WHERE prev_rk IS NOT NULL AND ABS(prev_rk - rk) >= 50
+    """,
+)
+def q_rank_movers(spark, sf_dir):
+    """Movers-and-shakers: weekly customer revenue leaderboard rank
+    deltas, reporting entities that moved >= 50 positions week over
+    week. Two windows (per-week rank over the small weekly aggregate,
+    per-customer lag over the week sequence); deterministic tiebreak.
+    The leaderboard frame is aggregate-sized — the fact table shuffles
+    once into the weekly rollup."""
+    o = _cat(spark, sf_dir).orders
+    wk = o.groupBy(
+        "o_custkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week"),
+    ).agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    rk = F.rank().over(
+        Window.partitionBy("week").orderBy(
+            F.col("cents").desc(), F.col("o_custkey")
+        )
+    ).cast("long")
+    ranked = wk.select("o_custkey", "week", rk.alias("rk"))
+    prev = F.lag("rk").over(
+        Window.partitionBy("o_custkey").orderBy("week")
+    )
+    delta = ranked.select(
+        "o_custkey", "week", "rk", prev.alias("prev_rk")
+    )
+    return delta.filter(
+        F.col("prev_rk").isNotNull()
+        & (F.abs(F.col("prev_rk") - F.col("rk")) >= 50)
+    ).select(
+        "o_custkey",
+        "week",
+        "rk",
+        "prev_rk",
+        (F.col("prev_rk") - F.col("rk")).alias("rank_gain"),
+    )
+
+
+# =====================================================================
+# Peak concurrency (sweep-line over intervals)
+# =====================================================================
+
+@q(
+    "q_peak_concurrency",
+    """
+    WITH iv AS (
+        SELECT event_type,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+                   * 1000000 AS e,
+               event_id
+        FROM events
+    ),
+    pts AS (
+        SELECT event_type, s AS t, 1 AS delta, 0 AS tb, event_id FROM iv
+        UNION ALL
+        SELECT event_type, e AS t, -1 AS delta, 1 AS tb, event_id FROM iv
+    ),
+    swept AS (
+        SELECT event_type,
+               SUM(delta) OVER (PARTITION BY event_type
+                                ORDER BY t, tb, delta, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS live,
+               t
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(MAX(live) AS BIGINT) AS peak,
+           CAST(MIN(CASE WHEN live > 0 THEN t END) AS BIGINT)
+               AS first_busy_us
+    FROM swept GROUP BY event_type
+    """,
+)
+def q_peak_concurrency(spark, sf_dir):
+    """Peak concurrency per event type — the classic SWEEP-LINE: each
+    event holds a session of `value` seconds; intervals explode to
+    (+1 at start, -1 at end) points, a cumulative window sum walks the
+    timeline, and MAX(live) is the peak overlap (capacity planning /
+    rate-limit sizing). Deterministic total order (t, end-before-start
+    at ties via tb, event_id). One narrow explode + one window + one
+    aggregate; at 100 TB the window key is the series, not the point
+    count."""
+    ev = _cat(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    dur = (
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+        * F.lit(1000000)
+    )
+    iv = ev.select(
+        "event_type", us.alias("s"), (us + dur).alias("e"), "event_id"
+    )
+    pts = iv.select(
+        "event_type",
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("tb"),
+        "event_id",
+    ).unionAll(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            F.lit(1).alias("tb"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "tb", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select(
+        "event_type", F.sum("delta").over(w).alias("live"), "t"
+    )
+    return swept.groupBy("event_type").agg(
+        F.max("live").alias("peak"),
+        F.min(F.when(F.col("live") > 0, F.col("t"))).alias(
+            "first_busy_us"
+        ),
+    )
