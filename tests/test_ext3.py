@@ -297,3 +297,85 @@ def test_shared_ngram_runs_match_naive_on_planted_spans(spark):
     assert got == want, (got, want)
     # sanity on the construction itself: the planted pairs are present
     assert got[(0, 1)] >= 20 and (0, 4) in got
+
+
+# -------------------------------------------------- distributed prefix
+
+def test_chunked_cumsum_equals_plain_window(spark):
+    """Two-phase distributed prefix sum must be bit-identical to the
+    single-window cumulative sum (random series, random monotone-ish
+    timestamps, monthly chunks)."""
+    from pyspark.sql import Window
+
+    from etl_data_processor_spark.ops.prefix import chunked_cumsum
+
+    rnd = random.Random(77)
+    rows = [
+        (rnd.randrange(4), rnd.randrange(1, 400), i, rnd.randrange(-5, 9))
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(
+        rows, "series long, day long, seq long, x long"
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        (r["series"], r["seq"]): r["c"]
+        for r in df.withColumn("c", F.sum("x").over(w)).collect()
+    }
+    chunked = {
+        (r["series"], r["seq"]): r["c"]
+        for r in chunked_cumsum(
+            df,
+            ["series"],
+            ["day", "seq"],
+            "x",
+            chunk_col=(F.col("day") / 30).cast("long"),
+            out_col="c",
+        ).collect()
+    }
+    assert chunked == plain
+
+
+def test_chunked_cumsum_sweep_line_peak(spark):
+    """The sweep-line peak via chunked prefix equals the plain-window
+    peak — the scalable form of q_peak_concurrency's core."""
+    from pyspark.sql import Window
+
+    from etl_data_processor_spark.ops.prefix import chunked_cumsum
+
+    rnd = random.Random(3)
+    pts = []
+    for i in range(2000):
+        s = rnd.randrange(1000)
+        pts.append((0, s, 0, i, 1))        # start
+        pts.append((0, s + rnd.randrange(1, 50), 1, i, -1))  # end
+    df = spark.createDataFrame(
+        pts, "series long, t long, tb long, eid long, delta long"
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("t", "tb", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peak_plain = (
+        df.withColumn("live", F.sum("delta").over(w))
+        .agg(F.max("live"))
+        .collect()[0][0]
+    )
+    peak_chunked = (
+        chunked_cumsum(
+            df,
+            ["series"],
+            ["t", "tb", "eid"],
+            "delta",
+            chunk_col=(F.col("t") / 100).cast("long"),
+            out_col="live",
+        )
+        .agg(F.max("live"))
+        .collect()[0][0]
+    )
+    assert peak_chunked == peak_plain and peak_plain > 1
