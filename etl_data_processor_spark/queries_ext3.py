@@ -2509,3 +2509,41 @@ def q_peak_concurrency(spark, sf_dir):
             "first_busy_us"
         ),
     )
+
+
+# =====================================================================
+# Running total via the distributed two-phase prefix sum
+# =====================================================================
+
+@q(
+    "q_running_total_chunked",
+    f"""
+    SELECT user_id, event_id,
+           CAST(SUM({_CENTS_SQL.format(c="value")}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def q_running_total_chunked(spark, sf_dir):
+    """Per-user running spend computed with the DISTRIBUTED two-phase
+    prefix sum (ops/prefix.py::chunked_cumsum, monthly chunks) instead
+    of a single per-user window — the oracle is the plain cumulative
+    window, so the gate PROVES the chunked decomposition is value-exact
+    while bounding any one task's sort to a month of one user's events
+    (the 100 TB shape for hot series; see SCALE.md)."""
+    from etl_data_processor_spark.ops.prefix import chunked_cumsum
+
+    ev = _cat(spark, sf_dir).events.select(
+        "user_id", "event_id", "ts", _cents("value").alias("v")
+    )
+    out = chunked_cumsum(
+        ev,
+        series_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        val_col="v",
+        chunk_col=F.date_trunc("month", "ts").cast("date"),
+        out_col="running_cents",
+    )
+    return out.select("user_id", "event_id", "running_cents")
