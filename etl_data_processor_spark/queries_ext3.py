@@ -2547,3 +2547,87 @@ def q_running_total_chunked(spark, sf_dir):
         out_col="running_cents",
     )
     return out.select("user_id", "event_id", "running_cents")
+
+
+# =====================================================================
+# Classical time-series decomposition (trend + weekly seasonal + resid)
+# =====================================================================
+
+@q(
+    "q_ts_decompose",
+    f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    trended AS (
+        SELECT event_type, day, cnt,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS tsum,
+               CAST(COUNT(*) OVER w AS BIGINT) AS tn,
+               CAST(dayofweek(day) + 1 AS INTEGER) AS dow  -- DuckDB 0-6 -> Spark 1-7
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detrended AS (
+        -- residual vs the centered trend, scaled x7 to stay integral:
+        -- 7*cnt - (7/tn)*tsum == 7*cnt - tsum when the window is full
+        SELECT event_type, dow, day,
+               cnt * 7 * tn - tsum * 7 AS dt_q, tn
+        FROM trended WHERE tn = 7
+    ),
+    seasonal AS (
+        SELECT event_type, dow,
+               CAST(SUM(dt_q) AS BIGINT) AS s_sum,
+               CAST(COUNT(*) AS BIGINT) AS s_n
+        FROM detrended GROUP BY 1, 2
+    )
+    SELECT event_type, dow,
+           {_ROUND6.format(
+               x="CAST(s_sum AS DOUBLE) / (CAST(s_n AS DOUBLE) * 49.0)"
+           )} AS seasonal6
+    FROM seasonal
+    """,
+)
+def q_ts_decompose(spark, sf_dir):
+    """Classical additive decomposition of the daily count series per
+    type: a centered 7-day moving average is the TREND; the day-of-week
+    means of the detrended series are the WEEKLY SEASONAL component
+    (returned per (type, dow) — the residual is then data minus both).
+    Detrended values stay INTEGRAL by scaling through the window length
+    (7·tn·cnt − 7·tsum), so the only float op is the final mean —
+    engine-exact. Two windows + one aggregate over the day-level
+    frame."""
+    ev = _cat(spark, sf_dir).events
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).alias("tsum"),
+        F.count(F.lit(1)).over(w).alias("tn"),
+        F.dayofweek("day").alias("dow"),
+    ).filter(F.col("tn") == 7)
+    dt_q = (
+        F.col("cnt") * F.lit(7) * F.col("tn")
+        - F.col("tsum") * F.lit(7)
+    )
+    seasonal = trended.select(
+        "event_type", "dow", dt_q.alias("dt_q")
+    ).groupBy("event_type", "dow").agg(
+        F.sum("dt_q").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    val = F.col("s_sum").cast("double") / (
+        F.col("s_n").cast("double") * F.lit(49.0)
+    )
+    return seasonal.select(
+        "event_type", "dow", stable_round6(val).alias("seasonal6")
+    )
