@@ -2381,19 +2381,23 @@ def q_bollinger(spark, sf_dir):
     delta AS (
         SELECT o_custkey, week, rk,
                LAG(rk) OVER (PARTITION BY o_custkey ORDER BY week)
-                   AS prev_rk
+                   AS prev_rk,
+               LAG(week) OVER (PARTITION BY o_custkey ORDER BY week)
+                   AS prev_week
         FROM ranked
     )
     SELECT o_custkey, week, rk, prev_rk,
            prev_rk - rk AS rank_gain
     FROM delta
-    WHERE prev_rk IS NOT NULL AND ABS(prev_rk - rk) >= 50
+    WHERE prev_rk IS NOT NULL
+      AND date_diff('day', prev_week, week) = 7
+      AND ABS(prev_rk - rk) >= 25
     """,
 )
 def q_rank_movers(spark, sf_dir):
     """Movers-and-shakers: weekly customer revenue leaderboard rank
-    deltas, reporting entities that moved >= 50 positions week over
-    week. Two windows (per-week rank over the small weekly aggregate,
+    deltas between ADJACENT calendar weeks (a return after an absence
+    is excluded), reporting entities that moved >= 25 positions. Two windows (per-week rank over the small weekly aggregate,
     per-customer lag over the week sequence); deterministic tiebreak.
     The leaderboard frame is aggregate-sized — the fact table shuffles
     once into the weekly rollup."""
@@ -2408,15 +2412,20 @@ def q_rank_movers(spark, sf_dir):
         )
     ).cast("long")
     ranked = wk.select("o_custkey", "week", rk.alias("rk"))
-    prev = F.lag("rk").over(
-        Window.partitionBy("o_custkey").orderBy("week")
-    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("week")
     delta = ranked.select(
-        "o_custkey", "week", "rk", prev.alias("prev_rk")
+        "o_custkey",
+        "week",
+        "rk",
+        F.lag("rk").over(w_seq).alias("prev_rk"),
+        F.lag("week").over(w_seq).alias("prev_week"),
     )
     return delta.filter(
         F.col("prev_rk").isNotNull()
-        & (F.abs(F.col("prev_rk") - F.col("rk")) >= 50)
+        # adjacent CALENDAR weeks only: a comeback after a gap is not a
+        # week-over-week move
+        & (F.datediff("week", "prev_week") == 7)
+        & (F.abs(F.col("prev_rk") - F.col("rk")) >= 25)
     ).select(
         "o_custkey",
         "week",
@@ -2432,19 +2441,19 @@ def q_rank_movers(spark, sf_dir):
 
 @q(
     "q_peak_concurrency",
-    """
+    f"""
     WITH iv AS (
         SELECT event_type,
                epoch_us(ts) AS s,
-               epoch_us(ts) + CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+               epoch_us(ts) + {_CENTS_SQL.format(c="value")}
                    * 1000000 AS e,
                event_id
         FROM events
     ),
     pts AS (
-        SELECT event_type, s AS t, 1 AS delta, 0 AS tb, event_id FROM iv
+        SELECT event_type, s AS t, 1 AS delta, 1 AS tb, event_id FROM iv
         UNION ALL
-        SELECT event_type, e AS t, -1 AS delta, 1 AS tb, event_id FROM iv
+        SELECT event_type, e AS t, -1 AS delta, 0 AS tb, event_id FROM iv
     ),
     swept AS (
         SELECT event_type,
@@ -2467,16 +2476,15 @@ def q_peak_concurrency(spark, sf_dir):
     event holds a session of `value` seconds; intervals explode to
     (+1 at start, -1 at end) points, a cumulative window sum walks the
     timeline, and MAX(live) is the peak overlap (capacity planning /
-    rate-limit sizing). Deterministic total order (t, end-before-start
-    at ties via tb, event_id). One narrow explode + one window + one
+    rate-limit sizing). Half-open [s, e) intervals: ends sort BEFORE
+    starts at equal t (tb 0 < 1), so a session ending exactly when
+    another begins is NOT double-counted; event_id totalizes the
+    order. One narrow explode + one window + one
     aggregate; at 100 TB the window key is the series, not the point
     count."""
     ev = _cat(spark, sf_dir).events
     us = F.unix_micros("ts")
-    dur = (
-        F.floor(F.col("value") * 100.0 + 0.5).cast("long")
-        * F.lit(1000000)
-    )
+    dur = _cents("value") * F.lit(1000000)
     iv = ev.select(
         "event_type", us.alias("s"), (us + dur).alias("e"), "event_id"
     )
@@ -2484,14 +2492,14 @@ def q_peak_concurrency(spark, sf_dir):
         "event_type",
         F.col("s").alias("t"),
         F.lit(1).alias("delta"),
-        F.lit(0).alias("tb"),
+        F.lit(1).alias("tb"),
         "event_id",
     ).unionAll(
         iv.select(
             "event_type",
             F.col("e").alias("t"),
             F.lit(-1).alias("delta"),
-            F.lit(1).alias("tb"),
+            F.lit(0).alias("tb"),
             "event_id",
         )
     )
@@ -2528,10 +2536,11 @@ def q_peak_concurrency(spark, sf_dir):
 )
 def q_running_total_chunked(spark, sf_dir):
     """Per-user running spend computed with the DISTRIBUTED two-phase
-    prefix sum (ops/prefix.py::chunked_cumsum, monthly chunks) instead
+    prefix sum (ops/prefix.py::chunked_cumsum, weekly chunks — five on the
+    fixture, so the offset phase is genuinely exercised) instead
     of a single per-user window — the oracle is the plain cumulative
     window, so the gate PROVES the chunked decomposition is value-exact
-    while bounding any one task's sort to a month of one user's events
+    while bounding any one task's sort to a week of one user's events
     (the 100 TB shape for hot series; see SCALE.md)."""
     from etl_data_processor_spark.ops.prefix import chunked_cumsum
 
@@ -2543,7 +2552,7 @@ def q_running_total_chunked(spark, sf_dir):
         series_cols=["user_id"],
         order_cols=["ts", "event_id"],
         val_col="v",
-        chunk_col=F.date_trunc("month", "ts").cast("date"),
+        chunk_col=F.date_trunc("week", "ts").cast("date"),
         out_col="running_cents",
     )
     return out.select("user_id", "event_id", "running_cents")

@@ -379,3 +379,48 @@ def test_chunked_cumsum_sweep_line_peak(spark):
         .collect()[0][0]
     )
     assert peak_chunked == peak_plain and peak_plain > 1
+
+
+def test_chunked_cumsum_null_semantics_match_plain_window(spark):
+    """NULL series keys, NULL chunk values and NULL measures must all
+    behave exactly like the plain window: NULL partitions cumulate,
+    an all-NULL prefix stays NULL, a NULL after values carries."""
+    from pyspark.sql import Window
+
+    from etl_data_processor_spark.ops.prefix import chunked_cumsum
+
+    rows = [
+        # (series, day, seq, x) — series None partition; leading NULL x
+        (None, 1, 0, None),
+        (None, 2, 1, 5),
+        (None, 40, 2, None),   # NULL after a value: carries 5
+        (1, 1, 3, None),       # all-NULL prefix in chunk 0
+        (1, 35, 4, None),      # still NULL in chunk 1
+        (1, 70, 5, 7),
+        (1, 99, 6, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "series long, day long, seq long, x long"
+    )
+    w = (
+        Window.partitionBy("series")
+        .orderBy("day", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plain = {
+        r["seq"]: r["c"]
+        for r in df.withColumn("c", F.sum("x").over(w)).collect()
+    }
+    chunked = {
+        r["seq"]: r["c"]
+        for r in chunked_cumsum(
+            df,
+            ["series"],
+            ["day", "seq"],
+            "x",
+            chunk_col=(F.col("day") / 30).cast("long"),
+            out_col="c",
+        ).collect()
+    }
+    assert chunked == plain
+    assert len(chunked) == len(rows)  # no silent row loss
