@@ -2640,3 +2640,146 @@ def q_ts_decompose(spark, sf_dir):
     return seasonal.select(
         "event_type", "dow", stable_round6(val).alias("seasonal6")
     )
+
+
+# =====================================================================
+# Gini coefficient of revenue concentration
+# =====================================================================
+
+@q(
+    "q_gini",
+    f"""
+    WITH spend AS (
+        SELECT c_mktsegment AS segment, o_custkey,
+               CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                                       ORDER BY cents, o_custkey)
+                    AS BIGINT) AS i
+        FROM spend
+    ),
+    m AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(i * cents) AS BIGINT) AS wsum
+        FROM ranked GROUP BY 1
+    )
+    SELECT segment, n,
+           {_ROUND6.format(
+               x="(2.0 * CAST(wsum AS DOUBLE)"
+                 " - (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE))"
+                 " / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))"
+           )} AS gini6
+    FROM m
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of customer-spend concentration per segment —
+    the Lorenz-curve summary next to q_hhi's sum-of-squares: with spend
+    sorted ascending and ranked 1..n, G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx)
+    — rank weights and sums stay exact BIGINTs (one rank window over
+    the per-customer aggregate + one aggregate), a single final float
+    expression. Deterministic (cents, custkey) rank tiebreak."""
+    cat = _cat(spark, sf_dir)
+    spend = (
+        cat.orders.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    i = F.row_number().over(
+        Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    ).cast("long")
+    ranked = spend.select("segment", "cents", i.alias("i"))
+    m = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("wsum"),
+    )
+    n, tot, wsum = (
+        F.col("n").cast("double"),
+        F.col("tot").cast("double"),
+        F.col("wsum").cast("double"),
+    )
+    gini = (F.lit(2.0) * wsum - (n + F.lit(1.0)) * tot) / (n * tot)
+    return m.select("segment", "n", stable_round6(gini).alias("gini6"))
+
+
+# =====================================================================
+# Audience overlap (pairwise Jaccard of user sets)
+# =====================================================================
+
+@q(
+    "q_audience_overlap",
+    f"""
+    WITH au AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM au GROUP BY 1
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM au a JOIN au b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           {_ROUND6.format(
+               x="CAST(n_both AS DOUBLE)"
+                 " / CAST(sa.n + sb.n - n_both AS DOUBLE)"
+           )} AS jaccard6
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    """,
+)
+def q_audience_overlap(spark, sf_dir):
+    """Audience overlap matrix: pairwise Jaccard of the user sets behind
+    each event type (|A∩B| / |A∪B| via inclusion-exclusion — the union
+    is never materialized). One distinct pass, a user-keyed self-join
+    bounded by per-user type counts (<= |types| per user), sizes
+    broadcast back. The exact counterpart to the HLL-sketch overlap
+    estimate at 100 TB (q_agg_hll_merge's registers intersect via
+    inclusion-exclusion the same way)."""
+    ev = _cat(spark, sf_dir).events
+    au = ev.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = au.select(
+        F.col("event_type").alias("type_a"), "user_id"
+    )
+    b = au.select(
+        F.col("event_type").alias("type_b"), "user_id"
+    )
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    j = inter.join(F.broadcast(sa), "type_a").join(
+        F.broadcast(sb), "type_b"
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_both")
+    ).cast("double")
+    return j.select(
+        "type_a", "type_b", "n_both", stable_round6(jac).alias("jaccard6")
+    )
