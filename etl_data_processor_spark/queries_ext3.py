@@ -2783,3 +2783,127 @@ def q_audience_overlap(spark, sf_dir):
     return j.select(
         "type_a", "type_b", "n_both", stable_round6(jac).alias("jaccard6")
     )
+
+
+# =====================================================================
+# Pareto share (top-20% contribution)
+# =====================================================================
+
+@q(
+    "q_pareto_share",
+    f"""
+    WITH spend AS (
+        SELECT c_mktsegment AS segment, o_custkey,
+               CAST(SUM({_CENTS_SQL.format(c="o_totalprice")}) AS BIGINT)
+                   AS cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, cents,
+               CAST(ROW_NUMBER() OVER (PARTITION BY segment
+                                       ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+        FROM spend
+    ),
+    m AS (
+        SELECT segment,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS tot,
+               CAST(SUM(CASE WHEN i * 5 <= n THEN cents ELSE 0 END)
+                    AS BIGINT) AS top_cents
+        FROM ranked GROUP BY 1
+    )
+    SELECT segment, n, top_cents, tot,
+           {_ROUND6.format(
+               x="CAST(top_cents AS DOUBLE) / CAST(tot AS DOUBLE)"
+           )} AS share6
+    FROM m
+    """,
+)
+def q_pareto_share(spark, sf_dir):
+    """Pareto 80/20 check: the revenue share of the top 20% of customers
+    per segment (membership by the INTEGER test i·5 <= n — no float
+    percentile cut). One rank window over the per-customer aggregate +
+    one conditional aggregate; completes the concentration trio with
+    q_hhi and q_gini."""
+    cat = _cat(spark, sf_dir)
+    spend = (
+        cat.orders.join(
+            cat.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("o_custkey")
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    wseg = Window.partitionBy("segment")
+    ranked = spend.select(
+        "segment",
+        "cents",
+        F.row_number().over(
+            wseg.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        ).cast("long").alias("i"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    m = ranked.groupBy("segment").agg(
+        F.max("n").alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(
+            F.when(F.col("i") * 5 <= F.col("n"), F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("top_cents"),
+    )
+    share = F.col("top_cents").cast("double") / F.col("tot").cast("double")
+    return m.select(
+        "segment", "n", "top_cents", "tot",
+        stable_round6(share).alias("share6"),
+    )
+
+
+# =====================================================================
+# New vs returning users per week
+# =====================================================================
+
+@q(
+    "q_new_vs_returning",
+    """
+    WITH wk AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    first_wk AS (
+        SELECT user_id, MIN(week) AS fweek FROM wk GROUP BY user_id
+    )
+    SELECT w.week,
+           CAST(SUM(CASE WHEN w.week = f.fweek THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN w.week > f.fweek THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+    GROUP BY w.week
+    """,
+)
+def q_new_vs_returning(spark, sf_dir):
+    """New-vs-returning weekly actives — the growth-accounting split:
+    each (user, week) pair classifies against the user's first active
+    week. Two aggregates over the distinct (user, week) frame; the
+    first-week table is user-sized and broadcasts."""
+    ev = _cat(spark, sf_dir).events
+    wk = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).distinct()
+    first_wk = wk.groupBy("user_id").agg(F.min("week").alias("fweek"))
+    j = wk.join(F.broadcast(first_wk), "user_id")
+    return j.groupBy("week").agg(
+        F.sum(
+            (F.col("week") == F.col("fweek")).cast("long")
+        ).alias("new_users"),
+        F.sum(
+            (F.col("week") > F.col("fweek")).cast("long")
+        ).alias("returning_users"),
+    )
