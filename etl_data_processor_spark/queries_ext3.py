@@ -2907,3 +2907,123 @@ def q_new_vs_returning(spark, sf_dir):
             (F.col("week") > F.col("fweek")).cast("long")
         ).alias("returning_users"),
     )
+
+
+# =====================================================================
+# Engagement stickiness (avg DAU / WAU)
+# =====================================================================
+
+@q(
+    "q_stickiness",
+    f"""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    dau AS (
+        SELECT week, day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM days GROUP BY week, day
+    ),
+    wau AS (
+        SELECT week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        FROM days GROUP BY week
+    ),
+    avg_dau AS (
+        SELECT week, CAST(SUM(dau) AS BIGINT) AS dau_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM dau GROUP BY week
+    )
+    SELECT a.week, a.dau_sum, a.n_days, w.wau,
+           {_ROUND6.format(
+               x="CAST(a.dau_sum AS DOUBLE)"
+                 " / (CAST(a.n_days AS DOUBLE) * CAST(w.wau AS DOUBLE))"
+           )} AS stickiness6
+    FROM avg_dau a JOIN wau w ON a.week = w.week
+    """,
+)
+def q_stickiness(spark, sf_dir):
+    """Engagement stickiness per week: average DAU / WAU (1.0 = every
+    weekly active shows up daily). Exact integer tallies over the
+    distinct (user, day) frame; one distinct pass feeds both the daily
+    counts and the weekly distinct-user counts. The product-analytics
+    companion to cohort retention."""
+    ev = _cat(spark, sf_dir).events
+    days = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).distinct()
+    dau = days.groupBy("week", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    wau = days.groupBy("week").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    avg_dau = dau.groupBy("week").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    j = avg_dau.join(wau, "week")
+    stick = F.col("dau_sum").cast("double") / (
+        F.col("n_days").cast("double") * F.col("wau").cast("double")
+    )
+    return j.select(
+        "week", "dau_sum", "n_days", "wau",
+        stable_round6(stick).alias("stickiness6"),
+    )
+
+
+# =====================================================================
+# Inter-order gap percentiles
+# =====================================================================
+
+@q(
+    "q_order_gaps",
+    """
+    WITH seq AS (
+        SELECT c_mktsegment AS segment,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate,
+                                                         o_orderkey),
+                         o_orderdate) AS gap
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(FLOOR(quantile_cont(gap, 0.5) + 0.5) AS BIGINT) AS p50_days,
+           CAST(FLOOR(quantile_cont(gap, 0.9) + 0.5) AS BIGINT) AS p90_days
+    FROM seq WHERE gap IS NOT NULL
+    GROUP BY segment
+    """,
+)
+def q_order_gaps(spark, sf_dir):
+    """Inter-purchase interval distribution per segment (repurchase
+    cadence — the input to churn-risk cutoffs): per-customer
+    consecutive-order gaps from one lag window, then count/median/p90
+    per segment. Half-up quantile rounding (q_funnel_ttc's
+    cross-engine-truncation lesson)."""
+    cat = _cat(spark, sf_dir)
+    o = cat.orders.join(
+        cat.customer, F.col("o_custkey") == F.col("c_custkey")
+    )
+    gap = F.datediff(
+        "o_orderdate",
+        F.lag("o_orderdate").over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        ),
+    )
+    seq = o.select(
+        F.col("c_mktsegment").alias("segment"), gap.alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return seq.groupBy("segment").agg(
+        F.count("gap").alias("n_gaps"),
+        F.floor(F.percentile("gap", F.lit(0.5)) + 0.5)
+        .cast("long")
+        .alias("p50_days"),
+        F.floor(F.percentile("gap", F.lit(0.9)) + 0.5)
+        .cast("long")
+        .alias("p90_days"),
+    )
