@@ -3027,3 +3027,74 @@ def q_order_gaps(spark, sf_dir):
         .cast("long")
         .alias("p90_days"),
     )
+
+
+# =====================================================================
+# ABC inventory classification
+# =====================================================================
+
+@q(
+    "q_abc_classification",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM({_CENTS_SQL.format(c="l_extendedprice")}) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, cents,
+               CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cents) OVER () AS BIGINT) AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey,
+               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                    WHEN cum * 100 <= tot * 95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               cents
+        FROM ranked
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY abc_class
+    """,
+)
+def q_abc_classification(spark, sf_dir):
+    """ABC analysis: parts ranked by revenue, classified A/B/C at the
+    cumulative 80%/95% cuts — the inventory-prioritization classic.
+    Class membership is the pure INTEGER test cum·100 <= tot·80 (no
+    float share), so the boundary is engine-exact; one cumulative
+    window over the part-level aggregate (part-count-sized — at larger
+    catalogs use chunked_cumsum, ops/prefix.py) + one final tally."""
+    li = _cat(spark, sf_dir).lineitem
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_cents("l_extendedprice")).alias("cents")
+    )
+    w_cum = (
+        Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(
+            Window.partitionBy()
+        ).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.select(cls.alias("abc_class"), "cents")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+        )
+    )
