@@ -24,13 +24,27 @@ from pyspark.sql import functions as F
 
 
 def _parallelize(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the cluster's full parallelism before a
-    CPU-heavy expression stage. Needed because a small parquet input arrives
-    as one partition and AQE's size-based coalescing keeps CPU-bound work
-    serial; an explicit repartition is honored (AQE does not re-coalesce it).
-    At 100 TB inputs are naturally partitioned and this is a cheap no-op
-    round-robin."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    """Ensure at least cluster-parallelism partitions before a CPU-heavy
+    expression stage — but ONLY when the input is narrower than that.
+
+    A small parquet input arrives as one partition and AQE's size-based
+    coalescing keeps CPU-bound work serial, so widening it is worth one
+    round-robin exchange of a tiny frame. At 100 TB the scan already splits
+    into thousands of partitions (session.py sets
+    spark.sql.files.maxPartitionBytes); `repartition(n)` would still insert
+    an unconditional RoundRobinPartitioning exchange — a full shuffle of the
+    raw text corpus, the widest column in the system — so we guard on the
+    input partition count and return the frame untouched when it is already
+    wide enough. Plan-pinned in tests/test_plans.py (no Exchange for wide
+    inputs).
+
+    Note: `df.rdd` under AQE eagerly finalizes upstream query stages; every
+    call site here passes the raw corpus scan (a narrow plan), where it is a
+    metadata-only partition count."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
 
 
 def normalize_text(text: Column) -> Column:

@@ -358,11 +358,14 @@ def merge(
             merge_schema=True,
         )
     else:
-        # pure-insert batch: empty target with the table schema
+        # pure-insert batch: empty target with the table's WIDEST schema.
+        # Reading a single group would pin whatever evolution stage that
+        # group was written at and apply_changes would project the inserts
+        # onto it, silently nulling evolved columns (ADVICE r2, medium).
         from pyspark.sql import functions as F
 
-        target = spark.read.parquet(
-            os.path.join(_data_dir(table_dir), data[0]["group"])
+        target = _assemble(
+            spark, table_dir, data, dels, merge_schema=True
         ).filter(F.lit(False))
     from etl_data_processor_spark.ops.cdc import apply_changes
 
@@ -546,11 +549,17 @@ def delete_where(
         .select(key)
         .filter(F.col(key).isNotNull())
         .distinct()
-    )
+    ).persist()
+    n = keys.count()
+    if n == 0:
+        # zero matched keys: committing a no-op 'delete' (plus an empty
+        # delete-key file) would force read_appends_since consumers into
+        # a full snapshot re-sync for nothing — mirror merge()'s guard
+        # and return without writing or committing (ADVICE r2, low).
+        keys.unpersist()
+        return base, 0
     group = _write_group(keys, table_dir)
-    n = spark.read.parquet(
-        os.path.join(_data_dir(table_dir), group)
-    ).count()
+    keys.unpersist()
     v = _commit(
         table_dir,
         "delete",

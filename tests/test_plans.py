@@ -174,6 +174,34 @@ def test_dedup_signature_stages_are_narrow(spark, sf_dir):
         assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
 
 
+def test_parallelize_is_noop_for_wide_inputs(spark, sf_dir):
+    """VERDICT r2 finding 1: `_parallelize` must NOT insert a
+    RoundRobinPartitioning exchange when the input already has >=
+    defaultParallelism partitions — at 100 TB that would be a full shuffle
+    of the raw text corpus before a narrow signature stage. The guard
+    returns the frame untouched (identity), so the signature plan carries
+    only the input's own exchange, never an extra one."""
+    import re
+
+    from etl_data_processor_spark.ops import dedup as D
+
+    spark.catalog.clearCache()
+    parallelism = spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # Wide input: guard triggers, identity return — no added exchange.
+    wide = docs.select("doc_id", "text").repartition(parallelism + 4)
+    assert D._parallelize(wide) is wide
+    plan = plan_of(D.minhash_signatures(wide))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1  # input's own
+
+    # Narrow input (small parquet arrives as few partitions): widened once.
+    narrow = docs.select("doc_id", "text").coalesce(1)
+    widened = D._parallelize(narrow)
+    assert widened is not narrow
+    assert widened.rdd.getNumPartitions() == parallelism
+
+
 def test_tpch_q6_predicates_all_push_to_scan(spark, sf_dir):
     """Q6 is the pushdown litmus test: the shipdate range (written over
     CAST(ts AS DATE), which Catalyst rewrites into a pushable timestamp

@@ -527,3 +527,40 @@ def test_delete_where_excludes_null_keys(spark, tmp_path):
     assert n == 1  # only id=0; the NULL-key row is excluded
     rows = {(r["id"], r["val"]) for r in TF.read(spark, t).collect()}
     assert rows == {(None, 5), (2, 7)}
+
+
+def test_merge_pure_insert_keeps_evolved_schema(spark, tmp_path):
+    """ADVICE r2 (medium): a pure-insert merge into a schema-evolved table
+    must build its empty target from the WIDEST schema — not data[0]'s
+    group — or evolved columns in the inserts are silently nulled."""
+    t = str(tmp_path / "t")
+    TF.append(spark.createDataFrame([(1, 10)], "id long, val long"), t,
+              stats_cols=["id"])
+    TF.append(
+        spark.createDataFrame([(2, 20, 99)], "id long, val long, v2 long"),
+        t, stats_cols=["id"],
+    )
+    # Non-overlapping insert carrying the evolved column.
+    changes = spark.createDataFrame(
+        [(100, 30, 42, "I")], "id long, val long, v2 long, op string"
+    )
+    v, rewritten, total = TF.merge(spark, t, changes, key="id")
+    assert rewritten == 0  # pure-insert: no group touched
+    rows = {
+        (r["id"], r["v2"])
+        for r in TF.read(spark, t, merge_schema=True).collect()
+    }
+    assert (100, 42) in rows  # evolved value survives, not NULL
+
+
+def test_delete_where_noop_publishes_nothing(spark, tmp_path):
+    """ADVICE r2 (low): delete_where with a predicate matching zero rows
+    must not commit (nor write an empty delete-key file) — mirrors
+    merge()'s no-op guard."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t)
+    head_before = TF._versions(t)[-1]
+    v, n = TF.delete_where(spark, t, "id", F.col("id") > 999)
+    assert (v, n) == (head_before, 0)
+    assert TF._versions(t)[-1] == head_before  # no commit landed
+    assert ids(TF.read(spark, t)) == list(range(10))
