@@ -101,6 +101,109 @@ def batch_enrich(
     return out
 
 
+class RateLimitError(Exception):
+    """Transient throttle signal from a generation backend; the adapter
+    retries these (with backoff), unlike other failures which propagate to
+    batch_enrich's per-chunk isolation."""
+
+
+def _is_rate_limit(exc: Exception) -> bool:
+    return isinstance(exc, RateLimitError) or getattr(exc, "status_code", None) == 429
+
+
+def llm_json_client(
+    generate: Callable[[str], str],
+    fields: list[str],
+    bucket: "TokenBucket | None" = None,
+    max_retries: int = 2,
+    backoff_s: float = 0.0,
+) -> EnrichClient:
+    """Adapt a raw text-generation callable (any LLM SDK reduced to
+    ``generate(prompt) -> str``) into an ``EnrichClient``, with the
+    reference's exact reply discipline (main.py:195-215):
+
+    - prompt embeds the chunk as a JSON list and demands a JSON object
+      keyed by the EXACT input strings (main.py:195-205);
+    - the reply is stripped of markdown code fences before ``json.loads``
+      (main.py:207-210) — malformed JSON raises, which batch_enrich's
+      per-chunk isolation converts into fallback rows for the whole chunk
+      (main.py:213-214);
+    - keys the model missed are simply absent from the result, surfacing
+      as A15 miss-rows with the caller's defaults (main.py:297-303);
+    - reply keys not in the chunk, and non-dict values, are discarded
+      (never trust generated structure beyond the contract);
+    - a per-partition token bucket paces calls (A19; the reference's
+      ``time.sleep(1)``, main.py:212) and rate-limit errors retry up to
+      ``max_retries`` with linear backoff — other exceptions propagate.
+    """
+    import json
+
+    def client(texts: list[str]) -> dict[str, dict[str, str]]:
+        prompt = (
+            "I will provide a JSON list of texts. For each text extract "
+            + ", ".join(f"'{f}'" for f in fields)
+            + ". Return ONLY a JSON object keyed by the EXACT input strings, "
+            "values objects with keys "
+            + ", ".join(f'"{f}"' for f in fields)
+            + ".\nInput List:\n"
+            + json.dumps(texts, ensure_ascii=False)
+        )
+        attempt = 0
+        while True:
+            if bucket is not None:
+                bucket.acquire()
+            try:
+                reply = generate(prompt)
+                break
+            except Exception as exc:
+                if _is_rate_limit(exc) and attempt < max_retries:
+                    attempt += 1
+                    if backoff_s:
+                        time.sleep(backoff_s * attempt)
+                    continue
+                raise
+        cleaned = reply.replace("```json", "").replace("```", "").strip()
+        parsed = json.loads(cleaned)  # malformed -> per-chunk fallback
+        if not isinstance(parsed, dict):
+            raise ValueError("reply is not a JSON object")
+        wanted = set(texts)
+        return {
+            k: {f: str(v[f]) for f in fields if f in v}
+            for k, v in parsed.items()
+            if k in wanted and isinstance(v, dict)
+        }
+
+    return client
+
+
+def resolve_enrich_client(
+    fields: list[str], env_var: str = "ETL_LLM_GENERATE"
+) -> Callable[[], EnrichClient]:
+    """Client factory gated by an env flag (VERDICT r2 item 4): when
+    ``ETL_LLM_GENERATE`` names a ``module:callable`` generation function,
+    wrap it with ``llm_json_client`` (JSON-reply parsing, chunk isolation,
+    1 call/s token bucket like the reference's sleep); unset -> the
+    deterministic stub, keeping tests and oracles exact. The factory runs
+    ON THE EXECUTOR inside mapInPandas, so the SDK is imported and the
+    session constructed once per partition."""
+    import os
+
+    spec = os.environ.get(env_var, "")
+    if not spec:
+        return lambda: deterministic_stub_client
+
+    def factory() -> EnrichClient:
+        import importlib
+
+        mod_name, _, fn_name = spec.partition(":")
+        generate = getattr(importlib.import_module(mod_name), fn_name)
+        return llm_json_client(
+            generate, fields, bucket=TokenBucket(rate=1.0, burst=1), backoff_s=1.0
+        )
+
+    return factory
+
+
 class TokenBucket:
     """Per-partition rate limiter (A19, main.py:212/278/351 generalized):
     allows ``rate`` calls/sec with bursts up to ``burst``. Monotonic-clock

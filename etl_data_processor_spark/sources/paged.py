@@ -19,6 +19,8 @@ Usage:
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -28,6 +30,88 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 PAGE_SIZE = 25  # the reference site's page size (main.py:70)
+
+# The reference's listing-request defaults (main.py:45-55); a recorded
+# session asserts they arrive on every fetch.
+DEFAULT_PARAMS = {
+    "order": "updated desc",
+    "currentpageid": "1095",
+    "database": "1095",
+    "secondary": "1096",
+    "category": "",
+    "archived": "0",
+}
+
+
+class HTTPError(Exception):
+    """requests.HTTPError stand-in raised by Response.raise_for_status."""
+
+    def __init__(self, status_code: int, url: str):
+        super().__init__(f"HTTP {status_code} for {url}")
+        self.status_code = status_code
+
+
+class Response:
+    """Minimal requests.Response shape: status_code, text,
+    raise_for_status (main.py:59-61, 136-138)."""
+
+    def __init__(self, status_code: int, text: str, url: str = ""):
+        self.status_code = status_code
+        self.text = text
+        self.url = url
+
+    def raise_for_status(self) -> None:
+        if self.status_code >= 400:
+            raise HTTPError(self.status_code, self.url)
+
+
+class RecordedSession:
+    """Session-reuse seam fed by a canned page->response map — the
+    recorded-response HTTP client (no sockets). One instance per partition
+    mirrors the reference's single requests.Session (main.py:22-25);
+    ``calls`` records (url, params) so tests can assert session reuse and
+    the default query params."""
+
+    def __init__(self, responses: dict[int, tuple[int, str]]):
+        self.responses = responses
+        self.calls: list[tuple[str, dict]] = []
+
+    def get(self, url: str, params: dict | None = None) -> Response:
+        params = dict(params or {})
+        self.calls.append((url, params))
+        page = int(params.get("page", 1))
+        status, text = self.responses.get(page, (404, ""))
+        return Response(status, text, f"{url}?page={page}")
+
+
+def fetch_page_html(session, page: int, endpoint: str = "https://example.test/api") -> str:
+    """One listing-page fetch (main.py:44-61): default params + page
+    number, session reuse, raise_for_status on HTTP failure. The error is
+    page-fatal (the task retries/fails) — per-RECORD skip happens during
+    card parsing, matching the reference's two error tiers."""
+    params = dict(DEFAULT_PARAMS, page=str(page))
+    resp = session.get(endpoint, params=params)
+    resp.raise_for_status()
+    return resp.text
+
+
+def _records_from_html(page: int, html: str):
+    """Parse one fetched listing page into records via the DOM card
+    extractor (ops/html.py): 3-tier fallback + per-card skip
+    (main.py:85-133). Emits the source schema rows; card order within the
+    page is the DOM order."""
+    from etl_data_processor_spark.ops.html import card_fields, find_cards, parse_html
+
+    row = 0
+    for card in find_cards(parse_html(html)):
+        try:
+            fields = card_fields(card)
+        except Exception:
+            continue  # per-record skip (main.py:98-103)
+        if fields is None:
+            continue
+        yield (page, row, fields["url"], fields["status"], fields["card_text"].strip())
+        row += 1
 
 SCHEMA_DDL = (
     "page int, row_in_page int, url string, status string, raw_drug_text string"
@@ -54,19 +138,52 @@ class _PagePartition(InputPartition):
         self.total_rows = total_rows
 
 
+def _parse_responses(options) -> dict[int, tuple[int, str]] | None:
+    """The ``responses_json`` option is the recorded-response site: a JSON
+    map page -> [status_code, html]. Options are strings, so the map rides
+    into every (pickled) reader; absent -> synthetic mode."""
+    raw = options.get("responses_json")
+    if not raw:
+        return None
+    return {int(k): (int(v[0]), v[1]) for k, v in json.loads(raw).items()}
+
+
 class _PagedReader(DataSourceReader):
     def __init__(self, options):
         self.total_rows = int(options.get("total_rows", 228))
+        self.responses = _parse_responses(options)
+
+    def _plan_pages(self) -> int:
+        if self.responses is None:
+            return max(1, -(-self.total_rows // PAGE_SIZE))
+        # Recorded-HTTP mode plans exactly like the reference (main.py:63-83,
+        # 337-339): fetch page 1, parse 'af N resultater' / pagination links
+        # -> page count. A failing page 1 fails planning (raise_for_status).
+        from etl_data_processor_spark.ops.html import total_pages
+
+        html = fetch_page_html(RecordedSession(self.responses), 1)
+        return total_pages(html, PAGE_SIZE)
 
     def partitions(self):
-        # A2 (main.py:63-83): page count = ceil(total / PAGE_SIZE); each page
-        # becomes an input partition -> executors fetch pages concurrently
-        # (the reference loops them serially with sleeps).
-        n_pages = max(1, -(-self.total_rows // PAGE_SIZE))
-        return [_PagePartition(p, self.total_rows) for p in range(1, n_pages + 1)]
+        # A2: page count = ceil(total / PAGE_SIZE); each page becomes an
+        # input partition -> executors fetch pages concurrently (the
+        # reference loops them serially with sleeps).
+        return [
+            _PagePartition(p, self.total_rows)
+            for p in range(1, self._plan_pages() + 1)
+        ]
 
     def read(self, partition: _PagePartition):
         # A1/A3: fetch one page, yield parsed records, skip malformed ones.
+        if self.responses is not None:
+            # One session per partition (the reference reuses one session
+            # for its whole serial loop, main.py:22-25); an HTTP error is
+            # task-fatal via raise_for_status -> Spark retries the task.
+            session = RecordedSession(self.responses)
+            yield from _records_from_html(
+                partition.page, fetch_page_html(session, partition.page)
+            )
+            return
         start = (partition.page - 1) * PAGE_SIZE
         end = min(start + PAGE_SIZE, partition.total_rows)
         for i in range(start, end):
@@ -91,12 +208,28 @@ class _PagedStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.total_rows = int(options.get("total_rows", 228))
         self.pages_per_batch = int(options.get("pages_per_batch", 2))
-        self.n_pages = max(1, -(-self.total_rows // PAGE_SIZE))
+        self.responses = _parse_responses(options)
+        if self.responses is None:
+            self.n_pages = max(1, -(-self.total_rows // PAGE_SIZE))
+        else:
+            from etl_data_processor_spark.ops.html import total_pages
+
+            self.n_pages = total_pages(
+                fetch_page_html(RecordedSession(self.responses), 1), PAGE_SIZE
+            )
 
     def initialOffset(self) -> dict:
         return {"next_page": 1}
 
     def _page_rows(self, page: int):
+        if self.responses is not None:
+            # HTTP failure raises -> the micro-batch fails and is retried
+            # against the SAME offset range (exactly-once with an
+            # idempotent sink); per-CARD failures are skipped inside
+            # _records_from_html.
+            session = RecordedSession(self.responses)
+            yield from _records_from_html(page, fetch_page_html(session, page))
+            return
         start, end = (page - 1) * PAGE_SIZE, min(page * PAGE_SIZE, self.total_rows)
         for i in range(start, end):
             try:
