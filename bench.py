@@ -122,7 +122,19 @@ def main() -> None:
             )
     except (OSError, ValueError):
         pass
-    print(json.dumps(out))
+    payload = json.dumps(out)
+    # Self-contained artifact (VERDICT r2 finding 3): the driver captures
+    # only a stdout tail, which has truncated past rounds' JSON — so always
+    # persist the full parsed result next to the script as well.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError:
+        pass
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

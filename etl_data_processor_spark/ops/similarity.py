@@ -873,3 +873,168 @@ def pq_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank")
     )
+
+
+def mmr_greedy(
+    shortlist: list[tuple[int, float]],
+    pair_sim: dict[tuple[int, int], float],
+    k: int,
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> list[tuple[int, int, float]]:
+    """Greedy MMR over a BOUNDED shortlist, driver-side (VERDICT r2 item 6).
+
+    Exact greedy MMR is inherently sequential — k dependent argmax steps —
+    so running it distributed costs k full-pool Spark jobs with a driver
+    round-trip each (the q_mmr_diversify shape, kept as the exact-over-
+    corpus reference). The production composition is MMR-over-ANN-shortlist:
+    a distributed relevance top-N bounds the pool, its N rel scores and N×N
+    pairwise similarities collect as bounded model state (N ≤ ~1000, the
+    same contract as IVF centroid training), and the k greedy steps run
+    here in O(k·N) with ZERO per-step Spark jobs.
+
+    Float discipline: scores combine as ``lam*rel - mu*max_sim`` with lam
+    and mu as separate IEEE-double literals (NOT 1-lam, which is not
+    exactly 0.3), matching the SQL oracle's ``0.7*rel6 - 0.3*GREATEST(...)``
+    bit for bit on round6 inputs; final scores re-round to 6 dp.
+    ``shortlist`` must arrive in (rel desc, id asc) order — ties broken by
+    the deterministic id order on every step.
+    """
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    remaining = [vid for vid, _ in shortlist]
+    rel = dict(shortlist)
+    for step in range(1, min(k, len(shortlist)) + 1):
+        best_vid, best_sc = None, None
+        for vid in remaining:
+            if chosen:
+                ms = max(pair_sim[(s, vid)] for s in chosen)
+                sc = lam * rel[vid] - mu * ms
+            else:
+                sc = rel[vid]
+            if best_sc is None or sc > best_sc or (sc == best_sc and vid < best_vid):
+                best_vid, best_sc = vid, sc
+        selected.append((step, best_vid, math.floor(best_sc * 1e6 + 0.5) / 1e6))
+        chosen.append(best_vid)
+        remaining.remove(best_vid)
+    return selected
+
+
+def ivfpq_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    rerank: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF x PQ composition (VERDICT r2 item 8) — the production 100 TB ANN
+    shape (FAISS IVFPQ / Jégou et al. §V): a COARSE inverted-file partition
+    bounds which corpus fraction a query touches (~n_probe/n_lists), and
+    within the probed lists vectors are scored from ~m_sub-byte PQ codes
+    via the broadcast ADC dot-table — so the big scan reads list-pruned,
+    16-byte rows, not float vectors. The ADC shortlist then re-ranks
+    EXACTLY against the float vectors (rerank rows per query), giving
+    near-shortlist recall at code-scan cost.
+
+    This variant PQ-encodes RAW unit vectors (not residuals): both halves
+    stay bit-identical to their standalone ops (same codebooks, same ADC
+    fold, same assignment matmul), the index table (id, list, codes) is
+    exactly what a list-partitioned parquet index would materialize, and on
+    unit-sphere data raw-vector ADC ranks like cosine. Residual encoding
+    would couple the codebooks to the centroids for extra recall at equal
+    cost — a documented follow-up, not a structural change.
+
+    Model state (centroids: n_lists x dim; codebooks: m_sub x k_codes x
+    d_sub) is driver-held and broadcast — the standard k-means-on-Spark
+    contract. Corpus-side work: one assignment matmul + one encode pass
+    (both shuffle-free Arrow stages, materialize-once at scale), then a
+    broadcast join + window top-k per probed subset.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_lists=n_lists,
+                                        id_col=id_col, vec_col=vec_col)
+    if books is None:
+        books = train_pq_codebooks(corpus, m_sub=16, k_codes=16,
+                                   id_col=id_col, vec_col=vec_col)
+    m_sub, k_codes, d_sub = len(books), len(books[0]), len(books[0][0])
+    B = np.array(books, dtype=np.float64)
+
+    # Index build (at 100 TB: materialized once, list-partitioned on disk):
+    # (id, __list, codes) — assignment matmul + PQ encode, both narrow.
+    assigned = ivf_assign_argmax(
+        corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "__list")
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    index = codes.join(assigned, id_col)
+
+    # Query side (small by contract): probe lists + ADC tables, driver-built.
+    qrows = queries.select(
+        F.col(id_col).alias(query_id_col), vec_col
+    ).collect()
+    C = np.array([v for _, v in centroids], dtype=np.float64)
+    probes, tables = [], []
+    for r in qrows:
+        qv = np.array(list(r[1]), dtype=np.float64)
+        # top-n_probe lists by centroid dot (ties -> lower cid), matching
+        # the expression path's (desc dot, asc cid) order
+        dots = C @ qv
+        order = sorted(range(len(dots)), key=lambda c: (-dots[c], c))
+        for cid in order[:n_probe]:
+            probes.append((r[0], cid))
+        flat = []
+        for s in range(m_sub):
+            qs = qv[s * d_sub:(s + 1) * d_sub]
+            flat.extend(float(x) for x in (B[s] @ qs))
+        tables.append((r[0], flat))
+    probe_df = F.broadcast(
+        spark.createDataFrame(probes, [query_id_col, "__list"])
+    )
+    tdf = F.broadcast(
+        spark.createDataFrame(tables, [query_id_col, "__tbl"]).withColumn(
+            "__tbl", F.col("__tbl").cast("array<double>")
+        )
+    )
+
+    score = F.expr(
+        f"aggregate(sequence(0, {m_sub - 1}), 0D, (acc, i) -> "
+        f"acc + element_at(__tbl, CAST(i * {k_codes} + "
+        f"element_at(codes, i + 1) + 1 AS INT)))"
+    )
+    scored = (
+        index.join(probe_df, "__list")  # list pruning BEFORE any scoring
+        .join(tdf, query_id_col)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, score.alias("__s"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__s"), F.asc(id_col))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select(query_id_col, id_col)
+    )
+    qvecs = F.broadcast(
+        spark.createDataFrame(
+            [(r[0], [float(x) for x in list(r[1])]) for r in qrows],
+            [query_id_col, "__qvec"],
+        ).withColumn("__qvec", F.col("__qvec").cast("array<float>"))
+    )
+    exact = (
+        shortlist.join(corpus.select(id_col, vec_col), id_col)
+        .join(qvecs, query_id_col)
+        .withColumn("__c", dec_cosine(F.col(vec_col), F.col("__qvec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("__c"), F.asc(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )

@@ -1772,6 +1772,106 @@ def q_mmr_diversify(spark, sf_dir):
     )
 
 
+@q(
+    "q_mmr_shortlist",
+    f"""
+    WITH cv AS (
+        SELECT vec_id, {_MMR_QVEC} AS v FROM embeddings WHERE vec_id < 100
+    ),
+    cos AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib, {_MMR_COS6} AS c6
+        FROM cv a, cv b, range(1, 65) t(i)
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    rel AS (
+        SELECT ib AS vec_id, c6 AS rel6 FROM cos WHERE ia = 0 AND ib <> 0
+    ),
+    sl AS (SELECT vec_id, rel6 FROM rel ORDER BY rel6 DESC, vec_id LIMIT 20),
+    s1 AS (SELECT vec_id, rel6 FROM sl ORDER BY rel6 DESC, vec_id LIMIT 1),
+    m2 AS (
+        SELECT r.vec_id, 0.7 * r.rel6 - 0.3 * c1.c6 AS sc
+        FROM sl r JOIN cos c1
+          ON c1.ia = (SELECT vec_id FROM s1) AND c1.ib = r.vec_id
+        WHERE r.vec_id <> (SELECT vec_id FROM s1)
+    ),
+    s2 AS (SELECT vec_id, sc FROM m2 ORDER BY sc DESC, vec_id LIMIT 1),
+    m3 AS (
+        SELECT r.vec_id,
+               0.7 * r.rel6 - 0.3 * GREATEST(c1.c6, c2.c6) AS sc
+        FROM sl r
+        JOIN cos c1 ON c1.ia = (SELECT vec_id FROM s1) AND c1.ib = r.vec_id
+        JOIN cos c2 ON c2.ia = (SELECT vec_id FROM s2) AND c2.ib = r.vec_id
+        WHERE r.vec_id NOT IN
+              ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))
+    ),
+    s3 AS (SELECT vec_id, sc FROM m3 ORDER BY sc DESC, vec_id LIMIT 1),
+    m4 AS (
+        SELECT r.vec_id,
+               0.7 * r.rel6 - 0.3 * GREATEST(c1.c6, c2.c6, c3.c6) AS sc
+        FROM sl r
+        JOIN cos c1 ON c1.ia = (SELECT vec_id FROM s1) AND c1.ib = r.vec_id
+        JOIN cos c2 ON c2.ia = (SELECT vec_id FROM s2) AND c2.ib = r.vec_id
+        JOIN cos c3 ON c3.ia = (SELECT vec_id FROM s3) AND c3.ib = r.vec_id
+        WHERE r.vec_id NOT IN
+              ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2),
+               (SELECT vec_id FROM s3))
+    ),
+    s4 AS (SELECT vec_id, sc FROM m4 ORDER BY sc DESC, vec_id LIMIT 1)
+    SELECT 1 AS step, vec_id,
+           CAST(FLOOR(rel6 * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               AS score6
+    FROM s1
+    UNION ALL
+    SELECT 2, vec_id,
+           CAST(FLOOR(sc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 FROM s2
+    UNION ALL
+    SELECT 3, vec_id,
+           CAST(FLOOR(sc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 FROM s3
+    UNION ALL
+    SELECT 4, vec_id,
+           CAST(FLOOR(sc * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 FROM s4
+    """,
+)
+def q_mmr_shortlist(spark, sf_dir):
+    """MMR-over-shortlist (VERDICT r2 item 6) — the production composition
+    of q_mmr_diversify: a DISTRIBUTED relevance top-N (TakeOrdered, N=20
+    here; at 100 TB this is the IVF/PQ ANN shortlist) bounds the pool, the
+    N rel scores + N×N pairwise cos6 collect as bounded model state (two
+    Spark jobs TOTAL), and the k greedy steps run driver-side in O(k·N)
+    with zero per-step jobs (ops/similarity.py::mmr_greedy). The oracle
+    unrolls 4 greedy steps over the same shortlist CTE."""
+    from etl_data_processor_spark.ops.similarity import dec_cosine, mmr_greedy
+
+    emb = _cat(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__q")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    short = (
+        cand.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            dec_cosine(F.col("embedding"), F.col("__q")).alias("rel6"),
+        )
+        .orderBy(F.desc("rel6"), F.asc("vec_id"))
+        .limit(20)
+        .cache()
+    )
+    a = short.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("__a"))
+    b = short.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("__b"))
+    pair_rows = (
+        a.crossJoin(F.broadcast(b))
+        .select("ia", "ib", dec_cosine(F.col("__a"), F.col("__b")).alias("c6"))
+        .collect()
+    )
+    pair_sim = {(r["ia"], r["ib"]): r["c6"] for r in pair_rows}
+    shortlist = [(r["vec_id"], r["rel6"]) for r in short.select("vec_id", "rel6").collect()]
+    short.unpersist()
+    picked = mmr_greedy(shortlist, pair_sim, k=4)
+    return spark.createDataFrame(picked, "step int, vec_id long, score6 double")
+
+
 # =====================================================================
 # Jaro-Winkler fuzzy similarity (oracled against DuckDB's native fn)
 # =====================================================================

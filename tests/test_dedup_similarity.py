@@ -291,3 +291,38 @@ def test_pq_codebooks_deterministic_under_repartition(spark, sf_dir):
     b1 = SIM.train_pq_codebooks(emb, iters=2)
     b2 = SIM.train_pq_codebooks(emb.repartition(5), iters=2)
     assert b1 == b2
+
+
+def test_ivfpq_recall_vs_exact(spark, sf_dir):
+    """IVF x PQ composition: list pruning (8/16 probed) + ADC shortlist +
+    exact re-rank must keep recall@10 >= 0.8 vs brute-force cosine; with
+    EVERY list probed it must match the pure-PQ rerank path exactly
+    (pruning, not scoring, is the only thing IVF adds)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    exact = SIM.cosine_topk_exact(emb, queries, k=10).collect()
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact}
+
+    got = SIM.ivfpq_cosine_topk(
+        emb, queries, k=10, n_lists=16, n_probe=8, rerank=50
+    ).collect()
+    pairs = {(r.query_id, r.vec_id) for r in got}
+    recall = len(exact_pairs & pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+
+    # probing MORE lists can only help (pruning is the only approximation
+    # IVF adds on top of the ADC shortlist), and the result is deterministic
+    # under repartitioning (no RNG anywhere in train/assign/encode/score)
+    books = SIM.train_pq_codebooks(emb, m_sub=16, k_codes=16)
+    full = SIM.ivfpq_cosine_topk(
+        emb, queries, k=10, n_lists=16, n_probe=16, rerank=50, books=books
+    ).collect()
+    full_recall = len(exact_pairs & {(r.query_id, r.vec_id) for r in full}) / len(
+        exact_pairs
+    )
+    assert full_recall >= recall
+    again = SIM.ivfpq_cosine_topk(
+        emb.repartition(7), queries, k=10, n_lists=16, n_probe=16, rerank=50,
+        books=books,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, full))

@@ -431,3 +431,24 @@ def test_simhash_portable_matches_reference_fold(spark, sf_dir):
                 votes[b] += 1 if (h >> b) & 1 else -1
         sig = sum(1 << b for b in range(32) if votes[b] > 0)
         assert got[r["doc_id"]] == sig, r["doc_id"]
+
+
+def test_mmr_greedy_driver_side():
+    """mmr_greedy (VERDICT r2 item 6): deterministic greedy over a bounded
+    shortlist — relevance-first on step 1, then lam*rel - mu*max_sim with
+    id-order tie-breaks; k capped at the shortlist size."""
+    from etl_data_processor_spark.ops.similarity import mmr_greedy
+
+    shortlist = [(1, 0.9), (2, 0.9), (3, 0.5)]
+    sim = {
+        (1, 2): 1.0, (2, 1): 1.0,   # 1 and 2 are near-duplicates
+        (1, 3): 0.0, (3, 1): 0.0,
+        (2, 3): 0.0, (3, 2): 0.0,
+    }
+    picks = mmr_greedy(shortlist, sim, k=3)
+    # step1: tie on rel -> smaller id (1); step2: 2 is a dup of 1
+    # (0.7*0.9-0.3*1.0=0.33) loses to 3 (0.7*0.5-0=0.35); step3: 2 last.
+    assert [(s, v) for s, v, _ in picks] == [(1, 1), (2, 3), (3, 2)]
+    assert picks[1][2] == 0.35
+    # k beyond the pool is capped
+    assert len(mmr_greedy(shortlist, sim, k=10)) == 3
