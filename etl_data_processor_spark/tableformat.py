@@ -101,11 +101,14 @@ def _live_adds(table_dir: str, version: int | None = None) -> list[dict]:
     return live
 
 
-def _split_adds(adds: list[dict]) -> tuple[list[dict], list[dict]]:
-    """(data adds, delete-file adds)."""
+def _split_adds(
+    adds: list[dict],
+) -> tuple[list[dict], list[dict], list[dict]]:
+    """(data adds, equality-delete adds, positional-delete adds)."""
     data = [a for a in adds if a.get("kind", "data") == "data"]
     dels = [a for a in adds if a.get("kind") == "deletes"]
-    return data, dels
+    pos = [a for a in adds if a.get("kind") == "posdeletes"]
+    return data, dels, pos
 
 
 def _live_groups(table_dir: str, version: int | None = None) -> list[str]:
@@ -243,21 +246,80 @@ def overwrite(df: DataFrame, table_dir: str) -> int:
     )
 
 
-def compact(spark: SparkSession, table_dir: str, target_files: int = 4) -> int:
-    """Rewrite the live file set as ``target_files`` files in one group —
-    the small-file compaction every streaming ingest needs. A normal
-    committed rewrite: readers see either the old layout or the new one,
-    never a mix; time travel before the compaction version still replays
-    the old groups (until vacuumed). Reads with merge_schema so
-    compacting a schema-evolved table keeps the WIDEST schema (a plain
-    read would infer from one arbitrary footer and could silently drop
-    the newer columns from the rewrite)."""
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_files: int = 4,
+    zorder_by: tuple[str, str] | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Rewrite the live file set — the small-file compaction every
+    streaming ingest needs. A normal committed rewrite: readers see either
+    the old layout or the new one, never a mix; time travel before the
+    compaction version still replays the old groups (until vacuumed).
+    Reads with merge_schema so compacting a schema-evolved table keeps the
+    WIDEST schema, and through the snapshot read BOTH delete kinds
+    (equality + positional) fold into clean data — the delete files are
+    dropped by the commit's remove set.
+
+    ``zorder_by=(x, y)`` is Delta's OPTIMIZE ZORDER BY (VERDICT r2 item
+    9): rows are laid out along the Morton z-curve of (x, y) and split at
+    exact z-percentile cuts into ``target_files`` GROUPS, each committed
+    with min/max stats for both keys (plus ``stats_cols``) — so
+    ``read_pruned`` on EITHER key skips whole groups afterwards (the
+    z-curve bounds both coordinates within every contiguous slice;
+    probed by tests and scripts/merge_probe shapes). Without it, one
+    coalesced group (``stats_cols`` still recordable for merge pruning).
+    """
     base = (_versions(table_dir) or [-1])[-1]
     df = read(spark, table_dir, version=base, merge_schema=True)
-    group = _write_group(df.coalesce(target_files), table_dir)
-    return _commit(
-        table_dir, "compact", [_add_action(group)], removes_from=base
-    )
+    if zorder_by is None:
+        group = _write_group(df.coalesce(target_files), table_dir)
+        stats = (
+            _group_stats(df, table_dir, group, stats_cols)
+            if stats_cols
+            else None
+        )
+        adds = [_add_action(group, stats)]
+    else:
+        from pyspark.sql import functions as F
+
+        from etl_data_processor_spark.io import zorder_value
+
+        xc, yc = zorder_by
+        scs = sorted(set([xc, yc] + (stats_cols or [])))
+        zdf = df.withColumn(
+            "__z", zorder_value(F.col(xc), F.col(yc))
+        ).persist()
+        try:
+            if target_files > 1:
+                fracs = [i / target_files for i in range(1, target_files)]
+                bounds = zdf.select(
+                    F.percentile(
+                        "__z", F.array(*[F.lit(p) for p in fracs])
+                    ).alias("b")
+                ).collect()[0]["b"]
+            else:
+                bounds = []
+            adds = []
+            lo = None
+            for hi in [*bounds, None]:
+                sl = zdf
+                if lo is not None:
+                    sl = sl.filter(F.col("__z") > lo)
+                if hi is not None:
+                    sl = sl.filter(F.col("__z") <= hi)
+                sl = sl.sort("__z").drop("__z")
+                lo = hi
+                if sl.isEmpty():  # percentile ties can empty a slice
+                    continue
+                group = _write_group(sl, table_dir)
+                adds.append(
+                    _add_action(group, _group_stats(sl, table_dir, group, scs))
+                )
+        finally:
+            zdf.unpersist()
+    return _commit(table_dir, "compact", adds, removes_from=base)
 
 
 def _touched_groups(
@@ -340,7 +402,7 @@ def merge(
     parquet log. Pass ``stats_cols=[key]`` so future merges can prune
     against the groups this merge writes."""
     base = (_versions(table_dir) or [-1])[-1]
-    data, dels = _split_adds(_live_adds(table_dir, base))
+    data, dels, pdels = _split_adds(_live_adds(table_dir, base))
     if not data:
         raise ValueError(f"no table at {table_dir}")
     touched = _touched_groups(changes, data, key)
@@ -355,6 +417,7 @@ def merge(
             table_dir,
             [a for a in data if a["group"] in set(touched)],
             dels,
+            pdels,
             merge_schema=True,
         )
     else:
@@ -365,7 +428,7 @@ def merge(
         from pyspark.sql import functions as F
 
         target = _assemble(
-            spark, table_dir, data, dels, merge_schema=True
+            spark, table_dir, data, dels, pdels, merge_schema=True
         ).filter(F.lit(False))
     from etl_data_processor_spark.ops.cdc import apply_changes
 
@@ -445,57 +508,103 @@ def streaming_append_sink(table_dir: str):
     return sink
 
 
+#: relative file identity 'group-uuid/part-file.parquet' — group dirs are
+#: uuids, so the last two path components identify a file uniquely and
+#: survive table relocation (positional deletes reference this, never an
+#: absolute path).
+_GF_RE = r"([^/]+/[^/]+)$"
+
+
+def _with_file_pos(df: DataFrame) -> DataFrame:
+    """Tag a parquet scan with its physical row identity via the hidden
+    ``_metadata`` column: (__gf = group/file, __pos = row index in file) —
+    exact Iceberg v2 positional-delete coordinates. Must be applied
+    directly on the scan relation (``_metadata`` does not survive a
+    union)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "__gf", F.regexp_extract(F.col("_metadata.file_path"), _GF_RE, 1)
+    ).withColumn("__pos", F.col("_metadata.row_index"))
+
+
 def _assemble(
     spark: SparkSession,
     table_dir: str,
     data_adds: list[dict],
     del_adds: list[dict],
+    pos_adds: list[dict] | None = None,
     merge_schema: bool = False,
 ) -> DataFrame:
     """Build the logical snapshot from data groups + merge-on-read delete
-    files. Without deletes: one multi-path scan (fast path). With them:
-    each data group is tagged with its commit sequence and anti-joined
-    against the (broadcast-small) union of delete-key files whose sequence
-    is LATER — a delete never touches rows appended after it (re-inserted
-    keys survive), the Iceberg v2 equality-delete rule."""
+    files. Without deletes: one multi-path scan (fast path). Equality
+    deletes: each data group is tagged with its commit sequence and
+    anti-joined against the (broadcast-small) union of delete-key files
+    whose sequence is LATER — a delete never touches rows appended after
+    it (re-inserted keys survive), the Iceberg v2 equality-delete rule.
+    Positional deletes anti-join on exact (file, row-index) coordinates —
+    no sequence rule needed: a tombstone names one physical row, so later
+    appends (even of identical values) are untouched by construction, and
+    tombstones for compacted-away files simply never match."""
     from pyspark.sql import functions as F
 
+    pos_adds = pos_adds or []
     ddir = _data_dir(table_dir)
     reader = (
         spark.read.option("mergeSchema", "true")
         if merge_schema
         else spark.read
     )
+    tag = _with_file_pos if pos_adds else (lambda df: df)
     if not del_adds:
-        return reader.parquet(*[os.path.join(ddir, a["group"]) for a in data_adds])
-    key = del_adds[0]["key"]
-    if any(d["key"] != key for d in del_adds):
-        raise ValueError("all live delete files must share one key column")
-    by_seq: dict[int, list[str]] = {}
-    for a in data_adds:
-        by_seq.setdefault(a["_seq"], []).append(a["group"])
-    parts = [
-        reader.parquet(*[os.path.join(ddir, g) for g in groups])
-        .withColumn("__dseq", F.lit(seq))
-        for seq, groups in by_seq.items()
-    ]
-    data = parts[0]
-    for p in parts[1:]:
-        data = data.unionByName(p, allowMissingColumns=merge_schema)
-    dparts = [
-        spark.read.parquet(os.path.join(ddir, d["group"])).select(
-            F.col(key).alias("__dkey"), F.lit(d["_seq"]).alias("__xseq")
+        data = tag(
+            reader.parquet(*[os.path.join(ddir, a["group"]) for a in data_adds])
         )
-        for d in del_adds
-    ]
-    dels = dparts[0]
-    for p in dparts[1:]:
-        dels = dels.unionByName(p)
-    return data.join(
-        F.broadcast(dels),
-        (data[key] == dels["__dkey"]) & (F.col("__xseq") > F.col("__dseq")),
-        "left_anti",
-    ).drop("__dseq")
+    else:
+        key = del_adds[0]["key"]
+        if any(d["key"] != key for d in del_adds):
+            raise ValueError("all live delete files must share one key column")
+        by_seq: dict[int, list[str]] = {}
+        for a in data_adds:
+            by_seq.setdefault(a["_seq"], []).append(a["group"])
+        parts = [
+            tag(reader.parquet(*[os.path.join(ddir, g) for g in groups]))
+            .withColumn("__dseq", F.lit(seq))
+            for seq, groups in by_seq.items()
+        ]
+        data = parts[0]
+        for p in parts[1:]:
+            data = data.unionByName(p, allowMissingColumns=merge_schema)
+        dparts = [
+            spark.read.parquet(os.path.join(ddir, d["group"])).select(
+                F.col(key).alias("__dkey"), F.lit(d["_seq"]).alias("__xseq")
+            )
+            for d in del_adds
+        ]
+        dels = dparts[0]
+        for p in dparts[1:]:
+            dels = dels.unionByName(p)
+        data = data.join(
+            F.broadcast(dels),
+            (data[key] == dels["__dkey"]) & (F.col("__xseq") > F.col("__dseq")),
+            "left_anti",
+        ).drop("__dseq")
+    if pos_adds:
+        pparts = [
+            spark.read.parquet(os.path.join(ddir, p["group"])).select(
+                F.col("gf").alias("__dgf"), F.col("pos").alias("__dpos")
+            )
+            for p in pos_adds
+        ]
+        pos = pparts[0]
+        for p in pparts[1:]:
+            pos = pos.unionByName(p)
+        data = data.join(
+            F.broadcast(pos),
+            (data["__gf"] == pos["__dgf"]) & (data["__pos"] == pos["__dpos"]),
+            "left_anti",
+        ).drop("__gf", "__pos")
+    return data
 
 
 def read(
@@ -512,10 +621,12 @@ def read(
     additional columns union into the widest schema (missing columns
     read as NULL) — append with a new column, old groups stay valid, no
     rewrite; the same additive-evolution contract Delta/Iceberg give."""
-    data, dels = _split_adds(_live_adds(table_dir, version))
+    data, dels, pdels = _split_adds(_live_adds(table_dir, version))
     if not data:
         raise ValueError(f"no table at {table_dir} (version={version})")
-    return _assemble(spark, table_dir, data, dels, merge_schema=merge_schema)
+    return _assemble(
+        spark, table_dir, data, dels, pdels, merge_schema=merge_schema
+    )
 
 
 def delete_where(
@@ -570,6 +681,60 @@ def delete_where(
     return v, n
 
 
+def delete_where_positional(
+    spark, table_dir: str, cond
+) -> tuple[int, int]:
+    """Iceberg-v2-style POSITIONAL merge-on-read delete (VERDICT r2 item
+    9): matching rows are tombstoned by their physical coordinates
+    (file, row-index) from the hidden ``_metadata`` column — no data
+    rewritten, and unlike equality deletes no key column is needed at
+    all, so NULL-key rows and duplicate-value rows delete exactly.
+    Later appends are untouched by construction (a tombstone names one
+    physical row in one immutable file), and ``compact()`` folds the
+    tombstones in. Predicate-vs-head conflict semantics match
+    ``delete_where``; zero matches commit nothing.
+
+    Trade-off vs equality deletes: positional files are precise but
+    require evaluating the predicate NOW against physical positions (a
+    full predicate scan at delete time), where equality deletes can be
+    written from keys alone — CDC streams favor equality, GDPR-style
+    point deletes with complex predicates favor positional.
+
+    Returns ``(version, n_tombstones)``."""
+    from pyspark.sql import functions as F
+
+    base = (_versions(table_dir) or [-1])[-1]
+    data, dels, pdels = _split_adds(_live_adds(table_dir, base))
+    if not data:
+        raise ValueError(f"no table at {table_dir}")
+    ddir = _data_dir(table_dir)
+    scan = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(ddir, a["group"]) for a in data]
+    )
+    # Tombstoning an already-deleted row (equality- or position-wise) is a
+    # redundant no-op under anti-join, so the predicate runs on the raw
+    # scan — one pass, no delete-application subplan.
+    positions = (
+        _with_file_pos(scan)
+        .filter(cond)
+        .select(F.col("__gf").alias("gf"), F.col("__pos").alias("pos"))
+    ).persist()
+    n = positions.count()
+    if n == 0:
+        positions.unpersist()
+        return base, 0
+    group = _write_group(positions, table_dir)
+    positions.unpersist()
+    v = _commit(
+        table_dir,
+        "delete",
+        [{"op": "add", "group": group, "kind": "posdeletes"}],
+        removes_from=base,
+        explicit_removes=[],
+    )
+    return v, n
+
+
 def read_pruned(
     spark: SparkSession,
     table_dir: str,
@@ -586,7 +751,7 @@ def read_pruned(
     time-range read touches one day's groups, not the table."""
     from pyspark.sql import functions as F
 
-    data, dels = _split_adds(_live_adds(table_dir, version))
+    data, dels, pdels = _split_adds(_live_adds(table_dir, version))
     if not data:
         raise ValueError(f"no table at {table_dir} (version={version})")
 
@@ -602,7 +767,7 @@ def read_pruned(
         one = os.path.join(_data_dir(table_dir), data[0]["group"])
         return spark.read.parquet(one).filter(F.lit(False))
     # delete files always apply in full (their keys may target kept groups)
-    df = _assemble(spark, table_dir, keep, dels)
+    df = _assemble(spark, table_dir, keep, dels, pdels)
     return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
 
@@ -611,7 +776,7 @@ def pruned_group_count(
 ) -> tuple[int, int]:
     """(data groups that must be opened, total live data groups) for a
     range read — the observable data-skipping ratio."""
-    data, _ = _split_adds(_live_adds(table_dir, version))
+    data, _, _ = _split_adds(_live_adds(table_dir, version))
     opened = sum(
         1
         for a in data

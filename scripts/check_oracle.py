@@ -6,7 +6,12 @@ sf0.01 (or $SPARK_GRAFT_SF_DIR), then compares row count, sorted column
 names, and exact cell values (order-insensitive). Stricter than any sane
 hash: if this passes, a value-hash comparison passes too.
 
-Usage: python scripts/check_oracle.py [query_name ...]
+Usage: python scripts/check_oracle.py [--sf 0.1] [query_name ...]
+
+``--sf X`` switches both engines to /root/testdata/sfX — the scale-drift
+sweep (VERDICT r2 item 7): a query can be green at sf0.01 and wrong at
+sf0.1 through spills, AQE re-plans, or decimal overflow, so the heaviest
+oracles get re-checked at the bench scale each round.
 """
 
 from __future__ import annotations
@@ -152,4 +157,9 @@ def main(only: list[str]) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:]))
+    args = sys.argv[1:]
+    if "--sf" in args:
+        i = args.index("--sf")
+        SF_DIR = f"/root/testdata/sf{args[i + 1]}"
+        del args[i : i + 2]
+    sys.exit(main(args))

@@ -564,3 +564,85 @@ def test_delete_where_noop_publishes_nothing(spark, tmp_path):
     assert (v, n) == (head_before, 0)
     assert TF._versions(t)[-1] == head_before  # no commit landed
     assert ids(TF.read(spark, t)) == list(range(10))
+
+
+def test_positional_delete_rewrites_nothing(spark, tmp_path):
+    """Positional deletes tombstone exact physical rows: duplicate-value
+    rows and NULL-key rows (equality deletes can't touch those) delete
+    precisely; no data group is rewritten; a later re-insert of the SAME
+    values is untouched by construction."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (None, 5), (3, 7)], "id long, val long"
+    )
+    TF.append(df, t)
+    groups_before = sorted(os.listdir(os.path.join(t, "data")))
+    v, n = TF.delete_where_positional(spark, t, F.col("val") == 5)
+    assert n == 3  # both id-dup rows AND the NULL-key row
+    rows = {(r["id"], r["val"]) for r in TF.read(spark, t).collect()}
+    assert rows == {(3, 7)}
+    # only the tombstone group was added; original data groups intact
+    groups_after = sorted(os.listdir(os.path.join(t, "data")))
+    assert set(groups_before) <= set(groups_after)
+    assert len(groups_after) == len(groups_before) + 1
+    # re-insert of identical values: visible (tombstones are positional)
+    TF.append(spark.createDataFrame([(1, 5)], "id long, val long"), t)
+    rows = {(r["id"], r["val"]) for r in TF.read(spark, t).collect()}
+    assert rows == {(3, 7), (1, 5)}
+
+
+def test_positional_delete_noop_publishes_nothing(spark, tmp_path):
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t)
+    head = TF._versions(t)[-1]
+    v, n = TF.delete_where_positional(spark, t, F.col("id") > 999)
+    assert (v, n) == (head, 0)
+    assert TF._versions(t)[-1] == head
+
+
+def test_positional_and_equality_deletes_compose(spark, tmp_path):
+    """Both merge-on-read delete kinds apply in one read, and compact()
+    folds BOTH in (no live delete files afterwards, same rows)."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 10), t)
+    TF.delete_where(spark, t, "id", F.col("id") == 3)       # equality
+    TF.delete_where_positional(spark, t, F.col("id") == 7)  # positional
+    want = sorted(i for i in range(10) if i not in (3, 7))
+    assert ids(TF.read(spark, t)) == want
+    TF.compact(spark, t)
+    assert ids(TF.read(spark, t)) == want
+    data, dels, pdels = TF._split_adds(TF._live_adds(t))
+    assert dels == [] and pdels == []  # folded
+    assert len(data) == 1
+
+
+def test_zorder_compact_enables_two_key_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: interleaved appends span the full (x, y) range,
+    so range reads open every group; after z-order compaction into 4
+    stat-carrying groups, a half-range predicate on EITHER key opens
+    roughly half the groups — and the data is unchanged."""
+    t = str(tmp_path / "t")
+    rows = [(i, i % 64, (i * 37) % 64) for i in range(4000)]
+    for s in range(4):  # 4 appends, each covering the full x/y range
+        chunk = rows[s * 1000:(s + 1) * 1000]
+        TF.append(
+            spark.createDataFrame(chunk, "id long, x long, y long"),
+            t,
+            stats_cols=["x", "y"],
+        )
+    assert TF.pruned_group_count(t, "x", 48, 63)[0] == 4  # no skipping yet
+    before = {tuple(r) for r in TF.read(spark, t).collect()}
+
+    TF.compact(spark, t, target_files=4, zorder_by=("x", "y"))
+    after = {tuple(r) for r in TF.read(spark, t).collect()}
+    assert after == before
+    ox, total = TF.pruned_group_count(t, "x", 48, 63)
+    oy, _ = TF.pruned_group_count(t, "y", 48, 63)
+    assert total == 4
+    assert ox <= 2 and oy <= 2  # z-curve bounds BOTH keys per slice
+    # pruned read returns exactly the filtered rows
+    got = {
+        tuple(r)
+        for r in TF.read_pruned(spark, t, "x", 48, 63).collect()
+    }
+    assert got == {r for r in before if 48 <= r[1] <= 63}
