@@ -24,6 +24,7 @@ from etl_data_processor_spark import queries_ext as _q_ext  # noqa: F401 (regist
 from etl_data_processor_spark import queries_ext2 as _q_ext2  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_ext3 as _q_ext3  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_html as _q_html  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_r3 as _q_r3  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 
 

@@ -26,6 +26,7 @@ def asof_join_backward(
     value_cols: list[str],
     tiebreak: str | None = None,
     suffix: str = "_asof",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.ts <= left.ts`` within the same key (backward as-of, inclusive —
@@ -34,7 +35,12 @@ def asof_join_backward(
     Ties at identical ts resolve to the right side (side ordering puts right
     rows before left rows at equal ts); among several right rows at one ts,
     the largest ``tiebreak`` wins — pass one to make results deterministic.
-    """
+
+    ``tolerance`` (pandas merge_asof's knob, in seconds for timestamp ts /
+    ts units for numerics): matches older than it become NULL. Sound on the
+    carried last-match alone: the carried match has the MAXIMUM right ts
+    <= left ts, so if IT is out of window every other candidate is too —
+    no second pass needed, same one-shuffle plan."""
     lcols = left.columns
     l_tagged = left.select(
         *lcols,
@@ -44,6 +50,7 @@ def asof_join_backward(
             F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
             for c in value_cols
         ],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__rts"),
     )
     r_tagged = right.select(
         *[
@@ -53,6 +60,7 @@ def asof_join_backward(
         F.lit(0).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.col(ts).alias("__rts"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -67,8 +75,20 @@ def asof_join_backward(
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in value_cols
         ],
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
     )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        in_window = F.col("__mts").isNotNull() & (
+            F.col(ts).cast("double") - F.col("__mts").cast("double")
+            <= F.lit(float(tolerance))
+        )
+        for c in value_cols:
+            out = out.withColumn(
+                f"{c}{suffix}",
+                F.when(in_window, F.col(f"{c}{suffix}")),
+            )
+    return out.drop("__mts")
 
 
 def asof_join_forward(

@@ -1,0 +1,199 @@
+"""Round-3 extension queries: tolerance-bounded as-of join, HDR-histogram
+mergeable quantile sketch, and grid-blocked spatial radius join.
+
+All arithmetic is integer-exact or epoch-difference based so DuckDB
+reproduces every cell bit-for-bit (the ops/exact discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.registry import cat as _cat
+from etl_data_processor_spark.registry import q
+
+
+# =====================================================================
+# B10 ext: as-of join with tolerance (pandas merge_asof's knob)
+# =====================================================================
+
+@q(
+    "q_join_asof_tol",
+    """
+    SELECT p.event_id,
+           (SELECT b.value FROM events b
+            WHERE b.user_id = p.user_id AND b.event_type = 'click'
+              AND b.ts <= p.ts
+              AND epoch(p.ts) - epoch(b.ts) <= 3600
+            ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS value_asof
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_tol(spark, sf_dir):
+    """Backward as-of join with a 1-hour tolerance: a purchase only
+    attributes to a click at most 3600 s older, else NULL. Same
+    one-shuffle union+window plan as q_join_asof — the tolerance check
+    runs on the carried last-match alone (if the LATEST prior click is
+    out of window, every prior click is), no second pass. Epoch
+    DIFFERENCES cancel any session-timezone shift (io.py NTZ note)."""
+    from etl_data_processor_spark.ops.asof import asof_join_backward
+
+    ev = _cat(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join_backward(
+        purchases,
+        clicks,
+        key="user_id",
+        ts="ts",
+        value_cols=["value"],
+        tiebreak="event_id",
+        tolerance=3600.0,
+    )
+    return joined.select("event_id", "value_asof")
+
+
+# =====================================================================
+# B13 ext: HDR-histogram quantile sketch (mergeable, order-independent)
+# =====================================================================
+
+# bucket = e*16 + sub where e = floor(log2 c) via the INTEGER identity
+# length(bin(c)) - 1 (no float log), sub = 16 sub-buckets linearly within
+# [2^e, 2^(e+1)) — the HdrHistogram layout: ~6% relative error, a few
+# hundred buckets for any positive BIGINT range, and counts merge by plain
+# addition (order-independent integer sums -> safe under any partitioning).
+_HDR_BUCKET_SPARK = (
+    "CAST((CAST(length(bin(c)) AS INT) - 1) * 16 "
+    "+ CAST((c - shiftleft(CAST(1 AS BIGINT), CAST(length(bin(c)) AS INT) - 1)) * 16 "
+    "DIV shiftleft(CAST(1 AS BIGINT), CAST(length(bin(c)) AS INT) - 1) AS INT) AS INT)"
+)
+_HDR_LOWER_SPARK = (
+    "shiftleft(CAST(1 AS BIGINT), CAST(bucket DIV 16 AS INT)) "
+    "+ CAST(bucket % 16 AS BIGINT) "
+    "* shiftleft(CAST(1 AS BIGINT), CAST(bucket DIV 16 AS INT)) DIV 16"
+)
+
+
+@q(
+    "q_sketch_quantile_hdr",
+    """
+    WITH base AS (
+        SELECT CAST(l_extendedprice * 100 AS BIGINT) AS c
+        FROM lineitem WHERE l_extendedprice > 0
+    ),
+    bk AS (
+        SELECT CAST((length(bin(c)) - 1) * 16
+               + ((c - (CAST(1 AS BIGINT) << (length(bin(c)) - 1))) * 16)
+                 // (CAST(1 AS BIGINT) << (length(bin(c)) - 1)) AS INT)
+               AS bucket
+        FROM base
+    ),
+    sk AS (SELECT bucket, COUNT(*) AS cnt FROM bk GROUP BY bucket),
+    cum AS (
+        SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM sk
+    ),
+    tot AS (SELECT SUM(cnt) AS n FROM sk),
+    sel AS (
+        SELECT p.p, MIN(c.bucket) AS bucket
+        FROM (VALUES (50), (90), (99)) p(p), cum c, tot t
+        WHERE c.cum * 100 >= p.p * t.n
+        GROUP BY p.p
+    )
+    SELECT p,
+           ((CAST(1 AS BIGINT) << (bucket // 16))
+            + (CAST(bucket % 16 AS BIGINT)
+               * (CAST(1 AS BIGINT) << (bucket // 16))) // 16) AS est_cents
+    FROM sel ORDER BY p
+    """,
+)
+def q_sketch_quantile_hdr(spark, sf_dir):
+    """HDR-histogram quantile sketch — the MERGEABLE quantile estimator
+    completing the sketch family (CMS counts, HLL cardinality, SimHash
+    similarity, + quantiles): prices bucket into log2-major/16-linear-minor
+    bins via pure INTEGER arithmetic (length(bin(c)), shifts, integer
+    div — no float log), the sketch is the tall (bucket, count) frame
+    whose counts merge by addition under ANY split (pinned in pytest),
+    and p50/p90/p99 recover as the first bucket where cum*100 >= p*n
+    (lower-bound estimate, <= 1/16 octave error ≈ 6%, pinned vs exact in
+    pytest). At 100 TB: one partial+final agg into a few hundred rows per
+    slice, stored once, merged at read time — the materialize-once
+    pattern; no shuffle of raw values, unlike exact percentiles."""
+    lin = (
+        _cat(spark, sf_dir)
+        .lineitem.filter(F.col("l_extendedprice") > 0)
+        .select(F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("c"))
+    )
+    sk = (
+        lin.select(F.expr(_HDR_BUCKET_SPARK).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    # the sketch is a few hundred rows: a single-partition cumulative
+    # window over it is driver-scale work, not a data-scale sort
+    cum = sk.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    )
+    tot = sk.agg(F.sum("cnt").alias("n"))
+    ps = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    sel = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    return sel.select(
+        "p", F.expr(_HDR_LOWER_SPARK).alias("est_cents")
+    ).orderBy("p")
+
+
+# =====================================================================
+# New family: spatial radius join by grid blocking
+# =====================================================================
+
+@q(
+    "q_spatial_radius_join",
+    """
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               c_custkey % 1000 AS x,
+               (c_custkey * 7919) % 1000 AS y
+        FROM customer WHERE c_custkey < 1500
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 225
+    ORDER BY a_id, b_id
+    """,
+)
+def q_spatial_radius_join(spark, sf_dir):
+    """Spatial radius join (all point pairs within L2 distance 15) by GRID
+    BLOCKING — the geospatial join pattern (H3/S2 cell bucketing reduced
+    to a square grid): each point lands in a 16x16 cell (cell edge >=
+    radius), the LEFT side explodes to its 3x3 cell neighborhood, and a
+    plain equi-join on the cell key yields candidates, with the exact
+    integer d2 filter last. A pair is found exactly once (b's home cell
+    appears once in a's neighborhood). Never all-pairs: cost is
+    density-bounded per cell — the oracle IS the all-pairs definition,
+    which this must match exactly. Coordinates are closed-form from
+    c_custkey so both engines build identical points."""
+    from etl_data_processor_spark.ops.spatial import radius_join_grid
+
+    ck = F.col("c_custkey")
+    pts = (
+        _cat(spark, sf_dir)
+        .customer.filter(ck < 1500)
+        .select(
+            ck.alias("id"),
+            (ck % 1000).alias("x"),
+            ((ck * 7919) % 1000).alias("y"),
+        )
+    )
+    return radius_join_grid(pts, radius=15, cell=16).orderBy("a_id", "b_id")

@@ -215,3 +215,42 @@ def idempotent_parquet_sink(out_dir: str):
         )
 
     return sink
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    join_type: str = "inner",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the impression->click attribution
+    shape (Structured Streaming's flagship stateful join): a right event
+    joins a left event on ``key`` when it lands inside
+    ``[left_ts, left_ts + max_delay]``.
+
+    Both sides carry a watermark, and the time-interval condition gives
+    the engine a state-expiry bound on BOTH buffers: a left row can be
+    dropped from state once the right watermark passes
+    ``left_ts + max_delay``, a right row once the left watermark passes
+    ``right_ts`` — without the interval bound, stream-stream join state
+    grows forever. ``left_ts``/``right_ts`` (and the non-key columns)
+    must be distinct names; ``key`` is the shared equi-column. Outer
+    variants emit the unmatched side only once its watermark proves no
+    future match can arrive — same contract as batch outer join, arriving
+    incrementally.
+
+    At 100 TB/day both sides shuffle once on ``key`` and state stays
+    bounded by rate x max_delay — the knob to size, exactly like a
+    batch range join's band width."""
+    l_wm = left.withWatermark(left_ts, watermark)
+    r_wm = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_wm[key] == r_wm[key])
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l_wm.join(r_wm, cond, join_type).drop(r_wm[key])

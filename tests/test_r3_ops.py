@@ -1,0 +1,125 @@
+"""Round-3 operator pins: HDR quantile sketch merge/error guarantees,
+as-of tolerance semantics, spatial blocking completeness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _hdr_sketch(df):
+    from etl_data_processor_spark.queries_r3 import _HDR_BUCKET_SPARK
+
+    return (
+        df.select(F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("c"))
+        .select(F.expr(_HDR_BUCKET_SPARK).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def test_hdr_sketch_merges_exactly(spark, sf_dir):
+    """Partial sketches over ANY disjoint split merge (count addition) to
+    the whole-data sketch bit-for-bit — the materialize-once contract."""
+    lin = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_extendedprice") > 0
+    )
+    whole = {r["bucket"]: r["cnt"] for r in _hdr_sketch(lin).collect()}
+    parts = [
+        _hdr_sketch(lin.filter(F.col("l_orderkey") % 3 == i)) for i in range(3)
+    ]
+    merged: dict[int, int] = {}
+    for p in parts:
+        for r in p.collect():
+            merged[r["bucket"]] = merged.get(r["bucket"], 0) + r["cnt"]
+    assert merged == whole
+
+
+def test_hdr_quantile_error_bound(spark, sf_dir):
+    """The recovered p50/p90/p99 lower bounds sit within one sub-bucket
+    (1/16 octave, < ~6.3% relative) BELOW the exact percentile and never
+    above it."""
+    import __spark_entry__ as entry
+
+    est = {
+        r["p"]: r["est_cents"]
+        for r in entry.queries()["q_sketch_quantile_hdr"](spark, sf_dir).collect()
+    }
+    lin = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_extendedprice") > 0
+    )
+    cents = lin.select(
+        F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("c")
+    )
+    exact = cents.agg(
+        *[
+            F.expr(f"percentile_disc({p / 100}) WITHIN GROUP (ORDER BY c)").alias(
+                f"p{p}"
+            )
+            for p in (50, 90, 99)
+        ]
+    ).collect()[0]
+    for p in (50, 90, 99):
+        ex = exact[f"p{p}"]
+        assert est[p] <= ex, (p, est[p], ex)
+        assert est[p] >= ex * (1 - 1 / 16) - 1, (p, est[p], ex)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """A match older than the tolerance becomes NULL; in-window matches
+    and the no-match case are unchanged vs the untolerated join."""
+    from etl_data_processor_spark.ops.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "u", 1000.0), (2, "u", 5000.0), (3, "v", 100.0)],
+        "event_id long, user_id string, ts double",
+    )
+    right = spark.createDataFrame(
+        [(10, "u", 900.0, 9.0), (11, "u", 980.0, 11.0)],
+        "event_id long, user_id string, ts double, value double",
+    )
+    out = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join_backward(
+            left, right, key="user_id", ts="ts", value_cols=["value"],
+            tiebreak="event_id", tolerance=100.0,
+        ).collect()
+    }
+    assert out[1] == 11.0       # 1000-980=20 <= 100: latest match kept
+    assert out[2] is None       # 5000-980=4020 > 100: stale -> NULL
+    assert out[3] is None       # no right rows for key v at all
+
+
+def test_spatial_blocking_equals_all_pairs(spark):
+    """The grid-blocked radius join must reproduce brute-force all-pairs
+    exactly on a dense synthetic cloud (cell edge >= radius guarantees no
+    missed neighbor; pair-uniqueness guarantees no duplicates)."""
+    from etl_data_processor_spark.ops.spatial import radius_join_grid
+
+    pts = spark.range(0, 1200).select(
+        F.col("id"),
+        ((F.col("id") * 173) % 997).alias("x"),
+        ((F.col("id") * 661) % 991).alias("y"),
+    )
+    got = {
+        (r["a_id"], r["b_id"], r["d2"])
+        for r in radius_join_grid(pts, radius=15, cell=16).collect()
+    }
+    a = pts.select(F.col("id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = pts.select(F.col("id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    brute = {
+        (r["a_id"], r["b_id"], r["d2"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= 225)
+        .collect()
+    }
+    assert got == brute and len(got) > 50
+    # soundness guard: a cell smaller than the radius must be rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        radius_join_grid(pts, radius=15, cell=10)

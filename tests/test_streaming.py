@@ -594,3 +594,72 @@ def test_stream_static_broadcast_enrichment(spark, events_stream_dir, sf_dir):
         .collect()
     }
     assert got == want and len(got) >= 2
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join (impressions->purchases attribution):
+    the streamed result must equal the equivalent batch interval join —
+    every purchase within 1 hour after a same-user click pairs up, each
+    pair exactly once."""
+    from etl_data_processor_spark.streaming.windows import stream_interval_join
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = df.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withColumnRenamed("p_user", "user_id")
+        return clicks, purchases
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    s_clicks, s_purch = sides(stream)
+    joined = stream_interval_join(
+        s_clicks, s_purch, key="user_id",
+        left_ts="click_ts", right_ts="purchase_ts",
+        max_delay="1 hour", watermark="30 days",
+    ).select("click_id", "purchase_id")
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in _drain(joined, "ssj_got", "append").collect()
+    }
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    b_clicks, b_purch = sides(batch)
+    want = {
+        (r["click_id"], r["purchase_id"])
+        for r in b_clicks.join(
+            b_purch.withColumnRenamed("user_id", "u2"),
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 hour")
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_stream_join_requires_watermarks_for_state_bound(spark, events_stream_dir):
+    """The interval condition + watermark is what bounds join state: the
+    plan must carry watermarks on both sides (no unbounded state)."""
+    from etl_data_processor_spark.streaming.windows import stream_interval_join
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    left = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    joined = stream_interval_join(
+        left, right, key="user_id", left_ts="l_ts", right_ts="r_ts",
+        max_delay="1 hour", watermark="2 hours",
+    )
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
