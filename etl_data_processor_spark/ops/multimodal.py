@@ -307,3 +307,57 @@ def sample_frames(
             )
 
     return df.select(id_col, blob_col).mapInPandas(frames, FRAME_SCHEMA)
+
+
+def pcm_synthesize(df, id_col: str = "doc_id", n_samples: int = 1024):
+    """Deterministic 16-bit little-endian PCM blobs from an id column —
+    the binary-ingest stage for the audio path: wave[n] = ((id*7 + n*13)
+    % 200) - 100, a closed form BOTH engines can reproduce, packed into a
+    REAL ``binary`` column (np.int16.tobytes — no codec library needed:
+    PCM is the one audio 'format' that is pure struct layout)."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                n = np.arange(n_samples, dtype=np.int64)
+                w = ((int(i) * 7 + n * 13) % 200 - 100).astype("<i2")
+                blobs.append(w.tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "pcm": blobs})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, pcm binary")
+
+
+def pcm_frame_features(df, blob_col: str = "pcm", id_col: str = "doc_id",
+                       frame: int = 256):
+    """REAL audio feature extraction over binary PCM columns (the
+    multimodal decode path that needs no external codec): each blob
+    decodes via np.frombuffer(int16) and every ``frame``-sample window
+    yields integer-exact features — energy (sum of squares in int64) and
+    zero crossings (sign-change count, zero counted non-negative).
+    Arrow-batched mapInPandas, shuffle-free, one output row per frame;
+    the same plumbing (schema, batch shape, partitioning) the
+    codec-gated image path uses, but fully value-checkable end to end."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            ids, fidx, sumsq, zc = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                w = np.frombuffer(blob, dtype="<i2").astype(np.int64)
+                for f in range(len(w) // frame):
+                    seg = w[f * frame:(f + 1) * frame]
+                    ids.append(i)
+                    fidx.append(f)
+                    sumsq.append(int((seg * seg).sum()))
+                    zc.append(int(((seg[:-1] >= 0) != (seg[1:] >= 0)).sum()))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": fidx, "sumsq": sumsq, "zc": zc}
+            )
+
+    return df.mapInPandas(
+        gen, f"{id_col} long, frame_idx int, sumsq long, zc long"
+    )

@@ -197,3 +197,147 @@ def q_spatial_radius_join(spark, sf_dir):
         )
     )
     return radius_join_grid(pts, radius=15, cell=16).orderBy("a_id", "b_id")
+
+
+# =====================================================================
+# B31 ext: positional phrase search over an inverted index
+# =====================================================================
+
+@q(
+    "q_phrase_search",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM d, UNNEST(range(1, len(ws))) AS t(i)
+    WHERE ws[CAST(t.i AS INTEGER)] = 'value'
+      AND ws[CAST(t.i AS INTEGER) + 1] = 'table'
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_phrase_search(spark, sf_dir):
+    """Exact PHRASE search ("value table") via a POSITIONAL inverted
+    index — the lexical-retrieval primitive BM25 (bag-of-words) cannot
+    answer: postings are (doc, position, term) from one posexplode pass;
+    the phrase query filters postings to ITS terms only (term-set
+    pushdown — at 100 TB the materialized index is term-partitioned and
+    only two terms' postings are read), then adjacent-position equi-join
+    within doc. Generalizes to k-word phrases as a k-way position-offset
+    join. Oracle = direct adjacent-pair scan of the token arrays."""
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    p1 = toks.filter(F.col("w") == "value").select("doc_id", "pos")
+    p2 = toks.filter(F.col("w") == "table").select(
+        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    )
+    return (
+        p1.join(
+            p2,
+            (F.col("doc_id") == F.col("doc_id2"))
+            & (F.col("pos2") == F.col("pos") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# =====================================================================
+# B45 ext: event-sequence pattern matching (MATCH_RECOGNIZE-lite)
+# =====================================================================
+
+@q(
+    "q_event_pattern",
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           regexp_matches(seq, 'vc.*p') AS matched
+    FROM seqs ORDER BY user_id
+    """,
+)
+def q_event_pattern(spark, sf_dir):
+    """Sequence-pattern matching over event streams (SQL MATCH_RECOGNIZE
+    re-expressed): each user's ordered event history folds into a
+    type-initial string (deterministic (ts, event_id) order), and the
+    funnel pattern 'view immediately followed by click, then eventually
+    purchase' is one regex over it. One shuffle on user_id; per-user
+    strings stay session-sized. The regex engine differs (Java vs RE2)
+    but the pattern uses the common core, and every cell is
+    value-checked against DuckDB."""
+    ev = _cat(spark, sf_dir).events
+    seqs = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id", "n_events", F.col("seq").rlike("vc.*p").alias("matched")
+    ).orderBy("user_id")
+
+
+# =====================================================================
+# B33 ext: REAL audio decode path (PCM — no codec library required)
+# =====================================================================
+
+@q(
+    "q_audio_pcm_features",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    samples AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS n,
+               ((doc_id * 7 + CAST(t.i AS BIGINT) * 13) % 200) - 100 AS w
+        FROM ids, UNNEST(range(0, 1024)) AS t(i)
+    ),
+    nxt AS (
+        SELECT doc_id, n, w,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY n) AS w2
+        FROM samples
+    )
+    SELECT doc_id, CAST(n // 256 AS INT) AS frame_idx,
+           CAST(SUM(w * w) AS BIGINT) AS sumsq,
+           CAST(COUNT(*) FILTER (
+               WHERE n % 256 < 255 AND (w >= 0) <> (w2 >= 0)
+           ) AS BIGINT) AS zc
+    FROM nxt
+    GROUP BY doc_id, frame_idx
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_audio_pcm_features(spark, sf_dir):
+    """The multimodal audio path with a REAL binary decode (VERDICT's
+    multimodal family, upgraded from stub-only): deterministic int16 PCM
+    blobs are synthesized into a genuine ``binary`` column
+    (np.tobytes), then DECODED back (np.frombuffer) and reduced to
+    per-frame integer features — energy and zero-crossings — in an
+    Arrow-batched mapInPandas stage. Because PCM is pure struct layout,
+    the whole binary round-trip is value-checked: the oracle recomputes
+    the features from the closed-form waveform in SQL. The plumbing
+    (binary column, frame explode, batch shape) is exactly what a
+    codec-backed mp3/wav path would use."""
+    from etl_data_processor_spark.ops.multimodal import (
+        pcm_frame_features,
+        pcm_synthesize,
+    )
+
+    docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    blobs = pcm_synthesize(docs, id_col="doc_id", n_samples=1024)
+    return pcm_frame_features(blobs, frame=256).orderBy("doc_id", "frame_idx")
