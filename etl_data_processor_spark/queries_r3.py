@@ -217,25 +217,35 @@ def q_spatial_radius_join(spark, sf_dir):
 def q_phrase_search(spark, sf_dir):
     """Exact PHRASE search ("value table") via a POSITIONAL inverted
     index — the lexical-retrieval primitive BM25 (bag-of-words) cannot
-    answer: postings are (doc, position, term) from one posexplode pass;
-    the phrase query filters postings to ITS terms only (term-set
-    pushdown — at 100 TB the materialized index is term-partitioned and
-    only two terms' postings are read), then adjacent-position equi-join
-    within doc. Generalizes to k-word phrases as a k-way position-offset
-    join. Oracle = direct adjacent-pair scan of the token arrays."""
+    answer: postings are (doc, position, term) from ONE posexplode pass,
+    filtered to the query's terms only (term-set pushdown — at 100 TB the
+    materialized index is term-partitioned and only two terms' postings
+    are read). Adjacent matching is the posting-list MERGE, expressed as
+    a lead window over the filtered postings: a 'value' posting whose
+    very next surviving posting is 'table' at pos+1 is a hit (nothing
+    else can sit between two adjacent positions) — a single scan + one
+    doc_id shuffle, where the naive two-branch self-join scans the corpus
+    twice (plan-audited). Oracle = direct adjacent-pair scan of the
+    token arrays."""
+    from pyspark.sql import Window
+
     docs = _cat(spark, sf_dir).documents.select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
-    )
-    p1 = toks.filter(F.col("w") == "value").select("doc_id", "pos")
-    p2 = toks.filter(F.col("w") == "table").select(
-        F.col("doc_id").alias("doc_id2"), F.col("pos").alias("pos2")
+    ).filter(F.col("w").isin("value", "table"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    merged = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.lead("w").over(win).alias("nw"),
+        F.lead("pos").over(win).alias("npos"),
     )
     return (
-        p1.join(
-            p2,
-            (F.col("doc_id") == F.col("doc_id2"))
-            & (F.col("pos2") == F.col("pos") + 1),
+        merged.filter(
+            (F.col("w") == "value")
+            & (F.col("nw") == "table")
+            & (F.col("npos") == F.col("pos") + 1)
         )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))

@@ -495,3 +495,13 @@ def test_emb_quantize_plan_is_narrow(spark, sf_dir):
 
     plan = plan_of(QUERIES["q_emb_quantize"](spark, sf_dir))
     assert not re.findall(r"^\(\d+\) Exchange", plan, re.M), plan
+
+
+def test_phrase_search_single_scan(spark, sf_dir):
+    """The posting-list merge must read the corpus ONCE: term filtering +
+    lead-window adjacency, not a two-branch self-join (which plans two
+    full scans of the text column — 2x the dominant cost at 100 TB)."""
+    import re
+
+    plan = plan_of(QUERIES["q_phrase_search"](spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
