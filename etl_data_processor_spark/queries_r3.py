@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_data_processor_spark.ops.sampling import hash32_sql
 from etl_data_processor_spark.registry import cat as _cat
 from etl_data_processor_spark.registry import q
 
@@ -351,3 +352,82 @@ def q_audio_pcm_features(spark, sf_dir):
     docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
     blobs = pcm_synthesize(docs, id_col="doc_id", n_samples=1024)
     return pcm_frame_features(blobs, frame=256).orderBy("doc_id", "frame_idx")
+
+
+# =====================================================================
+# New family: statistics at scale — deterministic Poisson bootstrap
+# =====================================================================
+
+# Poisson(1) CDF cut points scaled to the portable hash's 2^32 range:
+# P(0)=e^-1, P(1)=e^-1, P(2)=e^-1/2, P(3)=e^-1/6, w=4 takes the tail.
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783]
+_N_REPS = 40
+
+
+@q(
+    "q_bootstrap_poisson",
+    f"""
+    WITH rows_x AS (
+        SELECT (l_orderkey * 8 + l_linenumber) AS rk,
+               CAST(l_quantity * 100 AS BIGINT) AS x
+        FROM lineitem
+    ),
+    reps AS (
+        SELECT rk, x, CAST(t.i AS BIGINT) AS b,
+               {hash32_sql("(rk * 64 + t.i)")} AS h
+        FROM rows_x, UNNEST(range(0, {_N_REPS})) AS t(i)
+    ),
+    wtd AS (
+        SELECT b,
+               CASE WHEN h < {_POIS_T[0]} THEN 0
+                    WHEN h < {_POIS_T[1]} THEN 1
+                    WHEN h < {_POIS_T[2]} THEN 2
+                    WHEN h < {_POIS_T[3]} THEN 3
+                    ELSE 4 END AS w,
+               x
+        FROM reps
+    )
+    SELECT b,
+           CAST(SUM(w) AS BIGINT) AS sw,
+           CAST(SUM(w * x) AS BIGINT) AS swx
+    FROM wtd GROUP BY b ORDER BY b
+    """,
+)
+def q_bootstrap_poisson(spark, sf_dir):
+    """Deterministic POISSON BOOTSTRAP (the large-scale bootstrap:
+    resampling-with-replacement becomes an independent Poisson(1) weight
+    per (row, replicate), so ALL {_N_REPS} replicates compute in ONE
+    pass — no per-replicate shuffle, the only exchange is the final
+    {_N_REPS}-group aggregate). Weights are drawn from the portable
+    hash32 mixer on (row-key*64 + replicate) against fixed integer CDF
+    cut points, so the 'randomness' is reproducible bit-for-bit on any
+    engine and under any partitioning — df.sample could never oracle.
+    Output is the integer-exact per-replicate (Σw, Σw·x_cents); the CI
+    derivation (replicate means -> percentile interval around the true
+    mean) is pinned in pytest, keeping every oracle cell integer."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    lin = _cat(spark, sf_dir).lineitem.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rk"),
+        F.expr("CAST(l_quantity * 100 AS BIGINT)").alias("x"),
+    )
+    reps = lin.withColumn(
+        "b", F.explode(F.array(*[F.lit(i) for i in range(_N_REPS)]))
+    )
+    h = hash32(F.col("rk") * 64 + F.col("b"))
+    w = (
+        F.when(h < _POIS_T[0], 0)
+        .when(h < _POIS_T[1], 1)
+        .when(h < _POIS_T[2], 2)
+        .when(h < _POIS_T[3], 3)
+        .otherwise(4)
+    )
+    return (
+        reps.withColumn("w", w)
+        .groupBy(F.col("b").cast("long").alias("b"))
+        .agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("x")).alias("swx"),
+        )
+        .orderBy("b")
+    )

@@ -123,3 +123,25 @@ def test_spatial_blocking_equals_all_pairs(spark):
 
     with pytest.raises(ValueError):
         radius_join_grid(pts, radius=15, cell=10)
+
+
+def test_poisson_bootstrap_ci_covers_true_mean(spark, sf_dir):
+    """The 40 replicate means derived from the integer-exact (Σw, Σw·x)
+    sums form a percentile CI that (a) contains the true mean and (b) has
+    sane width; Σw concentrates near n (Poisson(1) weights sum ≈ n)."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_bootstrap_poisson"](spark, sf_dir).collect()
+    assert len(rows) == 40
+    lin = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = lin.count()
+    true_mean = (
+        lin.agg(F.sum(F.expr("CAST(l_quantity * 100 AS BIGINT)"))).collect()[0][0]
+        / n
+    )
+    means = sorted(r["swx"] / r["sw"] for r in rows)
+    for r in rows:  # weights sum within 5 sigma of n (var = n)
+        assert abs(r["sw"] - n) < 5 * n ** 0.5 + 10
+    lo, hi = means[1], means[38]  # ~5th..95th percentile of 40
+    assert lo <= true_mean <= hi, (lo, true_mean, hi)
+    assert (hi - lo) / true_mean < 0.05  # tight at fixture n
