@@ -431,3 +431,105 @@ def q_bootstrap_poisson(spark, sf_dir):
         )
         .orderBy("b")
     )
+
+
+# =====================================================================
+# New family: model-eval metrics at scale (quality-classifier eval)
+# =====================================================================
+# Deterministic "classifier": score = hash32(doc_id) % 1000; ground truth
+# correlates with the score plus hash noise — both closed-form, so the
+# confusion counts and rank sums are integer-exact on both engines. This
+# is the eval loop of a corpus quality filter: score once, sweep
+# thresholds / compute AUC in ONE aggregation pass, never per-threshold
+# scans.
+
+_EVAL_N = 2000
+
+
+def _eval_scored(spark, sf_dir):
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    doc = F.col("doc_id")
+    sc = hash32(doc) % 1000
+    noise = hash32(doc + 1000003) % 1000
+    return (
+        _cat(spark, sf_dir)
+        .documents.filter(doc < _EVAL_N)
+        .select(
+            "doc_id",
+            sc.alias("sc"),
+            ((sc * 2 + noise) >= 1500).alias("label"),
+        )
+    )
+
+
+@q(
+    "q_eval_pr_curve",
+    "WITH " + 'scored AS (\n        SELECT doc_id,\n               ((xor(((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 1000) AS sc,\n               (((xor(((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 1000) * 2 + ((xor(((xor(((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 1000)) >= 1500 AS label\n        FROM documents WHERE doc_id < 2000\n    )' + """
+    SELECT CAST(t.i AS BIGINT) AS thr,
+           CAST(COUNT(*) FILTER (WHERE label AND sc >= t.i) AS BIGINT) AS tp,
+           CAST(COUNT(*) FILTER (WHERE NOT label AND sc >= t.i) AS BIGINT) AS fp,
+           CAST(COUNT(*) FILTER (WHERE label AND sc < t.i) AS BIGINT) AS fn
+    FROM scored, UNNEST(range(0, 1000, 100)) AS t(i)
+    GROUP BY thr ORDER BY thr
+    """,
+)
+def q_eval_pr_curve(spark, sf_dir):
+    """Precision/recall THRESHOLD SWEEP for a quality classifier in one
+    pass: scores computed once, every threshold's confusion counts from
+    conditional aggregates over a 10-row broadcast threshold frame — at
+    100 TB this is one scan + one 10-group aggregate, not 10 scans.
+    Output is the raw integer (tp, fp, fn) per threshold (precision/
+    recall are ratios of these — kept integer so the oracle is exact)."""
+    thrs = spark.createDataFrame([(i,) for i in range(0, 1000, 100)], "thr long")
+    scored = _eval_scored(spark, sf_dir)
+    return (
+        scored.crossJoin(F.broadcast(thrs))
+        .groupBy("thr")
+        .agg(
+            F.count_if(F.col("label") & (F.col("sc") >= F.col("thr"))).alias("tp"),
+            F.count_if(~F.col("label") & (F.col("sc") >= F.col("thr"))).alias("fp"),
+            F.count_if(F.col("label") & (F.col("sc") < F.col("thr"))).alias("fn"),
+        )
+        .orderBy("thr")
+    )
+
+
+@q(
+    "q_eval_auc",
+    "WITH " + 'scored AS (\n        SELECT doc_id,\n               ((xor(((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 1000) AS sc,\n               (((xor(((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 1000) * 2 + ((xor(((xor(((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id + 1000003)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 1000)) >= 1500 AS label\n        FROM documents WHERE doc_id < 2000\n    )' + """,
+    ranked AS (
+        SELECT label,
+               ROW_NUMBER() OVER (ORDER BY sc, doc_id) AS r
+        FROM scored
+    )
+    SELECT CAST(SUM(CASE WHEN label THEN r ELSE 0 END) AS BIGINT) AS rank_sum_pos,
+           CAST(COUNT(*) FILTER (WHERE label) AS BIGINT) AS n_pos,
+           CAST(COUNT(*) FILTER (WHERE NOT label) AS BIGINT) AS n_neg
+    FROM ranked
+    """,
+)
+def q_eval_auc(spark, sf_dir):
+    """AUC via the Mann-Whitney rank-sum identity:
+    AUC = (Σ ranks(positives) − n₁(n₁+1)/2) / (n₁·n₀) — ONE global rank
+    window + one aggregate instead of the O(n²) pairwise definition.
+    Ranks are tie-broken by doc_id so both engines rank identically (the
+    tie-broken estimator equals randomized tie handling in expectation);
+    the output is the integer (rank_sum, n_pos, n_neg) triple — the AUC
+    ratio itself is derived in pytest, keeping every oracle cell exact.
+    At 100 TB: a global sort is the honest cost of exact AUC; the
+    chunked-prefix-sum escape hatch (ops/prefix.py) applies when scores
+    are pre-binned."""
+    from pyspark.sql import Window
+
+    scored = _eval_scored(spark, sf_dir)
+    ranked = scored.withColumn(
+        "r", F.row_number().over(Window.orderBy("sc", "doc_id"))
+    )
+    return ranked.agg(
+        F.sum(F.when(F.col("label"), F.col("r")).otherwise(0)).alias(
+            "rank_sum_pos"
+        ),
+        F.count_if("label").alias("n_pos"),
+        F.count_if(~F.col("label")).alias("n_neg"),
+    )

@@ -145,3 +145,27 @@ def test_poisson_bootstrap_ci_covers_true_mean(spark, sf_dir):
     lo, hi = means[1], means[38]  # ~5th..95th percentile of 40
     assert lo <= true_mean <= hi, (lo, true_mean, hi)
     assert (hi - lo) / true_mean < 0.05  # tight at fixture n
+
+
+def test_eval_metrics_coherence(spark, sf_dir):
+    """PR-curve counts are monotone in the threshold (tp/fp shrink, fn
+    grows), tp+fn is constant (= all positives), and the rank-sum AUC of
+    the correlated classifier lands well above chance."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    curve = {r["thr"]: r for r in qs["q_eval_pr_curve"](spark, sf_dir).collect()}
+    thrs = sorted(curve)
+    n_pos = curve[thrs[0]]["tp"] + curve[thrs[0]]["fn"]
+    prev = None
+    for t in thrs:
+        r = curve[t]
+        assert r["tp"] + r["fn"] == n_pos
+        if prev is not None:
+            assert r["tp"] <= prev["tp"] and r["fp"] <= prev["fp"]
+            assert r["fn"] >= prev["fn"]
+        prev = r
+    row = qs["q_eval_auc"](spark, sf_dir).collect()[0]
+    n1, n0 = row["n_pos"], row["n_neg"]
+    auc = (row["rank_sum_pos"] - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert 0.7 < auc < 1.0, auc  # score drives the label: far above 0.5
