@@ -533,3 +533,64 @@ def q_eval_auc(spark, sf_dir):
         F.count_if("label").alias("n_pos"),
         F.count_if(~F.col("label")).alias("n_neg"),
     )
+
+
+# =====================================================================
+# New family: training-data mixture / epoching (corpus composition)
+# =====================================================================
+
+@q(
+    "q_data_mixture",
+    "WITH d AS (SELECT doc_id, source, "
+    "CAST(substr(source, 4) AS INT) % 4 AS base, "
+    "CASE WHEN (xor(((xor(((((doc_id * 31)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id * 31)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((doc_id * 31)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((doc_id * 31)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) < 2147483648 THEN 1 ELSE 0 END AS extra "
+    "FROM documents) "
+    "SELECT source, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) FILTER (WHERE base + extra > 0) AS BIGINT) AS n_docs_sampled, "
+    "CAST(SUM(base + extra) AS BIGINT) AS n_rows "
+    "FROM d GROUP BY source ORDER BY source",
+)
+def q_data_mixture(spark, sf_dir):
+    """Training-data MIXTURE materialization (the data-mixing step of an
+    LLM corpus build): each source gets a fractional epoch multiplier
+    (here 0.5 + srcnum%4 epochs, i.e. 0.5/1.5/2.5/3.5): every doc emits
+    floor(T) full copies plus one extra copy for a deterministic
+    hash-selected T-frac fraction — so the ACHIEVED mixture matches the
+    target in expectation per source and EXACTLY under the portable
+    hash, reproducible on any engine/partitioning (df.sample could
+    never oracle). The mixture is physically EXPLODED (copies tagged by
+    epoch index — what the training shuffle consumes); the query reports
+    per-source (docs, docs sampled, emitted rows). Scale: explode is
+    narrow (no shuffle), the only exchange is the per-source count."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "source")
+    base = (
+        F.substring("source", 4, 10).cast("int") % 4
+    )  # floor(epochs): srcN -> N%4
+    extra = F.when(hash32(F.col("doc_id") * 31) < F.lit(1 << 31), 1).otherwise(0)
+    planned = docs.withColumn("copies", (base + extra).cast("int"))
+    mixed = planned.withColumn(
+        "epoch",
+        F.explode(
+            F.when(
+                F.col("copies") >= 1, F.sequence(F.lit(1), F.col("copies"))
+            ).otherwise(F.array())
+        ),
+    )
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sampled = mixed.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_sampled"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_src.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_docs_sampled", F.lit(0)).alias("n_docs_sampled"),
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        )
+        .orderBy("source")
+    )
