@@ -361,3 +361,67 @@ def pcm_frame_features(df, blob_col: str = "pcm", id_col: str = "doc_id",
     return df.mapInPandas(
         gen, f"{id_col} long, frame_idx int, sumsq long, zc long"
     )
+
+
+def rgb_synthesize(df, id_col: str = "doc_id", w: int = 32, h: int = 32):
+    """Deterministic raw RGB frames (H*W*3 interleaved bytes) from an id
+    column — the image analogue of pcm_synthesize: pixel byte n =
+    (id*3 + n*7) % 256, a closed form both engines reproduce. Raw
+    bitmaps are pure byte layout (what a decoded JPEG hands you), so the
+    tiling/statistics path downstream is REAL image-side compute with no
+    codec dependency."""
+    import numpy as np
+    import pandas as pd
+
+    n_bytes = w * h * 3
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                n = np.arange(n_bytes, dtype=np.int64)
+                blobs.append(((int(i) * 3 + n * 7) % 256).astype(np.uint8).tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "rgb": blobs})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, rgb binary")
+
+
+def rgb_tile_stats(df, blob_col: str = "rgb", id_col: str = "doc_id",
+                   w: int = 32, h: int = 32, tile: int = 16):
+    """Tile a raw RGB frame into (tile x tile) patches and emit per-tile
+    per-channel byte sums — the image-preprocessing plumbing (patchify
+    for a ViT, tile-level brightness stats for filtering) on genuinely
+    decoded buffers: np.frombuffer(uint8).reshape(h, w, 3), block-sum
+    via reshape — Arrow-batched, shuffle-free, one row per
+    (frame, tile, channel)."""
+    import numpy as np
+    import pandas as pd
+
+    ty_n, tx_n = h // tile, w // tile
+
+    def gen(batches):
+        for pdf in batches:
+            ids, tys, txs, cs, sums = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = np.frombuffer(blob, dtype=np.uint8).reshape(h, w, 3)
+                # block-sum: (ty_n, tile, tx_n, tile, 3) -> sum tile dims
+                t = (
+                    img.astype(np.int64)
+                    .reshape(ty_n, tile, tx_n, tile, 3)
+                    .sum(axis=(1, 3))
+                )
+                for ty in range(ty_n):
+                    for tx in range(tx_n):
+                        for c in range(3):
+                            ids.append(i)
+                            tys.append(ty)
+                            txs.append(tx)
+                            cs.append(c)
+                            sums.append(int(t[ty, tx, c]))
+            yield pd.DataFrame(
+                {id_col: ids, "ty": tys, "tx": txs, "c": cs, "s": sums}
+            )
+
+    return df.mapInPandas(
+        gen, f"{id_col} long, ty int, tx int, c int, s long"
+    )

@@ -594,3 +594,40 @@ def q_data_mixture(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@q(
+    "q_image_tile_stats",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    px AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS n,
+               (doc_id * 3 + CAST(t.i AS BIGINT) * 7) % 256 AS v
+        FROM ids, UNNEST(range(0, 3072)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST((n // 96) // 16 AS INT) AS ty,
+           CAST(((n // 3) % 32) // 16 AS INT) AS tx,
+           CAST(n % 3 AS INT) AS c,
+           CAST(SUM(v) AS BIGINT) AS s
+    FROM px
+    GROUP BY doc_id, ty, tx, c
+    ORDER BY doc_id, ty, tx, c
+    """,
+)
+def q_image_tile_stats(spark, sf_dir):
+    """REAL image-side multimodal compute (no codec needed): raw 32x32x3
+    RGB frames synthesize into genuine binary columns, decode back via
+    np.frombuffer + reshape, and patchify into 16x16 tiles with per-tile
+    per-channel byte sums (the ViT-patchify / brightness-filter
+    plumbing). The closed-form pixel function lets DuckDB recompute every
+    tile sum exactly — the whole binary round-trip is value-checked,
+    like the PCM audio path."""
+    from etl_data_processor_spark.ops.multimodal import (
+        rgb_synthesize,
+        rgb_tile_stats,
+    )
+
+    docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 60)
+    frames = rgb_synthesize(docs, id_col="doc_id")
+    return rgb_tile_stats(frames).orderBy("doc_id", "ty", "tx", "c")
