@@ -663,3 +663,31 @@ def test_stream_stream_join_requires_watermarks_for_state_bound(spark, events_st
     )
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_static_broadcast_enrichment(spark, events_stream_dir, sf_dir):
+    """Stream-static join: a micro-batch stream enriches against a static
+    dimension (the broadcast lookup-join A6 in streaming form). The
+    static side re-resolves per micro-batch with NO stream state; result
+    must equal the batch join."""
+    from etl_data_processor_spark.io import Catalog
+
+    dim = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id", "c_mktsegment"
+    )
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in _drain(enriched, "sstat_got", "append").collect()
+    }
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    want = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in batch.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want and len(got) > 0
