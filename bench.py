@@ -52,6 +52,15 @@ HEADLINE = [
     "q_pack_sequences",
     "q_chunk_documents",
     "q_emb_centroids",
+    # round 3 additions: new heavy shapes
+    "q_html_extract",
+    "q_phrase_search",
+    "q_sketch_quantile_hdr",
+    "q_spatial_radius_join",
+    "q_bootstrap_poisson",
+    "q_audio_pcm_features",
+    "q_image_tile_stats",
+    "q_event_pattern",
 ]
 
 
