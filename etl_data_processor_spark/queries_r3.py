@@ -631,3 +631,122 @@ def q_image_tile_stats(spark, sf_dir):
     docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 60)
     frames = rgb_synthesize(docs, id_col="doc_id")
     return rgb_tile_stats(frames).orderBy("doc_id", "ty", "tx", "c")
+
+
+# =====================================================================
+# New family: privacy ops — stable pseudonymization (PII vault shape)
+# =====================================================================
+
+@q(
+    "q_pii_tokenize",
+    "WITH c AS (SELECT 'U' || CAST((xor(((xor(((((c_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((c_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((c_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((c_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) AS VARCHAR) AS utok, c_mktsegment "
+    "FROM customer), "
+    "o AS (SELECT 'U' || CAST((xor(((xor(((((o_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((o_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((o_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((o_custkey)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) AS VARCHAR) AS utok, "
+    "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders) "
+    "SELECT c.c_mktsegment AS segment, "
+    "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(o.cents) AS BIGINT) AS rev_cents "
+    "FROM o JOIN c ON o.utok = c.utok "
+    "GROUP BY segment ORDER BY segment",
+)
+def q_pii_tokenize(spark, sf_dir):
+    """Stable PSEUDONYMIZATION (the PII-vault shape): the raw key column
+    is replaced by an irreversible portable-hash token BEFORE any
+    downstream processing, and because tokenization is deterministic and
+    applied independently per table, tokenized tables still JOIN exactly
+    as the raw tables did — the property that makes privacy-safe
+    analytics pipelines possible. This query proves it: customer and
+    orders are tokenized separately, joined on the token, and the
+    per-segment revenue equals the raw-key join bit-for-bit (the oracle
+    computes the same tokens in SQL; pytest cross-checks vs the raw
+    join). Narrow map per table; the join shuffles tokens, never raw
+    identifiers."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    cat = _cat(spark, sf_dir)
+    c = cat.customer.select(
+        F.concat(F.lit("U"), hash32(F.col("c_custkey")).cast("string")).alias(
+            "utok"
+        ),
+        "c_mktsegment",
+    )
+    o = cat.orders.select(
+        F.concat(F.lit("U"), hash32(F.col("o_custkey")).cast("string")).alias(
+            "utok"
+        ),
+        F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return (
+        o.join(c, "utok")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("rev_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+# =====================================================================
+# New family: optimizer-adjacent — histogram join-cardinality profile
+# =====================================================================
+
+@q(
+    "q_join_cardinality_hist",
+    """
+    WITH ob AS (
+        SELECT o_custkey AS k, o_custkey % 16 AS b FROM orders
+    ),
+    cb AS (
+        SELECT c_custkey AS k, c_custkey % 16 AS b FROM customer
+    ),
+    os AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1,
+                  CAST(COUNT(DISTINCT k) AS BIGINT) AS d1 FROM ob GROUP BY b),
+    cs AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n2,
+                  CAST(COUNT(DISTINCT k) AS BIGINT) AS d2 FROM cb GROUP BY b),
+    act AS (
+        SELECT ob.b, CAST(COUNT(*) AS BIGINT) AS actual
+        FROM ob JOIN cb ON ob.k = cb.k GROUP BY ob.b
+    )
+    SELECT os.b, n1, d1, n2, d2, COALESCE(actual, 0) AS actual
+    FROM os JOIN cs ON os.b = cs.b LEFT JOIN act ON os.b = act.b
+    ORDER BY os.b
+    """,
+)
+def q_join_cardinality_hist(spark, sf_dir):
+    """Optimizer-adjacent join-cardinality PROFILE: per key-hash bucket,
+    the (row count, distinct count) histogram of both join sides plus the
+    ACTUAL per-bucket join output — the statistics a cost-based planner
+    estimates |A⋈B| from (est_b = n1·n2/max(d1,d2)); pytest pins that
+    the classic estimator lands within 2x of actual on every bucket
+    (uniform fixture). At 100 TB these per-bucket stats are one agg per
+    side over the (tiny) bucket key — what an ANALYZE TABLE pass stores;
+    the actual-join column is the validation scan a planner never runs.
+    All outputs are exact integers."""
+    cat = _cat(spark, sf_dir)
+    ob = cat.orders.select(
+        F.col("o_custkey").alias("k"), (F.col("o_custkey") % 16).alias("b")
+    )
+    cb = cat.customer.select(
+        F.col("c_custkey").alias("k"), (F.col("c_custkey") % 16).alias("b")
+    )
+    os_ = ob.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n1"), F.countDistinct("k").alias("d1")
+    )
+    cs = cb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n2"), F.countDistinct("k").alias("d2")
+    )
+    act = (
+        ob.join(cb, "k")
+        .groupBy(ob["b"].alias("b"))
+        .agg(F.count(F.lit(1)).alias("actual"))
+    )
+    return (
+        os_.join(cs, "b")
+        .join(act, "b", "left")
+        .select(
+            "b", "n1", "d1", "n2", "d2",
+            F.coalesce("actual", F.lit(0)).alias("actual"),
+        )
+        .orderBy("b")
+    )

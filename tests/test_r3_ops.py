@@ -169,3 +169,44 @@ def test_eval_metrics_coherence(spark, sf_dir):
     n1, n0 = row["n_pos"], row["n_neg"]
     auc = (row["rank_sum_pos"] - n1 * (n1 + 1) / 2) / (n1 * n0)
     assert 0.7 < auc < 1.0, auc  # score drives the label: far above 0.5
+
+
+def test_tokenized_join_equals_raw_join(spark, sf_dir):
+    """Pseudonymization must preserve joinability: the tokenized-key join
+    aggregates to exactly the raw-key join."""
+    import __spark_entry__ as entry
+
+    got = {
+        (r["segment"], r["n_orders"], r["rev_cents"])
+        for r in entry.queries()["q_pii_tokenize"](spark, sf_dir).collect()
+    }
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    raw = {
+        (r["segment"], r["n_orders"], r["rev_cents"])
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+            ).alias("rev_cents"),
+        )
+        .collect()
+    }
+    assert got == raw
+
+
+def test_join_cardinality_estimator_within_2x(spark, sf_dir):
+    """The classic est = n1*n2/max(d1,d2) per-bucket estimator lands
+    within 2x of the actual join output on the uniform fixture."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_join_cardinality_hist"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    for r in rows:
+        est = r["n1"] * r["n2"] / max(r["d1"], r["d2"])
+        if r["actual"] > 0:
+            assert est / r["actual"] < 2 and r["actual"] / est < 2, (
+                r["b"], est, r["actual"],
+            )
