@@ -38,3 +38,19 @@ def test_oracle_rows_only_set_is_documented():
         assert f"`{k}`" in notes or f"`{k}`" in survey, (
             f"rows-only key {k} undocumented"
         )
+
+
+def test_every_registry_query_analyzes(spark, sf_dir):
+    """Catalyst must ANALYZE every declared query (schema resolution, no
+    execution) — catches broken column refs / type errors across the
+    whole 274-key registry in seconds. Driver-paced queries (those that
+    execute jobs at build time: MMR loops, IVF training, table-format
+    lifecycles) build against the fixture too, just slower — none may
+    raise."""
+    failures = []
+    for name, fn in sorted(entry.queries().items()):
+        try:
+            _ = fn(spark, sf_dir).schema
+        except Exception as e:  # noqa: BLE001 - we report the full list
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert failures == [], "\n".join(failures[:10])
