@@ -322,6 +322,57 @@ def compact(
     return _commit(table_dir, "compact", adds, removes_from=base)
 
 
+def _group_bytes(table_dir: str, group: str) -> int:
+    total = 0
+    for root, _, files in os.walk(os.path.join(_data_dir(table_dir), group)):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_small(
+    spark: SparkSession,
+    table_dir: str,
+    small_bytes: int = 64 << 20,
+    min_groups: int = 2,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """BIN-PACKING compaction: rewrite ONLY the data groups smaller than
+    ``small_bytes`` into one group; large groups are untouched — so a
+    streaming ingest's small-file debt is paid with write amplification
+    bounded by the SMALL bytes, not a full-table rewrite (what real
+    compaction daemons do; full `compact()` is the table-wide OPTIMIZE).
+
+    Delete handling is exact: the small groups are read through the
+    snapshot path (both delete kinds applied), so their rewritten rows
+    are clean; the delete FILES stay live because they may still target
+    large groups — equality deletes cannot touch the rewritten rows (the
+    new group's commit sequence is later than every live delete file)
+    and positional tombstones for the removed files simply never match
+    again. Returns the new version, or None when fewer than
+    ``min_groups`` small groups exist (nothing worth paying a commit
+    for)."""
+    base = (_versions(table_dir) or [-1])[-1]
+    data, dels, pdels = _split_adds(_live_adds(table_dir, base))
+    if not data:
+        raise ValueError(f"no table at {table_dir}")
+    small = [a for a in data if _group_bytes(table_dir, a["group"]) < small_bytes]
+    if len(small) < min_groups:
+        return None
+    df = _assemble(spark, table_dir, small, dels, pdels, merge_schema=True)
+    group = _write_group(df.coalesce(1), table_dir)
+    stats = (
+        _group_stats(df, table_dir, group, stats_cols) if stats_cols else None
+    )
+    return _commit(
+        table_dir,
+        "compact",
+        [_add_action(group, stats)],
+        removes_from=base,
+        explicit_removes=[a["group"] for a in small],
+    )
+
+
 def _touched_groups(
     changes: DataFrame, adds: list[dict], key: str
 ) -> list[str]:

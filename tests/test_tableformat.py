@@ -646,3 +646,32 @@ def test_zorder_compact_enables_two_key_pruning(spark, tmp_path):
         for r in TF.read_pruned(spark, t, "x", 48, 63).collect()
     }
     assert got == {r for r in before if 48 <= r[1] <= 63}
+
+
+def test_compact_small_binpacks_only_small_groups(spark, tmp_path):
+    """Bin-packing compaction: small groups merge into one, the large
+    group's files are untouched on disk, both delete kinds still apply
+    correctly afterwards, and rows are identical before/after."""
+    t = str(tmp_path / "t")
+    TF.append(_kv(spark, 0, 5000), t)          # large group
+    for lo in (5000, 5010, 5020):              # three tiny groups
+        TF.append(_kv(spark, lo, lo + 10), t)
+    TF.delete_where(spark, t, "id", F.col("id") == 2)       # targets large
+    TF.delete_where_positional(spark, t, F.col("id") == 5005)  # targets small
+    before = ids(TF.read(spark, t))
+
+    data, _, _ = TF._split_adds(TF._live_adds(t))
+    sizes = {a["group"]: TF._group_bytes(t, a["group"]) for a in data}
+    large = max(sizes, key=sizes.get)
+    v = TF.compact_small(spark, t, small_bytes=sizes[large])
+    assert v is not None
+    assert ids(TF.read(spark, t)) == before  # rows identical, deletes held
+    data2, dels2, pdels2 = TF._split_adds(TF._live_adds(t))
+    live = {a["group"] for a in data2}
+    assert large in live  # untouched
+    assert len(live) == 2  # large + one packed group
+    assert dels2 and pdels2  # delete files stay live (may target large)
+    # equality delete still applies to the untouched large group
+    assert 2 not in ids(TF.read(spark, t))
+    # re-running with nothing small left is a no-op
+    assert TF.compact_small(spark, t, small_bytes=1024) is None
