@@ -218,21 +218,129 @@ def _commit(
     raise ConflictError(f"could not publish after {max_retries} retries")
 
 
+_BLOOM_M = 1 << 13  # 8192 bits = 128 log-resident words per col per group
+_BLOOM_K = 5
+
+
 def append(
-    df: DataFrame, table_dir: str, stats_cols: list[str] | None = None
+    df: DataFrame,
+    table_dir: str,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Transactional append: new rows become visible atomically at the
     returned version. Concurrent appends serialize via retry (no data
     rewrite — rebasing an append is free). ``stats_cols``: record
     per-group min/max in the commit so :func:`read_pruned` can skip the
-    group without opening a file."""
+    group without opening a file. ``bloom_cols`` (integer columns):
+    additionally record a small portable bloom filter per column in the
+    commit — POINT lookups (:func:`read_point`) then skip groups whose
+    min/max overlap but which cannot contain the key (the Delta
+    bloom-index feature; 128 words per column of log state)."""
     group = _write_group(df, table_dir)
     stats = (
         _group_stats(df, table_dir, group, stats_cols)
         if stats_cols is not None
         else None
     )
-    return _commit(table_dir, "append", [_add_action(group, stats)], None)
+    add = _add_action(group, stats)
+    if bloom_cols:
+        from etl_data_processor_spark.ops.bloom import build_bloom
+
+        back = df.sparkSession.read.parquet(
+            os.path.join(_data_dir(table_dir), group)
+        )
+        add["bloom"] = {
+            c: {
+                "m": _BLOOM_M,
+                "k": _BLOOM_K,
+                "words": build_bloom(back, c, m_bits=_BLOOM_M, k=_BLOOM_K),
+            }
+            for c in bloom_cols
+        }
+    return _commit(table_dir, "append", [add], None)
+
+
+def _hash32_py(x: int, seed: int = 0) -> int:
+    """Driver-side replica of ops/sampling.hash32 (same constants) so a
+    point key's bloom positions compute without a Spark job."""
+    from etl_data_processor_spark.ops.sampling import _A1, _A2
+
+    m32 = 1 << 32
+    h = (int(x) + seed * 0x9E3779B9) % m32
+    h = (h * _A1) % m32
+    h ^= h >> 16
+    h = (h * _A2) % m32
+    return h ^ (h >> 13)
+
+
+def _bloom_admits(bloom: dict, value: int) -> bool:
+    m, k, words = bloom["m"], bloom["k"], bloom["words"]
+    h1, h2 = _hash32_py(value, 0), _hash32_py(value, 1)
+    for i in range(k):
+        pos = (h1 + i * h2) % m
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False  # no false negatives: a present key never fails
+    return True
+
+
+def read_point(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    value: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup ``col = value`` opening only groups that can contain
+    it: min/max stats first, then the per-group bloom filter (both
+    decided from the log, zero file I/O) — the lookup that makes a
+    log-structured table usable as a key-value-ish store: at 100 TB a
+    primary-key probe opens the handful of bloom-admitting groups, not
+    every group whose broad min/max range happens to cover the key.
+    Sound because bloom filters have no false negatives and stats are
+    exact; groups committed without either are conservatively opened."""
+    from pyspark.sql import functions as F
+
+    data, dels, pdels = _split_adds(_live_adds(table_dir, version))
+    if not data:
+        raise ValueError(f"no table at {table_dir} (version={version})")
+
+    def may_contain(a: dict) -> bool:
+        st = a.get("stats", {}).get(col)
+        if st is not None and st["min"] is not None:
+            if not (st["min"] <= value <= st["max"]):
+                return False
+        bl = a.get("bloom", {}).get(col)
+        if bl is not None and not _bloom_admits(bl, value):
+            return False
+        return True
+
+    keep = [a for a in data if may_contain(a)]
+    if not keep:
+        one = os.path.join(_data_dir(table_dir), data[0]["group"])
+        return spark.read.parquet(one).filter(F.lit(False))
+    df = _assemble(spark, table_dir, keep, dels, pdels)
+    return df.filter(F.col(col) == F.lit(value))
+
+
+def point_group_count(
+    table_dir: str, col: str, value: int, version: int | None = None
+) -> tuple[int, int]:
+    """(groups a point lookup must open, total live groups) — the
+    observable bloom + stats pruning ratio."""
+    data, _, _ = _split_adds(_live_adds(table_dir, version))
+    opened = 0
+    for a in data:
+        st = a.get("stats", {}).get(col)
+        in_range = (
+            st is None
+            or st["min"] is None
+            or (st["min"] <= value <= st["max"])
+        )
+        bl = a.get("bloom", {}).get(col)
+        if in_range and (bl is None or _bloom_admits(bl, value)):
+            opened += 1
+    return opened, len(data)
 
 
 def overwrite(df: DataFrame, table_dir: str) -> int:

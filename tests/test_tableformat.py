@@ -675,3 +675,26 @@ def test_compact_small_binpacks_only_small_groups(spark, tmp_path):
     assert 2 not in ids(TF.read(spark, t))
     # re-running with nothing small left is a no-op
     assert TF.compact_small(spark, t, small_bytes=1024) is None
+
+
+def test_bloom_point_lookup_prunes_interleaved_groups(spark, tmp_path):
+    """Four appends with fully-overlapping min/max (ids interleaved mod 4)
+    defeat range stats; the per-group bloom filter still prunes a point
+    lookup to (almost always) one group — and never wrongly prunes the
+    group that holds the key (no false negatives)."""
+    t = str(tmp_path / "t")
+    for r in range(4):
+        ids_r = [(i,) for i in range(r, 4000, 4)]
+        TF.append(
+            spark.createDataFrame(ids_r, "id long"),
+            t, stats_cols=["id"], bloom_cols=["id"],
+        )
+    # min/max alone cannot skip anything: every group spans ~[0, 4000)
+    for probe in (17, 1000, 2999):
+        opened, total = TF.point_group_count(t, "id", probe)
+        assert total == 4
+        assert opened <= 2  # bloom prunes; fp may rarely admit a 2nd
+        rows = TF.read_point(spark, t, "id", probe).collect()
+        assert [r["id"] for r in rows] == [probe]  # never a false negative
+    # absent key: usually zero groups opened, always zero rows
+    assert TF.read_point(spark, t, "id", 999_999).count() == 0
