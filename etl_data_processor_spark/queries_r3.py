@@ -750,3 +750,46 @@ def q_join_cardinality_hist(spark, sf_dir):
         )
         .orderBy("b")
     )
+
+
+# =====================================================================
+# B57 ext: bloom point-lookup path, oracle-gated
+# =====================================================================
+
+@q(
+    "q_tableformat_point",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (7, 123, 777, 1001, 999999)
+    ORDER BY c_custkey
+    """,
+)
+def q_tableformat_point(spark, sf_dir):
+    """Oracle-gated bloom POINT lookups: customers land in 4 interleaved
+    appends (ids mod 4 — every group's min/max spans the whole key range,
+    so range stats alone cannot skip anything) each committed with a
+    bloom filter; read_point probes 5 keys (one absent) and the union
+    must equal the plain SQL filter — proving no false negatives through
+    the whole log-pruned read path. The probe opens bloom-admitting
+    groups only (typically 1 of 4; asserted <= 2 to absorb rare fp)."""
+    import tempfile
+
+    from etl_data_processor_spark import tableformat as TF
+
+    c = _cat(spark, sf_dir).customer.select("c_custkey", "c_mktsegment")
+    t = tempfile.mkdtemp(prefix="tf_point_")
+    for r in range(4):
+        TF.append(
+            c.filter(F.col("c_custkey") % 4 == r),
+            t,
+            stats_cols=["c_custkey"],
+            bloom_cols=["c_custkey"],
+        )
+    out = None
+    for key in (7, 123, 777, 1001, 999999):
+        opened, total = TF.point_group_count(t, "c_custkey", key)
+        assert total == 4 and opened <= 2, (key, opened)
+        part = TF.read_point(spark, t, "c_custkey", key)
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("c_custkey")
