@@ -793,3 +793,51 @@ def q_tableformat_point(spark, sf_dir):
         part = TF.read_point(spark, t, "c_custkey", key)
         out = part if out is None else out.unionByName(part)
     return out.orderBy("c_custkey")
+
+
+# =====================================================================
+# B45 ext: absence detection (interval anti-join / CEP "no event within")
+# =====================================================================
+
+@q(
+    "q_absence_detect",
+    """
+    SELECT c.event_id
+    FROM events c
+    WHERE c.event_type = 'click' AND NOT EXISTS (
+        SELECT 1 FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND epoch(p.ts) - epoch(c.ts) <= 3600
+    )
+    ORDER BY c.event_id
+    """,
+)
+def q_absence_detect(spark, sf_dir):
+    """ABSENCE detection — the complex-event-processing primitive 'alert
+    when X is NOT followed by Y within T' (abandoned carts, missed
+    heartbeats): clicks with no same-user purchase in the following hour,
+    expressed as an interval LEFT ANTI join (key equi-condition + time
+    band — one shuffle on user_id, band-bounded state). The streaming
+    twin is stream_interval_join(..., join_type='left_outer') whose
+    null-matched rows emit once the watermark proves no match can
+    arrive (tests/test_streaming.py)."""
+    ev = _cat(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (
+            F.col("pts").cast("double") - F.col("cts").cast("double")
+            <= F.lit(3600.0)
+        )
+    )
+    return (
+        clicks.join(purchases, cond, "left_anti")
+        .select("event_id")
+        .orderBy("event_id")
+    )

@@ -691,3 +691,52 @@ def test_stream_static_broadcast_enrichment(spark, events_stream_dir, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_left_outer_emits_absences(spark, events_stream_dir):
+    """LEFT OUTER stream-stream interval join: matched pairs equal the
+    batch inner join, and null-matched rows (absence alerts) only ever
+    name clicks the batch anti-join also calls unmatched — the engine
+    may HOLD BACK tail rows whose no-match proof needs a further
+    watermark advance, but it must never emit a false absence."""
+    from etl_data_processor_spark.streaming.windows import stream_interval_join
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    joined = stream_interval_join(
+        clicks, purchases, key="user_id", left_ts="c_ts", right_ts="p_ts",
+        max_delay="1 hour", watermark="1 minute", join_type="left_outer",
+    ).select("click_id", "p_id")
+    rows = _drain(joined, "ssj_outer", "append").collect()
+    matched = {(r["click_id"], r["p_id"]) for r in rows if r["p_id"] is not None}
+    absent = {r["click_id"] for r in rows if r["p_id"] is None}
+
+    batch = spark.read.schema(EVENT_SCHEMA).parquet(events_stream_dir)
+    b_clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    b_purch = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("cu") == F.col("pu"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 hour"))
+    )
+    want_matched = {
+        (r["click_id"], r["p_id"])
+        for r in b_clicks.join(b_purch, cond).collect()
+    }
+    want_absent = {
+        r["click_id"] for r in b_clicks.join(b_purch, cond, "left_anti").collect()
+    }
+    assert matched == want_matched and len(matched) > 0
+    assert absent <= want_absent  # no false absences; tail may be held back
+    assert len(absent) > 0  # watermark advanced enough to prove some
