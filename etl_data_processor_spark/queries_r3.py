@@ -841,3 +841,45 @@ def q_absence_detect(spark, sf_dir):
         .select("event_id")
         .orderBy("event_id")
     )
+
+
+# =====================================================================
+# New surface: native WITH RECURSIVE (Spark 4.1)
+# =====================================================================
+
+@q(
+    "q_recursive_cte",
+    """
+    WITH RECURSIVE up AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS dist FROM part
+        UNION ALL
+        SELECT node, cur // 8, dist + 1 FROM up WHERE cur >= 8
+    )
+    SELECT node AS p_partkey, cur AS root, CAST(dist AS INTEGER) AS depth
+    FROM up WHERE cur < 8
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """NATIVE ``WITH RECURSIVE`` (new SQL surface in Spark 4.x): the same
+    part-forest closure q_hierarchy_closure computes by pointer doubling,
+    expressed directly as a recursive CTE and executed by Spark's
+    recursion operator — per-LEVEL iteration, one join round per depth
+    step. Kept alongside the doubling implementation deliberately: the
+    native form is the ergonomic path, the O(log d) doubling form is the
+    100 TB path when depth is large; the gate proves they agree with the
+    oracle's own recursive evaluation (all three compute one closure).
+    Tables come from the engine Catalog as temp views (events-nanos-safe)."""
+    from etl_data_processor_spark.io import Catalog
+
+    Catalog(spark, sf_dir).register_temp_views()
+    return spark.sql(
+        """
+        WITH RECURSIVE up AS (
+            SELECT p_partkey AS node, p_partkey AS cur, 0 AS dist FROM part
+            UNION ALL
+            SELECT node, cur DIV 8, CAST(dist + 1 AS INT) FROM up WHERE cur >= 8
+        )
+        SELECT node AS p_partkey, cur AS root, CAST(dist AS INT) AS depth
+        FROM up WHERE cur < 8
+        """
+    )
