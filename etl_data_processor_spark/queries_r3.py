@@ -883,3 +883,35 @@ def q_recursive_cte(spark, sf_dir):
         FROM up WHERE cur < 8
         """
     )
+
+
+@q(
+    "q_sql_udf",
+    """
+    SELECT CASE WHEN p_retailprice < 1200 THEN 'low'
+                WHEN p_retailprice < 1800 THEN 'mid'
+                ELSE 'high' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY band ORDER BY band
+    """,
+)
+def q_sql_udf(spark, sf_dir):
+    """SQL-defined scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN``):
+    declarative UDFs that Catalyst INLINES into the plan — unlike Python
+    UDFs they stay inside codegen with zero serialization cost, so this
+    is the right first tool for reusable business logic. The banding
+    function is defined once and used in a grouped aggregate; the oracle
+    inlines the identical CASE (which is exactly what Catalyst does —
+    the plan shows no UDF node at all)."""
+    from etl_data_processor_spark.io import Catalog
+
+    Catalog(spark, sf_dir).register_temp_views()
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DECIMAL(12,2)) "
+        "RETURNS STRING RETURN CASE WHEN p < 1200 THEN 'low' "
+        "WHEN p < 1800 THEN 'mid' ELSE 'high' END"
+    )
+    return spark.sql(
+        "SELECT price_band(p_retailprice) AS band, COUNT(*) AS n "
+        "FROM part GROUP BY band ORDER BY band"
+    )
