@@ -698,3 +698,23 @@ def test_bloom_point_lookup_prunes_interleaved_groups(spark, tmp_path):
         assert [r["id"] for r in rows] == [probe]  # never a false negative
     # absent key: usually zero groups opened, always zero rows
     assert TF.read_point(spark, t, "id", 999_999).count() == 0
+
+
+def test_table_ndv_from_log_registers(spark, tmp_path):
+    """NDV answered from the commit log: three appends with heavily
+    overlapping keys record HLL registers; the merged estimate lands
+    within ~15% of the true distinct count, and a group committed
+    WITHOUT registers makes the answer an honest None."""
+    t = str(tmp_path / "t")
+    for lo in (0, 2000, 4000):  # overlapping ranges: union = [0, 7000)
+        TF.append(_kv(spark, lo, lo + 3000), t, ndv_cols=["id"])
+    est = TF.table_ndv(t, "id")
+    true = 7000
+    assert est is not None and abs(est - true) / true < 0.15, est
+    # per-group registers alone estimate each group's own 3000
+    data, _, _ = TF._split_adds(TF._live_adds(t))
+    one = TF._ndv_estimate(data[0]["ndv"]["id"])
+    assert abs(one - 3000) / 3000 < 0.15, one
+    # a stats-less append poisons the merged answer -> None, not a lie
+    TF.append(_kv(spark, 9000, 9010), t)
+    assert TF.table_ndv(t, "id") is None
