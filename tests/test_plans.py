@@ -505,3 +505,46 @@ def test_phrase_search_single_scan(spark, sf_dir):
 
     plan = plan_of(QUERIES["q_phrase_search"](spark, sf_dir))
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling, demonstrated live: a hot key that dwarfs
+    every other partition must be split by OptimizeSkewedJoin (the
+    runtime answer to skew that salting handles manually — SCALE.md).
+    Thresholds are lowered so the fixture-sized hot partition qualifies;
+    the finalized adaptive plan must carry the skew marker."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 = 0 THEN 0 ELSE id END AS k",
+            # row-dependent pad: a pure literal would constant-fold out of
+            # the exchange and the hot partition would weigh ~nothing
+            "CAST(id AS STRING) || repeat('x', 64) AS pad",
+        )
+        right = spark.range(0, 1000).selectExpr("id AS k", "id AS v")
+        joined = left.join(right, "k")
+        joined.collect()  # execute THIS plan (a count would re-plan)
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
