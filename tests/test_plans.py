@@ -522,6 +522,9 @@ def test_aqe_splits_skewed_join_partitions(spark):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # 32-way shuffle: at the fixture's 8 partitions the hot key's
+        # partition is only ~1.8x the median and never qualifies
+        "spark.sql.shuffle.partitions": "32",
     }
     old = {k: spark.conf.get(k, None) for k in confs}
     try:
