@@ -915,3 +915,69 @@ def q_sql_udf(spark, sf_dir):
         "SELECT price_band(p_retailprice) AS band, COUNT(*) AS n "
         "FROM part GROUP BY band ORDER BY band"
     )
+
+
+# =====================================================================
+# B42 ext: explainable curation — per-rule removal manifest
+# =====================================================================
+
+@q(
+    "q_curation_manifest",
+    """
+    WITH d AS (
+        SELECT doc_id, text,
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    flags AS (
+        SELECT doc_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY norm) AS f_exact_dup,
+               len(ws) < 10 AS f_too_short,
+               len(list_distinct(ws)) * 2 < len(ws) AS f_repetitive,
+               contains(text, 'value table') AS f_contaminated
+        FROM d
+    )
+    SELECT doc_id, f_exact_dup, f_too_short, f_repetitive, f_contaminated,
+           NOT (f_exact_dup OR f_too_short OR f_repetitive OR f_contaminated)
+               AS keep
+    FROM flags ORDER BY doc_id
+    """,
+)
+def q_curation_manifest(spark, sf_dir):
+    """EXPLAINABLE curation: instead of silently dropping documents, emit
+    a per-document MANIFEST of which rule fired — exact-duplicate (not
+    the canonical min-id of its normalized text), too-short (<10 tokens),
+    repetitive (distinct/total token ratio < 0.5), benchmark-contaminated
+    (contains the probe phrase) — plus the final keep bit. Provenance is
+    what makes corpus curation auditable (why did doc X disappear between
+    corpus v1 and v2?) and lets rules be tuned independently; the keep
+    rate per rule is one aggregate away. One window shuffle on the
+    normalized-text key; every other flag is a narrow expression."""
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "text")
+    from pyspark.sql import Window
+
+    from etl_data_processor_spark.ops.dedup import normalize_text
+
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    flagged = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(
+                Window.partitionBy(normalize_text(F.col("text")))
+            )
+        ).alias("f_exact_dup"),
+        (F.size(ws) < 10).alias("f_too_short"),
+        (F.size(F.array_distinct(ws)) * 2 < F.size(ws)).alias("f_repetitive"),
+        F.col("text").contains("value table").alias("f_contaminated"),
+    )
+    return flagged.withColumn(
+        "keep",
+        ~(
+            F.col("f_exact_dup")
+            | F.col("f_too_short")
+            | F.col("f_repetitive")
+            | F.col("f_contaminated")
+        ),
+    ).orderBy("doc_id")
