@@ -218,8 +218,21 @@ def _commit(
     raise ConflictError(f"could not publish after {max_retries} retries")
 
 
-_BLOOM_M = 1 << 13  # 8192 bits = 128 log-resident words per col per group
+_BLOOM_MIN_M = 1 << 13  # floor: 128 words
+_BLOOM_MAX_M = 1 << 20  # cap: 16K words (~130 KB of log per column)
 _BLOOM_K = 5
+
+
+def _bloom_m_bits(n_keys: int) -> int | None:
+    """~16 bits per key (fp < 0.2% at k=5), power of two, floor 8 Kbit.
+    Returns None past the log-residency cap — a saturated filter admits
+    everything (measured: 9.4k keys in 8 Kbit -> zero pruning), and a
+    bigger one belongs in a sidecar file, not the commit JSON; callers
+    then simply record no bloom (conservative, never wrong)."""
+    if n_keys <= 0:
+        return _BLOOM_MIN_M
+    m = 1 << max(13, (16 * n_keys - 1).bit_length())
+    return m if m <= _BLOOM_MAX_M else None
 
 
 def append(
@@ -259,14 +272,19 @@ def append(
         back = df.sparkSession.read.parquet(
             os.path.join(_data_dir(table_dir), group)
         )
-        add["bloom"] = {
-            c: {
-                "m": _BLOOM_M,
+        blooms = {}
+        for c in bloom_cols:
+            n_keys = back.select(c).distinct().count()
+            m = _bloom_m_bits(n_keys)
+            if m is None:
+                continue  # too many keys for a log-resident filter
+            blooms[c] = {
+                "m": m,
                 "k": _BLOOM_K,
-                "words": build_bloom(back, c, m_bits=_BLOOM_M, k=_BLOOM_K),
+                "words": build_bloom(back, c, m_bits=m, k=_BLOOM_K),
             }
-            for c in bloom_cols
-        }
+        if blooms:
+            add["bloom"] = blooms
     return _commit(table_dir, "append", [add], None)
 
 
