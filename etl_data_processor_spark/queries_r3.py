@@ -981,3 +981,60 @@ def q_curation_manifest(spark, sf_dir):
             | F.col("f_contaminated")
         ),
     ).orderBy("doc_id")
+
+
+@q(
+    "q_distribution_match",
+    "WITH counts AS ("
+    "    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source"
+    "), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts), "
+    "plan AS ("
+    # target share: lang-agnostic synthetic target = uniform 1/20 per source;
+    # keep_frac = min(1, target_share * total / n) in 2^32 fixed point
+    "    SELECT source, n, "
+    "           LEAST(CAST(4294967296 AS BIGINT), "
+    "                 (CAST(4294967296 AS BIGINT) * total) // (20 * n)) AS thr "
+    "    FROM counts, tot"
+    ") "
+    "SELECT d.source, "
+    "       CAST(COUNT(*) AS BIGINT) AS n_in, "
+    "       CAST(COUNT(*) FILTER (WHERE (xor(((xor(((((d.doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((d.doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((d.doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((d.doc_id)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) < p.thr) AS BIGINT) AS n_kept "
+    "FROM documents d JOIN plan p ON d.source = p.source "
+    "GROUP BY d.source ORDER BY d.source",
+)
+def q_distribution_match(spark, sf_dir):
+    """DISTRIBUTION MATCHING (importance resampling): downsample each
+    source to a target corpus mix — keep_frac_s = min(1, target_share ·
+    N / n_s) — with the portable hash as the sampling decision, so the
+    kept SET is identical on any engine/partitioning and monotone in the
+    fraction (ops/sampling's contract). The keep threshold is computed in
+    2^32 integer fixed point (no float fractions), making even the
+    per-source kept COUNTS exactly reproducible — this is how a corpus is
+    rebalanced to a reference domain mix without a shuffle: counts are
+    one tiny aggregate, the keep decision is a narrow scan-stage filter."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    docs = _cat(spark, sf_dir).documents.select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    plan = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.least(
+                F.lit(1 << 32).cast("long"),
+                # integer DIV on both engines: a double quotient could
+                # round across the keep threshold at the boundary
+                F.expr("CAST(4294967296 * total DIV (20 * n) AS BIGINT)"),
+            ).alias("thr"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(plan), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count_if(hash32(F.col("doc_id")) < F.col("thr")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
