@@ -1038,3 +1038,82 @@ def q_distribution_match(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# =====================================================================
+# B44 ext: quantile normalization (map group distributions onto global)
+# =====================================================================
+
+@q(
+    "q_quantile_normalize",
+    """
+    WITH v AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag AS g,
+               CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+        FROM lineitem WHERE l_orderkey < 2000
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY g ORDER BY c, l_orderkey, l_linenumber
+               ) AS r,
+               COUNT(*) OVER (PARTITION BY g) AS ng,
+               COUNT(*) OVER () AS n
+        FROM v
+    ),
+    gl AS (
+        SELECT c AS gc,
+               ROW_NUMBER() OVER (ORDER BY c, l_orderkey, l_linenumber) AS gr
+        FROM v
+    )
+    SELECT ranked.l_orderkey, ranked.l_linenumber, ranked.g,
+           ranked.c, gl.gc AS qnorm_c
+    FROM ranked JOIN gl
+      ON gl.gr = (ranked.r * ranked.n + ranked.ng - 1) // ranked.ng
+    ORDER BY ranked.l_orderkey, ranked.l_linenumber
+    """,
+)
+def q_quantile_normalize(spark, sf_dir):
+    """QUANTILE NORMALIZATION — map every group's value distribution onto
+    the GLOBAL distribution (the batch-effect remover / feature scaler):
+    a row at within-group rank r of n_g becomes the global value at
+    nearest rank ceil(r·N/n_g), all in exact integer rank arithmetic
+    with deterministic (value, key) tie order on both engines. Plan: one
+    grouped rank window + one global rank window + an equi-join on the
+    target rank. The global window is the honest single-partition cost —
+    at 100 TB pre-bin values and rank bins (or chunked_cumsum,
+    ops/prefix.py) exactly as for exact percentiles."""
+    from pyspark.sql import Window
+
+    v = (
+        _cat(spark, sf_dir)
+        .lineitem.filter(F.col("l_orderkey") < 2000)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_returnflag").alias("g"),
+            F.expr(
+                "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+            ).alias("c"),
+        )
+    )
+    order = [F.col("c"), F.col("l_orderkey"), F.col("l_linenumber")]
+    ranked = v.select(
+        "*",
+        F.row_number().over(Window.partitionBy("g").orderBy(*order)).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("ng"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    glob = v.select(
+        F.col("c").alias("gc"),
+        F.row_number().over(Window.orderBy(*order)).alias("gr"),
+    )
+    target = F.expr("CAST((r * n + ng - 1) DIV ng AS BIGINT)")
+    return (
+        ranked.withColumn("__t", target)
+        .join(glob, F.col("__t") == F.col("gr"))
+        .select("l_orderkey", "l_linenumber", "g", "c", F.col("gc").alias("qnorm_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
