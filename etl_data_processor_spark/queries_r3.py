@@ -1117,3 +1117,90 @@ def q_quantile_normalize(spark, sf_dir):
         .select("l_orderkey", "l_linenumber", "g", "c", F.col("gc").alias("qnorm_c"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@q(
+    "q_median_of_means",
+    "WITH b AS ("
+    "    SELECT (xor(((xor(((((l_orderkey * 8 + l_linenumber)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((l_orderkey * 8 + l_linenumber)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((l_orderkey * 8 + l_linenumber)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((l_orderkey * 8 + l_linenumber)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) % 16 AS bucket, "
+    "           CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c "
+    "    FROM lineitem"
+    ") "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, "
+    "       CAST(SUM(c) AS BIGINT) AS s, "
+    "       CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM b GROUP BY bucket ORDER BY bucket",
+)
+def q_median_of_means(spark, sf_dir):
+    """MEDIAN-OF-MEANS robust mean estimation (heavy-tail-safe, the
+    sub-Gaussian estimator): rows split into 16 DETERMINISTIC buckets by
+    the portable hash (so the split is identical on any engine or
+    partitioning — random assignment could never oracle), each bucket's
+    exact integer (sum, count) is one aggregate pass, and the estimate is
+    the median of the 16 bucket means — one outlier bucket cannot move
+    it. Output is the integer partials (the ratio/median derivation is
+    pinned in pytest, keeping oracle cells exact); at 100 TB this is one
+    partial+final agg into 16 rows, same cost as a plain mean."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    lin = _cat(spark, sf_dir).lineitem.select(
+        (hash32(F.col("l_orderkey") * 8 + F.col("l_linenumber")) % 16).alias(
+            "bucket"
+        ),
+        F.expr("CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)").alias("c"),
+    )
+    return (
+        lin.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@q(
+    "q_null_semantics",
+    """
+    WITH t AS (
+        SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_orderkey % 5 END AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               END AS v
+        FROM orders WHERE o_orderkey < 5000
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_vals,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(COUNT(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null_v
+    FROM t GROUP BY k ORDER BY k NULLS FIRST
+    """,
+)
+def q_null_semantics(spark, sf_dir):
+    """NULL-semantics matrix in one query — the SQL corners engines get
+    subtly wrong: NULL group keys form their OWN group (never merged with
+    any value), COUNT(*) counts rows while COUNT(v) skips NULLs, SUM
+    ignores NULLs (and is NULL only for an all-NULL group), and NULLS
+    FIRST ordering is explicit. Every cell value-checked against DuckDB
+    — an engine disagreeing on any of these corrupts every downstream
+    aggregate silently."""
+    o = _cat(spark, sf_dir).orders.filter(F.col("o_orderkey") < 5000)
+    t = o.select(
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderkey") % 5)
+        .alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(
+            F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)")
+        )
+        .alias("v"),
+    )
+    return (
+        t.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_vals"),
+            F.sum("v").alias("sum_v"),
+            F.count_if(F.col("v").isNull()).alias("n_null_v"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )

@@ -210,3 +210,21 @@ def test_join_cardinality_estimator_within_2x(spark, sf_dir):
             assert est / r["actual"] < 2 and r["actual"] / est < 2, (
                 r["b"], est, r["actual"],
             )
+
+
+def test_median_of_means_robustness(spark, sf_dir):
+    """The MoM estimate sits near the plain mean on clean data, and the
+    deterministic bucket split is partitioning-independent."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_median_of_means"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    means = sorted(r["s"] / r["n"] for r in rows)
+    mom = (means[7] + means[8]) / 2
+    lin = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = lin.agg(
+        F.sum(F.expr("CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)")),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    plain = agg[0] / agg[1]
+    assert abs(mom - plain) / plain < 0.05
