@@ -1204,3 +1204,37 @@ def q_null_semantics(spark, sf_dir):
         )
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@q(
+    "q_collation_lcase",
+    """
+    SELECT lower(p_brand) AS brand_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT lower(p_type)) AS BIGINT) AS n_types_ci
+    FROM part
+    GROUP BY brand_ci ORDER BY brand_ci
+    """,
+)
+def q_collation_lcase(spark, sf_dir):
+    """Spark 4 COLLATIONS: grouping and distinct-counting under the
+    UTF8_LCASE collation — case-insensitivity as a COLUMN TYPE property
+    instead of lower() sprinkled through every expression (the collation
+    survives joins/aggregations and keeps comparisons codegen-native).
+    The oracle expresses the same semantics with explicit lower(); the
+    output canonicalizes to lowercase so both engines emit identical
+    group labels."""
+    p = _cat(spark, sf_dir).part.selectExpr(
+        "p_brand COLLATE UTF8_LCASE AS brand",
+        "p_type COLLATE UTF8_LCASE AS ptype",
+    )
+    return (
+        # cast strips the collation from the OUTPUT type (comparisons above
+        # already ran collated); the driver compares plain strings
+        p.groupBy(F.expr("CAST(lower(brand) AS STRING)").alias("brand_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("ptype").alias("n_types_ci"),
+        )
+        .orderBy("brand_ci")
+    )
