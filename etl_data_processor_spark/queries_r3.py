@@ -1238,3 +1238,43 @@ def q_collation_lcase(spark, sf_dir):
         )
         .orderBy("brand_ci")
     )
+
+
+@q(
+    "q_k_anonymity",
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, bal_band, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM qi GROUP BY ALL
+    )
+    SELECT c_nationkey, bal_band, c_mktsegment, n, n < 5 AS violates_k5
+    FROM g ORDER BY c_nationkey, bal_band, c_mktsegment
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit (privacy family, next to q_pii_tokenize): group
+    by the quasi-identifier tuple (nation, coarse balance band, segment)
+    and flag equivalence classes smaller than k=5 — the rows a release
+    must suppress or generalize further, since a quasi-identifier
+    combination shared by <k people re-identifies them. One aggregate
+    pass; the generalization lattice search is iterating this query
+    with coarser bands. Banding uses floor division so both engines
+    agree exactly on class boundaries."""
+    qi = _cat(spark, sf_dir).customer.select(
+        "c_nationkey",
+        F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return (
+        qi.groupBy("c_nationkey", "bal_band", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("violates_k5", F.col("n") < 5)
+        .orderBy("c_nationkey", "bal_band", "c_mktsegment")
+    )
