@@ -1278,3 +1278,59 @@ def q_k_anonymity(spark, sf_dir):
         .withColumn("violates_k5", F.col("n") < 5)
         .orderBy("c_nationkey", "bal_band", "c_mktsegment")
     )
+
+
+@q(
+    "q_funnel_maxgap",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(us) AS t2
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'click' AND us > t1
+            AND us - t1 <= 86400000000 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(us) AS t3
+          FROM e JOIN c ON e.user_id = c.user_id
+          WHERE event_type = 'purchase' AND us > t2
+            AND us - t2 <= 86400000000 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_24h,
+           (SELECT COUNT(*) FROM p) AS n_purchase_24h
+    """,
+)
+def q_funnel_maxgap(spark, sf_dir):
+    """Strict-sequence funnel with a MAX-GAP constraint: each stage must
+    follow the previous first-completion within 24 h (integer-µs band),
+    the product-analytics form of 'conversion within the attribution
+    window' — q_funnel's unconstrained chain overcounts late organic
+    conversions. Same plan shape: per-stage conditional MIN aggregates
+    over one event scan each, stage frames shrink and broadcast; the gap
+    predicate rides the same join."""
+    ev = _cat(spark, sf_dir).events
+    gap = 86_400_000_000  # 24 h in µs
+    e = ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter((F.col("us") > F.col("t1")) & (F.col("us") - F.col("t1") <= gap))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter((F.col("us") > F.col("t2")) & (F.col("us") - F.col("t2") <= gap))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_24h")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
+    )
