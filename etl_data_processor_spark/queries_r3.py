@@ -1334,3 +1334,98 @@ def q_funnel_maxgap(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_24h")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_24h")))
     )
+
+
+@q(
+    "q_ts_interpolate",
+    """
+    WITH pts AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'click' AND user_id < 10
+    ),
+    iv AS (
+        SELECT user_id, t AS t0, vc AS v0,
+               LEAD(t) OVER (PARTITION BY user_id ORDER BY t) AS t1,
+               LEAD(vc) OVER (PARTITION BY user_id ORDER BY t) AS v1
+        FROM pts
+    ),
+    bounds AS (
+        SELECT user_id,
+               CAST(CEIL(MIN(t) / 3600000000.0) AS BIGINT) AS h_lo,
+               CAST(FLOOR(MAX(t) / 3600000000.0) AS BIGINT) AS h_hi
+        FROM pts GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(h_lo, h_hi + 1)) * 3600000000 AS g
+        FROM bounds WHERE h_lo <= h_hi
+    )
+    SELECT grid.user_id, grid.g // 1000000 AS g_epoch,
+           CASE WHEN iv.t0 = grid.g THEN iv.v0
+                ELSE (iv.v0 * (iv.t1 - grid.g) + iv.v1 * (grid.g - iv.t0))
+                     // (iv.t1 - iv.t0) END AS interp_c
+    FROM grid JOIN iv
+      ON grid.user_id = iv.user_id
+     AND grid.g >= iv.t0 AND grid.g < iv.t1
+    ORDER BY grid.user_id, g_epoch
+    """,
+)
+def q_ts_interpolate(spark, sf_dir):
+    """LINEAR-INTERPOLATION resampling onto an hourly grid — the third
+    fill mode beside LOCF (q_ts_fill) and zero-fill (q_ts_gapfill), the
+    TimescaleDB ``interpolate``: per-user click values become (t0, t1)
+    hold intervals via one lead window, the hourly grid generates from
+    per-user bounds with sequence+explode, and each interior grid point
+    joins its covering interval with the weighted-average value computed
+    as (v0·(t1−g) + v1·(g−t0)) // (t1−t0) — all NONNEGATIVE BIGINT, so
+    floor-div equals truncation and both engines agree exactly (a signed
+    delta formula would hit the DIV-vs-// negative-rounding divergence).
+    One window shuffle + one band join on the user key."""
+    from pyspark.sql import Window
+
+    us = 3_600_000_000  # 1 hour in µs
+    pts = (
+        _cat(spark, sf_dir)
+        .events.filter((F.col("event_type") == "click") & (F.col("user_id") < 10))
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("vc"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    iv = pts.select(
+        "user_id",
+        F.col("t").alias("t0"),
+        F.col("vc").alias("v0"),
+        F.lead("t").over(w).alias("t1"),
+        F.lead("vc").over(w).alias("v1"),
+    )
+    bounds = pts.groupBy("user_id").agg(
+        F.ceil(F.min("t") / us).cast("long").alias("h_lo"),
+        F.floor(F.max("t") / us).cast("long").alias("h_hi"),
+    )
+    grid = (
+        bounds.filter(F.col("h_lo") <= F.col("h_hi"))
+        .select(
+            "user_id", F.explode(F.sequence("h_lo", "h_hi")).alias("h")
+        )
+        .select("user_id", (F.col("h") * us).alias("g"))
+    )
+    interp = F.when(F.col("t0") == F.col("g"), F.col("v0")).otherwise(
+        F.expr("(v0 * (t1 - g) + v1 * (g - t0)) DIV (t1 - t0)")
+    )
+    return (
+        grid.join(
+            iv,
+            (grid["user_id"] == iv["user_id"])
+            & (F.col("g") >= F.col("t0"))
+            & (F.col("g") < F.col("t1")),
+        )
+        .select(
+            grid["user_id"],
+            F.expr("g DIV 1000000").alias("g_epoch"),
+            interp.alias("interp_c"),
+        )
+        .orderBy("user_id", "g_epoch")
+    )
