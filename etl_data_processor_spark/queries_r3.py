@@ -1429,3 +1429,35 @@ def q_ts_interpolate(spark, sf_dir):
         )
         .orderBy("user_id", "g_epoch")
     )
+
+
+@q(
+    "q_regexp_extract_all",
+    """
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+        SELECT unnest(regexp_extract_all(text, '[a-z]{5,}')) AS w
+        FROM documents WHERE doc_id < 200
+    )
+    GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+)
+def q_regexp_extract_all(spark, sf_dir):
+    """Multi-match regex extraction (``regexp_extract_all`` — the
+    one-row-to-many regex surface beside single-match extract and
+    replace): every >=5-letter token per document explodes to rows and
+    aggregates to the top-20 vocabulary. Spark and DuckDB both evaluate
+    the pattern with their regex engines over the common syntax core;
+    TakeOrdered caps the result without a global sort."""
+    docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(text, '[a-z]{5,}', 0)")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
