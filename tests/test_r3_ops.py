@@ -228,3 +228,40 @@ def test_median_of_means_robustness(spark, sf_dir):
     ).collect()[0]
     plain = agg[0] / agg[1]
     assert abs(mom - plain) / plain < 0.05
+
+
+def test_maxgap_funnel_bounded_by_unconstrained(spark, sf_dir):
+    """The attribution-window funnel can only lose conversions relative
+    to the unconstrained chain, never gain them."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    gap = qs["q_funnel_maxgap"](spark, sf_dir).collect()[0]
+    free = qs["q_funnel"](spark, sf_dir).collect()[0]
+    assert gap["n_view"] == free["n_view"]
+    assert gap["n_click_24h"] <= free["n_click_after_view"]
+    assert gap["n_purchase_24h"] <= free["n_purchase_after_click"]
+    assert gap["n_purchase_24h"] <= gap["n_click_24h"] <= gap["n_view"]
+
+
+def test_interpolation_brackets_and_endpoints(spark, sf_dir):
+    """Every interpolated value lies within [min(v0,v1), max(v0,v1)] of
+    its covering interval — linear interpolation never extrapolates."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["q_ts_interpolate"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # bound check against the global value range is a cheap necessary
+    # condition; the oracle already pins exact values
+    import pyspark.sql.functions as SF
+
+    bounds = ev.filter(SF.col("event_type") == "click").agg(
+        SF.min(SF.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")),
+        SF.max(SF.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)")),
+    ).collect()[0]
+    mn, mx = bounds[0], bounds[1]
+    stats = rows.agg(
+        SF.min("interp_c"), SF.max("interp_c"), SF.count(SF.lit(1))
+    ).collect()[0]
+    assert stats[2] > 0
+    assert stats[0] >= mn and stats[1] <= mx
