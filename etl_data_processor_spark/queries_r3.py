@@ -1461,3 +1461,64 @@ def q_regexp_extract_all(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(20)
     )
+
+
+@q(
+    "q_ts_derivative",
+    """
+    WITH pts AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t,
+               CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE event_type = 'click' AND user_id < 50
+    ),
+    d AS (
+        SELECT user_id, event_id, t, vc,
+               LAG(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS t0,
+               LAG(vc) OVER (PARTITION BY user_id ORDER BY t, event_id) AS v0
+        FROM pts
+    )
+    SELECT user_id, event_id,
+           CASE WHEN vc - v0 >= 0
+                THEN ((vc - v0) * 3600000000000) // (t - t0)
+                ELSE -(((v0 - vc) * 3600000000000) // (t - t0)) END
+               AS rate_mc_per_h
+    FROM d WHERE t0 IS NOT NULL AND t > t0
+    ORDER BY user_id, event_id
+    """,
+)
+def q_ts_derivative(spark, sf_dir):
+    """Discrete DERIVATIVE over irregular samples (the monitoring 'rate()'
+    primitive): consecutive-point delta scaled to milli-cents per hour in
+    pure integers — with the SIGN factored out before the floor division,
+    because Spark's DIV truncates toward zero while DuckDB's // floors
+    toward −∞, and a signed numerator silently diverges by one unit on
+    every negative slope (the same trap q_ts_interpolate dodges by
+    construction). One lag window per series, no joins."""
+    from pyspark.sql import Window
+
+    pts = (
+        _cat(spark, sf_dir)
+        .events.filter((F.col("event_type") == "click") & (F.col("user_id") < 50))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            F.expr("CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)").alias("vc"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    d = pts.select(
+        "user_id",
+        "event_id",
+        "t",
+        "vc",
+        F.lag("t").over(w).alias("t0"),
+        F.lag("vc").over(w).alias("v0"),
+    ).filter(F.col("t0").isNotNull() & (F.col("t") > F.col("t0")))
+    rate = F.when(
+        F.col("vc") - F.col("v0") >= 0,
+        F.expr("(vc - v0) * 3600000000000 DIV (t - t0)"),
+    ).otherwise(-F.expr("(v0 - vc) * 3600000000000 DIV (t - t0)"))
+    return d.select(
+        "user_id", "event_id", rate.alias("rate_mc_per_h")
+    ).orderBy("user_id", "event_id")
