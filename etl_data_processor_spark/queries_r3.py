@@ -1522,3 +1522,40 @@ def q_ts_derivative(spark, sf_dir):
     return d.select(
         "user_id", "event_id", rate.alias("rate_mc_per_h")
     ).orderBy("user_id", "event_id")
+
+
+@q(
+    "q_table_checksum",
+    "WITH c AS ("
+    "    SELECT o_orderkey, "
+    "           CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents "
+    "    FROM orders"
+    ") "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "       CAST(SUM(xor(((xor(((((o_orderkey * 131 + cents)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((o_orderkey * 131 + cents)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((o_orderkey * 131 + cents)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296, (((((o_orderkey * 131 + cents)::BIGINT + 0) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)) AS BIGINT) AS checksum "
+    "FROM c",
+)
+def q_table_checksum(spark, sf_dir):
+    """ORDER-INDEPENDENT table checksum — the replica-comparison
+    primitive (is this table bit-identical on the other cluster/engine?)
+    this whole oracle harness is built on, packaged as an in-engine op:
+    each row canonicalizes to an integer, mixes through the portable
+    hash, and SUMS — addition commutes, so the checksum is independent
+    of partitioning, ordering, and engine, while any single changed row
+    shifts it. One aggregate pass, 16 bytes of answer; at true 100 TB
+    sum the hashes modulo 2^63 per partition (the partials stay
+    mergeable) — at fixture scale the raw sum is exact and both engines
+    agree on every bit."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    o = _cat(spark, sf_dir).orders.select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    row_hash = hash32(F.col("o_orderkey") * 131 + F.col("cents"))
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    )
