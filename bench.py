@@ -81,6 +81,7 @@ def main() -> None:
     # MinHash signature agg); the measured run is the steady-state latency a
     # resident engine delivers. Both runs execute the full plan end-to-end.
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name in names:
         def run():
             queries[name](spark, SF_DIR).agg({"*": "count"}).collect()
@@ -94,14 +95,20 @@ def main() -> None:
         # (CPU steal); min-of-N converges on the true steady-state cost,
         # and 3 reps was measured to stabilize the per-query number to a
         # few percent where 2 still swung the regression list.
-        best = float("inf")
+        reps = []
         for _ in range(3):
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             t0 = time.time()
             run()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.time() - t0)
+        reps.sort()
+        timings[name] = round(reps[0], 3)
+        # Per-query spread over the n reps (VERDICT r3 item 8): this VM
+        # shows ±20-40% session drift with unchanged plans, so the artifact
+        # carries [min, median, max] and the regression list is computed
+        # against the spread, not a single draw.
+        spreads[name] = [round(reps[0], 3), round(reps[len(reps) // 2], 3), round(reps[-1], 3)]
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -110,6 +117,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,  # per-query [min, median, max] over the n reps
         "sf": sf,
     }
     # Regression guardrail (VERDICT r1 #7): per-query deltas vs the committed
@@ -124,6 +132,9 @@ def main() -> None:
             out["delta_vs_baseline"] = {
                 n: round(t - bq[n], 3) for n, t in timings.items() if n in bq
             }
+            # A regression requires the WHOLE spread above threshold: the
+            # best-of-n (min) exceeding 1.2x baseline means even the
+            # luckiest draw was slow — a plan change, not session noise.
             out["regressions_gt_20pct"] = sorted(
                 n
                 for n, t in timings.items()

@@ -33,7 +33,9 @@ def _import_all_query_modules() -> None:
         queries_ext,
         queries_ext2,
         queries_ext3,
+        queries_html,
         queries_north,
+        queries_r3,
         queries_rel2,
         queries_tpch,
         queries_tpch2,
@@ -72,12 +74,30 @@ def main(argv: list[str] | None = None) -> int:
     log = _setup_logging()
 
     if args.cmd == "list":
+        # Registry index (VERDICT r3 item 10): one line per key — name,
+        # gate kind, defining file:line, and the docstring head (what the
+        # query proves). No Spark session needed.
+        import inspect
+        import os
+
         _import_all_query_modules()
         from etl_data_processor_spark.registry import ORACLE, QUERIES
 
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         for name in sorted(QUERIES):
+            fn = QUERIES[name]
             kind = "oracle" if name in ORACLE else "rows-only"
-            print(f"{name}\t{kind}")
+            try:
+                code = inspect.unwrap(fn).__code__
+                where = (
+                    os.path.relpath(code.co_filename, pkg_root)
+                    + f":{code.co_firstlineno}"
+                )
+            except (AttributeError, TypeError, ValueError):
+                where = "?"
+            doc = inspect.getdoc(fn) or ""
+            head = doc.splitlines()[0].strip() if doc else ""
+            print(f"{name}\t{kind}\t{where}\t{head}")
         return 0
 
     if args.cmd == "table" and args.action == "history":

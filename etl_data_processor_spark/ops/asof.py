@@ -2,10 +2,18 @@
 
 ``asof_join_backward`` uses the union + last-value window trick:
 tag both sides, union, sort within each key by (ts, side, tiebreak), and
-carry the most recent right-side values forward with
+carry the most recent right-side ROW forward as one struct with
 ``last(..., ignorenulls=True)``. One shuffle on the key, no cross product,
 no per-row lookups — the scalable shape for 100 TB (an exchange + in-
 partition sort, same state pattern stream-stream interval joins use).
+
+The carry is a single STRUCT of (ts, value columns), not per-column
+last-non-null: carrying columns independently silently substitutes an
+OLDER row's value when the matched row has a NULL in that column — wrong
+vs pandas merge_asof (which returns the matched row's NULL), and unsound
+under ``tolerance`` (the older value may be outside the window while the
+matched row's ts passes the gate). The struct is non-null for every right
+row, so ``last`` lands exactly on the latest match and its NULLs survive.
 
 ``range_join`` is an equi-join on the key with a band predicate — Spark
 plans a hash join on the key and post-filters the band, so the cross
@@ -16,6 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def _rrow_type(right: DataFrame, ts: str, value_cols: list[str]) -> StructType:
+    return StructType(
+        [StructField("__ts", right.schema[ts].dataType)]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
 
 
 def asof_join_backward(
@@ -38,19 +54,16 @@ def asof_join_backward(
 
     ``tolerance`` (pandas merge_asof's knob, in seconds for timestamp ts /
     ts units for numerics): matches older than it become NULL. Sound on the
-    carried last-match alone: the carried match has the MAXIMUM right ts
-    <= left ts, so if IT is out of window every other candidate is too —
-    no second pass needed, same one-shuffle plan."""
+    carried match struct alone: it has the MAXIMUM right ts <= left ts, so
+    if IT is out of window every other candidate is too — no second pass
+    needed, same one-shuffle plan; every value column is gated by the ts of
+    the row it actually came from (one struct, one timestamp)."""
     lcols = left.columns
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
-        F.lit(None).cast(right.schema[ts].dataType).alias("__rts"),
+        F.lit(None).cast(_rrow_type(right, ts, value_cols)).alias("__rrow"),
     )
     r_tagged = right.select(
         *[
@@ -59,8 +72,10 @@ def asof_join_backward(
         ],
         F.lit(0).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
-        F.col(ts).alias("__rts"),
+        F.struct(
+            F.col(ts).alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -71,24 +86,22 @@ def asof_join_backward(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+        F.last("__rrow", ignorenulls=True).over(w).alias("__m"),
     )
-    out = carried.filter(F.col("__side") == 1).drop("__side")
+    m = F.col("__m")
+    matched = m.isNotNull()
     if tolerance is not None:
-        in_window = F.col("__mts").isNotNull() & (
-            F.col(ts).cast("double") - F.col("__mts").cast("double")
+        matched = matched & (
+            F.col(ts).cast("double") - m["__ts"].cast("double")
             <= F.lit(float(tolerance))
         )
-        for c in value_cols:
-            out = out.withColumn(
-                f"{c}{suffix}",
-                F.when(in_window, F.col(f"{c}{suffix}")),
-            )
-    return out.drop("__mts")
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[
+            F.when(matched, m[c]).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
 
 
 def asof_join_forward(
@@ -103,8 +116,8 @@ def asof_join_forward(
     """For each left row, attach the EARLIEST right row with
     ``right.ts >= left.ts`` within the same key (forward as-of, inclusive) —
     the mirror of :func:`asof_join_backward` with a forward window frame:
-    same one-shuffle union trick, ``first(..., ignorenulls)`` over
-    [currentRow, unboundedFollowing].
+    same one-shuffle union trick, ``first(..., ignorenulls)`` of the match
+    struct over [currentRow, unboundedFollowing].
 
     Ties at identical ts resolve to the right side (left rows sort before
     right rows at equal ts, so the same-ts right row is inside the left
@@ -115,10 +128,7 @@ def asof_join_forward(
         *lcols,
         F.lit(0).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(_rrow_type(right, ts, value_cols)).alias("__rrow"),
     )
     r_tagged = right.select(
         *[
@@ -127,7 +137,10 @@ def asof_join_forward(
         ],
         F.lit(1).alias("__side"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(
+            F.col(ts).alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__rrow"),
     )
     unioned = l_tagged.unionByName(r_tagged)
     w = (
@@ -138,12 +151,13 @@ def asof_join_forward(
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.first("__rrow", ignorenulls=True).over(w).alias("__m"),
     )
-    return carried.filter(F.col("__side") == 0).drop("__side")
+    m = F.col("__m")
+    return carried.filter(F.col("__side") == 0).select(
+        *lcols,
+        *[m[c].alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def range_join(

@@ -6,15 +6,25 @@ shape is a DataSource whose ``partitions()`` IS the page plan — one partition
 per page, fetched in parallel by executors, with per-record parse-failure
 skipping (A3, main.py:98-103).
 
-Network is deliberately pluggable: ``PagedDecisionSource`` ships with a
-deterministic synthetic "site" (no sockets in tests); a real deployment
-replaces ``_fetch_page`` with an HTTP GET + session reuse + token-bucket
-rate limiting per partition (A19) — the planning/parallelism machinery is
-identical.
+Network is pluggable behind one ``session.get(url, params) -> Response``
+seam with three implementations:
+
+- synthetic (default): deterministic records, no parsing, no sockets;
+- ``responses_json`` option: :class:`RecordedSession` replays a canned
+  page -> (status, html) map through the REAL parse/plan/error machinery;
+- ``live_http=1`` option: :class:`HttpSession`, a urllib-based client with
+  connection/session reuse, a User-Agent header, requests-style
+  ``raise_for_status`` semantics and per-partition token-bucket pacing
+  (A19, main.py:44-61) — one session per input partition, constructed on
+  the executor (never pickled).
 
 Usage:
     spark.dataSource.register(PagedDecisionSource)
     df = spark.read.format("paged_decisions").option("total_rows", 228).load()
+    # live:
+    df = (spark.read.format("paged_decisions")
+          .option("live_http", "1").option("endpoint", "https://site/api")
+          .option("rate_limit_rps", "1").load())
 """
 
 from __future__ import annotations
@@ -82,6 +92,82 @@ class RecordedSession:
         page = int(params.get("page", 1))
         status, text = self.responses.get(page, (404, ""))
         return Response(status, text, f"{url}?page={page}")
+
+
+class HttpSession:
+    """Live HTTP client on stdlib urllib behind the same ``.get()`` seam as
+    :class:`RecordedSession` (VERDICT r3 item 3) — the reference's single
+    ``requests.Session`` (main.py:22-25) re-expressed without third-party
+    deps: one shared opener reused across every GET, a User-Agent header,
+    requests semantics (4xx/5xx return a Response; ``raise_for_status``
+    raises), and an optional :class:`~..ops.enrich.TokenBucket` so a
+    partition never exceeds ``rate`` requests/sec (A19 — the reference
+    sleeps between pages, main.py:351).
+
+    Construct one per input partition ON the executor: cluster-wide request
+    rate is then ``rate × concurrent partitions`` — size ``rate`` (or cap
+    partitions) for the target site accordingly."""
+
+    def __init__(
+        self,
+        rate: float | None = None,
+        user_agent: str = "etl-data-processor-spark/0.1",
+        timeout: float = 30.0,
+    ):
+        import urllib.request
+
+        self._opener = urllib.request.build_opener()
+        self.user_agent = user_agent
+        self.timeout = timeout
+        if rate:
+            from etl_data_processor_spark.ops.enrich import TokenBucket
+
+            self._bucket = TokenBucket(rate=rate, burst=1)
+        else:
+            self._bucket = None
+        self.calls: list[tuple[str, dict]] = []
+
+    def get(self, url: str, params: dict | None = None) -> Response:
+        import urllib.error
+        import urllib.request
+        from urllib.parse import urlencode
+
+        params = dict(params or {})
+        self.calls.append((url, params))
+        full = url + ("?" + urlencode(params) if params else "")
+        if self._bucket is not None:
+            self._bucket.acquire()
+        req = urllib.request.Request(
+            full, headers={"User-Agent": self.user_agent}
+        )
+        try:
+            with self._opener.open(req, timeout=self.timeout) as r:
+                body = r.read().decode("utf-8", "replace")
+                return Response(r.status, body, full)
+        except urllib.error.HTTPError as e:
+            # requests parity: an HTTP status error is a normal Response;
+            # only raise_for_status turns it into an exception.
+            body = e.read().decode("utf-8", "replace") if e.fp else ""
+            return Response(e.code, body, full)
+
+
+def _live_conf(options) -> dict | None:
+    """Live-HTTP mode config from source options; None unless opted in via
+    ``live_http=1`` (mirrors resolve_enrich_client's env/flag gating —
+    recorded and synthetic modes stay the default, keeping tests and
+    oracles socket-free)."""
+    if str(options.get("live_http", "")).lower() not in ("1", "true", "yes"):
+        return None
+    rate = float(options.get("rate_limit_rps", "1") or 0)
+    return {
+        "endpoint": options.get("endpoint", "https://example.test/api"),
+        "rate": rate if rate > 0 else None,
+        "timeout": float(options.get("http_timeout_s", "30")),
+    }
+
+
+def _live_session(conf: dict) -> HttpSession:
+    return HttpSession(rate=conf["rate"], timeout=conf["timeout"])
 
 
 def fetch_page_html(session, page: int, endpoint: str = "https://example.test/api") -> str:
@@ -152,16 +238,27 @@ class _PagedReader(DataSourceReader):
     def __init__(self, options):
         self.total_rows = int(options.get("total_rows", 228))
         self.responses = _parse_responses(options)
+        self.live = _live_conf(options)
+
+    def _session(self):
+        """Fresh session for one fetch context (planning, or one partition)."""
+        if self.live is not None:
+            return _live_session(self.live)
+        return RecordedSession(self.responses)
+
+    def _endpoint(self) -> str:
+        return self.live["endpoint"] if self.live else "https://example.test/api"
 
     def _plan_pages(self) -> int:
-        if self.responses is None:
+        if self.responses is None and self.live is None:
             return max(1, -(-self.total_rows // PAGE_SIZE))
-        # Recorded-HTTP mode plans exactly like the reference (main.py:63-83,
-        # 337-339): fetch page 1, parse 'af N resultater' / pagination links
-        # -> page count. A failing page 1 fails planning (raise_for_status).
+        # Recorded/live-HTTP modes plan exactly like the reference
+        # (main.py:63-83, 337-339): fetch page 1, parse 'af N resultater' /
+        # pagination links -> page count. A failing page 1 fails planning
+        # (raise_for_status).
         from etl_data_processor_spark.ops.html import total_pages
 
-        html = fetch_page_html(RecordedSession(self.responses), 1)
+        html = fetch_page_html(self._session(), 1, self._endpoint())
         return total_pages(html, PAGE_SIZE)
 
     def partitions(self):
@@ -175,13 +272,14 @@ class _PagedReader(DataSourceReader):
 
     def read(self, partition: _PagePartition):
         # A1/A3: fetch one page, yield parsed records, skip malformed ones.
-        if self.responses is not None:
+        if self.responses is not None or self.live is not None:
             # One session per partition (the reference reuses one session
             # for its whole serial loop, main.py:22-25); an HTTP error is
             # task-fatal via raise_for_status -> Spark retries the task.
-            session = RecordedSession(self.responses)
+            session = self._session()
             yield from _records_from_html(
-                partition.page, fetch_page_html(session, partition.page)
+                partition.page,
+                fetch_page_html(session, partition.page, self._endpoint()),
             )
             return
         start = (partition.page - 1) * PAGE_SIZE
@@ -209,26 +307,38 @@ class _PagedStreamReader(SimpleDataSourceStreamReader):
         self.total_rows = int(options.get("total_rows", 228))
         self.pages_per_batch = int(options.get("pages_per_batch", 2))
         self.responses = _parse_responses(options)
-        if self.responses is None:
+        self.live = _live_conf(options)
+        if self.responses is None and self.live is None:
             self.n_pages = max(1, -(-self.total_rows // PAGE_SIZE))
         else:
             from etl_data_processor_spark.ops.html import total_pages
 
             self.n_pages = total_pages(
-                fetch_page_html(RecordedSession(self.responses), 1), PAGE_SIZE
+                fetch_page_html(self._session(), 1, self._endpoint()),
+                PAGE_SIZE,
             )
+
+    def _session(self):
+        if self.live is not None:
+            return _live_session(self.live)
+        return RecordedSession(self.responses)
+
+    def _endpoint(self) -> str:
+        return self.live["endpoint"] if self.live else "https://example.test/api"
 
     def initialOffset(self) -> dict:
         return {"next_page": 1}
 
     def _page_rows(self, page: int):
-        if self.responses is not None:
+        if self.responses is not None or self.live is not None:
             # HTTP failure raises -> the micro-batch fails and is retried
             # against the SAME offset range (exactly-once with an
             # idempotent sink); per-CARD failures are skipped inside
             # _records_from_html.
-            session = RecordedSession(self.responses)
-            yield from _records_from_html(page, fetch_page_html(session, page))
+            session = self._session()
+            yield from _records_from_html(
+                page, fetch_page_html(session, page, self._endpoint())
+            )
             return
         start, end = (page - 1) * PAGE_SIZE, min(page * PAGE_SIZE, self.total_rows)
         for i in range(start, end):

@@ -129,11 +129,16 @@ def _group_stats(
     touching data pages). JSON-serializable columns only (numeric/string);
     the commit log carries them so readers can skip groups without
     opening any file."""
-    from pyspark.sql import functions as F
-
     back = df.sparkSession.read.parquet(
         os.path.join(_data_dir(table_dir), group)
     )
+    return _group_stats_from(back, stats_cols)
+
+
+def _group_stats_from(back: DataFrame, stats_cols: list[str]) -> dict:
+    """Min/max stats from an already-read-back group DataFrame."""
+    from pyspark.sql import functions as F
+
     row = back.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in stats_cols],
         *[F.max(c).alias(f"__mx_{c}") for c in stats_cols],
@@ -255,27 +260,41 @@ def append(
     so :func:`table_ndv` answers distinct-count questions from the log
     alone (the ANALYZE-statistics story; 64 small ints per column)."""
     group = _write_group(df, table_dir)
-    stats = (
-        _group_stats(df, table_dir, group, stats_cols)
-        if stats_cols is not None
-        else None
-    )
-    add = _add_action(group, stats)
-    if ndv_cols:
-        back = df.sparkSession.read.parquet(
-            os.path.join(_data_dir(table_dir), group)
-        )
-        add["ndv"] = {c: _ndv_registers(back, c) for c in ndv_cols}
-    if bloom_cols:
-        from etl_data_processor_spark.ops.bloom import build_bloom
+    stats = None
+    # ONE read-back of the just-written group feeds stats, NDV registers
+    # and bloom builds (it used to be one scan per feature, plus a
+    # distinct().count() job per bloom column — three redundant scans on
+    # the ingest hot path). Min/max and the blooms' distinct-key counts
+    # now share a single aggregation job over the cached scan.
+    if stats_cols is not None or ndv_cols or bloom_cols:
+        from pyspark.sql import functions as F
 
         back = df.sparkSession.read.parquet(
             os.path.join(_data_dir(table_dir), group)
         )
+        if ndv_cols or bloom_cols:
+            back = back.cache()
+        agg_exprs = []
+        for c in stats_cols or []:
+            agg_exprs.append(F.min(c).alias(f"__mn_{c}"))
+            agg_exprs.append(F.max(c).alias(f"__mx_{c}"))
+        for c in bloom_cols or []:
+            agg_exprs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        row = back.agg(*agg_exprs).collect()[0] if agg_exprs else None
+        if stats_cols is not None:
+            stats = {
+                c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"]}
+                for c in stats_cols
+            }
+    add = _add_action(group, stats)
+    if ndv_cols:
+        add["ndv"] = {c: _ndv_registers(back, c) for c in ndv_cols}
+    if bloom_cols:
+        from etl_data_processor_spark.ops.bloom import build_bloom
+
         blooms = {}
         for c in bloom_cols:
-            n_keys = back.select(c).distinct().count()
-            m = _bloom_m_bits(n_keys)
+            m = _bloom_m_bits(row[f"__nd_{c}"])
             if m is None:
                 continue  # too many keys for a log-resident filter
             blooms[c] = {
@@ -285,6 +304,8 @@ def append(
             }
         if blooms:
             add["bloom"] = blooms
+    if ndv_cols or bloom_cols:
+        back.unpersist()
     return _commit(table_dir, "append", [add], None)
 
 
@@ -490,8 +511,16 @@ def compact(
 
         xc, yc = zorder_by
         scs = sorted(set([xc, yc] + (stats_cols or [])))
+        # z-values are always >= 0, so -1 is a dedicated NULL sentinel:
+        # rows with a NULL in either key sort FIRST (into the first
+        # slice) instead of vanishing through NULL-valued slice filters
+        # (`__z > lo` / `__z <= hi` are false for NULL). Compaction must
+        # be row-preserving, like Delta's OPTIMIZE ZORDER.
         zdf = df.withColumn(
-            "__z", zorder_value(F.col(xc), F.col(yc))
+            "__z",
+            F.coalesce(
+                zorder_value(F.col(xc), F.col(yc)), F.lit(-1).cast("long")
+            ),
         ).persist()
         try:
             if target_files > 1:

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""One-command round-close gate (VERDICT r3 item 7).
+
+Reproduces every claim a round-close makes, in one run, and writes a
+machine-readable ``GATE.json`` next to the repo root:
+
+1. full oracle sweep at sf0.001 (every declared key vs DuckDB),
+2. full oracle sweep at sf0.01 (the driver's scale),
+3. heavy-subset oracle sweep at sf0.1 (the bench scale),
+4. the pytest suite.
+
+Each stage shells out to the existing tools (scripts/check_oracle.py /
+pytest) in a FRESH interpreter — same isolation the driver and judge get,
+no shared SparkSession state between scales.
+
+Usage: python scripts/gate.py [--skip-pytest] [--skip-sf1]
+Exit code 0 iff every stage is green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# The sf0.1 heavy subset: heaviest shape per operator family (NOTES_r3 §7's
+# sweep plus the spatial/event/html keys the r3 judge re-verified). The
+# MinHash-LSH family keys are included — their sf0.1 oracles are the cheap
+# pair-fixture rewrites (round 4), no longer super-linear in DuckDB.
+HEAVY_SF01 = [
+    "q_flagship_q3", "q_tpch_q5", "q_tpch_q6", "q_tpch_q9", "q_tpch_q18",
+    "q_tpch_q21", "q_join_star", "q_agg_group", "q_win_running", "q_topk",
+    "q_sessionize", "q_funnel", "q_event_pattern", "q_spatial_radius_join",
+    "q_html_extract", "q_text_tfidf", "q_text_lm_score", "q_corpus_curation",
+    "q_cosine_topk", "q_emb_centroids", "q_dedup", "q_dedup_exact",
+    "q_dedup_ngram", "q_dedup_substring", "q_pack_sequences",
+    "q_chunk_documents", "q_percentile_exact", "q_join_asof",
+    "q_sketch_quantile_hdr", "q_phrase_search",
+]
+
+
+def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str, float]:
+    t0 = time.time()
+    proc = subprocess.run(
+        cmd,
+        cwd=ROOT,
+        env={**os.environ, **(env or {})},
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    return proc.returncode, proc.stdout, time.time() - t0
+
+
+def _oracle_stage(sf: str, names: list[str] | None) -> dict:
+    cmd = [sys.executable, "scripts/check_oracle.py", "--sf", sf]
+    if names:
+        cmd += names
+    rc, out, secs = _run(cmd)
+    m = re.search(r"(\d+)/(\d+) queries match", out)
+    failing = []
+    fm = re.search(r"^failing: (.+)$", out, re.M)
+    if fm:
+        failing = fm.group(1).split()
+    return {
+        "rc": rc,
+        "matched": int(m.group(1)) if m else None,
+        "total": int(m.group(2)) if m else None,
+        "failing": failing,
+        "seconds": round(secs, 1),
+    }
+
+
+def main(argv: list[str]) -> int:
+    stages: dict[str, dict] = {}
+
+    print("== stage 1/4: full oracle sweep @ sf0.001 ==", flush=True)
+    stages["oracle_sf0.001"] = _oracle_stage("0.001", None)
+    print(json.dumps(stages["oracle_sf0.001"]), flush=True)
+
+    print("== stage 2/4: full oracle sweep @ sf0.01 ==", flush=True)
+    stages["oracle_sf0.01"] = _oracle_stage("0.01", None)
+    print(json.dumps(stages["oracle_sf0.01"]), flush=True)
+
+    if "--skip-sf1" not in argv:
+        print("== stage 3/4: heavy subset @ sf0.1 ==", flush=True)
+        stages["oracle_sf0.1_heavy"] = _oracle_stage("0.1", HEAVY_SF01)
+        print(json.dumps(stages["oracle_sf0.1_heavy"]), flush=True)
+
+    if "--skip-pytest" not in argv:
+        print("== stage 4/4: pytest ==", flush=True)
+        rc, out, secs = _run([sys.executable, "-m", "pytest", "tests/", "-q"])
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        stages["pytest"] = {"rc": rc, "tail": tail, "seconds": round(secs, 1)}
+        print(json.dumps(stages["pytest"]), flush=True)
+
+    green = all(s["rc"] == 0 for s in stages.values())
+    gate = {"green": green, "stages": stages}
+    with open(os.path.join(ROOT, "GATE.json"), "w") as f:
+        json.dump(gate, f, indent=1)
+    print(f"\nGATE {'GREEN' if green else 'RED'} -> GATE.json", flush=True)
+    return 0 if green else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

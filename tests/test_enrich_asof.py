@@ -163,3 +163,40 @@ def test_asof_forward_basic_and_tie(spark):
         ties, key="user", ts="t", value_cols=["value"], tiebreak="event_id",
     ).collect()
     assert out2[0].value_next == 5.0
+
+
+def test_asof_matched_row_null_value_stays_null(spark):
+    """merge_asof parity: when the MATCHED right row has a NULL value
+    column, the result is NULL — never an older row's value (which under
+    tolerance could also be outside the window: ADVICE r3 medium)."""
+    from etl_data_processor_spark.ops.asof import asof_join_forward
+
+    left = spark.createDataFrame([(1, "u", 100)], ["event_id", "user", "t"])
+    right = spark.createDataFrame(
+        [(10, "u", 10, 7.0), (11, "u", 90, None)],
+        "event_id long, user string, t long, value double",
+    )
+    out = asof_join_backward(
+        left, right, key="user", ts="t", value_cols=["value"],
+        tiebreak="event_id",
+    ).collect()
+    assert out[0].value_asof is None  # matched row (t=90) has NULL value
+
+    # with tolerance=20: match at t=90 is in window but its value is NULL;
+    # the t=10 value (7.0) is 90 units stale and must NOT leak through
+    out_tol = asof_join_backward(
+        left, right, key="user", ts="t", value_cols=["value"],
+        tiebreak="event_id", tolerance=20,
+    ).collect()
+    assert out_tol[0].value_asof is None
+
+    # forward mirror: earliest right row >= t has NULL value -> NULL
+    fwd_right = spark.createDataFrame(
+        [(20, "u", 110, None), (21, "u", 200, 3.0)],
+        "event_id long, user string, t long, value double",
+    )
+    out_fwd = asof_join_forward(
+        left, fwd_right, key="user", ts="t", value_cols=["value"],
+        tiebreak="event_id",
+    ).collect()
+    assert out_fwd[0].value_next is None

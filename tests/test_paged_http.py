@@ -148,3 +148,131 @@ def test_streaming_failed_batch_replays_after_recovery():
     healed = _PagedStreamReader(_opts(_site(n_results=60), pages_per_batch=1))
     replay = list(healed.readBetweenOffsets(off1, {"next_page": 3}))
     assert len(replay) == 25 and replay[0][0] == 2  # page 2, intact
+
+
+# --- live urllib transport (VERDICT r3 item 3) against a local http.server ---
+
+
+class _SiteHandler:
+    """Request handler factory serving a canned page->(status, html) map
+    with the same shape RecordedSession replays, over real sockets."""
+
+    @staticmethod
+    def make(site, hits):
+        import http.server
+        from urllib.parse import parse_qs, urlparse
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):
+                q = parse_qs(urlparse(self.path).query)
+                hits.append(
+                    {k: v[0] for k, v in q.items()}
+                    | {"ua": self.headers.get("User-Agent", "")}
+                )
+                page = int(q.get("page", ["1"])[0])
+                status, html = site.get(page, [404, ""])
+                body = html.encode()
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        return H
+
+
+@pytest.fixture()
+def live_site():
+    """Local HTTP server serving _site(n_results=60); yields (endpoint,
+    hits, site) where hits records every request's query params + UA."""
+    import http.server
+    import threading
+
+    site = _site(n_results=60)
+    hits: list[dict] = []
+    srv = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), _SiteHandler.make(site, hits)
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{srv.server_address[1]}/api", hits, site
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def _live_opts(endpoint, **kw):
+    return {
+        "live_http": "1",
+        "endpoint": endpoint,
+        "rate_limit_rps": "0",  # no pacing in tests
+        **{k: str(v) for k, v in kw.items()},
+    }
+
+
+def test_live_http_plans_and_reads_all_pages(live_site):
+    """HttpSession end-to-end: planning fetches page 1 over a real socket,
+    reads parse every card, every request carries the default params + UA."""
+    endpoint, hits, _ = live_site
+    r = _PagedReader(_live_opts(endpoint))
+    parts = r.partitions()
+    assert len(parts) == 3  # 'af 60 resultater' parsed from the live page 1
+    rows = [row for p in parts for row in r.read(p)]
+    assert len(rows) == 60
+    assert {row[0] for row in rows} == {1, 2, 3}
+    for h in hits:
+        assert h["ua"].startswith("etl-data-processor-spark")
+        for k, v in DEFAULT_PARAMS.items():
+            if v:  # empty-string params may be dropped by urlencode/parse_qs
+                assert h[k] == v
+
+
+def test_live_http_error_statuses_are_task_fatal(live_site):
+    """A 404 (page beyond the site) and a 500 both surface through
+    raise_for_status as task-fatal errors — requests parity."""
+    endpoint, _, site = live_site
+    r = _PagedReader(_live_opts(endpoint))
+    with pytest.raises(HTTPError) as e404:
+        list(r.read(type("P", (), {"page": 99, "total_rows": 0})()))
+    assert e404.value.status_code == 404
+    site[2] = [500, "boom"]
+    with pytest.raises(HTTPError) as e500:
+        list(r.read(type("P", (), {"page": 2, "total_rows": 0})()))
+    assert e500.value.status_code == 500
+
+
+def test_live_http_streaming_resume(live_site):
+    """Streaming over the live transport: a failing page aborts the batch;
+    after the site recovers, replaying the same offset range yields the
+    full page (exactly-once resume, same contract as the recorded path)."""
+    endpoint, _, site = live_site
+    r = _PagedStreamReader(_live_opts(endpoint, pages_per_batch=1))
+    off0 = r.initialOffset()
+    rows1, off1 = r.read(off0)
+    assert len(list(rows1)) == 25 and off1 == {"next_page": 2}
+    good_p2 = site[2]
+    site[2] = [500, "down"]
+    with pytest.raises(HTTPError):
+        list(r.read(off1)[0])
+    site[2] = good_p2  # site heals; engine retries the SAME range
+    replay = list(r.readBetweenOffsets(off1, {"next_page": 3}))
+    assert len(replay) == 25 and replay[0][0] == 2
+
+
+def test_live_http_token_bucket_paces_requests(live_site):
+    """rate_limit_rps paces GETs through the shared TokenBucket: 3 fetches
+    at 20 rps must take at least ~2/20 s (first is free via burst)."""
+    import time as _time
+
+    from etl_data_processor_spark.sources.paged import HttpSession, fetch_page_html
+
+    endpoint, _, _ = live_site
+    s = HttpSession(rate=20.0)
+    t0 = _time.monotonic()
+    for p in (1, 2, 3):
+        fetch_page_html(s, p, endpoint)
+    assert _time.monotonic() - t0 >= 2 / 20 * 0.9
+    assert len(s.calls) == 3  # one session served all three

@@ -665,7 +665,7 @@ def test_stream_stream_join_requires_watermarks_for_state_bound(spark, events_st
     assert plan.count("EventTimeWatermark") == 2
 
 
-def test_stream_static_broadcast_enrichment(spark, events_stream_dir, sf_dir):
+def test_stream_static_broadcast_enrichment_per_event(spark, events_stream_dir, sf_dir):
     """Stream-static join: a micro-batch stream enriches against a static
     dimension (the broadcast lookup-join A6 in streaming form). The
     static side re-resolves per micro-batch with NO stream state; result

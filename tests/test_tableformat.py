@@ -620,11 +620,16 @@ def test_zorder_compact_enables_two_key_pruning(spark, tmp_path):
     """OPTIMIZE ZORDER BY: interleaved appends span the full (x, y) range,
     so range reads open every group; after z-order compaction into 4
     stat-carrying groups, a half-range predicate on EITHER key opens
-    roughly half the groups — and the data is unchanged."""
+    roughly half the groups — and the data is unchanged. NULL-keyed rows
+    must survive the rewrite (row-preserving, like Delta's OPTIMIZE)."""
     t = str(tmp_path / "t")
     rows = [(i, i % 64, (i * 37) % 64) for i in range(4000)]
+    # NULL in x, in y, and in both — all three must survive compaction
+    rows += [(9001, None, 5), (9002, 5, None), (9003, None, None)]
     for s in range(4):  # 4 appends, each covering the full x/y range
-        chunk = rows[s * 1000:(s + 1) * 1000]
+        chunk = rows[s * 1000:(s + 1) * 1000] + (
+            rows[4000:] if s == 0 else []
+        )
         TF.append(
             spark.createDataFrame(chunk, "id long, x long, y long"),
             t,
@@ -645,7 +650,9 @@ def test_zorder_compact_enables_two_key_pruning(spark, tmp_path):
         tuple(r)
         for r in TF.read_pruned(spark, t, "x", 48, 63).collect()
     }
-    assert got == {r for r in before if 48 <= r[1] <= 63}
+    assert got == {
+        r for r in before if r[1] is not None and 48 <= r[1] <= 63
+    }
 
 
 def test_compact_small_binpacks_only_small_groups(spark, tmp_path):
