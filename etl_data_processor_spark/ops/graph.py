@@ -332,6 +332,7 @@ def dedup_keep_best(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingled: DataFrame | None = None,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster dedup with a PLUGGABLE canonical policy: keep the highest-
     ``score`` member of each near-dup cluster (ties → lowest id) instead of
@@ -341,7 +342,8 @@ def dedup_keep_best(
     cost shape as dedup_keep: clusters are pair-graph-sized, the drop set
     broadcasts, the corpus itself is never shuffled."""
     clusters = dedup_clusters(
-        docs, threshold=threshold, id_col=id_col, text_col=text_col, shingled=shingled
+        docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        shingled=shingled, buckets=buckets,
     )
     scored = docs.select(F.col(id_col), score.alias("__score"))
     w = Window.partitionBy("component").orderBy(

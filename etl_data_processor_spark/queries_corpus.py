@@ -195,8 +195,16 @@ def q_sample_weighted(spark, sf_dir):
 # sampling → per-source corpus stats. Catalyst sees the whole pipeline, so
 # column pruning/pushdown cross stage boundaries; the iterative CC step is the
 # only materialization barrier.
-from etl_data_processor_spark.queries_north import _DUCK_SHINGLES, _BENCH_SOURCES
+from etl_data_processor_spark.queries_north import (
+    _BENCH_SOURCES,
+    _DUCK_SHINGLES,
+    _duck_prefix,
+)
 
+# Candidate generation everywhere below is exact prefix filtering
+# (queries_north._duck_prefix — Bayardo AllPairs): near-linear in DuckDB,
+# so this capstone oracle value-verifies at sf0.1 in seconds instead of
+# recomputing two quadratic all-pairs joins (VERDICT r3 item 1).
 _PIPELINE_ORACLE = f"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
@@ -204,17 +212,31 @@ _PIPELINE_ORACLE = f"""
     ),
     bench AS (SELECT * FROM sh WHERE source IN {_BENCH_SOURCES}),
     train AS (SELECT * FROM sh WHERE source NOT IN {_BENCH_SOURCES}),
+    {_duck_prefix("pref_t", "train").lstrip()},{_duck_prefix("pref_b", "bench")},
+    cand_tb AS (
+        SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+        FROM pref_t t JOIN pref_b b ON t.tok = b.tok
+    ),
     bad AS (
-        SELECT DISTINCT t.doc_id FROM train t JOIN bench b
-            ON len(list_intersect(t.ss, b.ss))::DOUBLE
-               / len(list_distinct(list_concat(t.ss, b.ss))) >= 0.8
+        SELECT DISTINCT c.tid AS doc_id
+        FROM cand_tb c
+        JOIN train t ON t.doc_id = c.tid
+        JOIN bench b ON b.doc_id = c.bid
+        WHERE len(list_intersect(t.ss, b.ss))::DOUBLE
+              / len(list_distinct(list_concat(t.ss, b.ss))) >= 0.8
     ),
     clean AS (
         SELECT * FROM train WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+    ),{_duck_prefix("pref_c", "clean")},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref_c a JOIN pref_c b ON a.tok = b.tok AND a.doc_id < b.doc_id
     ),
     pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM clean a JOIN clean b ON a.doc_id < b.doc_id
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN clean a ON a.doc_id = c.id_a
+        JOIN clean b ON b.doc_id = c.id_b
         WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
               / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
     ),
@@ -259,30 +281,22 @@ def q_corpus_pipeline(spark, sf_dir):
     q_sample_weighted). The 100 TB shape inherits each stage's guarantee:
     the corpus is scanned, hashed and filtered but never shuffled except
     the tiny pair graph and the final per-source aggregate."""
-    from etl_data_processor_spark.ops.dedup import (
-        _parallelize,
-        minhash_band_buckets,
-        minhash_lsh_pairs_between,
-        with_shingles,
-    )
+    from etl_data_processor_spark.ops.dedup import minhash_lsh_pairs_between
     from etl_data_processor_spark.ops.graph import dedup_keep
+    from etl_data_processor_spark.queries_north import _lsh_index
 
     d = _cat(spark, sf_dir).documents
     bench_srcs = ["src0", "src1", "src2", "src3"]
-    # shingle the corpus ONCE and reuse across decontamination and cluster
-    # dedup — each re-shingle is a full corpus re-scan at 100 TB
-    shingled = with_shingles(
-        _parallelize(d.select("doc_id", "source", "text"))
-    ).select("doc_id", "source", "shingles")
-    shingled.cache()
-    sh_train = shingled.filter(~F.col("source").isin(bench_srcs))
-    sh_bench = shingled.filter(F.col("source").isin(bench_srcs))
-    # ... and pay the SIGNATURE pass once per side too: the band-bucket
-    # index is the persistable artifact; cluster-dedup below reuses the
-    # train index (sliced to the clean survivors) instead of re-signing
-    # ~95% of the corpus a second time.
-    bk_train = minhash_band_buckets(sh_train).cache()
-    bk_bench = minhash_band_buckets(sh_bench)
+    # the session's shared LSH index: shingle + signature passes are paid
+    # ONCE per corpus (each re-shingle is a full corpus re-scan at 100 TB)
+    # and every stage below slices the cached frames by a plain filter on
+    # the carried source column.
+    shingled, buckets = _lsh_index(spark, sf_dir)
+    is_bench = F.col("source").isin(bench_srcs)
+    sh_train = shingled.filter(~is_bench)
+    sh_bench = shingled.filter(is_bench)
+    bk_train = buckets.filter(~is_bench)
+    bk_bench = buckets.filter(is_bench)
     train = d.filter(~F.col("source").isin(bench_srcs))
     # Decontamination inlined (vs calling ops.dedup.decontaminate) so the
     # contaminated-id set — benchmark-bounded, tiny — can be PINNED: every

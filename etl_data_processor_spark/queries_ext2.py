@@ -1303,14 +1303,27 @@ def q_top_paths(spark, sf_dir):
     WITH tk AS (
         SELECT doc_id, doc_id % 10 = 0 AS is_delta, {_DUCK_SHINGLES} AS ss
         FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    pref AS (
+        SELECT doc_id, is_delta,
+               UNNEST(list_slice(list_sort(ss), 1,
+                                 len(ss) - (8 * len(ss) + 9) // 10 + 1)) AS tok
+        FROM tk
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+             AND (a.is_delta OR b.is_delta)
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT c.id_a, c.id_b,
            ROUND(CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
                  / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))),
                  4) AS jaccard
-    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
-    WHERE (a.is_delta OR b.is_delta)
-      AND CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
+    FROM cand c
+    JOIN tk a ON a.doc_id = c.id_a
+    JOIN tk b ON b.doc_id = c.id_b
+    WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE)
           / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.8
     """,
 )
@@ -1320,29 +1333,26 @@ def q_dedup_incremental(spark, sf_dir):
     = delta-vs-delta self-pairs UNION bipartite delta-vs-base pairs — and
     critically NO base self-join. This is the daily-ingest cost model: work
     is O(|delta| signatures) plus bucket collisions against the base
-    signature table (here recomputed from the cached shingle frame; a real
-    pipeline persists the band-bucket table once — see
-    minhash_lsh_pairs' persisted bucket frame — so re-shingling the 100 TB
-    base never happens). The oracle is the naive all-pairs definition
-    restricted to delta-touching pairs, so the gate proves the
-    incremental decomposition loses nothing."""
+    signature table (the session's shared LSH index — queries_north
+    ._lsh_index — sliced by the delta predicate, the exact persisted-
+    band-bucket-table production shape: re-shingling the 100 TB base never
+    happens). The oracle is the naive all-pairs definition restricted to
+    delta-touching pairs, so the gate proves the incremental decomposition
+    loses nothing."""
     from etl_data_processor_spark.ops.dedup import (
-        _parallelize,
         minhash_lsh_pairs,
         minhash_lsh_pairs_between,
-        with_shingles,
     )
+    from etl_data_processor_spark.queries_north import _lsh_index
 
     d = _cat(spark, sf_dir).documents
-    shingled = with_shingles(
-        _parallelize(d.select("doc_id", "text"))
-    ).select("doc_id", "shingles")
-    shingled.cache()
+    shingled, buckets = _lsh_index(spark, sf_dir)
     is_delta = F.col("doc_id") % 10 == 0
     sh_delta = shingled.filter(is_delta)
     sh_base = shingled.filter(~is_delta)
     within = minhash_lsh_pairs(
-        d.filter(is_delta), threshold=0.8, shingled=sh_delta
+        d.filter(is_delta), threshold=0.8,
+        shingled=sh_delta, buckets=buckets.filter(is_delta),
     )
     between = minhash_lsh_pairs_between(
         d.filter(is_delta),
@@ -1350,6 +1360,8 @@ def q_dedup_incremental(spark, sf_dir):
         threshold=0.8,
         shingled_left=sh_delta,
         shingled_right=sh_base,
+        buckets_left=buckets.filter(is_delta),
+        buckets_right=buckets.filter(~is_delta),
     ).select(
         F.least(F.col("id_l"), F.col("id_r")).alias("id_a"),
         F.greatest(F.col("id_l"), F.col("id_r")).alias("id_b"),
@@ -1711,22 +1723,25 @@ def q_mmr_diversify(spark, sf_dir):
     """Maximal-marginal-relevance diversification: greedily pick 3 results
     for query vector 0 maximizing 0.7·relevance − 0.3·max-similarity-to-
     already-selected — the dedup-aware reranker for retrieval (and for
-    picking DIVERSE few-shot exemplars from a corpus). Inherently
-    sequential: each step is a distributed argmax (TakeOrdered) whose
-    1-row result broadcasts into the next round's max-sim join — k driver
-    round-trips of one row each, the irreducible cost of the greedy
-    definition. Scores are fixed-point cosines (round6) so both engines
-    agree bit-for-bit; the oracle UNROLLS the three greedy steps in SQL
-    (the q_pagerank unrolled-iteration technique). Candidates vec_id<100
-    keep the oracle's all-pairs cosine CTE small."""
-    from etl_data_processor_spark.ops.similarity import dec_cosine
+    picking DIVERSE few-shot exemplars from a corpus). EXACT over the full
+    candidate pool, but in the shortlist execution shape (VERDICT r3 item
+    5): the pool's rel scores and pairwise cos6 matrix collect as bounded
+    model state in TWO Spark jobs total, and the sequential greedy runs
+    driver-side in ops/similarity.py::mmr_greedy — zero per-step Spark
+    jobs (the old k-argmax loop ran one distributed TakeOrdered + a
+    broadcast join per step). Exactness is preserved because the pool
+    (vec_id<100, 99 candidates) IS the shortlist — no top-N truncation.
+    Scores are fixed-point cosines (round6) so both engines agree
+    bit-for-bit; the oracle UNROLLS the three greedy steps in SQL (the
+    q_pagerank unrolled-iteration technique)."""
+    from etl_data_processor_spark.ops.similarity import dec_cosine, mmr_greedy
 
     emb = _cat(spark, sf_dir).embeddings.filter(F.col("vec_id") < 100)
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("__q")
     )
     cand = emb.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
-    rel = (
+    pool = (
         cand.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
@@ -1735,38 +1750,25 @@ def q_mmr_diversify(spark, sf_dir):
         )
         .cache()
     )
-    lam, one_m = F.lit(0.7), F.lit(0.3)
-    picked: list[tuple[int, int, float]] = []
-    sel_ids: list[int] = []
-    for step in range(1, 4):
-        pool = rel.filter(~F.col("vec_id").isin(sel_ids)) if sel_ids else rel
-        if sel_ids:
-            sel_vecs = F.broadcast(
-                rel.filter(F.col("vec_id").isin(sel_ids)).select(
-                    F.col("embedding").alias("__s")
-                )
-            )
-            maxsim = (
-                pool.crossJoin(sel_vecs)
-                .withColumn(
-                    "__sim", dec_cosine(F.col("embedding"), F.col("__s"))
-                )
-                .groupBy("vec_id", "rel6")
-                .agg(F.max("__sim").alias("__ms"))
-                .withColumn("sc", lam * F.col("rel6") - one_m * F.col("__ms"))
-            )
-        else:
-            maxsim = pool.withColumn("sc", F.col("rel6"))
-        top = (
-            maxsim.orderBy(F.desc("sc"), F.asc("vec_id"))
-            .limit(1)
-            .select("vec_id", "sc")
-            .collect()[0]
-        )
-        picked.append(
-            (step, top["vec_id"], math.floor(top["sc"] * 1e6 + 0.5) / 1e6)
-        )
-        sel_ids.append(top["vec_id"])
+    # job 1: rel scores, in the greedy's deterministic (rel desc, id asc)
+    # scan order; job 2: full pairwise cos6 matrix (99x99 — bounded model
+    # state, same contract as IVF centroid collection).
+    shortlist = [
+        (r["vec_id"], r["rel6"])
+        for r in pool.select("vec_id", "rel6")
+        .orderBy(F.desc("rel6"), F.asc("vec_id"))
+        .collect()
+    ]
+    a = pool.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("__a"))
+    b = pool.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("__b"))
+    pair_sim = {
+        (r["ia"], r["ib"]): r["c6"]
+        for r in a.crossJoin(F.broadcast(b))
+        .select("ia", "ib", dec_cosine(F.col("__a"), F.col("__b")).alias("c6"))
+        .collect()
+    }
+    pool.unpersist()
+    picked = mmr_greedy(shortlist, pair_sim, k=3)
     return spark.createDataFrame(
         picked, "step int, vec_id long, score6 double"
     )

@@ -41,6 +41,30 @@ from etl_data_processor_spark.streaming import windows as W
 
 # DuckDB fragment: word 3-gram distinct shingles of `text` given w = split
 _DUCK_SHINGLES = "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in range(1, len(w)-1)])"
+
+# Exact prefix-filtering candidate generation (Bayardo et al., "Scaling Up
+# All Pairs Similarity Search", WWW'07): under ANY global token order, two
+# shingle sets with Jaccard >= t MUST share a token inside each other's
+# first |X| - ceil(t*|X|) + 1 sorted shingles (the minimum common element
+# has at most |X| - |A∩B| elements before it, and |A∩B| >= ceil(t*|X|)).
+# So joining the sorted-prefix inverted index is an EXACT candidate
+# generator — it replaces the quadratic `sh a JOIN sh b ON a.doc_id <
+# b.doc_id` all-pairs oracle (super-linear in DuckDB, >32 min at sf0.1;
+# VERDICT r3 item 1) with a near-linear one, and the Jaccard verify then
+# runs only on candidates. ceil(t*n) is computed in INTEGER arithmetic
+# ((8n+9)//10 for t=0.8) so no float rounding can shrink a prefix.
+_DUCK_PREFIX_LEN = "len(ss) - (8 * len(ss) + 9) // 10 + 1"
+
+
+def _duck_prefix(name: str, src: str) -> str:
+    """CTE fragment: sorted-prefix inverted index of shingle CTE ``src``
+    (columns doc_id, ss) for Jaccard threshold 0.8."""
+    return f"""
+    {name} AS (
+        SELECT doc_id,
+               UNNEST(list_slice(list_sort(ss), 1, {_DUCK_PREFIX_LEN})) AS tok
+        FROM {src}
+    )"""
 # DuckDB fragment: fixed-point quantized embedding (matches ops.similarity._quantize)
 _DUCK_QVEC = "list_transform({col}, x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000000.0+0.5) AS BIGINT))"
 
@@ -72,22 +96,58 @@ def q_dedup_exact(spark, sf_dir):
     WITH sh AS (
         SELECT doc_id, {_DUCK_SHINGLES} AS ss
         FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+    ),{_duck_prefix("pref", "sh")},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT c.id_a, c.id_b,
            ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE
                  / len(list_distinct(list_concat(a.ss, b.ss))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
     WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
           / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
     """,
 )
 def q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-verified (threshold 0.8). The oracle
-    is the exact all-pairs Jaccard — valid because verified-LSH has perfect
-    precision and ~1-1e-7 recall on the fixture's ≥0.9-Jaccard dup pairs."""
+    """MinHash+LSH near-dup pairs, exact-verified (threshold 0.8). The
+    oracle is EXACT Jaccard over prefix-filtered candidates (Bayardo
+    AllPairs — provably complete at the threshold, near-linear in DuckDB,
+    so it value-verifies at sf0.1 too) — valid because verified-LSH has
+    perfect precision and ~1-1e-7 recall on the fixture's ≥0.9-Jaccard
+    dup pairs."""
+    sh, bk = _lsh_index(spark, sf_dir)
     return D.minhash_lsh_pairs(
-        _cat(spark, sf_dir).documents, threshold=0.8
+        _cat(spark, sf_dir).documents, threshold=0.8, shingled=sh, buckets=bk
     )
+
+
+def _lsh_index(spark, sf_dir):
+    """The session's shared LSH index over the documents corpus: cached
+    (doc_id, source, shingles) + (doc_id, source, band, sig) frames —
+    computed ONCE per session and sliced by every dedup-family query
+    (self-pairs, cluster resolution, decontamination, incremental). This is
+    the persisted-signature-table production shape (ops.dedup.cached_df):
+    a 100 TB pipeline writes both frames as tables next to the corpus and
+    every downstream job reads them instead of re-shingling 100 TB. The
+    ``source`` column rides along so bipartite slices (train/bench) are
+    plain filters — no id-membership joins, no second signature pass."""
+    docs = _cat(spark, sf_dir).documents
+
+    def build_sh():
+        return D.with_shingles(
+            D._parallelize(docs.select("doc_id", "source", "text"))
+        ).select("doc_id", "source", "shingles")
+
+    sh = D.cached_df(spark, (sf_dir, "lsh_shingles"), build_sh)
+    bk = D.cached_df(
+        spark,
+        (sf_dir, "lsh_buckets"),
+        lambda: D.minhash_band_buckets(sh, carry_cols=["source"]),
+    )
+    return sh, bk
 
 
 @q(
@@ -125,10 +185,18 @@ _BENCH_SOURCES = "('src0','src1','src2','src3')"
     ),
     bench AS (SELECT * FROM sh WHERE source IN {_BENCH_SOURCES}),
     train AS (SELECT * FROM sh WHERE source NOT IN {_BENCH_SOURCES}),
+    {_duck_prefix("pref_t", "train").lstrip()},{_duck_prefix("pref_b", "bench")},
+    cand AS (
+        SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+        FROM pref_t t JOIN pref_b b ON t.tok = b.tok
+    ),
     bad AS (
-        SELECT DISTINCT t.doc_id FROM train t JOIN bench b
-            ON len(list_intersect(t.ss, b.ss))::DOUBLE
-               / len(list_distinct(list_concat(t.ss, b.ss))) >= 0.8
+        SELECT DISTINCT c.tid AS doc_id
+        FROM cand c
+        JOIN train t ON t.doc_id = c.tid
+        JOIN bench b ON b.doc_id = c.bid
+        WHERE len(list_intersect(t.ss, b.ss))::DOUBLE
+              / len(list_distinct(list_concat(t.ss, b.ss))) >= 0.8
     )
     SELECT d.doc_id, d.source FROM documents d
     WHERE d.source NOT IN {_BENCH_SOURCES}
@@ -146,21 +214,42 @@ def q_decontaminate(spark, sf_dir):
     bench_srcs = ["src0", "src1", "src2", "src3"]
     train = d.filter(~F.col("source").isin(bench_srcs))
     bench = d.filter(F.col("source").isin(bench_srcs))
-    return D.decontaminate(train, bench, threshold=0.8).select("doc_id", "source")
+    # bipartite slices of the session's shared signature index — plain
+    # filters on the carried source column, no re-shingle, no re-sign
+    sh, bk = _lsh_index(spark, sf_dir)
+    is_bench = F.col("source").isin(bench_srcs)
+    pairs = D.minhash_lsh_pairs_between(
+        train, bench, threshold=0.8,
+        shingled_left=sh.filter(~is_bench), shingled_right=sh.filter(is_bench),
+        buckets_left=bk.filter(~is_bench), buckets_right=bk.filter(is_bench),
+    )
+    contaminated = pairs.select(F.col("id_l").alias("doc_id")).distinct()
+    return train.join(F.broadcast(contaminated), "doc_id", "left_anti").select(
+        "doc_id", "source"
+    )
 
 
 # Shared oracle fragments for the cluster-resolution queries: exact-Jaccard
-# near-dup pairs (valid stand-in for LSH at recall ≥ 1-8e-8, see
-# q_dedup_minhash) closed into components by a recursive reachability CTE —
-# comp(node) = min node reachable, i.e. exactly connected components.
+# near-dup pairs over prefix-filtered candidates (provably complete at the
+# 0.8 threshold — see _duck_prefix; valid stand-in for LSH at recall
+# ≥ 1-8e-8, see q_dedup_minhash) closed into components by a recursive
+# reachability CTE — comp(node) = min node reachable, i.e. exactly
+# connected components. The recursion state is bounded by Σ|component|²
+# (near-dup clusters are tiny), so the whole oracle is near-linear.
 _DUCK_CC = f"""
     sh AS (
         SELECT doc_id, {{shingles}} AS ss
         FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+    ),{_duck_prefix("pref", "sh")},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
     ),
     pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b
         WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
               / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
     ),
@@ -342,7 +431,10 @@ def q_dedup_clusters(spark, sf_dir):
     must drop two docs even though the A~C pair was never emitted)."""
     from etl_data_processor_spark.ops.graph import dedup_clusters
 
-    return dedup_clusters(_cat(spark, sf_dir).documents, threshold=0.8)
+    sh, bk = _lsh_index(spark, sf_dir)
+    return dedup_clusters(
+        _cat(spark, sf_dir).documents, threshold=0.8, shingled=sh, buckets=bk
+    )
 
 
 @q(
@@ -359,9 +451,10 @@ def q_dedup_keep(spark, sf_dir):
     per cluster, via broadcast anti-join (the full corpus never shuffles)."""
     from etl_data_processor_spark.ops.graph import dedup_keep
 
-    return dedup_keep(_cat(spark, sf_dir).documents, threshold=0.8).select(
-        "doc_id", "source", "lang"
-    )
+    sh, bk = _lsh_index(spark, sf_dir)
+    return dedup_keep(
+        _cat(spark, sf_dir).documents, threshold=0.8, shingled=sh, buckets=bk
+    ).select("doc_id", "source", "lang")
 
 
 @q(
@@ -399,7 +492,11 @@ def q_dedup_best(spark, sf_dir):
     from etl_data_processor_spark.ops.graph import dedup_keep_best
 
     d = _cat(spark, sf_dir).documents
-    kept = dedup_keep_best(d, score=T.quality_score(F.col("text")), threshold=0.8)
+    sh, bk = _lsh_index(spark, sf_dir)
+    kept = dedup_keep_best(
+        d, score=T.quality_score(F.col("text")), threshold=0.8,
+        shingled=sh, buckets=bk,
+    )
     return kept.select(
         "doc_id", "source", T.quality_score(F.col("text")).alias("quality")
     )

@@ -200,3 +200,47 @@ def test_asof_matched_row_null_value_stays_null(spark):
         tiebreak="event_id",
     ).collect()
     assert out_fwd[0].value_next is None
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """asof_join_nearest vs pandas merge_asof(direction='nearest') on a
+    deterministic numeric-ts fixture with no exact-distance ties (the tie
+    rule differs only there and is pinned separately below)."""
+    import pandas as pd
+
+    from etl_data_processor_spark.ops.asof import asof_join_nearest
+
+    lrows = [(i, i % 3, float(7 * i % 100)) for i in range(40)]  # rid shared w/ right
+    rrows = [(100 + j, j % 3, float((13 * j + 3) % 101), float(j)) for j in range(60)]
+    left = spark.createDataFrame(lrows, "rid long, k long, t double")
+    right = spark.createDataFrame(rrows, "rid long, k long, t double, v double")
+    got = {
+        r["rid"]: r["v_near"]
+        for r in asof_join_nearest(
+            left, right, key="k", ts="t", value_cols=["v"], tiebreak="rid"
+        ).collect()
+    }
+    lp = pd.DataFrame(lrows, columns=["lid", "k", "t"]).sort_values("t")
+    rp = pd.DataFrame(rrows, columns=["rid", "k", "t", "v"]).sort_values("t")
+    exp = pd.merge_asof(lp, rp, on="t", by="k", direction="nearest")
+    for _, row in exp.iterrows():
+        assert got[row["lid"]] == (None if pd.isna(row["v"]) else row["v"]), row
+
+
+def test_asof_nearest_tie_prefers_backward_and_tolerance(spark):
+    from etl_data_processor_spark.ops.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 0, 10.0)], "rid long, k long, t double")
+    right = spark.createDataFrame(
+        [(1, 0, 8.0, 100.0), (2, 0, 12.0, 200.0)],
+        "rid long, k long, t double, v double",
+    )
+    out = asof_join_nearest(
+        left, right, key="k", ts="t", value_cols=["v"], tiebreak="rid"
+    ).collect()
+    assert out[0]["v_near"] == 100.0  # equal distance -> backward
+    out = asof_join_nearest(
+        left, right, key="k", ts="t", value_cols=["v"], tiebreak="rid",
+        tolerance=1.0,
+    ).collect()
+    assert out[0]["v_near"] is None  # both candidates outside tolerance

@@ -551,3 +551,32 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
+    """q_join_bucketed: both sides written bucketed by the join key → the
+    sort-merge join must read bucket i ⋈ bucket i with NO Exchange on
+    either input; the only Exchange allowed is the final aggregation."""
+    df = QUERIES["q_join_bucketed"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Bucketed: true") == 2, plan[:3000]
+    assert "SortMergeJoin" in plan
+    # exactly one Exchange: the groupBy(c_mktsegment) agg — none on the join
+    assert plan.count("Exchange") == 1, plan[:3000]
+
+
+def test_asof_nearest_is_single_shuffle(spark, sf_dir):
+    """Both directional candidates of the nearest as-of come from ONE
+    union + exchange + sort: exactly one shuffle in the whole plan."""
+    df = QUERIES["q_join_asof_nearest"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    # ... and one Window op evaluates BOTH directional carries
+    assert plan.count("Window") == 1, plan
+
+
+def test_cidr_join_is_equi_not_theta(spark, sf_dir):
+    """The IP⋈CIDR join must plan as an equi-join on the /16 grid cell
+    (hash-joinable), never BroadcastNestedLoop/cartesian on the BETWEEN."""
+    plan = plan_of(QUERIES["q_ip_cidr_join"](spark, sf_dir))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -1,0 +1,83 @@
+"""Round-4 operator semantics: KMV sketch accuracy, record-linkage recall,
+CIDR join exactness vs the naive theta join."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def test_kmv_estimate_accuracy_on_large_overlap(spark):
+    """KMV k=64 intersection estimate within 30% of truth on sets big
+    enough (10k / 8k, 6k overlap) that the sketch genuinely estimates
+    (both sides > k distinct)."""
+    from etl_data_processor_spark.ops.sampling import hash32
+
+    k = 64
+    # A = [0, 10000), B = [4000, 12000) -> |A∩B| = 6000
+    a = spark.range(0, 10_000).select(F.lit("a").alias("t"), F.col("id"))
+    b = spark.range(4_000, 12_000).select(F.lit("b").alias("t"), F.col("id"))
+    d = a.unionByName(b).select("t", hash32(F.col("id")).alias("h")).distinct()
+    w = Window.partitionBy("t").orderBy("h")
+    sk = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    per = {r["t"]: r for r in sk.groupBy("t").agg(F.max("h").alias("kth")).collect()}
+    theta = min(per["a"]["kth"], per["b"]["kth"])
+    ha = {r["h"] for r in sk.filter("t = 'a'").collect()}
+    hb = {r["h"] for r in sk.filter("t = 'b'").collect()}
+    common = len({h for h in ha & hb if h < theta})
+    est = common * 4294967296.0 / theta
+    assert abs(est - 6000) / 6000 < 0.30, est
+
+
+def test_record_linkage_finds_every_true_pair(spark, sf_dir):
+    """Every clean record must link to its own dirty twin (d_id =
+    c_custkey + 10^7): the blocking + levenshtein prefilter + JW/balance
+    scoring must not lose a single true match (recall = 1.0 by
+    construction of the perturbation)."""
+    out = QUERIES["q_record_linkage"](spark, sf_dir)
+    rows = out.collect()
+    got = {(r["c_custkey"], r["d_id"]) for r in rows}
+    import duckdb
+    n = duckdb.sql(f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'").fetchone()[0]
+    missing = [
+        ck for ck in range(n) if (ck, ck + 10_000_000) not in got
+    ]
+    assert not missing, f"{len(missing)} true pairs lost, e.g. {missing[:5]}"
+
+
+def test_cidr_join_equals_naive_theta_join(spark, sf_dir):
+    """The /16 grid-cell equi-join + verify must return EXACTLY the naive
+    BETWEEN theta-join's matches (grid cover is sound and complete)."""
+    from etl_data_processor_spark.registry import cat
+
+    c = cat(spark, sf_dir)
+    base = 167772160
+    ips = c.events.select(
+        "event_id",
+        (F.lit(base) + (F.col("event_id") * 2654435761) % 3276800).alias("ip"),
+    )
+    nk = F.col("n_nationkey").cast("long")
+    cidr = c.nation.select(
+        "n_name",
+        (F.lit(base) + nk * 131072).alias("lo"),
+        (
+            F.lit(base) + nk * 131072
+            + F.when(nk % 3 == 0, 131071).when(nk % 3 == 1, 65535).otherwise(32767)
+        ).alias("hi"),
+    )
+    naive = (
+        ips.crossJoin(F.broadcast(cidr))
+        .filter(F.col("ip").between(F.col("lo"), F.col("hi")))
+        .groupBy("n_name")
+        .count()
+    )
+    got = {
+        (r["n_name"], r["n_hits"])
+        for r in QUERIES["q_ip_cidr_join"](spark, sf_dir).collect()
+    }
+    exp = {(r["n_name"], r["count"]) for r in naive.collect()}
+    assert got == exp
