@@ -76,25 +76,66 @@ def _parallelize(df: DataFrame) -> DataFrame:
 
 _DF_CACHE: dict = {}
 
+# Bump when an artifact's DERIVATION changes (shingle definition, hash
+# params, band scheme): the version is part of the on-disk path, so stale
+# artifacts from older code can never be read back as current ones.
+_ARTIFACT_VERSION = "v1"
 
-def cached_df(spark, key: tuple, builder) -> DataFrame:
-    """Session-memoized cached DataFrame — the process-local stand-in for a
-    PERSISTED corpus artifact (the shingle table, the band-bucket signature
-    index). A production pipeline computes these once and writes them as
-    tables (that is the whole point of :func:`minhash_band_buckets`'s
+
+def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFrame:
+    """Session-memoized cached DataFrame — the stand-in for a PERSISTED
+    corpus artifact (the shingle table, the band-bucket signature index).
+    A production pipeline computes these once and writes them as tables
+    (that is the whole point of :func:`minhash_band_buckets`'s
     reusable-index contract); re-deriving them per query measures an
     anti-pattern, exactly like retraining an ANN index per lookup (see
     ops.similarity.cached_model — this is its DataFrame-shaped sibling).
     Keys carry the corpus identity (sf_dir, artifact name, params); entries
     are invalidated wholesale when the Spark application changes, since
-    cached plans die with their session."""
+    cached plans die with their session.
+
+    ``materialize=True`` makes the persistence LITERAL: the artifact is
+    written to parquet under the warehouse once per (version, key) and
+    every later access — including new sessions and post-``clearCache``
+    consumers — reads the file back instead of recomputing the derivation.
+    This is the 100 TB shape exactly (the signature table lives next to
+    the corpus; jobs scan it, they don't re-shingle 100 TB), and it makes
+    cold-cache costs honest: a dropped cache costs one small parquet scan,
+    not a corpus recompute. Writes go to a process-unique temp dir and
+    atomically rename into place, so concurrent builders race safely (the
+    loser discards its copy)."""
+    import os
+    import shutil
+    import uuid
+
     app = spark.sparkContext.applicationId
     stale = [k for k in _DF_CACHE if k[0] != app]
     for k in stale:
         del _DF_CACHE[k]
     full = (app, *key)
     if full not in _DF_CACHE:
-        _DF_CACHE[full] = builder()
+        if materialize:
+            import hashlib
+
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            slug = hashlib.md5(
+                repr((_ARTIFACT_VERSION, *key)).encode()
+            ).hexdigest()[:16]
+            path = os.path.join(warehouse, "_artifacts", slug)
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                if os.path.isdir(path):  # crashed/partial write — clear it
+                    shutil.rmtree(path, ignore_errors=True)
+                tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+                builder().write.mode("overwrite").parquet(tmp)
+                try:
+                    os.rename(tmp, path)
+                except OSError:  # lost the race — another writer finished
+                    shutil.rmtree(tmp, ignore_errors=True)
+            _DF_CACHE[full] = spark.read.parquet(path)
+        else:
+            _DF_CACHE[full] = builder()
     df = _DF_CACHE[full]
     # (Re-)register lazily on every access: an external
     # spark.catalog.clearCache() (the bench protocol does this between

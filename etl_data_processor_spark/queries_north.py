@@ -141,11 +141,12 @@ def _lsh_index(spark, sf_dir):
             D._parallelize(docs.select("doc_id", "source", "text"))
         ).select("doc_id", "source", "shingles")
 
-    sh = D.cached_df(spark, (sf_dir, "lsh_shingles"), build_sh)
+    sh = D.cached_df(spark, (sf_dir, "lsh_shingles"), build_sh, materialize=True)
     bk = D.cached_df(
         spark,
         (sf_dir, "lsh_buckets"),
         lambda: D.minhash_band_buckets(sh, carry_cols=["source"]),
+        materialize=True,
     )
     return sh, bk
 

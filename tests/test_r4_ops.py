@@ -81,3 +81,32 @@ def test_cidr_join_equals_naive_theta_join(spark, sf_dir):
     }
     exp = {(r["n_name"], r["count"]) for r in naive.collect()}
     assert got == exp
+
+
+def test_cached_df_materializes_and_rereads_artifact(spark, tmp_path):
+    """materialize=True writes the artifact to parquet ONCE and later
+    accesses (even from a cleared in-process memo, i.e. a 'new session')
+    read the file back instead of re-running the builder."""
+    import os
+
+    from etl_data_processor_spark.ops import dedup as D
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+
+    key = ("test", "artifact", str(tmp_path))
+    df1 = D.cached_df(spark, key, build, materialize=True)
+    assert df1.count() == 100 and calls["n"] == 1
+    # wipe the in-process memo — simulates a fresh session against the
+    # same warehouse; the builder must NOT run again
+    D._DF_CACHE.clear()
+    df2 = D.cached_df(spark, key, build, materialize=True)
+    assert df2.count() == 100 and calls["n"] == 1
+    # the artifact is a real parquet dir under the warehouse
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    arts = os.path.join(warehouse, "_artifacts")
+    assert os.path.isdir(arts) and any(os.scandir(arts))
+    D._DF_CACHE.clear()
