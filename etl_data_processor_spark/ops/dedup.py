@@ -435,6 +435,7 @@ def ngram_jaccard_pairs_blocked(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs WITHIN a blocking key (e.g. lang+source).
 
@@ -442,14 +443,23 @@ def ngram_jaccard_pairs_blocked(
     co-occurring shingles, |A∪B| = |A|+|B|-|A∩B| from per-doc sizes. Pairs
     with zero overlap never materialize, and no per-pair array scan happens;
     at 100 TB this is one exchange on the shingle key + one on the pair key.
-    (Assumes threshold > 0, which any dedup use has.)"""
-    sh = (
-        with_shingles(
-            _parallelize(df.select(id_col, text_col, *block_cols)), text_col, k
+    (Assumes threshold > 0, which any dedup use has.)
+
+    ``shingled``: a precomputed ``(block_cols…, id_col, shingles)`` frame
+    (e.g. the session's persisted shingle artifact) — pass it to skip the
+    shingle pass entirely."""
+    if shingled is not None:
+        sh = shingled.select(
+            *block_cols, id_col, "shingles", F.size("shingles").alias("__n")
         )
-        .select(*block_cols, id_col, "shingles", F.size("shingles").alias("__n"))
-        .cache()  # three consumers below — compute the shingles once
-    )
+    else:
+        sh = (
+            with_shingles(
+                _parallelize(df.select(id_col, text_col, *block_cols)), text_col, k
+            )
+            .select(*block_cols, id_col, "shingles", F.size("shingles").alias("__n"))
+            .cache()  # three consumers below — compute the shingles once
+        )
     exploded = sh.select(
         *block_cols, id_col, "__n", F.explode("shingles").alias("__sh")
     )

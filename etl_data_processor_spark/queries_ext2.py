@@ -668,11 +668,29 @@ def q_jaccard_join_prefix(spark, sf_dir):
     "q_containment_join",
     f"""
     WITH tk AS ({_SHINGLES_CTE}),
+    -- asymmetric prefix filter (Chaudhuri et al., SSJoin): containment
+    -- |A∩B| >= ceil(0.9|A|) forces A's first |A| - ceil(0.9|A|) + 1
+    -- SORTED tokens to hit B somewhere, so prefix(A) ⋈ full-index(B) is
+    -- an exact candidate generator — near-linear instead of the all-pairs
+    -- list_intersect (quadratic; minutes at sf0.1)
+    pref AS (
+        SELECT doc_id,
+               UNNEST(list_slice(list_sort(toks), 1,
+                                 len(toks) - (9 * len(toks) + 9) // 10 + 1)) AS tok
+        FROM tk
+    ),
+    inv AS (SELECT doc_id, UNNEST(toks) AS tok FROM tk),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS cid, b.doc_id AS kid
+        FROM pref a JOIN inv b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+    ),
     pairs AS (
-        SELECT a.doc_id AS cid, b.doc_id AS kid,
+        SELECT c.cid, c.kid,
                len(list_intersect(a.toks, b.toks)) AS nc,
                len(a.toks) AS na
-        FROM tk a JOIN tk b ON a.doc_id <> b.doc_id
+        FROM cand c
+        JOIN tk a ON a.doc_id = c.cid
+        JOIN tk b ON b.doc_id = c.kid
     )
     SELECT cid AS contained_id, kid AS container_id,
            CAST(nc AS DOUBLE) / na AS containment

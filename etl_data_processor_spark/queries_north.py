@@ -168,9 +168,13 @@ def _lsh_index(spark, sf_dir):
 )
 def q_dedup_ngram(spark, sf_dir):
     """Exact n-gram Jaccard pairs within a blocking key (source) — the
-    bounded-quadratic exact counterpart of the LSH path."""
+    bounded-quadratic exact counterpart of the LSH path. Reads the
+    session's persisted shingle artifact (same word-3-gram derivation)
+    instead of re-shingling the corpus."""
+    sh, _ = _lsh_index(spark, sf_dir)
     return D.ngram_jaccard_pairs_blocked(
-        _cat(spark, sf_dir).documents, block_cols=["source"], threshold=0.5
+        _cat(spark, sf_dir).documents, block_cols=["source"], threshold=0.5,
+        shingled=sh,
     )
 
 

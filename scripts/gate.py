@@ -41,6 +41,13 @@ HEAVY_SF01 = [
     "q_dedup_ngram", "q_dedup_substring", "q_pack_sequences",
     "q_chunk_documents", "q_percentile_exact", "q_join_asof",
     "q_sketch_quantile_hdr", "q_phrase_search",
+    # MinHash-LSH family: sf0.1-cheap prefix-filter oracles since round 4
+    "q_dedup_minhash", "q_dedup_best", "q_dedup_keep", "q_dedup_clusters",
+    "q_dedup_incremental", "q_decontaminate", "q_corpus_pipeline",
+    # round-4 batch
+    "q_url_parse", "q_ip_cidr_join", "q_join_asof_nearest",
+    "q_record_linkage", "q_join_bucketed", "q_dp_noise_counts",
+    "q_sketch_theta_kmv",
 ]
 
 
