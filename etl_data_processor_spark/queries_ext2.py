@@ -360,10 +360,29 @@ def _skyline_pass(df, part_cols):
         SELECT o_orderkey, {_CENTS_SQL.format(c="o_totalprice")} AS price_c,
                epoch_us(o_orderdate) AS d
         FROM orders
+    ),
+    -- Dominator-candidate set S: the window-formulated skyline (a point
+    -- survives iff it beats the running max d over STRICTLY higher prices
+    -- and is the max d within its own price). This is provably the exact
+    -- skyline, but the oracle does NOT trust it as the answer — it is only
+    -- the candidate-dominator set for the NOT EXISTS below, which is
+    -- sound on its own: p is dominated iff some MAXIMAL point dominates p,
+    -- and every maximal point is in any superset of the skyline. Cost
+    -- drops from n² to n·|skyline|.
+    s AS (
+        SELECT * FROM (
+            SELECT o_orderkey, price_c, d,
+                   MAX(d) OVER (ORDER BY price_c DESC
+                                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS m_hi,
+                   MAX(d) OVER (PARTITION BY price_c) AS m_same
+            FROM pts
+        )
+        WHERE (m_hi IS NULL OR d > m_hi) AND d = m_same
     )
     SELECT p.o_orderkey, p.price_c, p.d FROM pts p
     WHERE NOT EXISTS (
-        SELECT 1 FROM pts q2
+        SELECT 1 FROM s q2
         WHERE q2.price_c >= p.price_c AND q2.d >= p.d
           AND (q2.price_c > p.price_c OR q2.d > p.d)
     )
@@ -631,12 +650,30 @@ _SHINGLES_CTE = (
 @q(
     "q_jaccard_join_prefix",
     f"""
-    WITH tk AS ({_SHINGLES_CTE})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    WITH tk AS ({_SHINGLES_CTE}),
+    -- INDEPENDENT prefix candidates under the LEXICOGRAPHIC token order
+    -- (the engine under test orders by global df): the prefix lemma holds
+    -- under ANY global order, so this is a complete candidate generator
+    -- with a different mechanism — near-linear instead of all-pairs,
+    -- which is unrunnable at sf0.1. ceil(0.7n) = (7n+9)//10 in integer
+    -- arithmetic.
+    pref AS (
+        SELECT doc_id,
+               UNNEST(list_slice(list_sort(toks), 1,
+                                 len(toks) - (7 * len(toks) + 9) // 10 + 1)) AS tok
+        FROM tk
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
            CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
                AS jaccard
-    FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+    FROM cand c
+    JOIN tk a ON a.doc_id = c.id_a
+    JOIN tk b ON b.doc_id = c.id_b
     WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
           >= 0.7
@@ -651,8 +688,10 @@ def q_jaccard_join_prefix(spark, sf_dir):
     MinHash-LSH there is NO probabilistic miss), and the exact-Jaccard
     verify keeps precision 1. Plan: token df aggregate + per-doc rank
     window + equi-join on the (rare) prefix tokens — candidate volume is
-    driven by rare tokens, never all-pairs. The oracle is the naive
-    all-pairs definition, so the gate proves the filter drops nothing."""
+    driven by rare tokens, never all-pairs. The oracle generates its own
+    candidates under the LEXICOGRAPHIC order (provably complete under any
+    global order) — a different mechanism than the engine's df order, so
+    the gate still cross-checks the filter, at near-linear oracle cost."""
     from etl_data_processor_spark.ops.dedup import prefix_filter_jaccard_pairs
 
     d = _cat(spark, sf_dir).documents

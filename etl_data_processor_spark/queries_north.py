@@ -157,11 +157,28 @@ def _lsh_index(spark, sf_dir):
     WITH sh AS (
         SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
         FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+    ),
+    -- prefix filter at t=0.5 WITHIN each source block (ceil(n/2) = (n+1)//2,
+    -- prefix = n - (n+1)//2 + 1): complete at the threshold, so the
+    -- within-block all-pairs join (quadratic per block — minutes at sf0.1)
+    -- shrinks to shared-prefix-token candidates
+    pref AS (
+        SELECT doc_id, source,
+               UNNEST(list_slice(list_sort(ss), 1,
+                                 len(ss) - (len(ss) + 1) // 2 + 1)) AS tok
+        FROM sh
+    ),
+    cand AS (
+        SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
     )
-    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT c.source, c.id_a, c.id_b,
            ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE
                  / len(list_distinct(list_concat(a.ss, b.ss))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
     WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
           / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.5
     """,
