@@ -479,8 +479,16 @@ _DECILES = [i / 10.0 for i in range(1, 10)]
     "q_profile_equidepth",
     f"""
     WITH b AS (
+        -- boundaries round to 6dp: the mathematical deciles are
+        -- interpolations of 2-decimal values at 1-decimal fractions (<= 3
+        -- true decimals), but both engines compute the (n-1)*p index in
+        -- doubles, and when it lands ~integer their last-ulp differences
+        -- can put a DATA value on opposite sides of a boundary (seen at
+        -- sf0.1). round6 is exact for every true boundary and kills the
+        -- 1e-12 index noise in both engines identically.
         SELECT event_type,
-               quantile_cont(value, {_DECILES!r}) AS bs
+               list_transform(quantile_cont(value, {_DECILES!r}),
+                              x -> ROUND(x, 6)) AS bs
         FROM events GROUP BY 1
     ),
     a AS (
@@ -506,9 +514,10 @@ def q_profile_equidepth(spark, sf_dir):
     aggregates + a broadcast join)."""
     ev = _cat(spark, sf_dir).events
     b = ev.groupBy("event_type").agg(
-        F.percentile("value", F.array(*[F.lit(p) for p in _DECILES])).alias(
-            "bs"
-        )
+        F.transform(
+            F.percentile("value", F.array(*[F.lit(p) for p in _DECILES])),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
     )
     a = ev.select("event_type", "value").join(F.broadcast(b), "event_type")
     bucket = F.size(
