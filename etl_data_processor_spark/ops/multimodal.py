@@ -425,3 +425,80 @@ def rgb_tile_stats(df, blob_col: str = "rgb", id_col: str = "doc_id",
     return df.mapInPandas(
         gen, f"{id_col} long, ty int, tx int, c int, s long"
     )
+
+
+def gray_synthesize_groups(
+    df,
+    id_col: str = "doc_id",
+    w: int = 32,
+    h: int = 32,
+    group: int = 4,
+    period: int = 50,
+    bump: int = 60,
+):
+    """Deterministic grayscale frames with PLANTED near-duplicate groups:
+    ids in the same group of ``group`` share a base pattern
+    ((g+11)·(i+7)) % 256 (per-group sawtooth frequency → distinct
+    signatures across groups) and each member perturbs ~w·h/period pixels
+    by +``bump`` at positions i % period == id % group — a deterministic
+    stand-in for re-encoded/lightly-edited copies of one image. Closed
+    form, so DuckDB reproduces every byte (the rgb_synthesize contract)."""
+    import numpy as np
+    import pandas as pd
+
+    n_bytes = w * h
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                g, d = i // group, i % group
+                n = np.arange(n_bytes, dtype=np.int64)
+                v = ((g + 11) * (n + 7) + np.where(n % period == d, bump, 0)) % 256
+                blobs.append(v.astype(np.uint8).tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "px": blobs})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, px binary")
+
+
+def ahash64(
+    df,
+    blob_col: str = "px",
+    id_col: str = "doc_id",
+    w: int = 32,
+    h: int = 32,
+    block: int = 4,
+):
+    """64-bit average-hash (aHash) perceptual signature from a raw
+    grayscale buffer: decode via np.frombuffer, mean-pool (h/block ×
+    w/block) = 8×8 blocks, bit b = block mean > global mean — compared in
+    EXACT integer cross-multiplication (block_sum·(w·h/blocks²) >
+    total_sum), so the signature is bit-deterministic and recomputable in
+    SQL. Returned as a signed long (bit 63 in two's complement). This is
+    the image-dedup counterpart of SimHash: Arrow-batched decode, one
+    64-bit signature per frame, banded self-join downstream."""
+    import numpy as np
+    import pandas as pd
+
+    by, bx = h // block, w // block  # 8x8 blocks
+    n_blocks = by * bx
+    px_per_block = block * block
+
+    def gen(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                img = np.frombuffer(blob, dtype=np.uint8).reshape(h, w).astype(np.int64)
+                blocks = img.reshape(by, block, bx, block).sum(axis=(1, 3)).reshape(-1)
+                total = int(img.sum())
+                u = 0
+                for b in range(n_blocks):
+                    # block_mean > global_mean  <=>  bs * n_blocks > total
+                    if int(blocks[b]) * n_blocks > total:
+                        u |= 1 << b
+                sigs.append(u - (1 << 64) if u >= 1 << 63 else u)
+                ids.append(int(i))
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return df.mapInPandas(gen, f"{id_col} long, sig long")

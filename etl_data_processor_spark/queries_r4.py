@@ -413,6 +413,114 @@ def q_join_bucketed(spark, sf_dir):
 
 
 # =====================================================================
+# Perceptual-hash image dedup (aHash + banded hamming)
+# =====================================================================
+
+
+@q(
+    "q_image_phash_dedup",
+    """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+    px AS (
+        SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+               ((doc_id // 4 + 11) * (CAST(t.i AS BIGINT) + 7)
+                + CASE WHEN CAST(t.i AS BIGINT) % 50 = doc_id % 4
+                       THEN 60 ELSE 0 END) % 256 AS v
+        FROM ids, UNNEST(range(0, 1024)) AS t(i)
+    ),
+    tot AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS s FROM px GROUP BY 1),
+    blk AS (
+        SELECT doc_id, ((i // 32) // 4) * 8 + (i % 32) // 4 AS b,
+               CAST(SUM(v) AS BIGINT) AS bs
+        FROM px GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT blk.doc_id,
+               CAST(SUM(CASE WHEN bs * 64 > s THEN
+                   CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                        ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+                   ELSE 0 END) AS BIGINT) AS sig
+        FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+        GROUP BY 1
+    ),
+    bands AS (
+        SELECT doc_id, CAST(u.k AS INTEGER) AS k,
+               (sig >> CAST(16 * u.k AS INTEGER)) & 65535 AS bv
+        FROM sig, UNNEST(range(0, 4)) AS u(k)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.sig, sb.sig)) <= 10
+    """,
+)
+def q_image_phash_dedup(spark, sf_dir):
+    """IMAGE near-duplicate detection via perceptual hashing — the
+    multimodal counterpart of SimHash text dedup: synthesize grayscale
+    frames with planted near-dup groups (binary columns, real
+    np.frombuffer decode), compute a 64-bit average-hash signature per
+    frame (8×8 mean-pooled blocks vs global mean, exact integer
+    cross-multiplied comparisons), block candidates by 16-bit signature
+    bands (4 bands — only same-band-value pairs ever join), and verify
+    exact hamming ≤ 10 via bit_count(xor). At 100 TB: signatures are one
+    Arrow-batched decode pass (narrow), the band self-join is the only
+    shuffle, and the signature table persists exactly like the MinHash
+    band-bucket index. The closed-form pixels let DuckDB recompute the
+    entire decode→pool→sign→band→verify chain bit-for-bit."""
+    from etl_data_processor_spark.ops.multimodal import (
+        ahash64,
+        gray_synthesize_groups,
+    )
+
+    docs = _cat(spark, sf_dir).documents.filter(F.col("doc_id") < 120)
+    sigs = ahash64(gray_synthesize_groups(docs))
+    sigs = sigs.cache()  # consumed by both band sides + the verify joins
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright(F.col("sig"), 16 * k)
+                        .bitwiseAND(F.lit(65535))
+                        .alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("kb"),
+    ).select("doc_id", F.col("kb.k").alias("k"), F.col("kb.bv").alias("bv"))
+    a = bands.select(F.col("doc_id").alias("id_a"), "k", "bv")
+    b = bands.select(F.col("doc_id").alias("id_b"), "k", "bv")
+    cand = (
+        a.join(b, ["k", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= 10)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# =====================================================================
 # KMV theta sketch — set-INTERSECTION estimation
 # =====================================================================
 
@@ -504,6 +612,152 @@ def q_sketch_theta_kmv(spark, sf_dir):
             F.count(F.when(F.col("h") < F.col("theta"), 1))
             * F.lit(4294967296.0) / F.first("theta") + F.lit(0.5)
         ).cast("long").alias("est_common")
+    )
+
+
+# =====================================================================
+# Retrieval-quality eval: nDCG of int8-quantized retrieval
+# =====================================================================
+
+_QVEC8 = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / mx * 7.0"
+    " + 0.5) AS BIGINT))"
+)
+_QVEC7 = (
+    "list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000000.0"
+    "+0.5) AS BIGINT))"
+)
+
+
+@q(
+    "q_eval_ndcg",
+    f"""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding,
+                        x -> abs(CAST(x AS DOUBLE)))) AS mx
+        FROM embeddings
+    ),
+    q8 AS (
+        SELECT vec_id,
+               CAST(FLOOR(mx * 1000000.0 + 0.5) AS BIGINT) AS s6,
+               {_QVEC8} AS c8,
+               {_QVEC7} AS ce
+        FROM m WHERE mx > 0
+    ),
+    qa AS (SELECT vec_id AS query_id, c8, ce FROM q8 WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT qa.query_id, db.vec_id,
+               CAST(SUM(db.c8[i] * qa.c8[i]) AS BIGINT) * ANY_VALUE(db.s6)
+                 AS iscore,
+               CAST(FLOOR((CAST(SUM(db.ce[i] * qa.ce[i]) AS DOUBLE)
+                    / (SQRT(CAST(SUM(db.ce[i] * db.ce[i]) AS DOUBLE))
+                       * SQRT(CAST(SUM(qa.ce[i] * qa.ce[i]) AS DOUBLE))))
+                    * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS cos6
+        FROM q8 db, qa, range(1, 65) t(i)
+        WHERE db.vec_id <> qa.query_id
+        GROUP BY qa.query_id, db.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cos6,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY iscore DESC, vec_id) AS pos_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos6 DESC, vec_id) AS pos_i
+        FROM scored
+    ),
+    agg AS (
+        SELECT query_id,
+               SUM(CASE WHEN pos_r <= 10
+                        THEN GREATEST(cos6, 0.0) / log2(pos_r + 1)
+                        ELSE 0 END) AS dcg,
+               SUM(CASE WHEN pos_i <= 10
+                        THEN GREATEST(cos6, 0.0) / log2(pos_i + 1)
+                        ELSE 0 END) AS idcg
+        FROM ranked GROUP BY query_id
+    )
+    SELECT query_id,
+           CAST(FLOOR(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0 END
+                      * 10000.0 + 0.5) AS DOUBLE) / 10000.0 AS ndcg4
+    FROM agg
+    """,
+)
+def q_eval_ndcg(spark, sf_dir):
+    """Retrieval-quality evaluation: nDCG@10 of int4-QUANTIZED retrieval
+    against full-precision exact-cosine ground truth — the measurement
+    that decides whether 16×-cheaper quantized embeddings are good enough
+    to ship at 100 TB. Retrieval ranks by integer code-dot × doc scale
+    (query scale is rank-invariant per query; all-integer, so the ranking
+    is bit-deterministic), gains are the exact fixed-point cosines, and
+    both the retrieved and ideal DCG come from ONE scored frame with two
+    window ranks. Everything is closed-form arithmetic, so the entire
+    eval — quantize, retrieve, rank, nDCG — is value-checked cross-engine
+    (rounded to 4dp; the only floats are 10-term gain/log2 sums where
+    1-ulp libm noise is 1e-15)."""
+    from etl_data_processor_spark.ops.similarity import dec_cosine
+
+    from pyspark.sql import Window
+
+    e = _cat(spark, sf_dir).embeddings
+    xd = lambda x: x.cast("double")  # noqa: E731
+    m = e.select(
+        "vec_id",
+        "embedding",
+        F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))).alias("mx"),
+    ).filter(F.col("mx") > 0)
+    q8 = m.select(
+        "vec_id",
+        "embedding",
+        F.floor(F.col("mx") * 1000000.0 + F.lit(0.5)).cast("long").alias("s6"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(xd(x) / F.col("mx") * 7.0 + F.lit(0.5)).cast("long"),
+        ).alias("c8"),
+    )
+    qa = q8.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("c8").alias("qc8"),
+    )
+    cand = q8.crossJoin(F.broadcast(qa)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    iscore = (
+        F.aggregate(
+            F.zip_with(F.col("c8"), F.col("qc8"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        * F.col("s6")
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        iscore.alias("iscore"),
+        dec_cosine(F.col("embedding"), F.col("qemb")).alias("cos6"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("iscore"), F.asc("vec_id"))
+    wi = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("vec_id"))
+    ranked = scored.select(
+        "query_id", "cos6",
+        F.row_number().over(wr).alias("pos_r"),
+        F.row_number().over(wi).alias("pos_i"),
+    )
+    gain = F.greatest(F.col("cos6"), F.lit(0.0))
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("pos_r") <= 10, gain / F.log2(F.col("pos_r") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("pos_i") <= 10, gain / F.log2(F.col("pos_i") + 1)).otherwise(0.0)
+        ).alias("idcg"),
+    )
+    ndcg = F.when(
+        F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "query_id",
+        (F.floor(ndcg * 10000.0 + F.lit(0.5)) / F.lit(10000.0)).alias("ndcg4"),
     )
 
 

@@ -110,3 +110,28 @@ def test_cached_df_materializes_and_rereads_artifact(spark, tmp_path):
     arts = os.path.join(warehouse, "_artifacts")
     assert os.path.isdir(arts) and any(os.scandir(arts))
     D._DF_CACHE.clear()
+
+
+def test_phash_finds_planted_image_groups(spark, sf_dir):
+    """Every planted near-dup image group (ids sharing doc_id//4) must
+    produce at least one within-group pair, and within-group hamming must
+    be far below cross-group hamming on average."""
+    out = QUERIES["q_image_phash_dedup"](spark, sf_dir).collect()
+    within = [r for r in out if r["id_a"] // 4 == r["id_b"] // 4]
+    cross = [r for r in out if r["id_a"] // 4 != r["id_b"] // 4]
+    groups_hit = {r["id_a"] // 4 for r in within}
+    assert len(groups_hit) >= 25, f"only {len(groups_hit)}/30 groups found"
+    if within and cross:
+        avg_w = sum(r["hamming"] for r in within) / len(within)
+        avg_c = sum(r["hamming"] for r in cross) / len(cross)
+        assert avg_w < avg_c
+
+def test_ndcg_in_unit_range_and_degrades(spark, sf_dir):
+    """nDCG@10 of int4 retrieval: in (0, 1], and strictly below 1 for at
+    least one query on this fixture (the metric detects quantization
+    loss; int8 was measured lossless here, int4 is not)."""
+    rows = QUERIES["q_eval_ndcg"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 < r["ndcg4"] <= 1.0
+    assert any(r["ndcg4"] < 1.0 for r in rows)
