@@ -198,6 +198,7 @@ def q_sample_weighted(spark, sf_dir):
 from etl_data_processor_spark.queries_north import (
     _BENCH_SOURCES,
     _DUCK_SHINGLES,
+    _duck_cc_closure,
     _duck_prefix,
 )
 
@@ -245,13 +246,9 @@ _PIPELINE_ORACLE = f"""
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM pairs
     ),
-    walk AS (
-        SELECT DISTINCT src AS node, src AS comp FROM edges
-        UNION
-        SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
-    ),
+    {{closure}},
     dropped AS (
-        SELECT node FROM walk GROUP BY node HAVING MIN(comp) <> node
+        SELECT node FROM labels WHERE component <> node
     ),
     kept AS (
         SELECT c.doc_id, c.source FROM clean c
@@ -273,7 +270,7 @@ _PIPELINE_ORACLE = f"""
     """
 
 
-@q("q_corpus_pipeline", _PIPELINE_ORACLE)
+@q("q_corpus_pipeline", _PIPELINE_ORACLE.format(closure=_duck_cc_closure()))
 def q_corpus_pipeline(spark, sf_dir):
     """Capstone: decontaminate → cluster-dedup → quality-weighted sample →
     per-source stats, all stages oracle-checked END-TO-END in one query

@@ -251,13 +251,57 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def _duck_cc_closure(n_rounds: int = 8) -> str:
+    """Unrolled connected-components closure over an ``edges``(src, dst)
+    CTE (symmetric) → ``labels``(node, component), component = min node
+    reachable. Each round takes the min label over {{self}} ∪ neighbors ∪
+    label-of-label (POINTER DOUBLING — label chains halve every round, so
+    ``n_rounds`` covers component diameters up to ~2^n_rounds). Replaces
+    the recursive reachability CTE whose state is Σ|component|² (60-80 s
+    per query at sf0.1 in DuckDB); each unrolled round is |V|+2|E| rows,
+    so the whole closure is linear. NOT trusted blindly: one extra GUARD
+    round runs after the last counted round, and ``labels`` is emptied
+    wholesale if ANY node's label still changed — an unconverged closure
+    can only ever FAIL the comparison, never silently pass."""
+    # AS MATERIALIZED is load-bearing: every round references the previous
+    # round three times, and DuckDB's default CTE inlining would expand the
+    # plan 3^rounds-fold (observed as a too-many-open-files explosion).
+    parts = [
+        # snapshot the caller's edges once too — the rounds reference it
+        # n_rounds times, and inlining would re-run the whole upstream
+        # pair-generation pipeline per round
+        "e2 AS MATERIALIZED (SELECT src, dst FROM edges)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lab FROM e2)",
+    ]
+    for k in range(1, n_rounds + 2):  # +1 guard round
+        parts.append(f"""
+    l{k} AS MATERIALIZED (
+        SELECT node, MIN(lab) AS lab FROM (
+            SELECT node, lab FROM l{k - 1}
+            UNION ALL
+            SELECT e.dst AS node, l.lab FROM e2 e
+            JOIN l{k - 1} l ON l.node = e.src
+            UNION ALL
+            SELECT a.node, b.lab FROM l{k - 1} a
+            JOIN l{k - 1} b ON b.node = a.lab
+        ) GROUP BY node
+    )""")
+    parts.append(f"""
+    labels AS (
+        SELECT node, lab AS component FROM l{n_rounds}
+        WHERE NOT EXISTS (
+            SELECT 1 FROM l{n_rounds + 1} g
+            JOIN l{n_rounds} f ON g.node = f.node AND g.lab <> f.lab
+        )
+    )""")
+    return ",".join(parts)
+
+
 # Shared oracle fragments for the cluster-resolution queries: exact-Jaccard
 # near-dup pairs over prefix-filtered candidates (provably complete at the
 # 0.8 threshold — see _duck_prefix; valid stand-in for LSH at recall
-# ≥ 1-8e-8, see q_dedup_minhash) closed into components by a recursive
-# reachability CTE — comp(node) = min node reachable, i.e. exactly
-# connected components. The recursion state is bounded by Σ|component|²
-# (near-dup clusters are tiny), so the whole oracle is near-linear.
+# ≥ 1-8e-8, see q_dedup_minhash) closed into components by the unrolled
+# doubling closure (_duck_cc_closure — linear, guard-protected).
 _DUCK_CC = f"""
     sh AS (
         SELECT doc_id, {{shingles}} AS ss
@@ -279,15 +323,7 @@ _DUCK_CC = f"""
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION ALL
         SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    walk AS (
-        SELECT DISTINCT src AS node, src AS comp FROM edges
-        UNION
-        SELECT e.dst AS node, w.comp FROM walk w JOIN edges e ON e.src = w.node
-    ),
-    labels AS (
-        SELECT node, MIN(comp) AS component FROM walk GROUP BY node
-    )
+    ),{_duck_cc_closure()}
 """
 
 
