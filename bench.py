@@ -108,6 +108,19 @@ def main() -> None:
             t0 = time.time()
             run()
             reps.append(time.time() - t0)
+        # Adaptive extra reps for SUB-HALF-SECOND keys: their absolute
+        # jitter (40-60 ms of scheduler/GC noise) is a large FRACTION of
+        # the measurement, which is what churns the >20% regression list
+        # between runs (r4: three runs produced three disjoint flag sets,
+        # all on untouched sub-0.5s keys). Two more reps cost ~1s per fast
+        # key and stabilize the min; heavy keys keep n=3.
+        if min(reps) < 0.5:
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark._jvm.System.gc()
+                t0 = time.time()
+                run()
+                reps.append(time.time() - t0)
         reps.sort()
         timings[name] = round(reps[0], 3)
         # Per-query spread over the n reps (VERDICT r3 item 8): this VM
