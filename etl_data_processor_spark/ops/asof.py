@@ -224,12 +224,14 @@ def asof_join_nearest(
         F.last("__rrow", ignorenulls=True).over(wb).alias("__b"),
         F.first("__rrow", ignorenulls=True).over(wf).alias("__f"),
     )
-    from pyspark.sql.types import TimestampType
+    from pyspark.sql.types import TimestampNTZType, TimestampType
 
     # Distance arithmetic in exact integer MICROSECONDS for timestamp ts
     # (double epoch-seconds round at ~2^-21 s ≈ the µs scale itself, which
     # could flip a backward/forward tie vs an exact-interval oracle).
-    if isinstance(left.schema[ts].dataType, TimestampType):
+    # Covers NTZ too: casting timestamp_ntz to double is disallowed, while
+    # unix_micros accepts both flavors.
+    if isinstance(left.schema[ts].dataType, (TimestampType, TimestampNTZType)):
         def _t(c):
             return F.unix_micros(c)
         tol = None if tolerance is None else float(tolerance) * 1e6

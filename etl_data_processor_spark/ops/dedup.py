@@ -52,8 +52,10 @@ def _parallelize(df: DataFrame) -> DataFrame:
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     # Topmost explicit repartition decides the output width. Formats:
     #   "Repartition <n>, true|false"  (.repartition(n) / .coalesce(n))
-    #   "RepartitionByExpression [exprs], <n>" / without a count (defaults
-    #   to spark.sql.shuffle.partitions -> wide)
+    #   "RepartitionByExpression [exprs], <n>" / without a count, whose
+    #   REAL width is spark.sql.shuffle.partitions — NOT defaultParallelism
+    #   (with shuffle.partitions < cores the old default wrongly treated
+    #   repartition(col) frames as already-wide)
     m = re.search(
         r"^(?:[:+\- ]*)(Repartition (\d+), (?:true|false)"
         r"|RepartitionByExpression \[[^\]]*\](?:, (\d+))?)",
@@ -61,7 +63,8 @@ def _parallelize(df: DataFrame) -> DataFrame:
         re.M,
     )
     if m:
-        n = int(m.group(2) or m.group(3) or parallelism)
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        n = int(m.group(2) or m.group(3) or shuffle_n)
         if n >= parallelism:
             return df
         return df.repartition(parallelism)
@@ -80,6 +83,29 @@ _DF_CACHE: dict = {}
 # params, band scheme): the version is part of the on-disk path, so stale
 # artifacts from older code can never be read back as current ones.
 _ARTIFACT_VERSION = "v1"
+
+
+def source_signature(*paths: str) -> tuple:
+    """Content signature of the SOURCE files an artifact derives from —
+    (mtime_ns, size) per file (recursing one level into directories of
+    parquet parts). Include it in a materialized ``cached_df`` key so a
+    regenerated fixture at the SAME path (new data, old location) can
+    never be served a stale on-disk index: the key changes, the slug
+    changes, the artifact rebuilds."""
+    import os
+
+    sig = []
+    for p in paths:
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                sig.append((f, st.st_mtime_ns, st.st_size))
+        elif os.path.exists(p):
+            st = os.stat(p)
+            sig.append((os.path.basename(p), st.st_mtime_ns, st.st_size))
+        else:
+            sig.append((p, 0, 0))
+    return tuple(sig)
 
 
 def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFrame:
@@ -125,14 +151,22 @@ def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFram
             ).hexdigest()[:16]
             path = os.path.join(warehouse, "_artifacts", slug)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                if os.path.isdir(path):  # crashed/partial write — clear it
-                    shutil.rmtree(path, ignore_errors=True)
+                # build to a private tmp FIRST; only inspect the target
+                # again at publish time — minimizes the window in which a
+                # concurrent builder's just-completed artifact could be
+                # mistaken for a crashed partial write
                 tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
                 builder().write.mode("overwrite").parquet(tmp)
-                try:
-                    os.rename(tmp, path)
-                except OSError:  # lost the race — another writer finished
+                if os.path.exists(os.path.join(path, "_SUCCESS")):
+                    # another writer finished while we built — keep theirs
                     shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    if os.path.isdir(path):  # crashed partial write
+                        shutil.rmtree(path, ignore_errors=True)
+                    try:
+                        os.rename(tmp, path)
+                    except OSError:  # lost the final race
+                        shutil.rmtree(tmp, ignore_errors=True)
             _DF_CACHE[full] = spark.read.parquet(path)
         else:
             _DF_CACHE[full] = builder()

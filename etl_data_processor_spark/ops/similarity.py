@@ -614,6 +614,8 @@ def train_ivf_centroids(
     # (hash asc, id asc), so the model is bit-deterministic.
     sample = _hash_seed_rows(corpus, id_col, [id_col, vec_col], 8 * n_lists)
     svecs = [[float(x) for x in r[vec_col]] for r in sample]
+    if not svecs:  # empty corpus -> empty model (callers handle [])
+        return []
     sunit = [unit(v) for v in svecs]
     chosen = [0]
     while len(chosen) < min(n_lists, len(svecs)):

@@ -1761,9 +1761,12 @@ def q_cosine_pq(spark, sf_dir):
         pq_encode,
     )
 
+    from etl_data_processor_spark.ops.dedup import source_signature
+
     codes = cached_df(
         spark,
-        (sf_dir, "pq_codes", model_fingerprint(books)),
+        (sf_dir, "pq_codes", model_fingerprint(books),
+         source_signature(f"{sf_dir}/embeddings.parquet")),
         lambda: pq_encode(emb, books),
         materialize=True,
     )
@@ -1813,10 +1816,13 @@ def q_cosine_ivfpq(spark, sf_dir):
         ).select("vec_id", "__list")
         return pq_encode(emb, books).join(assigned, "vec_id")
 
+    from etl_data_processor_spark.ops.dedup import source_signature
+
     index = cached_df(
         spark,
         (sf_dir, "ivfpq_index", model_fingerprint(cents),
-         model_fingerprint(books)),
+         model_fingerprint(books),
+         source_signature(f"{sf_dir}/embeddings.parquet")),
         build_index,
         materialize=True,
     )

@@ -141,10 +141,15 @@ def _lsh_index(spark, sf_dir):
             D._parallelize(docs.select("doc_id", "source", "text"))
         ).select("doc_id", "source", "shingles")
 
-    sh = D.cached_df(spark, (sf_dir, "lsh_shingles"), build_sh, materialize=True)
+    # the corpus-content signature in the key means a REGENERATED fixture
+    # at the same path rebuilds the artifacts instead of serving stale ones
+    src = D.source_signature(f"{sf_dir}/documents.parquet")
+    sh = D.cached_df(
+        spark, (sf_dir, "lsh_shingles", src), build_sh, materialize=True
+    )
     bk = D.cached_df(
         spark,
-        (sf_dir, "lsh_buckets"),
+        (sf_dir, "lsh_buckets", src),
         lambda: D.minhash_band_buckets(sh, carry_cols=["source"]),
         materialize=True,
     )
@@ -1558,7 +1563,8 @@ def q_cosine_ivf(spark, sf_dir):
     # so retrained centroids auto-invalidate the on-disk index
     assigned = D.cached_df(
         spark,
-        (sf_dir, "ivf_assign", SIM.model_fingerprint(cents)),
+        (sf_dir, "ivf_assign", SIM.model_fingerprint(cents),
+         D.source_signature(f"{sf_dir}/embeddings.parquet")),
         lambda: SIM.ivf_assign_argmax(
             emb.select("vec_id", "embedding"), cents
         ),

@@ -279,7 +279,19 @@ def append(
             agg_exprs.append(F.min(c).alias(f"__mn_{c}"))
             agg_exprs.append(F.max(c).alias(f"__mx_{c}"))
         for c in bloom_cols or []:
-            agg_exprs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+            # count_distinct excludes NULLs; add the NULL "key" back so
+            # bloom sizing matches the pre-refactor distinct().count()
+            # semantics (a NULL-bearing column at a power-of-two boundary
+            # would otherwise get a half-sized filter)
+            agg_exprs.append(
+                (
+                    F.count_distinct(F.col(c))
+                    + F.coalesce(
+                        F.max(F.when(F.col(c).isNull(), 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                ).alias(f"__nd_{c}")
+            )
         row = back.agg(*agg_exprs).collect()[0] if agg_exprs else None
         if stats_cols is not None:
             stats = {

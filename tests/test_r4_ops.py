@@ -135,3 +135,33 @@ def test_ndcg_in_unit_range_and_degrades(spark, sf_dir):
     for r in rows:
         assert 0.0 < r["ndcg4"] <= 1.0
     assert any(r["ndcg4"] < 1.0 for r in rows)
+
+
+def test_source_signature_invalidates_on_fixture_change(spark, tmp_path):
+    """A materialized artifact keyed with source_signature must REBUILD
+    when the source file's content changes at the same path (regenerated
+    fixture), instead of serving the stale on-disk index."""
+    import os
+    import time as _time
+
+    from etl_data_processor_spark.ops import dedup as D
+
+    src = tmp_path / "corpus.parquet"
+    spark.range(0, 10).write.mode("overwrite").parquet(str(src))
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(str(src))
+
+    k1 = ("t", "sig-art", D.source_signature(str(src)))
+    D.cached_df(spark, k1, build, materialize=True).count()
+    assert calls["n"] == 1
+    # regenerate the fixture at the SAME path with different content
+    _time.sleep(0.01)  # ensure mtime moves even on coarse filesystems
+    spark.range(0, 25).write.mode("overwrite").parquet(str(src))
+    k2 = ("t", "sig-art", D.source_signature(str(src)))
+    assert k2 != k1  # the signature moved, so the artifact key moved
+    df = D.cached_df(spark, k2, build, materialize=True)
+    assert calls["n"] == 2 and df.count() == 25
+    D._DF_CACHE.clear()
