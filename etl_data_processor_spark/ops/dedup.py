@@ -23,6 +23,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _find_repartition_node(jplan):
+    """Pre-order search of a JVM logical-plan tree for the TOPMOST explicit
+    repartition node (Repartition / RepartitionByExpression). Returns the
+    py4j node or None. Metadata-only — never triggers a job."""
+    if jplan.getClass().getSimpleName() in (
+        "Repartition",
+        "RepartitionByExpression",
+    ):
+        return jplan
+    children = jplan.children()
+    for i in range(children.size()):
+        found = _find_repartition_node(children.apply(i))
+        if found is not None:
+            return found
+    return None
+
+
 def _parallelize(df: DataFrame) -> DataFrame:
     """Ensure at least cluster-parallelism partitions before a CPU-heavy
     expression stage — but ONLY when the input is narrower than that.
@@ -49,26 +66,35 @@ def _parallelize(df: DataFrame) -> DataFrame:
 
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    # Topmost explicit repartition decides the output width. Formats:
-    #   "Repartition <n>, true|false"  (.repartition(n) / .coalesce(n))
-    #   "RepartitionByExpression [exprs], <n>" / without a count, whose
+    plan = df._jdf.queryExecution().optimizedPlan()
+    # Topmost explicit repartition decides the output width. Walk the JVM
+    # logical-plan tree by node class (not the plan's STRING form — a `]`
+    # inside a RepartitionByExpression expression list truncated the old
+    # regex match and silently fell back to the wrong width):
+    #   Repartition(n, shuffle)   — .repartition(n) / .coalesce(n)
+    #   RepartitionByExpression   — optNumPartitions Some(n), else the
     #   REAL width is spark.sql.shuffle.partitions — NOT defaultParallelism
     #   (with shuffle.partitions < cores the old default wrongly treated
     #   repartition(col) frames as already-wide)
-    m = re.search(
-        r"^(?:[:+\- ]*)(Repartition (\d+), (?:true|false)"
-        r"|RepartitionByExpression \[[^\]]*\](?:, (\d+))?)",
-        plan,
-        re.M,
-    )
-    if m:
+    node = _find_repartition_node(plan)
+    if node is not None:
         shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        n = int(m.group(2) or m.group(3) or shuffle_n)
+        if node.getClass().getSimpleName() == "Repartition":
+            n = int(node.numPartitions())
+        else:
+            opt = node.optNumPartitions()
+            n = int(opt.get()) if opt.isDefined() else shuffle_n
         if n >= parallelism:
             return df
         return df.repartition(parallelism)
     size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    if size >= (1 << 62):
+        # defaultSizeInBytes sentinel (Long.MaxValue family): a non-file
+        # relation with UNKNOWN stats, not a provably-wide scan. Frames
+        # that reach this helper are either file scans (real stats) or
+        # small constructed frames, so widen: a redundant exchange on a
+        # small frame beats serial CPU work on a mis-sized one.
+        return df.repartition(parallelism)
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
     mb = re.match(r"(\d+)([bkmg]?)", raw.lower())
     max_pb = int(mb.group(1)) * {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[mb.group(2)]
@@ -87,19 +113,25 @@ _ARTIFACT_VERSION = "v1"
 
 def source_signature(*paths: str) -> tuple:
     """Content signature of the SOURCE files an artifact derives from —
-    (mtime_ns, size) per file (recursing one level into directories of
-    parquet parts). Include it in a materialized ``cached_df`` key so a
-    regenerated fixture at the SAME path (new data, old location) can
-    never be served a stale on-disk index: the key changes, the slug
-    changes, the artifact rebuilds."""
+    (mtime_ns, size) per file (recursing to ANY depth into directories —
+    a partitioned dataset's ``key=.../part-*.parquet`` rewrite must change
+    the signature even when no top-level entry's stat tuple moves).
+    Include it in a materialized ``cached_df`` key so a regenerated
+    fixture at the SAME path (new data, old location) can never be served
+    a stale on-disk index: the key changes, the slug changes, the
+    artifact rebuilds."""
     import os
 
     sig = []
     for p in paths:
         if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                st = os.stat(os.path.join(p, f))
-                sig.append((f, st.st_mtime_ns, st.st_size))
+            for root, dirs, files in os.walk(p):
+                dirs.sort()
+                rel = os.path.relpath(root, p)
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    name = f if rel == "." else os.path.join(rel, f)
+                    sig.append((name, st.st_mtime_ns, st.st_size))
         elif os.path.exists(p):
             st = os.stat(p)
             sig.append((os.path.basename(p), st.st_mtime_ns, st.st_size))
@@ -157,12 +189,17 @@ def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFram
                 # mistaken for a crashed partial write
                 tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
                 builder().write.mode("overwrite").parquet(tmp)
+                # Publication is ONLY ever an atomic rename of a complete
+                # tmp (Spark writes _SUCCESS inside tmp before we move it),
+                # so a directory at `path` — with or without a visible
+                # _SUCCESS — is always a competitor's finished artifact;
+                # crashed builds leave only `.tmp-*` dirs behind. Never
+                # delete `path`: losing the rename race (EEXIST/ENOTEMPTY)
+                # just means the winner's identical artifact is in place.
                 if os.path.exists(os.path.join(path, "_SUCCESS")):
                     # another writer finished while we built — keep theirs
                     shutil.rmtree(tmp, ignore_errors=True)
                 else:
-                    if os.path.isdir(path):  # crashed partial write
-                        shutil.rmtree(path, ignore_errors=True)
                     try:
                         os.rename(tmp, path)
                     except OSError:  # lost the final race
