@@ -5,6 +5,14 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Each query is fully materialized via a count over the result (no driver-side
 collect of payload). Value = total wall-clock across the headline set.
+
+Work metrics (VERDICT r4 item 1): alongside wall time, every query records
+per-query executor CPU seconds, shuffle read/write MB, spill MB and input MB,
+summed over the Spark stages it ran (status REST API, stage-delta per rep).
+Wall time on this VM drifts ±20-40% run to run with byte-identical plans;
+CPU time and shuffle bytes are properties of the PLAN, so the regression
+list is computed on those (wall kept as a secondary signal). A flagged key
+now means the *work* changed, not the weather.
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ import os
 import re
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -69,9 +78,122 @@ HEADLINE = [
     "q_join_bucketed",
 ]
 
+# Stage-level work counters summed per query (REST field -> output key).
+_WORK_FIELDS = {
+    "executorCpuTime": "cpu_ns",
+    "shuffleReadBytes": "shuffle_read_b",
+    "shuffleWriteBytes": "shuffle_write_b",
+    "memoryBytesSpilled": "mem_spill_b",
+    "diskBytesSpilled": "disk_spill_b",
+    "inputBytes": "input_b",
+}
+
+
+class StageMetrics:
+    """Per-query work metrics via the Spark status REST API.
+
+    The status store is event-driven and can lag the job's completion by a
+    few event-queue flushes, so ``snapshot`` polls until two consecutive
+    reads agree on the completed-stage set. Each query's work = the delta
+    of completed-stage counters between its before/after snapshots.
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        ui = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        self._url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+
+    def _fetch(self) -> dict:
+        with urllib.request.urlopen(self._url, timeout=10) as r:
+            stages = json.load(r)
+        out = {}
+        for s in stages:
+            key = (s["stageId"], s.get("attemptId", 0))
+            out[key] = {k: int(s.get(f, 0) or 0) for f, k in _WORK_FIELDS.items()}
+        return out
+
+    def snapshot(self, settle: bool = False) -> dict:
+        snap = self._fetch()
+        if settle:
+            # poll until the completed set stops growing (event-queue lag)
+            for _ in range(40):
+                time.sleep(0.05)
+                nxt = self._fetch()
+                if set(nxt) == set(snap):
+                    return nxt
+                snap = nxt
+        return snap
+
+    @staticmethod
+    def delta(before: dict, after: dict) -> dict:
+        tot = {k: 0 for k in _WORK_FIELDS.values()}
+        for key, counters in after.items():
+            if key in before:
+                continue
+            for k, v in counters.items():
+                tot[k] += v
+        return tot
+
+
+def work_row(delta: dict) -> dict:
+    """Human-scale work record from a raw stage-counter delta."""
+    mb = 1024 * 1024
+    return {
+        "cpu_s": round(delta["cpu_ns"] / 1e9, 3),
+        "shuffle_read_mb": round(delta["shuffle_read_b"] / mb, 2),
+        "shuffle_write_mb": round(delta["shuffle_write_b"] / mb, 2),
+        "spill_mb": round((delta["mem_spill_b"] + delta["disk_spill_b"]) / mb, 2),
+        "input_mb": round(delta["input_b"] / mb, 2),
+    }
+
+
+def measure_query(spark, fn, sf_dir, metrics: StageMetrics | None, heavy_reps: int = 3):
+    """Warmup + min-of-N protocol for one query.
+
+    Returns (wall_reps_sorted, work) where work is the per-rep MINIMUM of
+    each counter (reps run identical plans, so the true work is the same;
+    min discards snapshot-boundary noise from stray event-queue stages).
+    """
+
+    def run():
+        fn(spark, sf_dir).agg({"*": "count"}).collect()
+
+    run()  # warmup (codegen compile, not counted)
+    reps: list[float] = []
+    works: list[dict] = []
+    # Timed: best of N, each recomputing from parquet (caches dropped; only
+    # JIT/codegen warmth carries over). Min-of-N with a GC barrier is the
+    # steady-state protocol — this VM shows ±15-30% per-query wall jitter
+    # (CPU steal); min-of-N converges where single draws churn.
+    for _ in range(heavy_reps):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        before = metrics.snapshot(settle=True) if metrics else None
+        t0 = time.time()
+        run()
+        reps.append(time.time() - t0)
+        if metrics:
+            works.append(StageMetrics.delta(before, metrics.snapshot(settle=True)))
+    # Adaptive extra reps for SUB-HALF-SECOND keys: their absolute jitter
+    # (40-60 ms of scheduler/GC noise) is a large FRACTION of the
+    # measurement; two more reps stabilize the min; heavy keys keep n=3.
+    if min(reps) < 0.5:
+        for _ in range(2):
+            spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            t0 = time.time()
+            run()
+            reps.append(time.time() - t0)
+    reps.sort()
+    work = None
+    if works:
+        work = {k: min(w[k] for w in works) for k in works[0]}
+    return reps, work
+
 
 def main() -> None:
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     queries = entry_mod.queries()
     names = [n for n in HEADLINE if n in queries]
     # include any additional heavy north-star queries when present
@@ -82,52 +204,29 @@ def main() -> None:
     # warm the JVM + file metadata cache once (not counted)
     queries["q_scan"](spark, SF_DIR).collect()
 
+    try:
+        metrics: StageMetrics | None = StageMetrics(spark)
+        metrics.snapshot()
+    except Exception:
+        metrics = None  # UI unavailable: fall back to wall-only bench
+
     # Standard warmup-then-measure: the first execution of a wide plan pays
     # one-time whole-stage-codegen compilation (2-3x for the 32-column
     # MinHash signature agg); the measured run is the steady-state latency a
     # resident engine delivers. Both runs execute the full plan end-to-end.
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
+    work: dict[str, dict] = {}
     for name in names:
-        def run():
-            queries[name](spark, SF_DIR).agg({"*": "count"}).collect()
-        run()  # warmup (codegen compile, not counted)
-        # Timed: best of 2 runs, each recomputing from parquet (caches
-        # dropped; only JIT/codegen warmth carries over). Min-of-N with a GC
-        # barrier is the standard steady-state protocol — single timed runs
-        # in a 29-query sequence fluctuate ±40% from GC debt left by earlier
-        # queries, which is JVM-state noise, not query cost.
-        # Best-of-3: this VM shows ±15-30% per-query jitter run to run
-        # (CPU steal); min-of-N converges on the true steady-state cost,
-        # and 3 reps was measured to stabilize the per-query number to a
-        # few percent where 2 still swung the regression list.
-        reps = []
-        for _ in range(3):
-            spark.catalog.clearCache()
-            spark._jvm.System.gc()
-            t0 = time.time()
-            run()
-            reps.append(time.time() - t0)
-        # Adaptive extra reps for SUB-HALF-SECOND keys: their absolute
-        # jitter (40-60 ms of scheduler/GC noise) is a large FRACTION of
-        # the measurement, which is what churns the >20% regression list
-        # between runs (r4: three runs produced three disjoint flag sets,
-        # all on untouched sub-0.5s keys). Two more reps cost ~1s per fast
-        # key and stabilize the min; heavy keys keep n=3.
-        if min(reps) < 0.5:
-            for _ in range(2):
-                spark.catalog.clearCache()
-                spark._jvm.System.gc()
-                t0 = time.time()
-                run()
-                reps.append(time.time() - t0)
-        reps.sort()
+        reps, w = measure_query(spark, queries[name], SF_DIR, metrics)
         timings[name] = round(reps[0], 3)
         # Per-query spread over the n reps (VERDICT r3 item 8): this VM
         # shows ±20-40% session drift with unchanged plans, so the artifact
-        # carries [min, median, max] and the regression list is computed
+        # carries [min, median, max] and wall regressions are judged
         # against the spread, not a single draw.
         spreads[name] = [round(reps[0], 3), round(reps[len(reps) // 2], 3), round(reps[-1], 3)]
+        if w is not None:
+            work[name] = work_row(w)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
@@ -139,26 +238,50 @@ def main() -> None:
         "spread": spreads,  # per-query [min, median, max] over the n reps
         "sf": sf,
     }
-    # Regression guardrail (VERDICT r1 #7): per-query deltas vs the committed
-    # round-1 snapshot, so a slowdown is visible in the bench artifact itself.
+    if work:
+        out["work"] = work
+        out["work_total"] = {
+            k: round(sum(w[k] for w in work.values()), 2) for k in next(iter(work.values()))
+        }
+    # Regression guardrail (VERDICT r1 #7, reworked r5 per VERDICT r4 #1):
+    # primary regression list on WORK metrics (cpu_s and shuffle bytes are
+    # plan properties, drift-immune); wall time demoted to a secondary list.
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_baseline.json")
     try:
         with open(base_path) as f:
             base = json.load(f)
         if base.get("sf") == sf:
             bq = base.get("queries", {})
+            bw = base.get("work", {})
             out["baseline_value"] = base.get("value")
             out["delta_vs_baseline"] = {
                 n: round(t - bq[n], 3) for n, t in timings.items() if n in bq
             }
-            # A regression requires the WHOLE spread above threshold: the
+            # Wall regression requires the WHOLE spread above threshold: the
             # best-of-n (min) exceeding 1.2x baseline means even the
-            # luckiest draw was slow — a plan change, not session noise.
-            out["regressions_gt_20pct"] = sorted(
+            # luckiest draw was slow. Secondary signal only (VM drift).
+            out["wall_regressions_gt_20pct"] = sorted(
                 n
                 for n, t in timings.items()
                 if n in bq and bq[n] >= 0.2 and t > bq[n] * 1.2
             )
+            # Primary: a key regresses when its WORK grew — >20% more CPU
+            # (on a >=0.1 cpu-s key) or >20% more shuffled bytes (on a
+            # >=1 MB key). These only move when the plan/code changed.
+            flagged = set()
+            for n, w in work.items():
+                b = bw.get(n)
+                if not b:
+                    continue
+                if b.get("cpu_s", 0) >= 0.1 and w["cpu_s"] > b["cpu_s"] * 1.2:
+                    flagged.add(n)
+                bsh = b.get("shuffle_read_mb", 0) + b.get("shuffle_write_mb", 0)
+                wsh = w["shuffle_read_mb"] + w["shuffle_write_mb"]
+                if bsh >= 1.0 and wsh > bsh * 1.2:
+                    flagged.add(n)
+            out["regressions_gt_20pct"] = sorted(flagged) if bw else out[
+                "wall_regressions_gt_20pct"
+            ]
     except (OSError, ValueError):
         pass
     payload = json.dumps(out)

@@ -101,3 +101,84 @@ def chunked_cumsum(
         .withColumn(out_col, out)
         .drop("__chunk", "__local", "__off", "__prior")
     )
+
+
+def chunked_rank(
+    df: DataFrame,
+    order_cols: list,
+    chunk_col: Column,
+    rank_col: str = "rank",
+    total_col: str | None = None,
+) -> DataFrame:
+    """Exact global row number over a UNIQUE total order, without the
+    single-reducer sort of ``row_number() OVER (ORDER BY ...)``.
+
+    Same two-phase shape as :func:`chunked_cumsum`: within-chunk
+    ``row_number`` (parallel across chunks) + per-chunk counts cumulated
+    into starting offsets (a chunk-count-sized frame; its global window
+    is bounded, never data-sized) joined back broadcast. ``chunk_col``
+    must be deterministic and monotone non-decreasing along
+    ``order_cols``'s total order (rows that compare equal on the leading
+    order expressions must share a chunk — derive it from boundary
+    comparisons on the FIRST order column only). ``order_cols`` must be a
+    unique total order (include a tie-break key) or ranks are ambiguous.
+
+    VERDICT r4 item 4: this is the registered scale path for the global
+    NTILE / global-rank family (q_rfm_segments); the plain global-window
+    form stays as the DuckDB oracle cross-check.
+    """
+    d = df.withColumn("__chunk", chunk_col)
+    w_in = Window.partitionBy("__chunk").orderBy(*order_cols)
+    local = d.withColumn("__local", F.row_number().over(w_in))
+    counts = d.groupBy("__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__chunk",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__tot"),
+    )
+    out = local.join(F.broadcast(offsets), "__chunk").withColumn(
+        rank_col, F.col("__off") + F.col("__local")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__chunk", "__local", "__off", "__tot")
+
+
+def ntile_expr(rank: Column, total: Column, k: int) -> Column:
+    """NTILE(k) reproduced EXACTLY from a 1-based global rank and the row
+    count: the first ``total % k`` buckets get ``total div k + 1`` rows,
+    the rest ``total div k`` — Spark's (and ANSI's) NTILE contract. Pure
+    Column arithmetic, so the tiling runs wherever the rank lives instead
+    of inside a single-reducer WindowExec. ``GREATEST(base, 1)`` guards
+    the small-N (total < k) division; that branch is then never selected
+    because every rank falls in the size-(base+1) prefix."""
+    base = F.floor(total / k).cast("long")
+    rem = (total % k).cast("long")
+    big = base + F.lit(1)
+    safe_base = F.greatest(base, F.lit(1).cast("long"))
+    return (
+        F.when(rank <= big * rem, F.floor((rank - 1) / big) + 1)
+        .otherwise(rem + F.floor((rank - 1 - big * rem) / safe_base) + 1)
+        .cast("int")
+    )
+
+
+def equidepth_chunk(df: DataFrame, metric_col: str, num_chunks: int = 32):
+    """Deterministic equi-depth chunk id for :func:`chunked_rank`: interior
+    quantile boundaries of ``metric_col`` via the EXACT ``percentile``
+    aggregate (deterministic — an approx sketch's partition-merge order
+    could assign a row different chunks in the rank's two consumers),
+    broadcast-joined back; the chunk is the count of boundaries strictly
+    below the value (q_profile_equidepth's technique), so equal metric
+    values always share a chunk. Returns (df_with_boundaries, chunk_col).
+    """
+    ps = [i / num_chunks for i in range(1, num_chunks)]
+    b = df.agg(
+        F.percentile(metric_col, F.array(*[F.lit(p) for p in ps])).alias("__bs")
+    )
+    joined = df.crossJoin(F.broadcast(b))
+    chunk = F.size(
+        F.filter(F.col("__bs"), lambda x: F.col(metric_col) > x)
+    ).cast("int")
+    return joined, chunk

@@ -22,6 +22,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.registry import q, cat as _cat
+from etl_data_processor_spark.ops.prefix import (
+    chunked_cumsum,
+    chunked_rank,
+    equidepth_chunk,
+    ntile_expr,
+)
 from etl_data_processor_spark.ops.similarity import stable_round6
 
 from etl_data_processor_spark.queries_ext2 import (  # noqa: E402
@@ -499,36 +505,54 @@ def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation: per-customer recency (days since last
     order vs the global max date), frequency, monetary (exact cents),
     each quintiled with a DETERMINISTIC total order (metric, custkey) so
-    the tiling is engine-exact; output is segment cell sizes. The NTILE
-    global sorts are the small per-user aggregate, not the fact table —
-    at 100 TB swap NTILE for the equi-depth histogram op
-    (q_hist_deciles' technique) to avoid the single-reducer sort."""
+    the tiling is engine-exact; output is segment cell sizes.
+
+    VERDICT r4 item 4: the registered plan is the SCALE-SAFE tiling —
+    each quintile is an exact global rank via ops/prefix.chunked_rank
+    (equi-depth chunks from broadcast exact-percentile boundaries +
+    within-chunk row_number + offset join; no data-sized WindowExec
+    anywhere) fed into the closed-form ntile_expr. The single-reducer
+    NTILE form survives as the DuckDB oracle cross-check. The global max
+    date is a scalar aggregate broadcast back, not a global window."""
     o = _cat(spark, sf_dir).orders
-    per_user = o.groupBy("o_custkey").agg(
+    agg = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(_cents("o_totalprice")).alias("monetary_cents"),
-    ).select(
+    )
+    gmax = agg.agg(F.max("last_order").alias("__gmax"))
+    per_user = agg.crossJoin(F.broadcast(gmax)).select(
         "o_custkey",
-        F.datediff(
-            F.max("last_order").over(Window.partitionBy()), F.col("last_order")
-        ).alias("recency_days"),
+        F.datediff(F.col("__gmax"), F.col("last_order")).alias("recency_days"),
         "frequency",
         "monetary_cents",
     )
-    tiles = per_user.select(
-        "o_custkey",
-        F.ntile(5).over(
-            Window.orderBy("recency_days", "o_custkey")
-        ).alias("r_tile"),
-        F.ntile(5).over(
-            Window.orderBy("frequency", "o_custkey")
-        ).alias("f_tile"),
-        F.ntile(5).over(
-            Window.orderBy("monetary_cents", "o_custkey")
-        ).alias("m_tile"),
-    )
-    return tiles.groupBy("r_tile", "f_tile", "m_tile").agg(
+    # Three INDEPENDENT slim rank branches (o_custkey + one metric each)
+    # joined back on the key — chaining the rank ops on one frame would
+    # multiply the shared lineage (each rank consumes its input in ~4
+    # places; chained that compounds to hundreds of plan copies of the
+    # orders aggregate), while three flat branches keep it a dozen, and
+    # every join shuffles on the same o_custkey key.
+    acc = None
+    for metric, tile in (
+        ("recency_days", "r_tile"),
+        ("frequency", "f_tile"),
+        ("monetary_cents", "m_tile"),
+    ):
+        slim = per_user.select("o_custkey", metric)
+        d, chunk = equidepth_chunk(slim, metric)
+        r = chunked_rank(
+            d,
+            [F.col(metric), F.col("o_custkey")],
+            chunk,
+            rank_col="__r",
+            total_col="__N",
+        )
+        t = r.select(
+            "o_custkey", ntile_expr(F.col("__r"), F.col("__N"), 5).alias(tile)
+        )
+        acc = t if acc is None else acc.join(t, "o_custkey")
+    return acc.groupBy("r_tile", "f_tile", "m_tile").agg(
         F.count(F.lit(1)).alias("n_users")
     )
 
@@ -3147,25 +3171,38 @@ def q_abc_classification(spark, sf_dir):
     """ABC analysis: parts ranked by revenue, classified A/B/C at the
     cumulative 80%/95% cuts — the inventory-prioritization classic.
     Class membership is the pure INTEGER test cum·100 <= tot·80 (no
-    float share), so the boundary is engine-exact; one cumulative
-    window over the part-level aggregate (part-count-sized — at larger
-    catalogs use chunked_cumsum, ops/prefix.py) + one final tally."""
+    float share), so the boundary is engine-exact.
+
+    VERDICT r4 item 4: the registered plan is the SCALE-SAFE cumulative
+    sum — ops/prefix.chunked_cumsum over equi-depth revenue chunks
+    (boundaries from one exact-percentile aggregate, broadcast back; the
+    chunk id is DESCENDING-monotone: count of boundaries ABOVE the
+    value, so higher revenue -> lower chunk, matching the cents DESC
+    order). No data-sized WindowExec; the global total is a scalar
+    aggregate broadcast back. The single-window form survives as the
+    DuckDB oracle cross-check."""
     li = _cat(spark, sf_dir).lineitem
     rev = li.groupBy("l_partkey").agg(
         F.sum(_cents("l_extendedprice")).alias("cents")
     )
-    w_cum = (
-        Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ps = [i / 32 for i in range(1, 32)]
+    b = rev.agg(
+        F.percentile("cents", F.array(*[F.lit(p) for p in ps])).alias("__bs")
     )
-    ranked = rev.select(
-        "l_partkey",
-        "cents",
-        F.sum("cents").over(w_cum).alias("cum"),
-        F.sum("cents").over(
-            Window.partitionBy()
-        ).alias("tot"),
-    )
+    joined = rev.crossJoin(F.broadcast(b))
+    chunk = F.size(
+        F.filter(F.col("__bs"), lambda x: F.col("cents") < x)
+    ).cast("int")
+    cum = chunked_cumsum(
+        joined,
+        series_cols=[],
+        order_cols=[F.col("cents").desc(), F.col("l_partkey")],
+        val_col="cents",
+        chunk_col=chunk,
+        out_col="cum",
+    ).drop("__bs")
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    ranked = cum.crossJoin(F.broadcast(tot))
     cls = (
         F.when(F.col("cum") * 100 <= F.col("tot") * 80, F.lit("A"))
         .when(F.col("cum") * 100 <= F.col("tot") * 95, F.lit("B"))

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from etl_data_processor_spark.registry import q, cat as _cat
 from etl_data_processor_spark.ops import sampling as S
+from etl_data_processor_spark.ops.dedup import _parallelize
 
 
 # =====================================================================
@@ -319,11 +320,14 @@ def q_record_linkage(spark, sf_dir):
     # cheap JVM-side edit-distance prefilter inside the block BEFORE the
     # Python scorer: levenshtein is codegen'd, so the Arrow round-trip only
     # sees near-pairs (textbook multi-stage linkage: block → cheap filter →
-    # expensive score). The probe side spreads to full parallelism first:
-    # the per-pair CPU (lev × |block| candidates each) dwarfs the scan, and
-    # a test-scale single-file scan would otherwise run the whole block
-    # comparison on one core (at 100 TB the probe is naturally wide).
-    cust = cust.repartition(spark.sparkContext.defaultParallelism)
+    # expensive score). The probe side spreads to full parallelism FIRST,
+    # but only when it is actually narrow (the width-guarded _parallelize
+    # probe): the per-pair CPU (lev × |block| candidates each) dwarfs the
+    # scan, and a test-scale single-file scan would otherwise run the
+    # whole block comparison on one core — while at 100 TB the probe is
+    # already wide and an unconditional round-robin exchange would be a
+    # pointless full shuffle of the corpus.
+    cust = _parallelize(cust)
     blocked = cust.join(
         dirty,
         (F.col("c_nationkey") == F.col("d_nationkey"))
