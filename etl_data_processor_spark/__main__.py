@@ -71,6 +71,24 @@ def main(argv: list[str] | None = None) -> int:
     p_t.add_argument("--limit", type=int, default=20)
     p_t.add_argument("--keep-versions", type=int, default=3)
 
+    p_a = sub.add_parser(
+        "artifacts",
+        help="materialized-index artifact store maintenance (_artifacts GC)",
+    )
+    p_a.add_argument("action", choices=["vacuum"])
+    p_a.add_argument(
+        "--warehouse",
+        default="spark-warehouse",
+        help="warehouse dir holding _artifacts/",
+    )
+    p_a.add_argument(
+        "--min-age",
+        type=float,
+        default=600.0,
+        help="spare artifacts younger than this many seconds",
+    )
+    p_a.add_argument("--dry-run", action="store_true")
+
     args = parser.parse_args(argv)
     log = _setup_logging()
 
@@ -99,6 +117,21 @@ def main(argv: list[str] | None = None) -> int:
             doc = inspect.getdoc(fn) or ""
             head = doc.splitlines()[0].strip() if doc else ""
             print(f"{name}\t{kind}\t{where}\t{head}")
+        return 0
+
+    if args.cmd == "artifacts":
+        # filesystem-only action: no Spark session needed
+        from etl_data_processor_spark.ops.dedup import vacuum_artifacts
+
+        dropped = vacuum_artifacts(
+            warehouse=args.warehouse,
+            min_age_seconds=args.min_age,
+            dry_run=args.dry_run,
+        )
+        verb = "would reclaim" if args.dry_run else "reclaimed"
+        for slug in dropped:
+            print(slug)
+        log.info("%s %d artifact slug(s)", verb, len(dropped))
         return 0
 
     if args.cmd == "table" and args.action == "history":

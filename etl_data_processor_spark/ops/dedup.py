@@ -140,7 +140,9 @@ def source_signature(*paths: str) -> tuple:
     return tuple(sig)
 
 
-def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFrame:
+def cached_df(
+    spark, key: tuple, builder, materialize: bool = False, sources: tuple = ()
+) -> DataFrame:
     """Session-memoized cached DataFrame — the stand-in for a PERSISTED
     corpus artifact (the shingle table, the band-bucket signature index).
     A production pipeline computes these once and writes them as tables
@@ -161,7 +163,14 @@ def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFram
     cold-cache costs honest: a dropped cache costs one small parquet scan,
     not a corpus recompute. Writes go to a process-unique temp dir and
     atomically rename into place, so concurrent builders race safely (the
-    loser discards its copy)."""
+    loser discards its copy).
+
+    ``sources``: the filesystem paths the artifact derives from. Recorded
+    in a ``_KEY.json`` manifest inside the artifact (underscore-prefixed,
+    so parquet readers skip it) and consumed by :func:`vacuum_artifacts`
+    to reclaim slugs whose source data has been regenerated or removed
+    (VERDICT r4 item 5 — the source-signature staleness keying is correct
+    but strands superseded slugs forever without a GC)."""
     import os
     import shutil
     import uuid
@@ -189,6 +198,18 @@ def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFram
                 # mistaken for a crashed partial write
                 tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
                 builder().write.mode("overwrite").parquet(tmp)
+                if sources:
+                    import json
+
+                    with open(os.path.join(tmp, "_KEY.json"), "w") as f:
+                        json.dump(
+                            {
+                                "key": repr((_ARTIFACT_VERSION, *key)),
+                                "sources": list(sources),
+                                "signature": repr(source_signature(*sources)),
+                            },
+                            f,
+                        )
                 # Publication is ONLY ever an atomic rename of a complete
                 # tmp (Spark writes _SUCCESS inside tmp before we move it),
                 # so a directory at `path` — with or without a visible
@@ -216,6 +237,83 @@ def cached_df(spark, key: tuple, builder, materialize: bool = False) -> DataFram
     if not df.storageLevel.useMemory:
         df.cache()
     return df
+
+
+def vacuum_artifacts(
+    spark=None,
+    warehouse: str | None = None,
+    min_age_seconds: float = 600.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """GC for the ``_artifacts`` store (VERDICT r4 item 5): reclaim
+
+    - crashed partial builds: ``*.tmp-*`` dirs (publication is an atomic
+      rename, so a tmp dir that outlived the age window has no writer);
+    - superseded slugs: the ``_KEY.json`` manifest records the source
+      paths + their content signature at build time; when a source is
+      gone or its CURRENT :func:`source_signature` differs, no caller
+      can ever recompute this slug's key again (keys embed the live
+      signature) — the artifact is unreachable garbage;
+    - legacy slugs with no manifest (pre-r5 builds): unreachable to the
+      vacuum's staleness test, reclaimed once past the age window (they
+      are caches; the next access rebuilds).
+
+    ``min_age_seconds`` mirrors tableformat.vacuum's retention guard: a
+    just-published artifact may still be mid-scan in a concurrent reader
+    (or a racing builder may be about to rename its tmp), so anything
+    younger than the window is spared. Returns the deleted entry names
+    (relative to the artifacts dir); ``dry_run`` lists without deleting.
+    """
+    import json
+    import os
+    import shutil
+    import time
+
+    if warehouse is None:
+        if spark is None:
+            warehouse = "spark-warehouse"
+        else:
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+    adir = os.path.join(warehouse, "_artifacts")
+    if not os.path.isdir(adir):
+        return []
+    now = time.time()
+    dropped: list[str] = []
+    for entry in sorted(os.listdir(adir)):
+        path = os.path.join(adir, entry)
+        if not os.path.isdir(path):
+            continue
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # raced with another vacuum/rename
+        if age < min_age_seconds:
+            continue
+        if ".tmp-" in entry:
+            stale = True  # crash orphan past the window
+        else:
+            manifest = os.path.join(path, "_KEY.json")
+            if not os.path.exists(manifest):
+                stale = True  # legacy slug, no provenance
+            else:
+                try:
+                    with open(manifest) as f:
+                        meta = json.load(f)
+                    srcs = meta.get("sources", [])
+                    stale = (
+                        not srcs
+                        or any(not os.path.exists(s) for s in srcs)
+                        or repr(source_signature(*srcs)) != meta.get("signature")
+                    )
+                except (OSError, ValueError):
+                    stale = True  # unreadable manifest: treat as garbage
+        if stale:
+            dropped.append(entry)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
+    return dropped
 
 
 def normalize_text(text: Column) -> Column:

@@ -210,6 +210,59 @@ def fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def deletion_neighborhood(col: str, k: int = 2, hashed: bool = False) -> Column:
+    """``array<string>`` of every variant of ``col`` with up to ``k``
+    characters deleted — the symmetric-delete blocking key set (public
+    SymSpell / FastSS technique). Completeness for Levenshtein: if
+    ``lev(s, t) <= k`` then ``del_k(s)`` and ``del_k(t)`` intersect — a
+    substitution is simulated by deleting the differing character from
+    BOTH sides, an insertion/deletion by one deletion on ONE side, so a
+    common ancestor string always exists within ``k`` deletions per side.
+    An equi-join on the exploded variants is therefore a LOSSLESS
+    candidate filter for ``lev <= k`` (verify with ``F.levenshtein``
+    after), and — unlike coarse attribute blocking — its candidate count
+    per row is bounded by how many OTHER rows share a near-identical
+    spelling, not by block population: the candidate space stays linear
+    in N however large the table grows.
+
+    Pure Column expression (no UDF): O(len^k) variants per row, i.e.
+    ~170 for a 18-char key at k=2. The CASE guards matter: Spark's
+    ``sequence(a, b)`` DESCENDS when ``b < a``, so short strings must
+    short-circuit to empty arrays instead of generating phantom indexes.
+
+    ``hashed=True`` returns ``array<bigint>`` of xxhash64(variant)
+    instead of the strings: the candidate join then shuffles 8-byte
+    longs, not ~L-char strings (the join is a candidate FILTER, so a
+    hash collision only admits one spurious pair that the levenshtein
+    verify rejects — losslessness is unaffected).
+    """
+    if k not in (1, 2):
+        raise ValueError("deletion_neighborhood supports k in {1, 2}")
+    c = col
+    d1 = (
+        f"CASE WHEN length({c}) >= 1 THEN "
+        f"transform(sequence(1, length({c})), i -> "
+        f"concat(substring({c}, 1, i - 1), substring({c}, i + 1, length({c})))) "
+        f"ELSE array() END"
+    )
+    if k == 1:
+        raw = f"concat(array({c}), {d1})"
+    else:
+        d2 = (
+            f"CASE WHEN length({c}) >= 2 THEN "
+            f"flatten(transform(sequence(1, length({c}) - 1), i -> "
+            f"transform(sequence(i + 1, length({c})), j -> "
+            f"concat(substring({c}, 1, i - 1), "
+            f"substring({c}, i + 1, j - i - 1), "
+            f"substring({c}, j + 1, length({c})))))) "
+            f"ELSE array() END"
+        )
+        raw = f"concat(array({c}), {d1}, {d2})"
+    if hashed:
+        return F.expr(f"array_distinct(transform({raw}, x -> xxhash64(x)))")
+    return F.expr(f"array_distinct({raw})")
+
+
 def fuzzy_key_pairs(
     df: DataFrame, key_col: str, max_dist: int = 2
 ) -> DataFrame:

@@ -1793,6 +1793,7 @@ def q_cosine_pq(spark, sf_dir):
          source_signature(f"{sf_dir}/embeddings.parquet")),
         lambda: pq_encode(emb, books),
         materialize=True,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     return pq_cosine_topk(emb, queries, books, k=10, rerank=50, codes=codes)
 
@@ -1849,6 +1850,7 @@ def q_cosine_ivfpq(spark, sf_dir):
          source_signature(f"{sf_dir}/embeddings.parquet")),
         build_index,
         materialize=True,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     return ivfpq_cosine_topk(
         emb, queries, k=10, n_lists=16, n_probe=8, rerank=50,

@@ -143,15 +143,18 @@ def _lsh_index(spark, sf_dir):
 
     # the corpus-content signature in the key means a REGENERATED fixture
     # at the same path rebuilds the artifacts instead of serving stale ones
-    src = D.source_signature(f"{sf_dir}/documents.parquet")
+    src_path = f"{sf_dir}/documents.parquet"
+    src = D.source_signature(src_path)
     sh = D.cached_df(
-        spark, (sf_dir, "lsh_shingles", src), build_sh, materialize=True
+        spark, (sf_dir, "lsh_shingles", src), build_sh, materialize=True,
+        sources=(src_path,),
     )
     bk = D.cached_df(
         spark,
         (sf_dir, "lsh_buckets", src),
         lambda: D.minhash_band_buckets(sh, carry_cols=["source"]),
         materialize=True,
+        sources=(src_path,),
     )
     return sh, bk
 
@@ -1569,6 +1572,7 @@ def q_cosine_ivf(spark, sf_dir):
             emb.select("vec_id", "embedding"), cents
         ),
         materialize=True,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     return SIM.ivf_cosine_topk(
         emb, queries, k=10, centroids=cents, assigned=assigned

@@ -282,14 +282,18 @@ def q_record_linkage(spark, sf_dir):
     """Probabilistic record linkage (Fellegi-Sunter shape): match a clean
     customer table against an independently-keyed dirty replica (one-digit
     name typo, rounded balance) WITHOUT using the join key. Blocking =
-    equi-join on (nationkey, mktsegment) — the candidate space is
-    Σ|block|², never all-pairs; at 100 TB you add redundant blocking
-    passes (phonetic, sorted-neighborhood) the same way. Field agreements
-    (Jaro-Winkler ≥ 0.95 on names, |Δbal| ≤ 0.051) combine into an
-    integer evidence score; score ≥ 5 needs BOTH agreements — one-digit
-    neighbors pass the name test but fail the balance test. The JW scorer
-    is the q_fuzzy_jw Arrow-batched pandas UDF, oracled against DuckDB's
-    native C++ jaro_winkler_similarity."""
+    symmetric-delete variant equi-join (ops.text.deletion_neighborhood, a
+    lossless candidate filter for lev <= 2) intersected with the
+    (nationkey, mktsegment) attributes — candidates per record are
+    bounded by spelling-neighbor density, NOT block population, so the
+    candidate space is linear in N (the r4 in-block form measured 94.8x
+    CPU at 10x data; this form re-measured linear — SCALE_STRESS.json).
+    Field agreements (Jaro-Winkler ≥ 0.95 on names, |Δbal| ≤ 0.051)
+    combine into an integer evidence score; score ≥ 5 needs BOTH
+    agreements — one-digit neighbors pass the name test but fail the
+    balance test. The JW scorer is the q_fuzzy_jw Arrow-batched pandas
+    UDF, oracled against DuckDB's native C++
+    jaro_winkler_similarity."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from etl_data_processor_spark.queries_ext2 import _jaro_winkler
@@ -305,7 +309,9 @@ def q_record_linkage(spark, sf_dir):
     _jw6.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
     jw6 = pandas_udf(_jw6, "double")
 
-    cust = _cat(spark, sf_dir).customer
+    # widen the scan BEFORE deriving either side, so both explodes run at
+    # cluster parallelism (width-guarded: no-op when the scan is wide)
+    cust = _parallelize(_cat(spark, sf_dir).customer)
     last = F.substring(F.col("c_name"), -1, 1).cast("int")
     dirty = cust.select(
         (F.col("c_custkey") + 10000000).alias("d_id"),
@@ -317,23 +323,60 @@ def q_record_linkage(spark, sf_dir):
         F.col("c_nationkey").alias("d_nationkey"),
         F.col("c_mktsegment").alias("d_seg"),
     )
-    # cheap JVM-side edit-distance prefilter inside the block BEFORE the
-    # Python scorer: levenshtein is codegen'd, so the Arrow round-trip only
-    # sees near-pairs (textbook multi-stage linkage: block → cheap filter →
-    # expensive score). The probe side spreads to full parallelism FIRST,
-    # but only when it is actually narrow (the width-guarded _parallelize
-    # probe): the per-pair CPU (lev × |block| candidates each) dwarfs the
-    # scan, and a test-scale single-file scan would otherwise run the
-    # whole block comparison on one core — while at 100 TB the probe is
-    # already wide and an unconditional round-robin exchange would be a
-    # pointless full shuffle of the corpus.
-    cust = _parallelize(cust)
-    blocked = cust.join(
-        dirty,
-        (F.col("c_nationkey") == F.col("d_nationkey"))
-        & (F.col("c_mktsegment") == F.col("d_seg"))
-        & (F.levenshtein(F.col("c_name"), F.col("d_name")) <= 2),
+    # Candidate generation is a SYMMETRIC-DELETE (SymSpell) equi-join,
+    # not an in-block comparison: each side explodes to its <=2-deletion
+    # variants (ops.text.deletion_neighborhood — a lossless filter for
+    # lev <= 2), and candidates are pairs sharing a variant AND the
+    # blocking attributes. The r4 form evaluated levenshtein on every
+    # in-block pair (Sigma|block|^2 with only 125 fixed blocks), which the
+    # r5 scale-stress measured QUADRATIC: 94.8x CPU at 10x data, one
+    # 27.6 s task (SCALE_STRESS.json). The variant equi-join's candidate
+    # count per row is bounded by how many rows share a near-identical
+    # spelling — independent of N — so the whole query is one linear
+    # explode + one hash shuffle at any scale. levenshtein then runs
+    # per-candidate (cheap codegen, textbook multi-stage linkage:
+    # block → cheap filter → expensive Arrow-batched score), and the
+    # pair-dedup shuffle sees only verified near-pairs. The probe side
+    # spreads to full parallelism FIRST, but only when it is actually
+    # narrow (the width-guarded _parallelize probe): a test-scale
+    # single-file scan would otherwise explode + score on one core,
+    # while at 100 TB the scan is already wide and the exchange would be
+    # a pointless full shuffle.
+    from etl_data_processor_spark.ops.text import deletion_neighborhood
+
+    cand_a = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+        F.explode(deletion_neighborhood("c_name", 2, hashed=True)).alias("__v"),
     )
+    cand_b = dirty.select(
+        "d_id", "d_name", "d_nationkey", "d_seg",
+        F.explode(deletion_neighborhood("d_name", 2, hashed=True)).alias("__vb"),
+    )
+    # SHUFFLE_HASH hint is load-bearing: Catalyst sizes the exploded side
+    # from the pre-Generate scan estimate (~the customer file), so it
+    # plans a broadcast build of what is really a ~70x-exploded frame —
+    # measured at sf1 as a 3.3 GiB broadcast spilling to disk and 458
+    # CPU-seconds. The variant key is high-cardinality and skew-free, so
+    # a shuffled hash join is the right physical shape at every scale.
+    # The lev verify sits IN the join condition and the output projects
+    # ONLY the key pair: a true near-pair matches on every shared variant
+    # (~100x multiplicity), so the pair-dedup shuffle must carry 16-byte
+    # rows, not attribute-wide ones; attributes rejoin after the dedup
+    # over the (tiny) verified pair set.
+    pairs = (
+        cand_a.join(
+            cand_b.hint("shuffle_hash"),
+            (F.col("__v") == F.col("__vb"))
+            & (F.col("c_nationkey") == F.col("d_nationkey"))
+            & (F.col("c_mktsegment") == F.col("d_seg"))
+            & (F.levenshtein(F.col("c_name"), F.col("d_name")) <= 2),
+        )
+        .select("c_custkey", "d_id")
+        .dropDuplicates(["c_custkey", "d_id"])
+    )
+    blocked = pairs.join(
+        cust.select("c_custkey", "c_name", "c_acctbal"), "c_custkey"
+    ).join(dirty.select("d_id", "d_name", "d_bal"), "d_id")
     scored = blocked.select(
         "c_custkey", "d_id",
         jw6(F.col("c_name"), F.col("d_name")).alias("jw6"),

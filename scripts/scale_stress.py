@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Scale-stress: run the heaviest query families at sf0.1 AND sf1 (10x,
+synthesized by scripts/make_sf1.py) and measure how runtime/work scale
+(VERDICT r4 item 2 — turn the 100 TB design argument into a measured
+scaling curve).
+
+Per key and scale factor this records, using bench.py's instrumentation
+(status REST API, stage-delta):
+- cold_s   — first run (includes codegen + any artifact/index build)
+- wall_s   — steady state (min of N warmed reps, caches cleared per rep)
+- cpu_s    — executor CPU seconds (work; drift-immune)
+- shuffle_mb, input_mb, spill_mb
+- max_stage_task_s — the longest (stage executorRunTime / numTasks) over
+  the query's stages: a stage whose per-task runtime grows 10x at 10x
+  data is a hidden single-task (or skewed) stage.
+
+A key is flagged SUPER-LINEAR when cpu(sf1) > replicas * cpu(sf0.1) *
+SLACK — CPU is the scaling signal (wall on this VM drifts ±20-40%).
+
+Usage: python scripts/scale_stress.py [keys...]  (default: the heavy set)
+Writes SCALE_STRESS.json; the table in SCALE.md is derived from it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+from etl_data_processor_spark.session import get_spark  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+from bench import StageMetrics, work_row  # noqa: E402
+
+HEAVY = [
+    # LSH / dedup family (the north star)
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_substring",
+    "q_dedup_clusters",
+    "q_dedup_keep",
+    "q_decontaminate",
+    "q_corpus_pipeline",
+    # TPC-H flagship shapes
+    "q_flagship_q3",
+    "q_tpch_q5",
+    "q_tpch_q21",
+    # ANN / embeddings
+    "q_cosine_topk",
+    "q_cosine_ivf",
+    "q_emb_centroids",
+    # event analytics + linkage
+    "q_sessionize",
+    "q_record_linkage",
+]
+
+SF_DIRS = [
+    ("0.1", "/root/testdata/sf0.1"),
+    ("1", os.path.join(REPO, "testdata_sf1")),
+]
+REPLICAS = 10
+SLACK = 1.6  # log-factor headroom: CC rounds, sort log n, fixed overheads
+TIMED_REPS = 2
+
+
+def fetch_stage_rows(metrics: StageMetrics) -> dict:
+    """(stageId, attempt) -> {executorRunTime_ms, numTasks} for max-task calc."""
+    import urllib.request
+
+    with urllib.request.urlopen(metrics._url, timeout=10) as r:
+        stages = json.load(r)
+    return {
+        (s["stageId"], s.get("attemptId", 0)): {
+            "run_ms": int(s.get("executorRunTime", 0) or 0),
+            "tasks": int(s.get("numTasks", 0) or 1),
+        }
+        for s in stages
+    }
+
+
+def measure(spark, fn, sf_dir, metrics) -> dict:
+    def run():
+        fn(spark, sf_dir).agg({"*": "count"}).collect()
+
+    spark.catalog.clearCache()
+    before_rows = fetch_stage_rows(metrics)
+    t0 = time.time()
+    run()  # cold: codegen + artifact builds
+    cold = time.time() - t0
+
+    walls, works, max_task = [], [], 0.0
+    for _ in range(TIMED_REPS):
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        before = metrics.snapshot(settle=True)
+        t0 = time.time()
+        run()
+        walls.append(time.time() - t0)
+        after = metrics.snapshot(settle=True)
+        works.append(StageMetrics.delta(before, after))
+        rows = fetch_stage_rows(metrics)
+        for key, s in rows.items():
+            if key in before_rows:
+                continue
+            per_task = s["run_ms"] / max(s["tasks"], 1) / 1000.0
+            max_task = max(max_task, per_task)
+    work = {k: min(w[k] for w in works) for k in works[0]}
+    row = work_row(work)
+    row.update(
+        cold_s=round(cold, 3),
+        wall_s=round(min(walls), 3),
+        max_stage_task_s=round(max_task, 3),
+    )
+    return row
+
+
+def main() -> None:
+    keys = sys.argv[1:] or HEAVY
+    queries = entry_mod.queries()
+    out: dict = {"replicas": REPLICAS, "slack": SLACK, "results": {}}
+    # subset runs MERGE into the existing file (re-measuring one fixed key
+    # must not drop the other 15 keys' curves)
+    prior = os.path.join(REPO, "SCALE_STRESS.json")
+    if os.path.exists(prior):
+        try:
+            with open(prior) as f:
+                out["results"] = json.load(f).get("results", {})
+        except (OSError, ValueError):
+            pass
+    spark = get_spark("scale_stress", extra_conf={"spark.ui.enabled": "true"})
+    metrics = StageMetrics(spark)
+    for name in keys:
+        fn = queries[name]
+        row: dict = {}
+        for sf, sf_dir in SF_DIRS:
+            row[sf] = measure(spark, fn, sf_dir, metrics)
+            print(
+                f"{name} sf{sf}: wall={row[sf]['wall_s']}s cpu={row[sf]['cpu_s']}s "
+                f"shuffle={row[sf]['shuffle_read_mb']}MB maxtask={row[sf]['max_stage_task_s']}s",
+                flush=True,
+            )
+        r01, r1 = row["0.1"], row["1"]
+        cpu_ratio = r1["cpu_s"] / max(r01["cpu_s"], 0.05)
+        wall_ratio = r1["wall_s"] / max(r01["wall_s"], 0.05)
+        row["cpu_ratio"] = round(cpu_ratio, 2)
+        row["wall_ratio"] = round(wall_ratio, 2)
+        row["super_linear"] = bool(cpu_ratio > REPLICAS * SLACK)
+        out["results"][name] = row
+        print(
+            f"  -> cpu x{row['cpu_ratio']}, wall x{row['wall_ratio']}"
+            + ("  ** SUPER-LINEAR **" if row["super_linear"] else ""),
+            flush=True,
+        )
+    flagged = sorted(k for k, v in out["results"].items() if v["super_linear"])
+    out["super_linear_keys"] = flagged
+    with open(os.path.join(REPO, "SCALE_STRESS.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"super_linear_keys": flagged}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

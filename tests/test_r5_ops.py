@@ -1,0 +1,227 @@
+"""Round-5 tests: artifact-store GC (vacuum_artifacts, VERDICT r4 item 5).
+
+The vacuum's contract: reclaim slugs whose recorded source signature no
+longer matches reality (unreachable — keys embed the live signature, so no
+caller can ever address them again), crashed ``.tmp-*`` orphans, and
+manifest-less legacy slugs — but NEVER anything younger than the retention
+window (a just-published artifact may be mid-scan in a concurrent reader).
+"""
+
+import json
+import os
+import time
+
+import pytest
+
+from etl_data_processor_spark.ops import dedup as D
+
+
+def _mk_slug(adir, name, sources=None, signature=None, success=True, age=None):
+    """Hand-build an artifact slug the way cached_df publishes one."""
+    path = os.path.join(adir, name)
+    os.makedirs(path, exist_ok=True)
+    if success:
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    if sources is not None:
+        with open(os.path.join(path, "_KEY.json"), "w") as f:
+            json.dump(
+                {
+                    "key": repr(("v1", "t", name)),
+                    "sources": list(sources),
+                    "signature": signature
+                    if signature is not None
+                    else repr(D.source_signature(*sources)),
+                },
+                f,
+            )
+    if age is not None:
+        old = time.time() - age
+        os.utime(path, (old, old))
+    return path
+
+
+@pytest.fixture
+def adir(tmp_path):
+    d = tmp_path / "warehouse" / "_artifacts"
+    d.mkdir(parents=True)
+    return str(d)
+
+
+def _wh(adir):
+    return os.path.dirname(adir)
+
+
+def test_vacuum_reclaims_stale_spares_fresh(adir, tmp_path):
+    """A slug whose source was regenerated (signature moved) or removed is
+    reclaimed; a slug whose source is byte-identical survives every run."""
+    src_live = tmp_path / "live.txt"
+    src_live.write_text("corpus v1")
+    src_gone = tmp_path / "gone.txt"
+    src_gone.write_text("doomed")
+    src_rewr = tmp_path / "rewr.txt"
+    src_rewr.write_text("old contents")
+
+    _mk_slug(adir, "fresh", sources=[str(src_live)], age=3600)
+    _mk_slug(adir, "removed-src", sources=[str(src_gone)], age=3600)
+    _mk_slug(adir, "rewritten-src", sources=[str(src_rewr)], age=3600)
+
+    os.remove(src_gone)
+    time.sleep(0.01)  # mtime_ns must move on coarse filesystems
+    src_rewr.write_text("NEW contents!")
+
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600)
+    assert sorted(dropped) == ["removed-src", "rewritten-src"]
+    assert os.path.isdir(os.path.join(adir, "fresh"))
+    assert not os.path.exists(os.path.join(adir, "removed-src"))
+    assert not os.path.exists(os.path.join(adir, "rewritten-src"))
+    # idempotent: a second pass finds nothing left to do
+    assert D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600) == []
+
+
+def test_vacuum_retention_window_spares_young(adir, tmp_path):
+    """Concurrent-reader safety: anything younger than min_age_seconds is
+    spared even when provably stale — a racing builder may be about to
+    rename, or a reader may be mid-scan on a slug vacated a moment ago."""
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    _mk_slug(adir, "young-stale", sources=[str(src)])
+    os.remove(src)
+    _mk_slug(adir, "young-legacy")  # no manifest at all
+    assert D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600) == []
+    assert os.path.isdir(os.path.join(adir, "young-stale"))
+    # min_age=0 reclaims both (legacy slugs have no provenance to test)
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=0)
+    assert sorted(dropped) == ["young-legacy", "young-stale"]
+
+
+def test_vacuum_reclaims_tmp_orphans_and_bad_manifest(adir, tmp_path):
+    """A .tmp-* dir past the window is a crashed build (publication is an
+    atomic rename, so no live writer exists); an unreadable manifest is
+    garbage by definition."""
+    _mk_slug(adir, "slug.tmp-deadbeef", success=False, age=3600)
+    bad = _mk_slug(adir, "bad-manifest")
+    with open(os.path.join(bad, "_KEY.json"), "w") as f:
+        f.write("{not json")
+    old = time.time() - 3600  # writing the manifest reset the dir mtime
+    os.utime(bad, (old, old))
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600)
+    assert sorted(dropped) == ["bad-manifest", "slug.tmp-deadbeef"]
+
+
+def test_vacuum_dry_run_deletes_nothing(adir, tmp_path):
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    _mk_slug(adir, "stale", sources=[str(src)], age=3600)
+    os.remove(src)
+    listed = D.vacuum_artifacts(
+        warehouse=_wh(adir), min_age_seconds=600, dry_run=True
+    )
+    assert listed == ["stale"]
+    assert os.path.isdir(os.path.join(adir, "stale"))
+
+
+def test_vacuum_missing_store_is_noop(tmp_path):
+    assert D.vacuum_artifacts(warehouse=str(tmp_path / "nope")) == []
+
+
+def test_cached_df_records_provenance_and_survives_vacuum(spark, tmp_path):
+    """End-to-end: a materialized cached_df with sources= writes a
+    _KEY.json whose signature matches, so an aggressive (min_age=0)
+    vacuum spares it while its source is unchanged — then reclaims it
+    once the source is regenerated and the memo is gone."""
+    src = tmp_path / "corpus.parquet"
+    spark.range(0, 7).write.mode("overwrite").parquet(str(src))
+
+    def build():
+        return spark.read.parquet(str(src))
+
+    key = ("r5", "vac-e2e", D.source_signature(str(src)))
+    D.cached_df(
+        spark, key, build, materialize=True, sources=(str(src),)
+    ).count()
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import hashlib
+
+    slug = hashlib.md5(repr((D._ARTIFACT_VERSION, *key)).encode()).hexdigest()[:16]
+    spath = os.path.join(warehouse, "_artifacts", slug)
+    assert os.path.exists(os.path.join(spath, "_KEY.json"))
+    # fresh source -> this slug must survive even a zero-retention vacuum
+    dropped = D.vacuum_artifacts(spark=spark, min_age_seconds=0)
+    assert slug not in dropped and os.path.isdir(spath)
+    # regenerate the source: the slug is now unreachable (keys embed the
+    # live signature) and a zero-retention vacuum reclaims it
+    time.sleep(0.01)
+    spark.range(0, 9).write.mode("overwrite").parquet(str(src))
+    D._DF_CACHE.clear()
+    dropped = D.vacuum_artifacts(spark=spark, min_age_seconds=0)
+    assert slug in dropped and not os.path.exists(spath)
+
+
+def test_artifacts_vacuum_cli(adir, tmp_path, capsys):
+    """`python -m etl_data_processor_spark artifacts vacuum` is the
+    maintain-style entry point (no Spark session required)."""
+    from etl_data_processor_spark.__main__ import main
+
+    src = tmp_path / "s.txt"
+    src.write_text("x")
+    _mk_slug(adir, "stale", sources=[str(src)], age=3600)
+    os.remove(src)
+    rc = main(
+        ["artifacts", "vacuum", "--warehouse", _wh(adir), "--min-age", "600"]
+    )
+    assert rc == 0
+    assert "stale" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(adir, "stale"))
+
+
+def test_deletion_neighborhood_matches_reference_and_is_complete(spark):
+    """The Column-expression variant generator must equal the Python
+    reference set exactly, and the symmetric-delete blocking must be
+    COMPLETE for lev <= 2: every pair within distance 2 shares a variant
+    (candidate equi-join is lossless — q_record_linkage's scale path)."""
+    from itertools import combinations
+
+    from etl_data_processor_spark.ops.text import deletion_neighborhood
+
+    def ref(s):
+        out = {s}
+        for i in range(len(s)):
+            out.add(s[:i] + s[i + 1:])
+        for i, j in combinations(range(len(s)), 2):
+            out.add(s[:i] + s[i + 1:j] + s[j + 1:])
+        return out
+
+    samples = ["abcde", "ab", "a", "", "Customer#000000001", "aaaa"]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], ["s"])
+        .select("s", deletion_neighborhood("s", 2).alias("v"))
+        .collect()
+    )
+    for r in rows:
+        assert set(r["v"]) == ref(r["s"]), r["s"]
+
+    # completeness over a dense little universe of near strings
+    import random
+
+    random.seed(7)
+    strs = list(
+        {"".join(random.choice("ab") for _ in range(random.randint(1, 6)))
+         for _ in range(60)}
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    for a in strs:
+        for b in strs:
+            if lev(a, b) <= 2:
+                assert ref(a) & ref(b), (a, b)
