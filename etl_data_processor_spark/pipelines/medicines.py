@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 from etl_data_processor_spark.ops import scalar as S
-from etl_data_processor_spark.ops.enrich import batch_enrich, deterministic_stub_client
+from etl_data_processor_spark.ops.enrich import batch_enrich
 
 BASE_URL = "https://medicinraadet.dk"
 
@@ -54,9 +54,21 @@ _ENRICH_SCHEMA = StructType(
 )
 
 
-def run_pipeline(cards: DataFrame) -> DataFrame:
+def run_pipeline(cards: DataFrame, client_factory=None) -> DataFrame:
     """cards: (url, card_text, heading, detail_text) -> reference output
-    schema (5 display-named string columns, nulls allowed)."""
+    schema (5 display-named string columns, nulls allowed).
+
+    ``client_factory``: enrichment-client factory for A14/A15; defaults to
+    the env-gated :func:`~..ops.enrich.resolve_enrich_client` seam (the
+    deterministic stub unless ``ETL_LLM_GENERATE`` names a live SDK
+    generate function — main.py:178-215 semantics), so the composed
+    pipeline exercises the same factory path in tests and production."""
+    from etl_data_processor_spark.ops.enrich import resolve_enrich_client
+
+    if client_factory is None:
+        client_factory = resolve_enrich_client(
+            ["active_ingredient", "trade_name"]
+        )
     # A4: absolutize relative urls
     df = cards.withColumn("url", S.conditional_concat(F.col("url"), BASE_URL))
 
@@ -100,7 +112,7 @@ def run_pipeline(cards: DataFrame) -> DataFrame:
         df,
         key_col="raw_drug_text",
         result_schema=_ENRICH_SCHEMA,
-        client_factory=lambda: deterministic_stub_client,
+        client_factory=client_factory,
         chunk_size=200,
         defaults={
             "active_ingredient": F.col("raw_drug_text"),

@@ -125,7 +125,14 @@ class HttpSession:
             self._bucket = TokenBucket(rate=rate, burst=1)
         else:
             self._bucket = None
-        self.calls: list[tuple[str, dict]] = []
+        # Observability without unbounded executor memory (ADVICE r4): a
+        # long-lived partition fetching many pages must not accrete one
+        # tuple per GET forever — keep a total counter plus a short
+        # ring-buffer tail for debugging.
+        import collections
+
+        self.n_calls: int = 0
+        self.calls: collections.deque = collections.deque(maxlen=16)
 
     def get(self, url: str, params: dict | None = None) -> Response:
         import urllib.error
@@ -133,6 +140,7 @@ class HttpSession:
         from urllib.parse import urlencode
 
         params = dict(params or {})
+        self.n_calls += 1
         self.calls.append((url, params))
         full = url + ("?" + urlencode(params) if params else "")
         if self._bucket is not None:
@@ -149,6 +157,51 @@ class HttpSession:
             # only raise_for_status turns it into an exception.
             body = e.read().decode("utf-8", "replace") if e.fp else ""
             return Response(e.code, body, full)
+
+
+def fetch_details_live(
+    df,
+    base_url: str,
+    url_col: str = "url",
+    rate: float | None = None,
+    timeout: float = 30.0,
+):
+    """Per-row detail-page fetch over live HTTP (the reference fetches each
+    card's own page before detail extraction, main.py:266-270): widen
+    ``df`` with an ``html`` column by GETting ``urljoin(base_url, url)``
+    for every row. One :class:`HttpSession` per PARTITION (the reference's
+    single requests.Session, main.py:22-25) so connections, the UA header
+    and the optional token bucket are reused across the partition's rows —
+    at cluster scale the aggregate request rate is rate x partitions, the
+    same contract as the paged source. A failed page yields html=NULL and
+    the row survives (downstream extract_details already NULL-fills — the
+    reference appends the un-enriched decision, main.py:283-285).
+    Compose with :func:`ops.html.extract_details` for the
+    fetch -> parse -> enrich -> CSV path over real sockets."""
+    import pandas as pd
+    from urllib.parse import urljoin
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    keep_fields = list(df.schema.fields)
+    schema = StructType(keep_fields + [StructField("html", StringType())])
+
+    def gen(batches):
+        session = HttpSession(rate=rate, timeout=timeout)
+        for pdf in batches:
+            html: list = []
+            for u in pdf[url_col]:
+                try:
+                    resp = session.get(urljoin(base_url, u))
+                    resp.raise_for_status()
+                    html.append(resp.text)
+                except Exception:
+                    html.append(None)  # per-record skip tier
+            out = pdf.copy()
+            out["html"] = pd.array(html, dtype=object)
+            yield out
+
+    return df.mapInPandas(gen, schema)
 
 
 def _live_conf(options) -> dict | None:

@@ -31,6 +31,12 @@ import __spark_entry__ as entry_mod  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
+# Per-key DuckDB time budget (VERDICT r4 item 10). The costliest honest
+# oracles today are the CC-closure rewrites (~30s at sf0.1); anything past
+# 60s signals a super-linear form sneaking back in. Env-overridable for
+# ad-hoc runs on slower machines.
+ORACLE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_ORACLE_BUDGET_S", "60"))
+
 
 def canon_type_duck(t) -> str:
     """Canonicalize a DuckDB logical type to Spark simpleString vocabulary."""
@@ -123,6 +129,7 @@ def main(only: list[str]) -> int:
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
+        t_oracle = time.time()
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
@@ -131,6 +138,19 @@ def main(only: list[str]) -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        oracle_secs = time.time() - t_oracle
+        # Oracle-cost budget (VERDICT r4 item 10): the differential gate
+        # must itself stay sub-quadratic — a future oracle that silently
+        # reintroduces an all-pairs form shows up as a budget breach, not
+        # as an ever-slower sweep everyone stops running.
+        if oracle_secs > ORACLE_BUDGET_S:
+            failures.append(name)
+            print(
+                f"FAIL {name}: oracle over budget "
+                f"({oracle_secs:.1f}s > {ORACLE_BUDGET_S:.0f}s) — rewrite "
+                "the DuckDB form (prefix-filter / bounded-closure)"
+            )
             continue
         status = []
         if len(srows) != len(drows):
@@ -148,7 +168,10 @@ def main(only: list[str]) -> int:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(status)}")
         else:
-            print(f"ok   {name}: {len(srows)} rows match ({time.time()-t0:.1f}s)")
+            print(
+                f"ok   {name}: {len(srows)} rows match "
+                f"({time.time()-t0:.1f}s, oracle {oracle_secs:.1f}s)"
+            )
 
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
     if failures:

@@ -13,8 +13,15 @@ Each stage shells out to the existing tools (scripts/check_oracle.py /
 pytest) in a FRESH interpreter — same isolation the driver and judge get,
 no shared SparkSession state between scales.
 
-Usage: python scripts/gate.py [--skip-pytest] [--skip-sf1]
+Usage: python scripts/gate.py [--skip-pytest] [--skip-sf1] [--rotate N]
 Exit code 0 iff every stage is green.
+
+``--rotate N`` (VERDICT r4 item 9) additionally runs a deterministic
+50-key subset at sf0.01 — the keys ranked by md5("N:key"), lowest 50 —
+and publishes the subset under ``rotation`` in GATE.json so a
+fixed-subset driver gate can consume a different slice every round;
+over rounds every key gets driver-grade coverage. The schedule is pure
+(same N -> same subset, no state), so any round is re-checkable later.
 """
 
 from __future__ import annotations
@@ -83,8 +90,28 @@ def _oracle_stage(sf: str, names: list[str] | None) -> dict:
     }
 
 
+def rotation_subset(round_no: int, size: int = 50) -> list[str]:
+    """Deterministic per-round 50-key slice of the full registry: rank
+    every declared key by md5(f"{round}:{key}") and take the lowest
+    ``size``. Uniform, stateless, and different every round."""
+    import hashlib
+
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entry_mod
+
+    keys = sorted(entry_mod.queries())
+    ranked = sorted(
+        keys, key=lambda k: hashlib.md5(f"{round_no}:{k}".encode()).hexdigest()
+    )
+    return sorted(ranked[:size])
+
+
 def main(argv: list[str]) -> int:
     stages: dict[str, dict] = {}
+    rotate_round = None
+    if "--rotate" in argv:
+        i = argv.index("--rotate")
+        rotate_round = int(argv[i + 1])
 
     print("== stage 1/4: full oracle sweep @ sf0.001 ==", flush=True)
     stages["oracle_sf0.001"] = _oracle_stage("0.001", None)
@@ -106,8 +133,21 @@ def main(argv: list[str]) -> int:
         stages["pytest"] = {"rc": rc, "tail": tail, "seconds": round(secs, 1)}
         print(json.dumps(stages["pytest"]), flush=True)
 
+    rotation = None
+    if rotate_round is not None:
+        subset = rotation_subset(rotate_round)
+        print(
+            f"== rotation stage: round {rotate_round} 50-key subset @ sf0.01 ==",
+            flush=True,
+        )
+        stages["oracle_rotation"] = _oracle_stage("0.01", subset)
+        print(json.dumps(stages["oracle_rotation"]), flush=True)
+        rotation = {"round": rotate_round, "keys": subset}
+
     green = all(s["rc"] == 0 for s in stages.values())
     gate = {"green": green, "stages": stages}
+    if rotation is not None:
+        gate["rotation"] = rotation
     with open(os.path.join(ROOT, "GATE.json"), "w") as f:
         json.dump(gate, f, indent=1)
     print(f"\nGATE {'GREEN' if green else 'RED'} -> GATE.json", flush=True)

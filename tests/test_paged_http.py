@@ -275,4 +275,4 @@ def test_live_http_token_bucket_paces_requests(live_site):
     for p in (1, 2, 3):
         fetch_page_html(s, p, endpoint)
     assert _time.monotonic() - t0 >= 2 / 20 * 0.9
-    assert len(s.calls) == 3  # one session served all three
+    assert s.n_calls == 3  # one session served all three

@@ -725,3 +725,104 @@ def test_table_ndv_from_log_registers(spark, tmp_path):
     # a stats-less append poisons the merged answer -> None, not a lie
     TF.append(_kv(spark, 9000, 9010), t)
     assert TF.table_ndv(t, "id") is None
+
+
+# ---------------------------------------------------------------------------
+# Genuine multi-process commit race (VERDICT r4 item 6): the simulated-race
+# tests above interleave within one process; these drive REAL concurrent
+# writers through the os.link claim. The contended surface is the commit
+# log protocol (_commit/_try_publish) — pure filesystem, no Spark needed in
+# the workers, so the race is tight (no JVM startup jitter serializing it).
+# ---------------------------------------------------------------------------
+
+
+def _race_appender(table, wid, n_commits, barrier, out):
+    from etl_data_processor_spark import tableformat as TFm
+
+    barrier.wait()  # maximize contention: all writers start together
+    got = []
+    for j in range(n_commits):
+        v = TFm._commit(
+            table, "append", [TFm._add_action(f"g-{wid}-{j}")], None,
+            max_retries=500,
+        )
+        got.append(v)
+    out.put((wid, got))
+
+
+def _race_compactor(table, base_head, barrier, out):
+    from etl_data_processor_spark import tableformat as TFm
+
+    barrier.wait()
+    try:
+        v = TFm._commit(
+            table, "compact", [TFm._add_action("compacted")], base_head
+        )
+        out.put(("ok", v))
+    except TFm.ConflictError:
+        out.put(("conflict", None))
+
+
+def test_multiprocess_append_race_loses_no_commit(tmp_path):
+    """8 OS processes x 25 appends racing on one log: every commit must
+    land, versions must be the contiguous range 0..199 with exactly one
+    winner each (os.link uniqueness), and every group name must appear
+    exactly once — zero lost, zero duplicated."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "tbl")
+    n_procs, n_commits = 8, 25
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(n_procs)
+    out: mp.Queue = ctx.Queue()
+    procs = [
+        ctx.Process(
+            target=_race_appender, args=(table, w, n_commits, barrier, out)
+        )
+        for w in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    results = [out.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    all_versions = sorted(v for _, got in results for v in got)
+    assert all_versions == list(range(n_procs * n_commits))
+    groups = [
+        a["group"]
+        for c in TF.history(table)
+        for a in c["actions"]
+        if a["op"] == "add"
+    ]
+    assert sorted(groups) == sorted(
+        f"g-{w}-{j}" for w in range(n_procs) for j in range(n_commits)
+    )
+
+
+def test_multiprocess_compaction_race_single_winner(tmp_path):
+    """Two real processes race a remove-bearing commit computed against
+    the same base snapshot: exactly ONE wins; the loser surfaces as
+    ConflictError (never a silent lost update, never a double-remove)."""
+    import multiprocessing as mp
+
+    table = str(tmp_path / "tbl")
+    base = TF._commit(table, "append", [TF._add_action("g0")], None)
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(2)
+    out: mp.Queue = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_compactor, args=(table, base, barrier, out))
+        for _ in range(2)
+    ]
+    for p in procs:
+        p.start()
+    outcomes = sorted(out.get(timeout=60)[0] for _ in procs)
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    assert outcomes == ["conflict", "ok"]
+    head = TF.history(table)[-1]
+    assert head["mode"] == "compact"
+    removed = [a["group"] for a in head["actions"] if a["op"] == "remove"]
+    assert removed == ["g0"]  # the base snapshot removed exactly once
