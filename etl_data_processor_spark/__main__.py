@@ -37,6 +37,7 @@ def _import_all_query_modules() -> None:
         queries_north,
         queries_r3,
         queries_r4,
+        queries_r5,
         queries_rel2,
         queries_tpch,
         queries_tpch2,

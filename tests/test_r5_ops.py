@@ -225,3 +225,99 @@ def test_deletion_neighborhood_matches_reference_and_is_complete(spark):
         for b in strs:
             if lev(a, b) <= 2:
                 assert ref(a) & ref(b), (a, b)
+
+
+def test_symdelete_equals_length_band_blocking(spark, sf_dir):
+    """The two registered fuzzy blockings (length band vs symmetric
+    delete) must return the IDENTICAL pair set — both are lossless
+    candidate filters for lev <= 2 over the same keys."""
+    from etl_data_processor_spark.ops.text import (
+        fuzzy_key_pairs,
+        fuzzy_key_pairs_symdelete,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    band = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in fuzzy_key_pairs(part, "p_name", 2).collect()
+    }
+    sym = {
+        (r["key_a"], r["key_b"], r["dist"])
+        for r in fuzzy_key_pairs_symdelete(part, "p_name", 2).collect()
+    }
+    assert band == sym and band
+
+
+def test_dedup_semantic_kept_set_properties(spark, sf_dir):
+    """SemDeDup prune invariants: (1) within every kept set no vector has
+    a LOWER-id kept neighbor at cosine >= 0.5 in its bucket (else it
+    should have been dropped); (2) every dropped vector has SOME lower-id
+    witness at >= 0.5 in its bucket."""
+    import itertools
+    import math
+
+    import __spark_entry__  # noqa: F401 (registers the full registry)
+    from etl_data_processor_spark.registry import QUERIES
+
+    kept_rows = QUERIES["q_dedup_semantic"](spark, sf_dir).collect()
+    kept = {r["vec_id"] for r in kept_rows}
+    emb = {
+        r["vec_id"]: (r["embedding"], sum(
+            (1 << i) for i in range(6) if r["embedding"][i] >= 0
+        ))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    by_bucket: dict[int, list[int]] = {}
+    for vid, (_, bkt) in emb.items():
+        by_bucket.setdefault(bkt, []).append(vid)
+    for bkt, vids in by_bucket.items():
+        for a, b in itertools.combinations(sorted(vids), 2):
+            c = cos(emb[a][0], emb[b][0])
+            if c >= 0.500001 and a < b:
+                # b has a lower-id >= tau witness -> must be dropped
+                assert b not in kept, (a, b, c)
+    dropped = set(emb) - kept
+    for b in dropped:
+        bkt = emb[b][1]
+        assert any(
+            a < b and cos(emb[a][0], emb[b][0]) >= 0.499999
+            for a in by_bucket[bkt]
+        ), b
+
+
+def test_corpus_mix_manifest_properties(spark, sf_dir):
+    """Mix invariants: rates in (0, 1]; kept counts never exceed source
+    size; sources with rate 1.0 keep everything; the manifest is
+    deterministic across runs (hash sampling, no RNG)."""
+    import __spark_entry__  # noqa: F401 (registers the full registry)
+    from etl_data_processor_spark.registry import QUERIES
+
+    rows1 = sorted(
+        map(tuple, QUERIES["q_corpus_mix"](spark, sf_dir).collect())
+    )
+    rows2 = sorted(
+        map(tuple, QUERIES["q_corpus_mix"](spark, sf_dir).collect())
+    )
+    assert rows1 == rows2 and len(rows1) == 20
+    import duckdb
+
+    src_sizes = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+            "GROUP BY source"
+        ).fetchall()
+    )
+    for source, weight, rate6, kept_docs, kept_tokens in rows1:
+        assert 0.0 < rate6 <= 1.0 and weight in (1, 2, 3)
+        assert 0 <= kept_docs <= src_sizes[source]
+        if rate6 == 1.0:
+            assert kept_docs == src_sizes[source]
+        if kept_docs == 0:
+            assert kept_tokens == 0
