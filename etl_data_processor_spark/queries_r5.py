@@ -52,42 +52,54 @@ def q_fuzzy_symdelete(spark, sf_dir):
 # SemDeDup-style semantic dedup (B22/B32 ext)
 # =====================================================================
 
-# Deterministic coarse clusterer both engines can compute: the sign bits of
-# the first 6 embedding coordinates (a random-hyperplane LSH with the
-# canonical axes as planes). Float sign comparison is exact in both engines
-# on the same stored floats. NOTE the indexer is per-engine: DuckDB list
-# subscripts are 1-based, Spark's `arr[i]` is 0-BASED — element_at is
-# Spark's 1-based form (a silent one-off bucket skew otherwise).
+# Deterministic coarse clusterer both engines can compute: the bucket key
+# is the string of sign bits of the first b embedding coordinates (a
+# random-hyperplane LSH with the canonical axes as planes), where b GROWS
+# WITH THE CORPUS — b = max(6, bitlength(ceil(n/32) - 1)), i.e. ~n/32
+# buckets — so expected bucket population stays ~constant at every scale
+# (SemDeDup's own k ~ n/target prescription; a FIXED b measured 108.6x
+# CPU at 10x data because Sigma|bucket|^2 grows quadratically when the
+# bucket count can't follow the corpus). The bit-length is computed via
+# binary-string length (Spark conv / DuckDB bin) — pure integer
+# arithmetic, no float log2 whose boundary could disagree between
+# engines. NOTE the slice/index semantics are per-engine: DuckDB lists
+# are 1-based (`e[1:b]`), Spark's `arr[i]` is 0-BASED but `slice(e,1,b)`
+# is 1-based.
 
-
-def _bucket_sql(ix) -> str:
-    return (
-        "CAST("
-        + " + ".join(
-            f"CASE WHEN {ix(i)} >= 0 THEN {1 << i} ELSE 0 END"
-            for i in range(6)
-        )
-        + " AS BIGINT)"
-    )
-
-
-_BUCKET_DUCK = _bucket_sql(lambda i: f"embedding[{i + 1}]")
-_BUCKET_SPARK = _bucket_sql(lambda i: f"element_at(embedding, {i + 1})")
+_BITS_DUCK = "GREATEST(6, LENGTH(bin((SELECT (COUNT(*) + 31) // 32 - 1 FROM embeddings))))"
+_BUCKET_DUCK = (
+    "array_to_string(list_transform(embedding[1:__b], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+_BUCKET_SPARK = (
+    "array_join(transform(slice(embedding, 1, __b), "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+_BITS_SPARK = (
+    "greatest(6, length(conv(CAST((__n + 31) DIV 32 - 1 AS STRING), 10, 2)))"
+)
 
 
 @q(
     "q_dedup_semantic",
     f"""
-    WITH cv AS (
+    WITH g AS (SELECT {_BITS_DUCK} AS __b),
+    cv AS (
         SELECT vec_id,
                {_BUCKET_DUCK} AS bucket,
                list_transform(embedding,
                    x -> CAST(FLOOR(CAST(x AS DOUBLE)*10000000.0+0.5) AS BIGINT)) AS ce
-        FROM embeddings
+        FROM embeddings, g
+    ),
+    pivots AS (
+        SELECT vec_id, bucket, ce
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+              FROM cv)
+        WHERE rn <= 64
     ),
     pair_drops AS (
         SELECT DISTINCT b.vec_id
-        FROM cv a JOIN cv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id, range(1, 65) t(i)
+        FROM pivots a JOIN cv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id, range(1, 65) t(i)
         GROUP BY a.vec_id, b.vec_id
         HAVING CAST(FLOOR((CAST(SUM(a.ce[i] * b.ce[i]) AS DOUBLE)
                     / (SQRT(CAST(SUM(a.ce[i] * a.ce[i]) AS DOUBLE))
@@ -101,42 +113,32 @@ _BUCKET_SPARK = _bucket_sql(lambda i: f"element_at(embedding, {i + 1})")
 )
 def q_dedup_semantic(spark, sf_dir):
     """SemDeDup-shape semantic dedup (Abbas et al. 2023, public): cluster
-    the embedding space coarsely, compare pairs ONLY within a cluster,
-    and drop every vector that has a higher-priority (lower-id) neighbor
-    with cosine >= 0.5 in its cluster — returns the KEPT corpus. The
-    registered clusterer is a deterministic 6-bit sign-bucket LSH so the
-    DuckDB oracle can replicate it bit-for-bit; the production variant
-    swaps in trained k-means centroids (ops.similarity.train_ivf_centroids
-    + ivf_assign_argmax, exercised by q_cosine_ivf) — same plan shape,
-    cluster count sized so within-cluster pairs fit the task budget. At
-    100 TB this is the whole point over q_emb_near_dup's label blocks:
-    cluster population is a knob (more buckets/centroids), label
-    population is not. One equi-join on the bucket key, codegen cosine
-    (dec_cosine's decimal-exact fold), broadcast-able drop set, no
-    Python boundary."""
+    the embedding space coarsely, screen every member against its
+    cluster's 64 lowest-id PIVOTS, and drop any vector with a pivot
+    neighbor at cosine >= 0.5 — returns the KEPT corpus. The registered
+    clusterer is a deterministic sign-bucket LSH whose BIT COUNT grows
+    with the corpus (~n/32 buckets: constant expected population at any
+    scale — SemDeDup's k ~ n/target regime; a FIXED bit count measured
+    108.6x CPU at 10x data), and the DuckDB oracle replicates the whole
+    chain bit-for-bit (incl. the adaptive bit count and the ROW_NUMBER
+    pivot rule); production swaps in trained k-means centroids
+    (ops.similarity.train_ivf_centroids + ivf_assign_argmax, exercised
+    by q_cosine_ivf and tests) — same plan, and with clusters sized
+    <= 64 the pivot rule IS exact all-pairs SemDeDup. The pivot bound
+    is load-bearing at scale: sign/LSH buckets on clustered data track
+    the semantic clusters themselves (the r5 scale-stress measured the
+    all-pairs form at 108.6x CPU for 10x data with one 18 s task —
+    SCALE_STRESS.json), so the prune budget, not the bucketing, is what
+    makes the operator linear. One window + one equi-join, codegen
+    decimal-exact cosine, no Python boundary."""
     emb = _cat(spark, sf_dir).embeddings
-    bucket = F.expr(_BUCKET_SPARK)
-    cv = emb.select("vec_id", bucket.alias("bucket"), "embedding")
-    a = cv.select(
-        F.col("vec_id").alias("id_a"), "bucket", F.col("embedding").alias("ea")
+    n = emb.agg(F.count("*").alias("__n"))
+    cv = (
+        emb.crossJoin(F.broadcast(n))
+        .withColumn("__b", F.expr(_BITS_SPARK))
+        .select("vec_id", F.expr(_BUCKET_SPARK).alias("bucket"), "embedding")
     )
-    b = cv.select(
-        F.col("vec_id").alias("id_b"), "bucket", F.col("embedding").alias("eb")
-    )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    # ~64 buckets only -> spread the scoring to full parallelism first
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
-    drops = (
-        pairs.withColumn("cos", SIM.dec_cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos") >= 0.5)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return (
-        cv.join(drops, "vec_id", "left_anti")
-        .select("vec_id", "bucket")
-        .orderBy("vec_id")
-    )
+    return SIM.semantic_dedup_kept(cv, tau=0.5).orderBy("vec_id")
 
 
 # =====================================================================

@@ -14,8 +14,16 @@ Per key and scale factor this records, using bench.py's instrumentation
   the query's stages: a stage whose per-task runtime grows 10x at 10x
   data is a hidden single-task (or skewed) stage.
 
-A key is flagged SUPER-LINEAR when cpu(sf1) > replicas * cpu(sf0.1) *
-SLACK — CPU is the scaling signal (wall on this VM drifts ±20-40%).
+A key is flagged SUPER-LINEAR when
+cpu(sf1) > replicas * cpu(sf0.1) * SLACK + FIXED_CPU_S — CPU is the
+scaling signal (wall on this VM drifts ±20-40%). The additive term
+absorbs per-session fixed CPU (codegen compilation, JIT warmup across a
+query's ~dozen stages — measured at 1-3 s) that does NOT scale with
+data: on a key whose sf0.1 CPU is ~1 s the multiplicative rule alone
+flags noise, while a genuinely quadratic key (q_record_linkage's r4
+form: 6.4 s -> 604.8 s) clears any plausible allowance by an order of
+magnitude. Verify flags by the work columns (candidate pairs / shuffle
+bytes / max task), not the ratio alone.
 
 Usage: python scripts/scale_stress.py [keys...]  (default: the heavy set)
 Writes SCALE_STRESS.json; the table in SCALE.md is derived from it.
@@ -57,6 +65,15 @@ HEAVY = [
     # event analytics + linkage
     "q_sessionize",
     "q_record_linkage",
+    # round-5 additions: heaviest remaining families
+    "q_tpch_q18",
+    "q_text_lm_score",
+    "q_dedup_best",
+    "q_dedup_incremental",
+    "q_dedup_semantic",
+    "q_fuzzy_symdelete",
+    "q_corpus_mix",
+    "q_join_star",
 ]
 
 SF_DIRS = [
@@ -64,7 +81,8 @@ SF_DIRS = [
     ("1", os.path.join(REPO, "testdata_sf1")),
 ]
 REPLICAS = 10
-SLACK = 1.6  # log-factor headroom: CC rounds, sort log n, fixed overheads
+SLACK = 1.6  # log-factor headroom: CC rounds, sort log n
+FIXED_CPU_S = 5.0  # per-session fixed CPU (codegen/JIT) that doesn't scale
 TIMED_REPS = 2
 
 
@@ -149,7 +167,9 @@ def main() -> None:
         wall_ratio = r1["wall_s"] / max(r01["wall_s"], 0.05)
         row["cpu_ratio"] = round(cpu_ratio, 2)
         row["wall_ratio"] = round(wall_ratio, 2)
-        row["super_linear"] = bool(cpu_ratio > REPLICAS * SLACK)
+        row["super_linear"] = bool(
+            r1["cpu_s"] > REPLICAS * SLACK * r01["cpu_s"] + FIXED_CPU_S
+        )
         out["results"][name] = row
         print(
             f"  -> cpu x{row['cpu_ratio']}, wall x{row['wall_ratio']}"

@@ -249,11 +249,10 @@ def test_symdelete_equals_length_band_blocking(spark, sf_dir):
 
 
 def test_dedup_semantic_kept_set_properties(spark, sf_dir):
-    """SemDeDup prune invariants: (1) within every kept set no vector has
-    a LOWER-id kept neighbor at cosine >= 0.5 in its bucket (else it
-    should have been dropped); (2) every dropped vector has SOME lower-id
-    witness at >= 0.5 in its bucket."""
-    import itertools
+    """SemDeDup pivot-prune invariants: a vector is dropped IFF some
+    PIVOT (one of the 64 lowest ids in its bucket) with a lower id sits
+    at cosine >= 0.5 — kept vectors have no such pivot witness, dropped
+    vectors have at least one."""
     import math
 
     import __spark_entry__  # noqa: F401 (registers the full registry)
@@ -261,11 +260,16 @@ def test_dedup_semantic_kept_set_properties(spark, sf_dir):
 
     kept_rows = QUERIES["q_dedup_semantic"](spark, sf_dir).collect()
     kept = {r["vec_id"] for r in kept_rows}
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    nbits = max(6, ((len(raw) + 31) // 32 - 1).bit_length() or 1)
     emb = {
-        r["vec_id"]: (r["embedding"], sum(
-            (1 << i) for i in range(6) if r["embedding"][i] >= 0
-        ))
-        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        r["vec_id"]: (
+            r["embedding"],
+            "".join(
+                "1" if r["embedding"][i] >= 0 else "0" for i in range(nbits)
+            ),
+        )
+        for r in raw
     }
 
     def cos(a, b):
@@ -277,19 +281,25 @@ def test_dedup_semantic_kept_set_properties(spark, sf_dir):
     by_bucket: dict[int, list[int]] = {}
     for vid, (_, bkt) in emb.items():
         by_bucket.setdefault(bkt, []).append(vid)
-    for bkt, vids in by_bucket.items():
-        for a, b in itertools.combinations(sorted(vids), 2):
-            c = cos(emb[a][0], emb[b][0])
-            if c >= 0.500001 and a < b:
-                # b has a lower-id >= tau witness -> must be dropped
-                assert b not in kept, (a, b, c)
-    dropped = set(emb) - kept
-    for b in dropped:
+    pivots = {
+        bkt: set(sorted(vids)[:64]) for bkt, vids in by_bucket.items()
+    }
+
+    def has_witness(b, lo, hi):
         bkt = emb[b][1]
-        assert any(
-            a < b and cos(emb[a][0], emb[b][0]) >= 0.499999
-            for a in by_bucket[bkt]
-        ), b
+        return any(
+            a < b and lo <= cos(emb[a][0], emb[b][0])
+            for a in pivots[bkt]
+        )
+
+    for b in sorted(emb):
+        if b in kept:
+            bkt = emb[b][1]
+            for a in pivots[bkt]:
+                if a < b:
+                    assert cos(emb[a][0], emb[b][0]) < 0.500001, (a, b)
+        else:
+            assert has_witness(b, 0.499999, None), b
 
 
 def test_corpus_mix_manifest_properties(spark, sf_dir):
@@ -321,3 +331,54 @@ def test_corpus_mix_manifest_properties(spark, sf_dir):
             assert kept_docs == src_sizes[source]
         if kept_docs == 0:
             assert kept_tokens == 0
+
+
+def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
+    """The production clusterer swap: semantic_dedup_kept over TRAINED
+    IVF assignments (ivf_assign_argmax) instead of sign buckets. Prune
+    invariant must hold for whatever clustering was used: no kept vector
+    has a lower-id cluster-mate at cosine >= tau, every dropped one
+    does."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.ops import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = SIM.train_ivf_centroids(emb, n_lists=8, iters=2)
+    assigned = SIM.ivf_assign_argmax(
+        emb.select("vec_id", "embedding"), cents
+    ).select("vec_id", F.col("__list").alias("bucket"))
+    cv = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    kept = {
+        r["vec_id"]
+        for r in SIM.semantic_dedup_kept(cv, tau=0.3).collect()
+    }
+    rows = {
+        r["vec_id"]: (r["embedding"], r["bucket"]) for r in cv.collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    by_bucket: dict[int, list[int]] = {}
+    for vid, (_, bkt) in rows.items():
+        by_bucket.setdefault(bkt, []).append(vid)
+    pivots = {
+        bkt: set(sorted(vids)[:64]) for bkt, vids in by_bucket.items()
+    }
+    dropped = set(rows) - kept
+    assert kept and dropped  # the prune did something on this fixture
+    for b in sorted(dropped):
+        bkt = rows[b][1]
+        assert any(
+            a < b and cos(rows[a][0], rows[b][0]) >= 0.299999
+            for a in pivots[bkt]
+        ), b
+    for b in sorted(kept):
+        bkt = rows[b][1]
+        for a in pivots[bkt]:
+            if a < b:
+                assert cos(rows[a][0], rows[b][0]) < 0.300001, (a, b)
