@@ -76,6 +76,10 @@ HEADLINE = [
     "q_join_asof_nearest",
     "q_record_linkage",
     "q_join_bucketed",
+    # round 5 additions: new heavy shapes
+    "q_fuzzy_symdelete",
+    "q_dedup_semantic",
+    "q_corpus_mix",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -164,7 +164,6 @@ _M32 = 1 << 32
     ),
     grand AS (
         SELECT CAST(FLOOR(0.6 * SUM(src_toks)) AS BIGINT) AS budget,
-               SUM(w * src_docs) / SUM(src_docs) AS _unused,
                SUM(w) AS w_total
         FROM totals
     ),

@@ -74,6 +74,10 @@ HEAVY = [
     "q_fuzzy_symdelete",
     "q_corpus_mix",
     "q_join_star",
+    # r4-item-4 scale-safe window forms: prove the registered plans scale
+    "q_rfm_segments",
+    "q_abc_classification",
+    "q_profile_equidepth",
 ]
 
 SF_DIRS = [
