@@ -140,8 +140,63 @@ def source_signature(*paths: str) -> tuple:
     return tuple(sig)
 
 
+def _find_incremental_base(
+    artifacts_dir: str, family: str, cur_sig: tuple, source: str
+):
+    """Locate the closest append-only ancestor artifact for ``family``:
+    a published slug whose recorded source signature is a SUBSET of the
+    current one (every old file still present with identical name/mtime/
+    size — i.e. the source only gained files since that artifact was
+    built). Returns (slug_path, new_absolute_file_paths) or None.
+
+    Per-row-derivation artifacts (shingle tables, signature/band tables,
+    ANN code tables) are unions of per-row results, so under append-only
+    growth the new artifact is exactly ``read(ancestor) UNION
+    delta(new files)`` — the 100 TB index-maintenance shape: a nightly
+    corpus append re-derives only the appended files, never the corpus.
+    """
+    import ast
+    import json
+    import os
+
+    if not os.path.isdir(artifacts_dir):
+        return None
+    cur = set(cur_sig)
+    best = None  # (n_entries, path, old_entries)
+    for entry in os.listdir(artifacts_dir):
+        path = os.path.join(artifacts_dir, entry)
+        manifest = os.path.join(path, "_KEY.json")
+        if not (
+            os.path.exists(manifest)
+            and os.path.exists(os.path.join(path, "_SUCCESS"))
+        ):
+            continue
+        try:
+            with open(manifest) as f:
+                meta = json.load(f)
+            if meta.get("family") != family:
+                continue
+            old = set(ast.literal_eval(meta["signature"]))
+        except (OSError, ValueError, SyntaxError, KeyError):
+            continue
+        if old and old < cur and (best is None or len(old) > best[0]):
+            best = (len(old), path, old)
+    if best is None:
+        return None
+    _, path, old = best
+    new_names = sorted(n for (n, _, _) in cur - old)
+    root = source if os.path.isdir(source) else os.path.dirname(source)
+    return path, [os.path.join(root, n) for n in new_names]
+
+
 def cached_df(
-    spark, key: tuple, builder, materialize: bool = False, sources: tuple = ()
+    spark,
+    key: tuple,
+    builder,
+    materialize: bool = False,
+    sources: tuple = (),
+    family: str | None = None,
+    delta_builder=None,
 ) -> DataFrame:
     """Session-memoized cached DataFrame — the stand-in for a PERSISTED
     corpus artifact (the shingle table, the band-bucket signature index).
@@ -170,7 +225,22 @@ def cached_df(
     so parquet readers skip it) and consumed by :func:`vacuum_artifacts`
     to reclaim slugs whose source data has been regenerated or removed
     (VERDICT r4 item 5 — the source-signature staleness keying is correct
-    but strands superseded slugs forever without a GC)."""
+    but strands superseded slugs forever without a GC).
+
+    ``family`` + ``delta_builder`` opt a PER-ROW-DERIVED artifact into
+    incremental maintenance: when the single source grew append-only
+    since a previous ``family`` artifact was published (every old file
+    byte-identical, only new files added — detected from the recorded
+    signatures), the new artifact is built as ``read(ancestor) UNION
+    delta_builder(new_file_paths)`` instead of re-deriving the whole
+    corpus. ``delta_builder(paths: list[str]) -> DataFrame`` must return
+    rows for exactly those files with the artifact's schema; validity
+    requires the derivation to be per-row (shingles, band signatures, PQ
+    codes — true for every materialized artifact in this repo). On any
+    other change shape (rewrite, delete, multi-source) it falls back to
+    the full ``builder``. The superseded ancestor becomes unreachable
+    garbage for :func:`vacuum_artifacts` — run incremental builds before
+    the vacuum's retention window lapses (they share the warehouse)."""
     import os
     import shutil
     import uuid
@@ -197,19 +267,43 @@ def cached_df(
                 # concurrent builder's just-completed artifact could be
                 # mistaken for a crashed partial write
                 tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-                builder().write.mode("overwrite").parquet(tmp)
+                cur_sig = source_signature(*sources) if sources else ()
+                base = None
+                if (
+                    delta_builder is not None
+                    and family is not None
+                    and len(sources) == 1
+                ):
+                    base = _find_incremental_base(
+                        os.path.join(warehouse, "_artifacts"),
+                        family,
+                        cur_sig,
+                        sources[0],
+                    )
+                if base is not None:
+                    base_path, new_files = base
+                    out = spark.read.parquet(base_path).unionByName(
+                        delta_builder(new_files)
+                    )
+                else:
+                    out = builder()
+                out.write.mode("overwrite").parquet(tmp)
                 if sources:
                     import json
 
-                    with open(os.path.join(tmp, "_KEY.json"), "w") as f:
-                        json.dump(
-                            {
-                                "key": repr((_ARTIFACT_VERSION, *key)),
-                                "sources": list(sources),
-                                "signature": repr(source_signature(*sources)),
-                            },
-                            f,
+                    manifest = {
+                        "key": repr((_ARTIFACT_VERSION, *key)),
+                        "sources": list(sources),
+                        "signature": repr(cur_sig),
+                    }
+                    if family is not None:
+                        manifest["family"] = family
+                    if base is not None:
+                        manifest["incremental_from"] = os.path.basename(
+                            base[0]
                         )
+                    with open(os.path.join(tmp, "_KEY.json"), "w") as f:
+                        json.dump(manifest, f)
                 # Publication is ONLY ever an atomic rename of a complete
                 # tmp (Spark writes _SUCCESS inside tmp before we move it),
                 # so a directory at `path` — with or without a visible

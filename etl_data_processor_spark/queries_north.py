@@ -141,13 +141,27 @@ def _lsh_index(spark, sf_dir):
             D._parallelize(docs.select("doc_id", "source", "text"))
         ).select("doc_id", "source", "shingles")
 
+    def delta_sh(files):
+        # per-file re-derivation for APPEND-ONLY corpus growth: shingles
+        # are a per-row function, so new-files-only is exactly the delta
+        return D.with_shingles(
+            D._parallelize(
+                spark.read.parquet(*files).select("doc_id", "source", "text")
+            )
+        ).select("doc_id", "source", "shingles")
+
     # the corpus-content signature in the key means a REGENERATED fixture
-    # at the same path rebuilds the artifacts instead of serving stale ones
+    # at the same path rebuilds the artifacts instead of serving stale
+    # ones — and when the change is append-only, the rebuild is
+    # ancestor-UNION-delta (cached_df's family/delta_builder path), never
+    # a corpus re-shingle
     src_path = f"{sf_dir}/documents.parquet"
     src = D.source_signature(src_path)
     sh = D.cached_df(
         spark, (sf_dir, "lsh_shingles", src), build_sh, materialize=True,
         sources=(src_path,),
+        family=f"{sf_dir}:lsh_shingles",
+        delta_builder=delta_sh,
     )
     bk = D.cached_df(
         spark,
@@ -155,6 +169,10 @@ def _lsh_index(spark, sf_dir):
         lambda: D.minhash_band_buckets(sh, carry_cols=["source"]),
         materialize=True,
         sources=(src_path,),
+        family=f"{sf_dir}:lsh_buckets",
+        delta_builder=lambda files: D.minhash_band_buckets(
+            delta_sh(files), carry_cols=["source"]
+        ),
     )
     return sh, bk
 

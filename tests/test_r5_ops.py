@@ -382,3 +382,93 @@ def test_semantic_dedup_with_trained_centroids(spark, sf_dir):
         for a in pivots[bkt]:
             if a < b:
                 assert cos(rows[a][0], rows[b][0]) < 0.300001, (a, b)
+
+
+def test_cached_df_incremental_append_only(spark, tmp_path):
+    """Incremental artifact maintenance: after an APPEND-ONLY source
+    change, the rebuild must call delta_builder with exactly the new
+    files (never the full builder), produce contents identical to a
+    from-scratch derivation, and record its ancestor in the manifest.
+    A non-append change (rewrite of an old file) must fall back to the
+    full builder."""
+    import glob
+    import json
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.ops import dedup as D
+
+    corpus = tmp_path / "corpus.parquet"
+
+    def add_file(lo, hi, name):
+        stage = str(tmp_path / "stage")
+        spark.range(lo, hi).selectExpr(
+            "id", "id * 3 AS v"
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(corpus, exist_ok=True)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(corpus / name))
+
+    add_file(0, 10, "f1.parquet")
+    calls = {"full": 0, "delta": 0, "delta_files": None}
+
+    def derive(df):
+        return df.select("id", (F.col("v") * 10).alias("w"))
+
+    def full():
+        calls["full"] += 1
+        return derive(spark.read.parquet(str(corpus)))
+
+    def delta(files):
+        calls["delta"] += 1
+        calls["delta_files"] = sorted(files)
+        return derive(spark.read.parquet(*files))
+
+    fam = f"test-inc:{tmp_path}"
+
+    def build():
+        sig = D.source_signature(str(corpus))
+        return D.cached_df(
+            spark,
+            ("inc", fam, sig),
+            full,
+            materialize=True,
+            sources=(str(corpus),),
+            family=fam,
+            delta_builder=delta,
+        )
+
+    assert build().count() == 10 and calls["full"] == 1
+
+    time.sleep(0.01)
+    add_file(10, 25, "f2.parquet")
+    D._DF_CACHE.clear()
+    df2 = build()
+    assert calls["full"] == 1 and calls["delta"] == 1  # delta path taken
+    assert calls["delta_files"] == [str(corpus / "f2.parquet")]
+    got = sorted((r["id"], r["w"]) for r in df2.collect())
+    assert got == [(i, i * 30) for i in range(25)]  # == full derivation
+    # ancestry recorded in the manifest
+    import hashlib
+
+    sig = D.source_signature(str(corpus))
+    slug = hashlib.md5(
+        repr((D._ARTIFACT_VERSION, "inc", fam, sig)).encode()
+    ).hexdigest()[:16]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    with open(
+        os.path.join(warehouse, "_artifacts", slug, "_KEY.json")
+    ) as f:
+        meta = json.load(f)
+    assert meta["family"] == fam and "incremental_from" in meta
+
+    # REWRITE an old file -> not append-only -> full rebuild
+    time.sleep(0.01)
+    add_file(0, 10, "f1.parquet")  # same rows, new mtime/bytes
+    D._DF_CACHE.clear()
+    df3 = build()
+    assert calls["full"] == 2 and calls["delta"] == 1
+    assert df3.count() == 25
