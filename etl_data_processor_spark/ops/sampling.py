@@ -135,3 +135,29 @@ def weighted_sample(
     w = F.least(F.greatest(weight, F.lit(0.0)), F.lit(1.0))
     thresh = F.floor(w * F.lit(float(M32))).cast("long")
     return df.filter(hash32(F.col(key_col), seed) < thresh)
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    shard_seed: int = 11,
+    order_seed: int = 23,
+) -> DataFrame:
+    """Deterministic training-shard placement: adds ``shard`` (which output
+    file the row belongs to) and ``order_key`` (its position inside the
+    shard) — both pure functions of the key, so the SAME corpus always
+    produces the SAME shards in the SAME order, on any engine and any
+    partitioning. This is the 'global deterministic shuffle' every training
+    run needs: examples must be well-mixed (hash placement breaks source
+    locality) yet exactly reproducible for resume/ablation.
+
+    100 TB write path: ``df.repartition(n_shards, 'shard')
+    .sortWithinPartitions('order_key').write...`` — ONE exchange keyed by
+    the shard id, in-partition sort, no global sort, no driver involvement.
+    Distinct seeds keep placement and order independent (same-shard rows
+    are not hash-adjacent).
+    """
+    return df.withColumn(
+        "shard", F.pmod(hash32(F.col(key_col), shard_seed), F.lit(n_shards))
+    ).withColumn("order_key", hash32(F.col(key_col), order_seed))

@@ -345,3 +345,81 @@ def fuzzy_key_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 3,
+    min_docs: int = 3,
+) -> DataFrame:
+    """CCNet/Gopher-style cross-document duplicated-segment removal: chunk
+    every document into fixed ``width``-word segments, drop every segment
+    whose exact text occurs in >= ``min_docs`` DISTINCT documents (shared
+    boilerplate: headers, navigation, license blurbs), and reassemble the
+    surviving segments in order. Returns one row per input document:
+    (doc_id, clean_text, n_chunks, n_dropped) — fully-boilerplate documents
+    survive with clean_text = ''.
+
+    This is the REMOVAL counterpart of q_boilerplate's detection report
+    (queries_ext3.py): the public corpus pipelines dedup at sub-document
+    granularity *before* document-level MinHash, because shared boilerplate
+    otherwise inflates Jaccard similarity between unrelated pages.
+
+    100 TB shape: the segment table is one projection + posexplode (no
+    shuffle); the boilerplate set is one hash aggregate on the segment key
+    with map-side partial counts; removal is a left-anti equi-join on the
+    same key (the aggregate output is a small fraction of the corpus — only
+    segments that actually repeat across >= min_docs docs); reassembly is
+    one hash aggregate on doc_id with collect_list + array_sort (bounded by
+    the document's own size, never a global window). Three narrow shuffles
+    total, each on a key whose cardinality the data bounds.
+
+    No reference counterpart (main.py has no corpus-level text surface);
+    north-star training-data operator.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = (
+        df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+        .filter(F.size("w") > 0)
+        .withColumn("n_chunks", F.ceil(F.size("w") / width).cast("long"))
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(n_chunks AS INT) - 1), "
+                f"i -> array_join(slice(w, i*{width}+1, {width}), ' '))"
+            )
+        ).alias("pos", "chunk"),
+    )
+    dups = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(dups, "chunk", "left_anti")
+    ragg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        docs.select("doc_id", "n_chunks")
+        .join(ragg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

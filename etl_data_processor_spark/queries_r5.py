@@ -251,3 +251,151 @@ def q_corpus_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# =====================================================================
+# B63: corpus-level segment dedup + deterministic shard placement
+# =====================================================================
+
+
+@q(
+    "q_dedup_lines",
+    """
+    WITH ws AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    tot AS (
+        SELECT doc_id, CAST(ceil(len(w) / 3.0) AS BIGINT) AS n_chunks
+        FROM ws WHERE len(w) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+            SELECT doc_id,
+                   UNNEST([{'pos': i,
+                            'chunk': array_to_string(w[i*3+1 : i*3+3], ' ')}
+                           for i in range(0, CAST(ceil(len(w)/3.0) AS BIGINT))]) AS u
+            FROM ws WHERE len(w) > 0)
+    ),
+    dups AS (
+        SELECT chunk FROM chunks
+        GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 3
+    ),
+    kept AS (
+        SELECT c.doc_id, c.pos, c.chunk
+        FROM chunks c ANTI JOIN dups d ON c.chunk = d.chunk
+    ),
+    ragg AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text, t.n_chunks,
+           CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM tot t LEFT JOIN ragg r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_dedup_lines(spark, sf_dir):
+    """Sub-document (segment-level) corpus dedup — CCNet's line dedup /
+    Gopher's boilerplate removal, the step public pipelines run BEFORE
+    document MinHash so shared headers/navigation don't inflate Jaccard
+    between unrelated pages. Segments = fixed 3-word chunks (the fixture
+    text is single-line, so 'line' granularity is a fixed word window);
+    any segment occurring in >= 3 distinct documents is dropped
+    everywhere it occurs, and each document's survivors are reassembled
+    in order (fully-boilerplate docs survive with clean_text = '').
+    See ops.text.dedup_segments for the three-narrow-shuffle plan story.
+    """
+    return T.dedup_segments(
+        _cat(spark, sf_dir).documents, width=3, min_docs=3
+    ).orderBy("doc_id")
+
+
+_SHARDS = 16
+_SHARD_SEED = 11
+_ORDER_SEED = 23
+
+
+@q(
+    "q_shard_manifest",
+    f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+               ({SMP.hash32_sql('doc_id', seed=_SHARD_SEED)}) % {_SHARDS} AS shard,
+               {SMP.hash32_sql('doc_id', seed=_ORDER_SEED)} AS order_key
+        FROM documents
+    ),
+    m1 AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+               MIN(order_key) AS min_ok,
+               CAST(SUM(order_key) % {1 << 32} AS BIGINT) AS id_checksum
+        FROM t GROUP BY shard
+    ),
+    firsts AS (
+        SELECT t.shard, MIN(t.doc_id) AS first_doc
+        FROM t JOIN m1 ON t.shard = m1.shard AND t.order_key = m1.min_ok
+        GROUP BY t.shard
+    )
+    SELECT m1.shard, m1.n_docs, m1.n_tokens, m1.n_chars,
+           f.first_doc, m1.id_checksum
+    FROM m1 JOIN firsts f ON m1.shard = f.shard
+    ORDER BY m1.shard
+    """,
+)
+def q_shard_manifest(spark, sf_dir):
+    """Deterministic training-shard placement + per-shard manifest: every
+    document gets a shard (portable hash32 of doc_id mod 16) and an
+    in-shard order key (independent seed), giving the 'global
+    deterministic shuffle' a training run needs — well-mixed, engine- and
+    partitioning-independent, exactly reproducible for resume. The
+    manifest is what the writer would publish next to the shards: docs /
+    tokens / bytes per shard, the first document in shard order (min
+    order_key, doc_id tiebreak via a min+join two-step — NO per-shard
+    window, which at 100 TB would funnel each shard through one reducer),
+    and an order-independent membership checksum (sum of order keys mod
+    2^32; at >2^31 rows per shard widen the sum to DECIMAL first — the
+    q_corr_exact pattern). Write path: repartition(n_shards, shard) +
+    sortWithinPartitions(order_key) — one exchange, no global sort.
+    See ops.sampling.shard_assignment.
+    """
+    d = _cat(spark, sf_dir).documents
+    t = SMP.shard_assignment(
+        d.select(
+            "doc_id",
+            "n_chars",
+            T.token_count(F.col("text")).cast("long").alias("n_toks"),
+        ),
+        "doc_id",
+        _SHARDS,
+        shard_seed=_SHARD_SEED,
+        order_seed=_ORDER_SEED,
+    )
+    m1 = t.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.min("order_key").alias("min_ok"),
+        F.pmod(F.sum("order_key"), F.lit(1 << 32)).alias("id_checksum"),
+    )
+    firsts = (
+        t.join(
+            F.broadcast(m1.select("shard", "min_ok")),
+            ["shard"],
+        )
+        .filter(F.col("order_key") == F.col("min_ok"))
+        .groupBy("shard")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    return (
+        m1.join(firsts, "shard")
+        .select(
+            "shard", "n_docs", "n_tokens", "n_chars", "first_doc",
+            "id_checksum",
+        )
+        .orderBy("shard")
+    )

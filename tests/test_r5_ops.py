@@ -472,3 +472,93 @@ def test_cached_df_incremental_append_only(spark, tmp_path):
     df3 = build()
     assert calls["full"] == 2 and calls["delta"] == 1
     assert df3.count() == 25
+
+
+# ---------------------------------------------------------------------
+# B63: segment-level dedup + deterministic shard placement
+# ---------------------------------------------------------------------
+
+
+def test_dedup_segments_hand_checked(spark):
+    """Hand-built corpus: a 3-word boilerplate segment shared by 3 docs is
+    removed everywhere (aligned to the fixed chunk grid), a fully-
+    boilerplate doc survives with clean_text='', and survivors keep their
+    original order."""
+    from etl_data_processor_spark.ops.text import dedup_segments
+
+    rows = [
+        # docs 1-3 share the aligned segment "the same header"
+        (1, "the same header alpha beta gamma"),
+        (2, "the same header delta eps zeta"),
+        (3, "the same header"),  # entirely boilerplate
+        (4, "unique words only here today friend"),
+        # shared by only TWO docs -> kept (min_docs=3)
+        (5, "twice seen chunk plus tail words"),
+        (6, "twice seen chunk other tail words"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(df, width=3, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma"
+    assert out[1]["n_chunks"] == 2 and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "delta eps zeta"
+    assert out[3]["clean_text"] == "" and out[3]["n_dropped"] == 1
+    assert out[4]["clean_text"] == "unique words only here today friend"
+    assert out[4]["n_dropped"] == 0
+    assert out[5]["clean_text"] == "twice seen chunk plus tail words"
+    assert out[6]["n_dropped"] == 0
+
+
+def test_dedup_segments_order_preserved_many_chunks(spark):
+    """A long doc whose middle segment is boilerplate reassembles with the
+    remaining segments in original order (collect_list is unordered until
+    array_sort on pos — this would fail if pos were dropped)."""
+    from etl_data_processor_spark.ops.text import dedup_segments
+
+    filler = " ".join(f"w{i}" for i in range(30))  # 10 chunks
+    boiler = "x x x"
+    rows = [(1, f"{filler} {boiler}"), (2, boiler), (3, boiler)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_segments(df, width=3, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == filler
+    assert out[1]["n_chunks"] == 11 and out[1]["n_dropped"] == 1
+
+
+def test_shard_assignment_deterministic_and_partition_independent(spark):
+    from etl_data_processor_spark.ops.sampling import shard_assignment
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = shard_assignment(df, "k", 16)
+    b = shard_assignment(df.repartition(7), "k", 16)
+    ra = sorted(a.collect())
+    rb = sorted(b.collect())
+    assert ra == rb  # placement is partitioning-independent
+    shards = {r["shard"] for r in ra}
+    assert shards == set(range(16))  # all shards populated
+    # placement and order keys are independent (different seeds)
+    same = sum(1 for r in ra if r["shard"] == r["order_key"] % 16)
+    assert same < 400  # ~1/16 expected, not all
+    # balanced within 3x of ideal
+    from collections import Counter
+
+    c = Counter(r["shard"] for r in ra)
+    assert max(c.values()) < 3 * (2000 / 16)
+
+
+def test_shard_manifest_no_window_and_checksum_order_free(spark, sf_dir):
+    """The manifest plan must contain no WindowExec (the per-shard 'first
+    doc' is a min+join two-step) and the checksum must not depend on row
+    order."""
+    from etl_data_processor_spark.queries_r5 import q_shard_manifest
+
+    df = q_shard_manifest(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = {r["shard"]: r for r in df.collect()}
+    assert len(rows) == 16
+    assert all(0 <= r["id_checksum"] < (1 << 32) for r in rows.values())
