@@ -80,6 +80,7 @@ HEADLINE = [
     "q_fuzzy_symdelete",
     "q_dedup_semantic",
     "q_corpus_mix",
+    "q_shard_manifest",  # q_dedup_lines joins via the q_dedup_* auto-rule
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

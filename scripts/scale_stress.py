@@ -74,6 +74,9 @@ HEAVY = [
     "q_fuzzy_symdelete",
     "q_corpus_mix",
     "q_join_star",
+    # B63: segment dedup + shard placement
+    "q_dedup_lines",
+    "q_shard_manifest",
     # r4-item-4 scale-safe window forms: prove the registered plans scale
     "q_rfm_segments",
     "q_abc_classification",
