@@ -81,6 +81,7 @@ HEADLINE = [
     "q_dedup_semantic",
     "q_corpus_mix",
     "q_shard_manifest",  # q_dedup_lines joins via the q_dedup_* auto-rule
+    "q_bpe_pair_counts",  # q_text_dedup_consecutive via the q_text_* rule
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

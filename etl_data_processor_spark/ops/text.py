@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 # Tiny per-language stopword seeds for heuristic language ID. Deliberately
 # small: the point is the Spark shape (literal arrays + overlap scoring),
@@ -422,4 +423,88 @@ def dedup_segments(
             .cast("long")
             .alias("n_dropped"),
         )
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """The distributed core of BPE tokenizer TRAINING (Sennrich et al.
+    2016, public): weighted adjacent-symbol-pair counts over the corpus
+    vocabulary, i.e. the statistic whose argmax picks the next merge.
+    Returns the ``top_n`` (pair, cnt) rows with a deterministic total
+    order (cnt desc, pair asc).
+
+    100 TB shape — this is exactly how production BPE trainers scale: the
+    CORPUS is touched once (explode words -> hash-agg word frequencies;
+    map-side partial counts make the shuffle vocabulary-sized), and the
+    pair enumeration runs on the VOCABULARY table (millions of rows, not
+    trillions) with the word frequency as the weight. Each merge
+    iteration after the first re-derives pairs from the (tiny) vocab
+    only; the corpus is never re-scanned.
+    """
+    words = df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+    wf = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, CAST(i AS INT), 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(top_n)
+    )
+
+
+def dedup_consecutive_words(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style intra-document repetition REMOVAL: collapse runs of
+    consecutively-repeated words to a single occurrence ("the the the" ->
+    "the") and reassemble the document. Returns (doc_id, clean_text,
+    n_words, n_removed). The STATS counterpart is repetition_stats (used
+    by the filter rules); this is the scrubber applied to documents that
+    pass the keep threshold but still carry stutter artifacts (OCR, ASR
+    transcripts, crawler glitches).
+
+    100 TB shape: the only window is PARTITION BY doc_id (data-parallel,
+    frame bounded by the document's own length — never a global or
+    low-cardinality window), plus one hash aggregate for reassembly.
+    """
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select("doc_id", F.posexplode("w").alias("pos", "word"))
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    kept = toks.withColumn("prev", F.lag("word").over(win)).filter(
+        F.col("prev").isNull() | (F.col("word") != F.col("prev"))
+    )
+    ragg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    tot = toks.groupBy("doc_id").agg(F.count("*").alias("n_words"))
+    return tot.join(ragg, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        "n_words",
+        (F.col("n_words") - F.col("n_kept")).cast("long").alias("n_removed"),
     )

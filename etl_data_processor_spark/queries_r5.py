@@ -399,3 +399,82 @@ def q_shard_manifest(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# =====================================================================
+# B64: BPE tokenizer-training core + intra-doc repetition removal
+# =====================================================================
+
+
+@q(
+    "q_bpe_pair_counts",
+    """
+    WITH words AS (
+        SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS word
+        FROM documents
+    ),
+    wf AS (SELECT word, COUNT(*) AS freq FROM words GROUP BY word),
+    pairs AS (
+        SELECT freq, u.p AS pair FROM (
+            SELECT freq,
+                   UNNEST([{'p': word[i:i+1]} for i in range(1, len(word))]) AS u
+            FROM wf WHERE len(word) >= 2)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """BPE tokenizer-training statistic (Sennrich et al. 2016): weighted
+    adjacent character-pair counts whose argmax is the next merge — the
+    distributed step of training a tokenizer on the corpus. The corpus
+    is scanned ONCE (word-frequency hash agg, map-side partials); pair
+    enumeration then runs on the vocabulary table with freq as weight,
+    so merge iterations never re-touch the corpus. Deterministic top-20
+    (cnt desc, pair asc). See ops.text.bpe_pair_counts."""
+    return T.bpe_pair_counts(_cat(spark, sf_dir).documents, top_n=20)
+
+
+@q(
+    "q_text_dedup_consecutive",
+    """
+    WITH toks AS (
+        SELECT doc_id, u.pos AS pos, u.word AS word FROM (
+            SELECT doc_id,
+                   UNNEST([{'pos': i, 'word': w[i]}
+                           for i in range(1, len(w) + 1)]) AS u
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+            WHERE len(w) > 0)
+    ),
+    kept AS (
+        SELECT doc_id, pos, word FROM (
+            SELECT doc_id, pos, word,
+                   LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM toks)
+        WHERE prev IS NULL OR word <> prev
+    ),
+    ragg AS (
+        SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_words FROM toks GROUP BY doc_id)
+    SELECT t.doc_id, r.clean_text, t.n_words,
+           CAST(t.n_words - r.n_kept AS BIGINT) AS n_removed
+    FROM tot t JOIN ragg r ON t.doc_id = r.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q_text_dedup_consecutive(spark, sf_dir):
+    """Gopher-style intra-document repetition removal: collapse runs of
+    consecutively-repeated words and reassemble ("the the the" -> "the")
+    — the scrubber counterpart of q_text_repetition's filter stats, for
+    OCR/ASR stutter and crawler glitches. Only window is PARTITION BY
+    doc_id (frame bounded by the doc's own length — data-parallel at any
+    scale). See ops.text.dedup_consecutive_words."""
+    return T.dedup_consecutive_words(
+        _cat(spark, sf_dir).documents
+    ).orderBy("doc_id")

@@ -562,3 +562,46 @@ def test_shard_manifest_no_window_and_checksum_order_free(spark, sf_dir):
     rows = {r["shard"]: r for r in df.collect()}
     assert len(rows) == 16
     assert all(0 <= r["id_checksum"] < (1 << 32) for r in rows.values())
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    """'abab' x3 + 'ba' x2: pair counts are weighted by word frequency and
+    multiplicity inside the word ('abab' contributes ab,ba,ab per
+    occurrence)."""
+    from etl_data_processor_spark.ops.text import bpe_pair_counts
+
+    rows = [(1, "abab abab ba"), (2, "abab ba x")]  # 'x' is 1-char: ignored
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["pair"]: r["cnt"] for r in bpe_pair_counts(df).collect()}
+    assert out == {"ab": 6, "ba": 5}  # ab: 2*3 words; ba: 1*3 + 2
+
+
+def test_dedup_consecutive_words_hand_checked(spark):
+    from etl_data_processor_spark.ops.text import dedup_consecutive_words
+
+    rows = [
+        (1, "the the the cat sat sat on on on on mat"),
+        (2, "a b a b"),  # non-adjacent repeats kept
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup_consecutive_words(df).collect()}
+    assert out[1]["clean_text"] == "the cat sat on mat"
+    assert out[1]["n_words"] == 11 and out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "a b a b" and out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "solo" and out[3]["n_removed"] == 0
+
+
+def test_dedup_consecutive_nonvacuous_on_fixture(spark, sf_dir):
+    """The synthetic corpus does contain consecutive repeats — the query
+    must actually remove something (guards against a vacuously-green
+    oracle)."""
+    from etl_data_processor_spark.queries_r5 import q_text_dedup_consecutive
+    from pyspark.sql import functions as F
+
+    removed = (
+        q_text_dedup_consecutive(spark, sf_dir)
+        .agg(F.sum("n_removed").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert removed > 0
