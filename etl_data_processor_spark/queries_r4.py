@@ -414,37 +414,15 @@ def q_join_bucketed(spark, sf_dir):
     so the sort-merge join reads bucket i ⋈ bucket i with NO Exchange on
     either side (plan-pinned in tests/test_plans.py). At cluster scale the
     bucket count matches the standing parallelism and every subsequent
-    join/aggregate on the key is exchange-free. Results are the plain join
+    join/aggregate on the key is exchange-free. The DDL/table writes live
+    in the explicit setup hook io.ensure_bucketed_join_tables (idempotent
+    per sf_dir) — this body only reads. Results are the plain join
     aggregate, oracled; prices aggregate as exact integer cents."""
-    import hashlib
-    import os
-    import shutil
+    from etl_data_processor_spark.io import ensure_bucketed_join_tables
 
-    c = _cat(spark, sf_dir)
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    db = f"bktdb_{key}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for name, df, bucket_col in (
-        (f"{db}.orders_b", c.orders.select("o_custkey", "o_totalprice"), "o_custkey"),
-        (f"{db}.customer_b", c.customer.select("c_custkey", "c_mktsegment"), "c_custkey"),
-    ):
-        if not spark.catalog.tableExists(name):
-            # the in-memory catalog forgets tables across sessions but the
-            # warehouse directory persists — clear the stale location so
-            # this session's write owns it
-            loc = os.path.join(warehouse, f"{db}.db", name.split(".")[1])
-            if os.path.isdir(loc):
-                shutil.rmtree(loc)
-            (
-                df.write.bucketBy(8, bucket_col)
-                .sortBy(bucket_col)
-                .format("parquet")
-                .mode("overwrite")
-                .saveAsTable(name)
-            )
-    o = spark.table(f"{db}.orders_b")
-    cu = spark.table(f"{db}.customer_b")
+    orders_tbl, customer_tbl = ensure_bucketed_join_tables(spark, sf_dir)
+    o = spark.table(orders_tbl)
+    cu = spark.table(customer_tbl)
     # disable broadcast for THIS join so the bucket-aligned SMJ is what
     # runs (a broadcast would also avoid the shuffle, but only because the
     # dim is test-small; the bucketed plan is the one that scales)

@@ -55,6 +55,10 @@ HEAVY_SF01 = [
     "q_url_parse", "q_ip_cidr_join", "q_join_asof_nearest",
     "q_record_linkage", "q_join_bucketed", "q_dp_noise_counts",
     "q_sketch_theta_kmv",
+    # round-5 batches (B62-B64)
+    "q_fuzzy_symdelete", "q_dedup_semantic", "q_corpus_mix",
+    "q_dedup_lines", "q_shard_manifest", "q_bpe_pair_counts",
+    "q_text_dedup_consecutive",
 ]
 
 
