@@ -605,3 +605,76 @@ def test_dedup_consecutive_nonvacuous_on_fixture(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert removed > 0
+
+
+def test_b63_b64_text_ops_random_differential(spark):
+    """Seeded random-corpus differential: the three round-5 text operators
+    must equal straightforward pure-Python references on 200 random docs
+    (vocab small enough to force real boilerplate, runs, and pair ties)."""
+    import random
+    from collections import Counter
+
+    from etl_data_processor_spark.ops.text import (
+        bpe_pair_counts,
+        dedup_consecutive_words,
+        dedup_segments,
+    )
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = "b1 b2 b3"
+    docs = []
+    for i in range(200):
+        words = [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+        if rng.random() < 0.3:  # plant aligned boilerplate at chunk 0
+            words = boiler.split() + words
+        if rng.random() < 0.5:  # plant a consecutive run
+            j = rng.randrange(len(words))
+            words[j:j] = [words[j]] * rng.randint(1, 3)
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    # --- reference: dedup_segments(width=3, min_docs=3)
+    def seg(ws):
+        return [" ".join(ws[k : k + 3]) for k in range(0, len(ws), 3)]
+
+    by_doc = {i: t.split() for i, t in docs}
+    owners = {}
+    for i, ws in by_doc.items():
+        for ch in set(seg(ws)):
+            owners[ch] = owners.get(ch, 0) + 1
+    dropped = {ch for ch, n in owners.items() if n >= 3}
+    ref_seg = {}
+    for i, ws in by_doc.items():
+        chunks = seg(ws)
+        kept = [c for c in chunks if c not in dropped]
+        ref_seg[i] = (" ".join(kept), len(chunks), len(chunks) - len(kept))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_dropped"])
+        for r in dedup_segments(df, width=3, min_docs=3).collect()
+    }
+    assert got == ref_seg
+
+    # --- reference: dedup_consecutive_words
+    ref_run = {}
+    for i, ws in by_doc.items():
+        kept = [w for k, w in enumerate(ws) if k == 0 or w != ws[k - 1]]
+        ref_run[i] = (" ".join(kept), len(ws), len(ws) - len(kept))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_removed"])
+        for r in dedup_consecutive_words(df).collect()
+    }
+    assert got == ref_run
+
+    # --- reference: bpe_pair_counts top-20 with (cnt desc, pair asc) order
+    wf = Counter(w for ws in by_doc.values() for w in ws)
+    pc = Counter()
+    for w, f in wf.items():
+        if len(w) >= 2:
+            for k in range(len(w) - 1):
+                pc[w[k : k + 2]] += f
+    ref_top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got_top = [
+        (r["pair"], r["cnt"]) for r in bpe_pair_counts(df, top_n=20).collect()
+    ]
+    assert got_top == ref_top
