@@ -678,3 +678,21 @@ def test_b63_b64_text_ops_random_differential(spark):
         (r["pair"], r["cnt"]) for r in bpe_pair_counts(df, top_n=20).collect()
     ]
     assert got_top == ref_top
+
+
+def test_dedup_lines_plan_three_narrow_shuffles(spark, sf_dir):
+    """Plan pin for the docstring's claim: q_dedup_lines runs on exactly
+    3 hash exchanges (boilerplate count, reassembly agg, doc rejoin —
+    AQE may broadcast the tiny dup set), no Window, no cartesian."""
+    from etl_data_processor_spark.queries_r5 import q_dedup_lines
+
+    plan = (
+        q_dedup_lines(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
