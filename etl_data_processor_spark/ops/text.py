@@ -290,22 +290,32 @@ def fuzzy_key_pairs_symdelete(
     )
     b = a.select(F.col("key").alias("key_b"), F.col("__v").alias("__vb"))
     # shuffle_hash: Catalyst under-sizes post-Generate frames and would
-    # broadcast an exploded side (see q_record_linkage's measured spill)
+    # broadcast an exploded side (see q_record_linkage's measured spill).
+    # The verified distance is PROJECTED once per candidate and carried
+    # through the pair-dedup aggregate; filtering on the aggregated value
+    # (not in the join condition / a pushable filter) keeps Catalyst from
+    # inlining a second levenshtein into the final projection (VERDICT r5
+    # item 8 — the old form evaluated it in the join condition AND again
+    # per surviving pair). Candidates at 2 < lev <= 4 (shared ancestor but
+    # failed verify) now reach the dedup agg before dying; that agg ships
+    # (key, key_b, dist) triples with map-side partial dedup — cheaper than
+    # a second levenshtein per surviving pair, and the aggregate cannot be
+    # re-ordered below itself.
     pairs = (
         a.join(
             b.hint("shuffle_hash"),
-            (F.col("__v") == F.col("__vb"))
-            & (F.col("key") < F.col("key_b"))
-            & (F.levenshtein(F.col("key"), F.col("key_b")) <= max_dist),
+            (F.col("__v") == F.col("__vb")) & (F.col("key") < F.col("key_b")),
         )
-        .select("key", "key_b")
-        .dropDuplicates(["key", "key_b"])
+        .select(
+            "key",
+            "key_b",
+            F.levenshtein(F.col("key"), F.col("key_b")).cast("int").alias("dist"),
+        )
+        .groupBy("key", "key_b")
+        .agg(F.min("dist").alias("dist"))
+        .filter(F.col("dist") <= max_dist)
     )
-    return pairs.select(
-        F.col("key").alias("key_a"),
-        "key_b",
-        F.levenshtein("key", "key_b").cast("int").alias("dist"),
-    )
+    return pairs.select(F.col("key").alias("key_a"), "key_b", "dist")
 
 
 def fuzzy_key_pairs(

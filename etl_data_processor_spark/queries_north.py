@@ -737,7 +737,8 @@ def q_emb_near_dup(spark, sf_dir):
     "q_text_tokens",
     r"""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '')) AS n_tokens,
            len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])')) AS n_bpe_ish
     FROM documents
     """,

@@ -154,7 +154,8 @@ _M32 = 1 << 32
     f"""
     WITH toks AS (
         SELECT doc_id, source,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS n_toks,
                1 + (CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) % 3) AS w
         FROM documents
     ),
@@ -322,7 +323,8 @@ _ORDER_SEED = 23
     f"""
     WITH t AS (
         SELECT doc_id, n_chars,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS n_toks,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '')) AS n_toks,
                ({SMP.hash32_sql('doc_id', seed=_SHARD_SEED)}) % {_SHARDS} AS shard,
                {SMP.hash32_sql('doc_id', seed=_ORDER_SEED)} AS order_key
         FROM documents
