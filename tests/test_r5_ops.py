@@ -696,3 +696,239 @@ def test_dedup_lines_plan_three_narrow_shuffles(spark, sf_dir):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+# ---------------------------------------------------------------------------
+# Round-6 hardening (ADVICE r5): live-build-aware tmp aging, ancestor-sparing
+# GC, and params-checked incremental ancestry.
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_ages_tmp_dirs_by_tree_newest_mtime(adir):
+    """A long-running build writes part files into nested _temporary/
+    subdirs without touching the tmp dir's top-level mtime. The vacuum
+    must age .tmp-* dirs by the NEWEST mtime anywhere in the tree, so a
+    build still making progress is spared however old its top-level dir
+    is — and reclaimed only once every file in it has gone quiet."""
+    path = os.path.join(adir, "slug.tmp-livebuild")
+    nested = os.path.join(path, "_temporary", "0", "task-1")
+    os.makedirs(nested)
+    open(os.path.join(nested, "part-0001.parquet"), "w").close()
+    old = time.time() - 3600
+    # top-level (and intermediate) dirs look ancient; the part file is hot
+    for p in (path, os.path.join(path, "_temporary"),
+              os.path.join(path, "_temporary", "0"), nested):
+        os.utime(p, (old, old))
+    assert D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600) == []
+    assert os.path.isdir(path)
+    # the writer goes quiet: every mtime in the tree past the window
+    os.utime(os.path.join(nested, "part-0001.parquet"), (old, old))
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600)
+    assert dropped == ["slug.tmp-livebuild"]
+
+
+def _mk_family_slug(adir, name, sources, signature, family, params="('p',)",
+                    age=3600.0):
+    path = _mk_slug(adir, name, sources=sources, signature=signature, age=None)
+    with open(os.path.join(path, "_KEY.json")) as f:
+        meta = json.load(f)
+    meta["family"] = family
+    meta["params"] = params
+    with open(os.path.join(path, "_KEY.json"), "w") as f:
+        json.dump(meta, f)
+    old = time.time() - age
+    os.utime(path, (old, old))
+    return path
+
+
+def test_vacuum_spares_closest_incremental_ancestor(adir, tmp_path):
+    """A stale family slug whose signature is a strict subset of the
+    CURRENT source signature is the append-only ancestor the next
+    incremental build reads: the vacuum spares the CLOSEST one per
+    (family, params) and reclaims the rest of the chain. A different
+    params value is a different chain. A non-append rewrite breaks the
+    subset relation and everything becomes reclaimable."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    sig_parts = []
+    for i in range(3):
+        time.sleep(0.01)
+        f = corpus / f"f{i}.txt"
+        f.write_text(f"chunk {i}")
+        sig_parts.append(D.source_signature(str(corpus)))
+    # gen0 saw f0 only; gen1 saw f0+f1; both subsets of current (f0+f1+f2)
+    _mk_family_slug(adir, "gen0", [str(corpus)], repr(sig_parts[0]), "famA")
+    _mk_family_slug(adir, "gen1", [str(corpus)], repr(sig_parts[1]), "famA")
+    # same family name, DIFFERENT params: its own chain, closest spared
+    _mk_family_slug(adir, "gen0-p2", [str(corpus)], repr(sig_parts[0]),
+                    "famA", params="('p2',)")
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600)
+    assert dropped == ["gen0"]  # gen1 = closest famA/p ancestor, spared
+    assert os.path.isdir(os.path.join(adir, "gen1"))
+    assert os.path.isdir(os.path.join(adir, "gen0-p2"))
+
+    # non-append rewrite: f0 changes, old signatures no longer subsets
+    time.sleep(0.01)
+    (corpus / "f0.txt").write_text("REWRITTEN")
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600)
+    assert sorted(dropped) == ["gen0-p2", "gen1"]
+
+
+def test_incremental_base_requires_matching_params(spark, tmp_path):
+    """ADVICE r5: a family reused with different derivation parameters
+    must NOT union an old ancestor's rows with rows derived under the new
+    parameters — the params (key minus signature) are recorded in the
+    manifest and an ancestor is only accepted when they match exactly."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    corpus = tmp_path / "corpus.parquet"
+
+    def add_file(lo, hi, name):
+        stage = str(tmp_path / "stage")
+        spark.range(lo, hi).selectExpr("id", "id * 3 AS v").coalesce(
+            1
+        ).write.mode("overwrite").parquet(stage)
+        os.makedirs(corpus, exist_ok=True)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, str(corpus / name))
+
+    fam = f"test-params:{tmp_path}"
+    calls = {"full": 0, "delta": 0}
+
+    def build(mult):
+        sig = D.source_signature(str(corpus))
+
+        def full():
+            calls["full"] += 1
+            return spark.read.parquet(str(corpus)).select(
+                "id", (F.col("v") * mult).alias("w")
+            )
+
+        def delta(files):
+            calls["delta"] += 1
+            return spark.read.parquet(*files).select(
+                "id", (F.col("v") * mult).alias("w")
+            )
+
+        return D.cached_df(
+            spark,
+            ("inc-params", fam, mult, sig),
+            full,
+            materialize=True,
+            sources=(str(corpus),),
+            family=fam,
+            delta_builder=delta,
+        )
+
+    add_file(0, 10, "f1.parquet")
+    assert build(10).count() == 10 and calls == {"full": 1, "delta": 0}
+
+    time.sleep(0.01)
+    add_file(10, 20, "f2.parquet")
+    D._DF_CACHE.clear()
+    # SAME params (mult=10): incremental path is taken
+    assert build(10).count() == 20 and calls == {"full": 1, "delta": 1}
+
+    time.sleep(0.01)
+    add_file(20, 30, "f3.parquet")
+    D._DF_CACHE.clear()
+    # DIFFERENT params (mult=100): the mult=10 ancestors must be refused —
+    # a delta union would mix w = v*10 rows under a w = v*100 key
+    df = build(100)
+    assert calls == {"full": 2, "delta": 1}
+    got = sorted((r["id"], r["w"]) for r in df.collect())
+    assert got == [(i, i * 300) for i in range(30)]
+
+
+def _race_publisher(slug_path, src, wid, barrier, out):
+    from etl_data_processor_spark.ops import dedup as Dm
+
+    def write_tmp(tmp):
+        os.makedirs(tmp)
+        for j in range(4):  # a "long" build: files keep landing over ~0.6s
+            with open(os.path.join(tmp, f"part-{j}.bin"), "w") as f:
+                f.write(f"w{wid}-{j}")
+            time.sleep(0.15)
+        with open(os.path.join(tmp, "winner.txt"), "w") as f:
+            f.write(str(wid))
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+
+    barrier.wait()
+    won = Dm._publish_artifact(
+        slug_path,
+        write_tmp,
+        key_repr="('v1', 'race')",
+        params="()",
+        sources=(src,),
+        cur_sig=Dm.source_signature(src),
+    )
+    readable = os.path.exists(os.path.join(slug_path, "_SUCCESS"))
+    out.put(("builder", wid, won, readable))
+
+
+def _race_vacuumer(warehouse, stop_evt, out):
+    from etl_data_processor_spark.ops import dedup as Dm
+
+    drops = []
+    while not stop_evt.is_set():
+        drops += Dm.vacuum_artifacts(warehouse=warehouse, min_age_seconds=0.5)
+        time.sleep(0.05)
+    drops += Dm.vacuum_artifacts(warehouse=warehouse, min_age_seconds=0.5)
+    out.put(("vacuum", drops))
+
+
+def test_multiprocess_publish_vacuum_race(tmp_path):
+    """VERDICT r5 item 7: N real OS processes race to build and publish
+    the SAME artifact slug while a concurrent vacuum loops over the store
+    with a sub-second retention window. Required outcome: exactly one
+    builder wins the atomic rename, every loser still reads the winner's
+    artifact, the vacuum never reclaims an in-flight tmp (their newest-
+    file mtime keeps moving — the ADVICE r5 tree-aging fix) nor the
+    just-published slug (its signature matches its live source), and the
+    store ends with exactly the published slug — zero lost artifacts,
+    zero stranded tmps."""
+    import multiprocessing as mp
+
+    warehouse = str(tmp_path / "warehouse")
+    adir = os.path.join(warehouse, "_artifacts")
+    os.makedirs(adir)
+    src = str(tmp_path / "corpus.txt")
+    with open(src, "w") as f:
+        f.write("corpus")
+    slug_path = os.path.join(adir, "raceslug")
+
+    n_builders = 6
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(n_builders)
+    stop_evt = ctx.Event()
+    out: mp.Queue = ctx.Queue()
+    vac = ctx.Process(target=_race_vacuumer, args=(warehouse, stop_evt, out))
+    builders = [
+        ctx.Process(
+            target=_race_publisher, args=(slug_path, src, w, barrier, out)
+        )
+        for w in range(n_builders)
+    ]
+    vac.start()
+    for p in builders:
+        p.start()
+    results = [out.get(timeout=120) for _ in builders]
+    stop_evt.set()
+    vac_kind, drops = out.get(timeout=60)
+    for p in builders + [vac]:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    assert vac_kind == "vacuum"
+
+    wins = [wid for (_, wid, won, _) in results if won]
+    assert len(wins) == 1  # exactly one atomic-rename winner
+    assert all(readable for (_, _, _, readable) in results)  # losers read it
+    with open(os.path.join(slug_path, "winner.txt")) as f:
+        assert f.read() == str(wins[0])  # the published copy IS the winner's
+    assert drops == []  # vacuum touched neither live tmps nor the slug
+    assert sorted(os.listdir(adir)) == ["raceslug"]  # no stranded tmps
+    with open(os.path.join(slug_path, "_KEY.json")) as f:
+        meta = json.load(f)
+    assert meta["signature"] == repr(D.source_signature(src))
