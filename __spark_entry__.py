@@ -27,6 +27,7 @@ from etl_data_processor_spark import queries_html as _q_html  # noqa: F401 (regi
 from etl_data_processor_spark import queries_r3 as _q_r3  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_r4 as _q_r4  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_r5 as _q_r5  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_r6 as _q_r6  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 
 

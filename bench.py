@@ -82,6 +82,8 @@ HEADLINE = [
     "q_corpus_mix",
     "q_shard_manifest",  # q_dedup_lines joins via the q_dedup_* auto-rule
     "q_bpe_pair_counts",  # q_text_dedup_consecutive via the q_text_* rule
+    # round 6 additions
+    "q_bpe_encode",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

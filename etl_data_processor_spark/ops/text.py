@@ -518,3 +518,109 @@ def dedup_consecutive_words(
         "n_words",
         (F.col("n_words") - F.col("n_kept")).cast("long").alias("n_removed"),
     )
+
+
+def train_bpe_merges(
+    df: DataFrame, n_merges: int = 16, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Greedy BPE merge-list training (Sennrich et al. 2016, public):
+    repeatedly merge the highest-weighted adjacent symbol pair over the
+    corpus vocabulary. Returns the merges in rank order. Argmax ties
+    break deterministically (count desc, pair asc — the same total order
+    :func:`bpe_pair_counts` publishes).
+
+    100 TB shape: the CORPUS is touched exactly once — the word-frequency
+    hash aggregate (map-side partials shrink the shuffle to vocabulary
+    size). The iterative merge loop then runs on the collected vocabulary
+    (a bounded MODEL artifact, like k-means centroids in
+    ops.similarity.train_ivf_centroids — production tokenizers train on a
+    vocab of millions while the corpus holds trillions of words), where
+    each iteration is a linear pass over vocab symbol sequences. Pure
+    Python on driver-side model state, never on corpus rows."""
+    from collections import Counter
+
+    rows = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    words = Counter()
+    for r in rows:
+        words[tuple(r["word"])] += r["freq"]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        nxt: Counter = Counter()
+        for syms, f in words.items():
+            nxt[_bpe_apply_pair(syms, a, b)] += f
+        words = nxt
+    return merges
+
+
+def _bpe_apply_pair(syms: tuple, a: str, b: str) -> tuple:
+    """One full merge pass: replace every left-to-right non-overlapping
+    adjacent (a, b) with a+b — the canonical BPE within-rank rule."""
+    out: list = []
+    for s in syms:
+        if out and out[-1] == a and s == b:
+            out[-1] = a + b
+        else:
+            out.append(s)
+    return tuple(out)
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Distributed BPE ENCODING — apply a trained merge list to a
+    vocabulary table, returning (word, tokens: array<string>). This is
+    the inference half of the tokenizer loop (:func:`train_bpe_merges`
+    is the training half): at 100 TB the corpus is scanned once into the
+    distinct-word vocab, every distinct word is encoded HERE exactly
+    once (vocab-sized work, however large the corpus), and the token
+    stream is a broadcast join of corpus words against this table.
+
+    Each merge is one JVM-side ``aggregate`` fold over the symbol array
+    (left-to-right, non-overlapping) — no Python boundary, no UDF.
+    Applying merges ONE FULL PASS PER RANK, ascending, is provably
+    identical to the canonical min-rank-iterate BPE: merging pair p
+    (rank r) only creates adjacencies involving the NEW symbol, and any
+    trained pair containing that symbol was learned after it existed, so
+    its rank exceeds r — no pass can ever re-enable an earlier rank, and
+    within a pass the fold cannot cascade because a just-merged symbol
+    ab never equals the pair's left element a. The DuckDB oracle replays
+    the min-rank-iterate form instead (one leftmost merge per recursion
+    step), so a green differential PROVES the equivalence on the fixture
+    corpus; tests/test_r6_ops.py proves it on random corpora against a
+    pure-Python canonical encoder."""
+    def make_pass(a: str, b: str):
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)
+                ),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    col = F.expr(
+        f"transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, CAST(i AS INT), 1))"
+    )
+    empty = F.array().cast("array<string>")
+    for a, b in merges:
+        col = F.aggregate(col, empty, make_pass(a, b))
+    return words.withColumn("tokens", col)
