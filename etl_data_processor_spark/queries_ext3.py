@@ -1794,6 +1794,14 @@ def q_cosine_pq(spark, sf_dir):
         lambda: pq_encode(emb, books),
         materialize=True,
         sources=(f"{sf_dir}/embeddings.parquet",),
+        # per-row derivation under a FIXED codebook -> append-only corpus
+        # growth rebuilds as read(ancestor) UNION pq_encode(new files);
+        # the params check (key minus signature) refuses ancestors built
+        # under a different codebook fingerprint (VERDICT r5 item 5)
+        family=f"{sf_dir}:pq_codes",
+        delta_builder=lambda files: pq_encode(
+            spark.read.parquet(*files), books
+        ),
     )
     return pq_cosine_topk(emb, queries, books, k=10, rerank=50, codes=codes)
 
@@ -1835,11 +1843,12 @@ def q_cosine_ivfpq(spark, sf_dir):
         pq_encode,
     )
 
-    def build_index():
+    def build_index(src=None):
+        d = emb if src is None else src
         assigned = ivf_assign_argmax(
-            emb.select("vec_id", "embedding"), cents
+            d.select("vec_id", "embedding"), cents
         ).select("vec_id", "__list")
-        return pq_encode(emb, books).join(assigned, "vec_id")
+        return pq_encode(d, books).join(assigned, "vec_id")
 
     from etl_data_processor_spark.ops.dedup import source_signature
 
@@ -1851,6 +1860,12 @@ def q_cosine_ivfpq(spark, sf_dir):
         build_index,
         materialize=True,
         sources=(f"{sf_dir}/embeddings.parquet",),
+        # assignment + encoding are both per-row under fixed models:
+        # append-only growth re-derives only the appended files
+        family=f"{sf_dir}:ivfpq_index",
+        delta_builder=lambda files: build_index(
+            spark.read.parquet(*files)
+        ),
     )
     return ivfpq_cosine_topk(
         emb, queries, k=10, n_lists=16, n_probe=8, rerank=50,

@@ -1592,6 +1592,13 @@ def q_cosine_ivf(spark, sf_dir):
         ),
         materialize=True,
         sources=(f"{sf_dir}/embeddings.parquet",),
+        # per-row under fixed centroids: append-only growth re-derives
+        # only the appended files (VERDICT r5 item 5); the params check
+        # refuses ancestors built under another centroid fingerprint
+        family=f"{sf_dir}:ivf_assign",
+        delta_builder=lambda files: SIM.ivf_assign_argmax(
+            spark.read.parquet(*files).select("vec_id", "embedding"), cents
+        ),
     )
     return SIM.ivf_cosine_topk(
         emb, queries, k=10, centroids=cents, assigned=assigned

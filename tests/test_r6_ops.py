@@ -169,3 +169,162 @@ def test_bpe_encode_plan_is_vocab_sized_no_python(spark, sf_dir):
 
     kinds = re.findall(r"Exchange (\w+)", plan)
     assert sum(1 for k in kinds if k == "hashpartitioning") == 1, kinds
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r5 item 5: incremental (append-only) artifact maintenance beyond
+# LSH — the PQ code table and the pHash signature table are per-row-derived
+# under a fixed model, so a corpus append must rebuild each as
+# read(ancestor) UNION delta(new files), identical to from-scratch.
+# ---------------------------------------------------------------------------
+
+import glob
+import os
+import shutil
+
+from etl_data_processor_spark.ops import dedup as D
+
+
+def _appendable(spark, tmp_path, name):
+    """(corpus_dir, add(df, filename)) — a dir-shaped parquet source grown
+    one part file at a time, the append-only corpus shape."""
+    corpus = tmp_path / name
+
+    def add(df, fname):
+        stage = str(tmp_path / f"stage-{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(corpus, exist_ok=True)
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], str(corpus / fname))
+
+    return str(corpus), add
+
+
+def _synthetic_embeddings(spark, lo, hi, dim=8):
+    return spark.range(lo, hi).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {dim}), "
+        f"j -> CAST(pmod(id * j * 37 + j * j, 97) / 97.0 AS FLOAT)) "
+        "AS embedding",
+    )
+
+
+def test_incremental_pq_code_table(spark, tmp_path):
+    """Append-only growth of an embedding corpus rebuilds the PQ code
+    table via the delta path (exactly the new files re-encoded under the
+    FIXED codebook), bit-identical to a from-scratch encode of the whole
+    corpus — the q_cosine_pq wiring."""
+    from etl_data_processor_spark.ops.similarity import (
+        model_fingerprint,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    corpus, add = _appendable(spark, tmp_path, "emb.parquet")
+    add(_synthetic_embeddings(spark, 0, 64), "f1.parquet")
+    books = train_pq_codebooks(
+        spark.read.parquet(corpus), m_sub=4, k_codes=4, sample_n=64
+    )
+    calls = {"full": 0, "delta": 0, "delta_files": None}
+
+    def build():
+        sig = D.source_signature(corpus)
+
+        def full():
+            calls["full"] += 1
+            return pq_encode(spark.read.parquet(corpus), books)
+
+        def delta(files):
+            calls["delta"] += 1
+            calls["delta_files"] = sorted(files)
+            return pq_encode(spark.read.parquet(*files), books)
+
+        return D.cached_df(
+            spark,
+            (corpus, "pq_codes", model_fingerprint(books), sig),
+            full,
+            materialize=True,
+            sources=(corpus,),
+            family=f"{corpus}:pq_codes",
+            delta_builder=delta,
+        )
+
+    assert build().count() == 64 and calls["full"] == 1
+
+    import time
+
+    time.sleep(0.01)
+    add(_synthetic_embeddings(spark, 64, 100), "f2.parquet")
+    D._DF_CACHE.clear()
+    inc = build()
+    assert calls == {
+        "full": 1,
+        "delta": 1,
+        "delta_files": [os.path.join(corpus, "f2.parquet")],
+    }
+    scratch = pq_encode(spark.read.parquet(corpus), books)
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in inc.collect()
+    )
+    want = sorted(
+        (r["vec_id"], tuple(r["codes"])) for r in scratch.collect()
+    )
+    assert got == want and len(got) == 100
+
+
+def test_incremental_phash_signature_table(spark, tmp_path):
+    """Same contract for the pHash (aHash64) image-signature table: the
+    appended frames are the only ones re-decoded; the union equals a
+    from-scratch signature pass over the full frame store."""
+    from etl_data_processor_spark.ops.multimodal import (
+        ahash64,
+        gray_synthesize_groups,
+    )
+
+    corpus, add = _appendable(spark, tmp_path, "frames.parquet")
+
+    def frames(lo, hi):
+        ids = spark.range(lo, hi).selectExpr("id AS doc_id")
+        return gray_synthesize_groups(ids)
+
+    add(frames(0, 24), "f1.parquet")
+    calls = {"full": 0, "delta": 0, "delta_files": None}
+
+    def build():
+        sig = D.source_signature(corpus)
+
+        def full():
+            calls["full"] += 1
+            return ahash64(spark.read.parquet(corpus))
+
+        def delta(files):
+            calls["delta"] += 1
+            calls["delta_files"] = sorted(files)
+            return ahash64(spark.read.parquet(*files))
+
+        return D.cached_df(
+            spark,
+            (corpus, "phash_sigs", sig),
+            full,
+            materialize=True,
+            sources=(corpus,),
+            family=f"{corpus}:phash_sigs",
+            delta_builder=delta,
+        )
+
+    assert build().count() == 24 and calls["full"] == 1
+
+    import time
+
+    time.sleep(0.01)
+    add(frames(24, 40), "f2.parquet")
+    D._DF_CACHE.clear()
+    inc = build()
+    assert calls == {
+        "full": 1,
+        "delta": 1,
+        "delta_files": [os.path.join(corpus, "f2.parquet")],
+    }
+    scratch = ahash64(spark.read.parquet(corpus))
+    got = sorted((r["doc_id"], r["sig"]) for r in inc.collect())
+    want = sorted((r["doc_id"], r["sig"]) for r in scratch.collect())
+    assert got == want and len(got) == 40
