@@ -84,6 +84,9 @@ HEADLINE = [
     "q_bpe_pair_counts",  # q_text_dedup_consecutive via the q_text_* rule
     # round 6 additions
     "q_bpe_encode",
+    "q_bpe_corpus_stats",
+    "q_quality_drift_psi",
+    "q_length_filter_adaptive",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -36,25 +36,17 @@ _MERGE_VALUES = ", ".join(
     f"({i + 1}, '{a}', '{b}')" for i, (a, b) in enumerate(BPE_MERGES)
 )
 
-
-@q(
-    "q_bpe_encode",
-    f"""
-    WITH RECURSIVE
-    merges(rank, a, b) AS (VALUES {_MERGE_VALUES}),
-    wf AS (
-        SELECT w AS word, COUNT(*) AS freq FROM (
-            SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                      x -> x <> '')) AS w
-            FROM documents)
-        GROUP BY w
-    ),
+# Shared DuckDB fragment: min-rank-iterate BPE over a `wf(word, ...)` CTE —
+# the recursive replay both BPE oracles build on (one leftmost merge of the
+# lowest-rank applicable pair per step; see q_bpe_encode's docstring for the
+# equivalence to the Spark side's rank-order folds).
+_BPE_ENC_CTES = """
     enc AS (
         SELECT word,
                ' ' || array_to_string(list_transform(range(1, length(word) + 1),
                                                      i -> word[i:i]), ' ')
                    || ' ' AS state
-        FROM wf
+        FROM (SELECT DISTINCT word FROM wf)
         UNION ALL
         SELECT word,
                substr(state, 1, pos - 1) || ' ' || a || b || ' ' ||
@@ -75,7 +67,21 @@ _MERGE_VALUES = ", ".join(
         WHERE NOT EXISTS (SELECT 1 FROM merges m
                           WHERE instr(e.state,
                                       ' ' || m.a || ' ' || m.b || ' ') > 0)
-    )
+    )"""
+
+
+@q(
+    "q_bpe_encode",
+    f"""
+    WITH RECURSIVE
+    merges(rank, a, b) AS (VALUES {_MERGE_VALUES}),
+    wf AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+        GROUP BY w
+    ),{_BPE_ENC_CTES}
     SELECT f.word, f.encoding,
            CAST(len(regexp_split_to_array(f.encoding, ' ')) AS BIGINT)
                AS n_tokens,
@@ -119,3 +125,307 @@ def q_bpe_encode(spark, sf_dir):
         F.col("freq").cast("long").alias("freq"),
         (F.size("tokens") * F.col("freq")).cast("long").alias("total_tokens"),
     ).orderBy("word")
+
+
+@q(
+    "q_bpe_corpus_stats",
+    f"""
+    WITH RECURSIVE
+    merges(rank, a, b) AS (VALUES {_MERGE_VALUES}),
+    wc AS (
+        SELECT source, w AS word, COUNT(*) AS freq FROM (
+            SELECT source,
+                   UNNEST(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                      x -> x <> '')) AS w
+            FROM documents)
+        GROUP BY source, w
+    ),
+    wf AS (SELECT word FROM wc GROUP BY word),{_BPE_ENC_CTES},
+    wt AS (
+        SELECT word,
+               len(regexp_split_to_array(encoding, ' ')) AS n_toks
+        FROM final
+    )
+    SELECT wc.source,
+           CAST(SUM(wc.freq) AS BIGINT) AS n_words,
+           CAST(SUM(wc.freq * length(wc.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(wc.freq * wt.n_toks) AS BIGINT) AS bpe_tokens,
+           FLOOR(CAST(SUM(wc.freq * length(wc.word)) AS DOUBLE)
+                 / CAST(SUM(wc.freq * wt.n_toks) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token6
+    FROM wc JOIN wt USING (word)
+    GROUP BY wc.source
+    ORDER BY wc.source
+    """,
+)
+def q_bpe_corpus_stats(spark, sf_dir):
+    """Tokenizer audit per source: corpus token counts under the trained
+    BPE and the compression ratio (chars per token) — the fertility /
+    efficiency statistic every tokenizer rollout is judged by. This IS
+    the join-back path q_bpe_encode's docstring promises: the corpus is
+    scanned ONCE into (source, word) counts (plan-pinned: exactly one
+    parquet scan), each count row is encoded in place by the JVM-side
+    folds — at most |vocab| x |sources| encodes, still vocabulary-scale
+    work however large the corpus — and the per-source totals are exact
+    integers (the only float is one final division, rounded identically
+    on both engines)."""
+    d = _cat(spark, sf_dir).documents
+    wc = (
+        d.select(
+            "source", F.explode(T.tokenize(F.col("text"))).alias("word")
+        )
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    enc = T.bpe_encode_words(wc, BPE_MERGES).select(
+        "source",
+        "freq",
+        F.size("tokens").alias("n_toks"),
+        F.length("word").alias("n_chars_w"),
+    )
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("n_chars_w")).cast("long").alias(
+                "n_chars"
+            ),
+            F.sum(F.col("freq") * F.col("n_toks")).cast("long").alias(
+                "bpe_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_chars",
+            "bpe_tokens",
+            (
+                F.floor(
+                    F.col("n_chars")
+                    / F.col("bpe_tokens")
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0
+            ).alias("chars_per_token6"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Distribution-drift monitoring (PSI) between sources
+# =====================================================================
+
+_QUALITY_DUCK = r"""ROUND(GREATEST(0.0,
+        LEAST(length(text)/200.0, 1.0)
+        * (length(regexp_replace(text, '[^A-Za-zæøå ]', '', 'g'))::DOUBLE
+           / GREATEST(length(text), 1))
+        * (1.0 - 4.0 * (length(regexp_replace(text, '[^\.,;:!\?]', '', 'g'))::DOUBLE
+                        / GREATEST(length(text), 1)))
+    ), 6)"""
+
+
+@q(
+    "q_quality_drift_psi",
+    f"""
+    WITH b AS (
+        SELECT source,
+               LEAST(CAST(FLOOR({_QUALITY_DUCK} * 10) AS INTEGER), 9) AS bin
+        FROM documents
+    ),
+    cnt AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY source, bin),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    grid AS (
+        SELECT t.source, t.n, CAST(g.i AS INTEGER) AS bin
+        FROM tot t, range(0, 10) g(i)
+    ),
+    filled AS (
+        SELECT g.source, g.bin, g.n, COALESCE(c.c, 0) AS c
+        FROM grid g LEFT JOIN cnt c
+          ON g.source = c.source AND g.bin = c.bin
+    ),
+    ref AS (SELECT MIN(source) AS rs FROM tot),
+    rd AS (
+        SELECT f.bin, f.c AS rc, f.n AS rn
+        FROM filled f, ref WHERE f.source = ref.rs
+    ),
+    terms AS (
+        SELECT f.source, f.n,
+               CAST(FLOOR(
+                   ((f.c + 1.0) / (f.n + 10.0) - (rd.rc + 1.0) / (rd.rn + 10.0))
+                   * LN(((f.c + 1.0) / (f.n + 10.0))
+                        / ((rd.rc + 1.0) / (rd.rn + 10.0)))
+                   * 1000000000000.0 + 0.5) AS BIGINT) AS tq
+        FROM filled f JOIN rd ON f.bin = rd.bin, ref
+        WHERE f.source <> ref.rs
+    )
+    SELECT source, CAST(ANY_VALUE(n) AS BIGINT) AS n_docs,
+           FLOOR(CAST(SUM(tq) AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0
+               AS psi6
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q_quality_drift_psi(spark, sf_dir):
+    """Population Stability Index of the quality-score distribution, every
+    source vs the reference (lexicographically first) source — the
+    standard drift monitor a corpus pipeline runs per ingest batch (PSI
+    < 0.1 stable, > 0.25 shifted). Ten fixed-width bins over the
+    deterministic 6dp quality score, +1 Laplace smoothing so empty bins
+    stay finite, and the float stage follows the house fixed-point
+    discipline: each (p-r)*ln(p/r) term quantizes to 1e-12 BEFORE the
+    sum (integer summation is order-independent; a raw double SUM drifts
+    with partition order — ops/exact). 100 TB shape: one corpus
+    aggregate to (source, bin) counts; everything after is
+    sources x 10 rows, reference bins broadcast back."""
+    d = _cat(spark, sf_dir).documents
+    qs = T.quality_score(F.col("text"))
+    b = d.select(
+        "source",
+        F.least(F.floor(qs * 10).cast("int"), F.lit(9)).alias("bin"),
+    )
+    # the corpus collapses to <= |sources| x 10 rows here; cache the tiny
+    # table so the four consumers below (totals, grid, reference bins,
+    # terms) never re-run the corpus scan (plan-pinned: one parquet scan)
+    cnt = b.groupBy("source", "bin").agg(F.count("*").alias("c")).cache()
+    tot = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = tot.crossJoin(
+        spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    )
+    filled = grid.join(cnt, ["source", "bin"], "left").select(
+        "source", "bin", "n", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    ref = tot.agg(F.min("source").alias("rs"))
+    rd = (
+        filled.join(F.broadcast(ref), F.col("source") == F.col("rs"))
+        .select(F.col("bin"), F.col("c").alias("rc"), F.col("n").alias("rn"))
+    )
+    p = (F.col("c") + 1.0) / (F.col("n") + 10.0)
+    r = (F.col("rc") + 1.0) / (F.col("rn") + 10.0)
+    tq = F.floor((p - r) * F.log(p / r) * 1e12 + 0.5).cast("long")
+    terms = (
+        filled.crossJoin(F.broadcast(ref))
+        .filter(F.col("source") != F.col("rs"))
+        .join(F.broadcast(rd), "bin")
+        .select("source", "n", tq.alias("tq"))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.first("n").alias("n_docs"),
+            (
+                F.floor(F.sum("tq").cast("double") / 1000000.0 + 0.5)
+                / 1000000.0
+            ).alias("psi6"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Adaptive per-source length gate (nearest-rank quantile thresholds)
+# =====================================================================
+
+
+@q(
+    "q_length_filter_adaptive",
+    """
+    WITH vc AS (
+        SELECT source, n_chars, COUNT(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, n_chars, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cs,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM vc
+    ),
+    thr AS (
+        SELECT source, CAST(ANY_VALUE(n) AS BIGINT) AS n_docs,
+               CAST(MIN(CASE WHEN cs >= (n + 19) // 20
+                             THEN n_chars END) AS BIGINT) AS p05_chars,
+               CAST(MIN(CASE WHEN cs >= (19 * n + 19) // 20
+                             THEN n_chars END) AS BIGINT) AS p95_chars
+        FROM cum GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.p05_chars, t.p95_chars,
+           CAST(SUM(CASE WHEN v.n_chars BETWEEN t.p05_chars AND t.p95_chars
+                         THEN v.c ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN v.n_chars < t.p05_chars
+                         THEN v.c ELSE 0 END) AS BIGINT) AS dropped_short,
+           CAST(SUM(CASE WHEN v.n_chars > t.p95_chars
+                         THEN v.c ELSE 0 END) AS BIGINT) AS dropped_long
+    FROM thr t JOIN vc v USING (source)
+    GROUP BY t.source, t.n_docs, t.p05_chars, t.p95_chars
+    ORDER BY t.source
+    """,
+)
+def q_length_filter_adaptive(spark, sf_dir):
+    """Adaptive per-source length gate: each source keeps documents inside
+    its OWN [p05, p95] nearest-rank character-length quantiles (integer
+    rank arithmetic, ceil via (n+19)//20 — no float index, so the
+    thresholds are engine-exact), returning the per-source gate report.
+    The fixed-threshold quality filters (q_text_quality, Gopher rules)
+    miss per-domain length regimes; the adaptive gate is what corpus
+    pipelines run per ingest source. 100 TB shape: ONE corpus aggregate
+    to (source, n_chars) value counts; the quantile window runs over the
+    per-source DISTINCT VALUE table (bounded by the length range, never
+    the corpus), and the keep/drop report is a second pass over the same
+    tiny table — the corpus itself is touched exactly once."""
+    from pyspark.sql import Window
+
+    d = _cat(spark, sf_dir).documents
+    # the corpus collapses to (source, n_chars) value counts here; cache
+    # the tiny table so the threshold window and the keep/drop report both
+    # read it without re-running the corpus scan (plan-pinned)
+    vc = d.groupBy("source", "n_chars").agg(F.count("*").alias("c")).cache()
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("cs", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("source"))
+    )
+    thr = cum.groupBy("source").agg(
+        F.first("n").cast("long").alias("n_docs"),
+        F.min(
+            F.when(
+                F.col("cs") >= F.floor((F.col("n") + 19) / 20),
+                F.col("n_chars"),
+            )
+        ).cast("long").alias("p05_chars"),
+        F.min(
+            F.when(
+                F.col("cs") >= F.floor((19 * F.col("n") + 19) / 20),
+                F.col("n_chars"),
+            )
+        ).cast("long").alias("p95_chars"),
+    )
+    rep = vc.join(F.broadcast(thr), "source")
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("p05_chars").alias("p05_chars"),
+            F.first("p95_chars").alias("p95_chars"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(
+                        F.col("p05_chars"), F.col("p95_chars")
+                    ),
+                    F.col("c"),
+                ).otherwise(0)
+            ).cast("long").alias("kept"),
+            F.sum(
+                F.when(F.col("n_chars") < F.col("p05_chars"), F.col("c"))
+                .otherwise(0)
+            ).cast("long").alias("dropped_short"),
+            F.sum(
+                F.when(F.col("n_chars") > F.col("p95_chars"), F.col("c"))
+                .otherwise(0)
+            ).cast("long").alias("dropped_long"),
+        )
+        .orderBy("source")
+    )

@@ -328,3 +328,115 @@ def test_incremental_phash_signature_table(spark, tmp_path):
     got = sorted((r["doc_id"], r["sig"]) for r in inc.collect())
     want = sorted((r["doc_id"], r["sig"]) for r in scratch.collect())
     assert got == want and len(got) == 40
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: tokenizer audit, PSI drift, adaptive length gate.
+# Values are oracle-gated (check_oracle); these tests add hand-checked
+# semantics on constructed corpora plus the scale-critical plan pins.
+# ---------------------------------------------------------------------------
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def _mini_docs(spark, tmp_path, rows):
+    """Write a documents-shaped parquet fixture into a tmp sf_dir."""
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_psi_zero_for_identical_distributions(spark, tmp_path):
+    """Two sources with identical text multisets have identical quality
+    histograms -> PSI exactly 0 (smoothing cancels term by term); a
+    source with a shifted distribution scores strictly positive."""
+    texts = [
+        "short",
+        "a solid medium length document with many plain words in it",
+        "another reasonably long and clean document body for scoring",
+    ]
+    rows = []
+    i = 0
+    for src in ("a_ref", "b_same"):
+        for t in texts:
+            rows.append((i, src, t))
+            i += 1
+    for _ in range(3):
+        rows.append((i, "c_shifted", "x!!!"))
+        i += 1
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: r["psi6"]
+        for r in QUERIES["q_quality_drift_psi"](spark, sf).collect()
+    }
+    assert set(got) == {"b_same", "c_shifted"}  # a_ref is the reference
+    assert got["b_same"] == 0.0
+    assert got["c_shifted"] > 0.25
+
+
+def test_adaptive_length_gate_hand_checked(spark, tmp_path):
+    """20 docs with lengths 1..20: nearest-rank p05 = value at rank
+    ceil(1) = 1, p95 = value at rank ceil(19) = 19 -> exactly the
+    length-20 doc is dropped (long side)."""
+    rows = [(i, "s", "x" * i) for i in range(1, 21)]
+    sf = _mini_docs(spark, tmp_path, rows)
+    [r] = QUERIES["q_length_filter_adaptive"](spark, sf).collect()
+    assert (r["n_docs"], r["p05_chars"], r["p95_chars"]) == (20, 1, 19)
+    assert (r["kept"], r["dropped_short"], r["dropped_long"]) == (19, 0, 1)
+
+
+def test_bpe_corpus_stats_consistent_with_encode(spark, sf_dir):
+    """sum(total_tokens) over q_bpe_encode == sum(bpe_tokens) over
+    q_bpe_corpus_stats — the vocab-level and per-source views of the
+    same tokenizer must agree on the corpus token count."""
+    enc_total = (
+        QUERIES["q_bpe_encode"](spark, sf_dir)
+        .agg(F.sum("total_tokens"))
+        .collect()[0][0]
+    )
+    stats = QUERIES["q_bpe_corpus_stats"](spark, sf_dir)
+    src_total = stats.agg(F.sum("bpe_tokens")).collect()[0][0]
+    assert enc_total == src_total
+    # compression sanity: 1 <= chars/token <= max word length
+    for r in stats.collect():
+        assert 1.0 <= r["chars_per_token6"] <= 20.0
+
+
+def test_round6_batch2_plans_touch_corpus_once(spark, sf_dir):
+    """Scale pins: each of the three new keys scans the documents parquet
+    exactly ONCE (all post-scan work is value-distribution- or
+    vocab-sized) and keeps the whole plan JVM-side."""
+    spark.catalog.clearCache()
+    plan = (
+        QUERIES["q_bpe_corpus_stats"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # q_quality_drift_psi and q_length_filter_adaptive fork their tiny
+    # post-scan tables ((source, bin) counts / (source, n_chars) value
+    # counts), so the corpus scan lives inside ONE cached relation: every
+    # printed FileScan must be an InMemoryTableScan's reprint of that
+    # cache (the corpus materializes once; all consumers read the tiny
+    # cached table).
+    for key in ("q_quality_drift_psi", "q_length_filter_adaptive"):
+        spark.catalog.clearCache()
+        plan = (
+            QUERIES[key](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan, (key, plan[:2000])
+        assert plan.count("Scan parquet") == plan.count(
+            "InMemoryTableScan"
+        ), (key, plan[:2000])
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
