@@ -14,7 +14,15 @@ pytest) in a FRESH interpreter — same isolation the driver and judge get,
 no shared SparkSession state between scales.
 
 Usage: python scripts/gate.py [--skip-pytest] [--skip-sf1] [--rotate N]
+                              [--sf1-stress]
 Exit code 0 iff every stage is green.
+
+``--sf1-stress`` (VERDICT r5 item 4) additionally value-proves every
+scale-stress key (SCALE_STRESS.json) against the synthesized sf1 fixture
+(testdata_sf1/, 10x bench scale) with the DuckDB per-key budget scaled
+10x to match the data (600 s) — correctness under spills/AQE re-plans/
+decimal widths at 10x is exactly the drift class the sf0.1 sweep caught
+in round 2.
 
 ``--rotate N`` (VERDICT r4 item 9) additionally runs a deterministic
 50-key subset at sf0.01 — the keys ranked by md5("N:key"), lowest 50 —
@@ -59,6 +67,9 @@ HEAVY_SF01 = [
     "q_fuzzy_symdelete", "q_dedup_semantic", "q_corpus_mix",
     "q_dedup_lines", "q_shard_manifest", "q_bpe_pair_counts",
     "q_text_dedup_consecutive",
+    # round-6 batch (B65)
+    "q_bpe_encode", "q_bpe_corpus_stats", "q_quality_drift_psi",
+    "q_length_filter_adaptive",
 ]
 
 
@@ -73,6 +84,21 @@ def _run(cmd: list[str], env: dict | None = None) -> tuple[int, str, float]:
         text=True,
     )
     return proc.returncode, proc.stdout, time.time() - t0
+
+
+# The sf1 oracle stage (VERDICT r5 item 4): value-proof of the scale-stress
+# keys at 10x bench scale, against the synthesized testdata_sf1 fixture
+# (scripts/make_sf1.py). The DuckDB per-key budget scales with the data —
+# 60 s is calibrated for sf0.1, so the sf1 stage allows 10x (600 s); an
+# oracle only counts as super-linear if it exceeds the SCALED budget
+# (q_corpus_pipeline's composed LSH oracle runs ~90 s at sf1 — linear).
+SF1_DIR = os.path.join(ROOT, "testdata_sf1")
+SF1_BUDGET_S = "600"
+
+
+def _sf1_stress_keys() -> list[str]:
+    with open(os.path.join(ROOT, "SCALE_STRESS.json")) as f:
+        return sorted(json.load(f)["results"])
 
 
 def _oracle_stage(sf: str, names: list[str] | None) -> dict:
@@ -129,6 +155,31 @@ def main(argv: list[str]) -> int:
         print("== stage 3/4: heavy subset @ sf0.1 ==", flush=True)
         stages["oracle_sf0.1_heavy"] = _oracle_stage("0.1", HEAVY_SF01)
         print(json.dumps(stages["oracle_sf0.1_heavy"]), flush=True)
+
+    if "--sf1-stress" in argv:
+        keys = _sf1_stress_keys()
+        print(
+            f"== sf1 stress stage: {len(keys)} scale-stress keys @ sf1 ==",
+            flush=True,
+        )
+        cmd = [sys.executable, "scripts/check_oracle.py"] + keys
+        rc, out, secs = _run(
+            cmd,
+            env={
+                "SPARK_GRAFT_SF_DIR": SF1_DIR,
+                "SPARK_GRAFT_ORACLE_BUDGET_S": SF1_BUDGET_S,
+            },
+        )
+        m = re.search(r"(\d+)/(\d+) queries match", out)
+        fm = re.search(r"^failing: (.+)$", out, re.M)
+        stages["oracle_sf1_stress"] = {
+            "rc": rc,
+            "matched": int(m.group(1)) if m else None,
+            "total": int(m.group(2)) if m else None,
+            "failing": fm.group(1).split() if fm else [],
+            "seconds": round(secs, 1),
+        }
+        print(json.dumps(stages["oracle_sf1_stress"]), flush=True)
 
     if "--skip-pytest" not in argv:
         print("== stage 4/4: pytest ==", flush=True)
