@@ -81,6 +81,12 @@ HEAVY = [
     "q_rfm_segments",
     "q_abc_classification",
     "q_profile_equidepth",
+    # B65 (round 6): tokenizer loop + corpus gates — corpus-once scans
+    # whose post-scan work is vocab- / value-distribution-sized
+    "q_bpe_encode",
+    "q_bpe_corpus_stats",
+    "q_quality_drift_psi",
+    "q_length_filter_adaptive",
 ]
 
 SF_DIRS = [
