@@ -150,9 +150,59 @@ def measure(spark, fn, sf_dir, metrics) -> dict:
     return row
 
 
+# Same-plan executor CPU on this VM is BIMODAL across sessions (up to
+# 2.2x with identical shuffle bytes — measured during the r6 bench-baseline
+# calibration, e.g. q_dedup_keep 3.65/7.96/7.70 cpu-s on byte-identical
+# runs; the co-scheduling pattern is sticky WITHIN a session, so in-session
+# reps can't average it out). A key whose first-pass ratio lands near the
+# bound therefore gets a CONFIRM pass: re-measure both scales in up to
+# CONFIRM_SESSIONS fresh subprocess sessions and take the per-scale CPU
+# FLOOR across sessions. Contention/co-scheduling only ever INFLATES CPU,
+# so the cross-session minimum converges on the true work — and a genuine
+# quadratic inflates the floor itself, clearing the bound by an order of
+# magnitude (q_record_linkage's r4 form: 604.8 s vs a 107 s bound), so the
+# confirm pass cannot mask a real super-linearity.
+CONFIRM_SESSIONS = 2
+
+
+def _measure_one_subprocess(name: str) -> dict | None:
+    """Measure one key in a FRESH interpreter/session; returns {scale: row}."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", name],
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        timeout=1800,
+    )
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith("ONE_RESULT "):
+            return json.loads(line[len("ONE_RESULT "):])
+    return None
+
+
+def _flag(r01: dict, r1: dict) -> bool:
+    return bool(r1["cpu_s"] > REPLICAS * SLACK * r01["cpu_s"] + FIXED_CPU_S)
+
+
 def main() -> None:
     keys = sys.argv[1:] or HEAVY
     queries = entry_mod.queries()
+
+    if keys and keys[0] == "--one":
+        name = keys[1]
+        spark = get_spark(
+            "scale_stress_one", extra_conf={"spark.ui.enabled": "true"}
+        )
+        metrics = StageMetrics(spark)
+        row = {
+            sf: measure(spark, queries[name], sf_dir, metrics)
+            for sf, sf_dir in SF_DIRS
+        }
+        print("ONE_RESULT " + json.dumps(row), flush=True)
+        return
     out: dict = {"replicas": REPLICAS, "slack": SLACK, "results": {}}
     # subset runs MERGE into the existing file (re-measuring one fixed key
     # must not drop the other 15 keys' curves)
@@ -160,7 +210,13 @@ def main() -> None:
     if os.path.exists(prior):
         try:
             with open(prior) as f:
-                out["results"] = json.load(f).get("results", {})
+                prev = json.load(f)
+            out["results"] = prev.get("results", {})
+            # adjudications (a confirmed flag explained by measured
+            # output growth, not algorithmic work — see SCALE.md) are
+            # curated by hand and must survive re-runs
+            if "adjudications" in prev:
+                out["adjudications"] = prev["adjudications"]
         except (OSError, ValueError):
             pass
     spark = get_spark("scale_stress", extra_conf={"spark.ui.enabled": "true"})
@@ -187,6 +243,35 @@ def main() -> None:
         print(
             f"  -> cpu x{row['cpu_ratio']}, wall x{row['wall_ratio']}"
             + ("  ** SUPER-LINEAR **" if row["super_linear"] else ""),
+            flush=True,
+        )
+    # Confirm pass: first-pass flags near the bound are re-measured in
+    # fresh sessions; the per-scale CPU floor across sessions decides.
+    for name in sorted(
+        k for k in keys if out["results"].get(k, {}).get("super_linear")
+    ):
+        row = out["results"][name]
+        sessions = 1
+        for _ in range(CONFIRM_SESSIONS):
+            if not _flag(row["0.1"], row["1"]):
+                break
+            print(f"{name}: confirming flag in a fresh session...", flush=True)
+            fresh = _measure_one_subprocess(name)
+            if fresh is None:
+                break
+            sessions += 1
+            for sf in ("0.1", "1"):
+                if fresh[sf]["cpu_s"] < row[sf]["cpu_s"]:
+                    row[sf] = fresh[sf]
+        r01, r1 = row["0.1"], row["1"]
+        row["cpu_ratio"] = round(r1["cpu_s"] / max(r01["cpu_s"], 0.05), 2)
+        row["wall_ratio"] = round(r1["wall_s"] / max(r01["wall_s"], 0.05), 2)
+        row["super_linear"] = _flag(r01, r1)
+        row["confirm_sessions"] = sessions
+        print(
+            f"{name}: after {sessions} session(s) cpu x{row['cpu_ratio']}"
+            + ("  ** SUPER-LINEAR (confirmed) **" if row["super_linear"]
+               else "  (cleared: session-mode noise)"),
             flush=True,
         )
     flagged = sorted(k for k, v in out["results"].items() if v["super_linear"])
