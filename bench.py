@@ -87,6 +87,7 @@ HEADLINE = [
     "q_bpe_corpus_stats",
     "q_quality_drift_psi",
     "q_length_filter_adaptive",
+    "q_sample_temperature",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from etl_data_processor_spark.ops import sampling as SMP
 from etl_data_processor_spark.ops import text as T
 from etl_data_processor_spark.registry import cat as _cat
 from etl_data_processor_spark.registry import q
@@ -426,6 +427,132 @@ def q_length_filter_adaptive(spark, sf_dir):
                 F.when(F.col("n_chars") > F.col("p95_chars"), F.col("c"))
                 .otherwise(0)
             ).cast("long").alias("dropped_long"),
+        )
+        .orderBy("source")
+    )
+
+
+# =====================================================================
+# Temperature-scaled corpus sampling (the mC4/PaLM multilingual recipe)
+# =====================================================================
+
+_TEMP_SEED = 31
+_M32 = 1 << 32
+_TOKS_DUCK = (
+    "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+    "x -> x <> ''))"
+)
+
+
+@q(
+    "q_sample_temperature",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_TOKS_DUCK} AS n_toks FROM documents
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks
+        FROM toks GROUP BY source
+    ),
+    grand AS (SELECT CAST(SUM(src_toks) AS BIGINT) AS tot FROM totals),
+    nq AS (
+        SELECT t.source, t.src_toks, g.tot,
+               CAST(FLOOR(SQRT(CAST(t.src_toks AS DOUBLE)
+                               / CAST(g.tot AS DOUBLE))
+                          * 1000000000000.0 + 0.5) AS BIGINT) AS nq
+        FROM totals t, grand g
+    ),
+    den AS (SELECT CAST(SUM(nq) AS BIGINT) AS den FROM nq),
+    rated AS (
+        SELECT n.source, n.src_toks,
+               LEAST(1.0,
+                     (CAST(FLOOR(0.5 * n.tot) AS BIGINT)
+                      * (CAST(n.nq AS DOUBLE) / CAST(d.den AS DOUBLE)))
+                     / CAST(n.src_toks AS DOUBLE)) AS rate
+        FROM nq n, den d
+    ),
+    kept AS (
+        SELECT k.source, k.n_toks
+        FROM toks k JOIN rated r ON k.source = r.source
+        WHERE xor(((xor(((((k.doc_id)::BIGINT + 82287508839) % 4294967296) * 73244475) % 4294967296, (((((k.doc_id)::BIGINT + 82287508839) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296, (((xor(((((k.doc_id)::BIGINT + 82287508839) % 4294967296) * 73244475) % 4294967296, (((((k.doc_id)::BIGINT + 82287508839) % 4294967296) * 73244475) % 4294967296) >> 16)) * 591119335) % 4294967296) >> 13)
+              < CAST(FLOOR(r.rate * {_M32}) AS BIGINT)
+    )
+    SELECT r.source, r.src_toks,
+           FLOOR(r.rate * 1000000.0 + 0.5) / 1000000.0 AS rate6,
+           CAST(COALESCE(COUNT(k.n_toks), 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(SUM(k.n_toks), 0) AS BIGINT) AS kept_tokens
+    FROM rated r LEFT JOIN kept k ON r.source = k.source
+    GROUP BY r.source, r.src_toks, r.rate
+    ORDER BY r.source
+    """,
+)
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-scaled corpus sampling (the public mC4/PaLM
+    multilingual mixing recipe, tau = 2): per-source sampling rates
+    proportional to p_s^(1/tau) — big sources are DOWN-weighted and small
+    sources up-weighted relative to natural proportions, flattening the
+    mixture — normalized to a 50% token budget and applied as a
+    DETERMINISTIC hash sample (the decision depends only on doc_id, so
+    the mix reproduces across engines, re-runs and partitionings).
+    Complements q_corpus_mix (integer domain weights at a budget): this
+    is the temperature knob form. tau = 2 makes p^(1/tau) an IEEE sqrt —
+    correctly rounded and engine-identical — and each sqrt quantizes to
+    1e-12 fixed point BEFORE the normalizing sum (integer summation is
+    order-independent; the ops/exact discipline), so the rates are
+    bit-identical on both engines. 100 TB shape, same as q_corpus_mix:
+    token totals are one small aggregate, rates broadcast back, and the
+    sample is a shuffle-free scan-stage filter — the corpus is never
+    exchanged."""
+    d = _cat(spark, sf_dir).documents
+    toks = d.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_toks")
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_toks").alias("src_toks"))
+    grand = totals.agg(F.sum("src_toks").alias("tot"))
+    nq = totals.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "src_toks",
+        "tot",
+        F.floor(
+            F.sqrt(F.col("src_toks") / F.col("tot")) * 1e12 + 0.5
+        ).cast("long").alias("nq"),
+    )
+    den = nq.agg(F.sum("nq").alias("den"))
+    rated = nq.crossJoin(F.broadcast(den)).select(
+        "source",
+        "src_toks",
+        F.least(
+            F.lit(1.0),
+            (
+                F.floor(0.5 * F.col("tot")).cast("long")
+                * (F.col("nq").cast("double") / F.col("den").cast("double"))
+            )
+            / F.col("src_toks").cast("double"),
+        ).alias("rate"),
+    )
+    kept = toks.join(
+        F.broadcast(rated.select("source", "rate")), "source"
+    ).filter(
+        SMP.hash32(F.col("doc_id"), seed=_TEMP_SEED)
+        < F.floor(F.col("rate") * _M32).cast("long")
+    )
+    agg = kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"), F.sum("n_toks").alias("kept_tokens")
+    )
+    return (
+        rated.join(agg, "source", "left")
+        .select(
+            "source",
+            F.col("src_toks").cast("long").alias("src_toks"),
+            (F.floor(F.col("rate") * 1000000.0 + 0.5) / 1000000.0).alias(
+                "rate6"
+            ),
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias(
+                "kept_docs"
+            ),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
         )
         .orderBy("source")
     )

@@ -69,7 +69,7 @@ HEAVY_SF01 = [
     "q_text_dedup_consecutive",
     # round-6 batch (B65)
     "q_bpe_encode", "q_bpe_corpus_stats", "q_quality_drift_psi",
-    "q_length_filter_adaptive",
+    "q_length_filter_adaptive", "q_sample_temperature",
 ]
 
 

@@ -440,3 +440,30 @@ def test_round6_batch2_plans_touch_corpus_once(spark, sf_dir):
             "InMemoryTableScan"
         ), (key, plan[:2000])
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_sampling_flattens_the_mixture(spark, sf_dir):
+    """tau = 2 down-weights big sources and up-weights small ones: the
+    per-source rate is proportional to T^(-1/2) (until capped at 1), so
+    rates must be strictly anti-monotone in source token mass, and the
+    kept token distribution strictly flatter (lower max share) than the
+    natural one. Cross-engine values are oracle-gated; this pins the
+    SEMANTICS."""
+    rows = QUERIES["q_sample_temperature"](spark, sf_dir).collect()
+    assert len(rows) > 1
+    by_mass = sorted(rows, key=lambda r: r["src_toks"])
+    uncapped = [r for r in by_mass if r["rate6"] < 1.0]
+    for a, b in zip(uncapped, uncapped[1:]):
+        if a["src_toks"] < b["src_toks"]:
+            assert a["rate6"] > b["rate6"], (a, b)
+    # flatter in EXPECTATION: the expected kept mass rate*T (deterministic,
+    # unlike the realized hash sample which carries per-source noise on a
+    # near-uniform fixture) must have a lower max share than natural
+    nat_tot = sum(r["src_toks"] for r in rows)
+    exp = [r["rate6"] * r["src_toks"] for r in rows]
+    nat_max = max(r["src_toks"] / nat_tot for r in rows)
+    exp_max = max(e / sum(exp) for e in exp)
+    assert exp_max <= nat_max + 1e-9  # flatter, never peakier
+    # deterministic: a second evaluation reproduces the mix exactly
+    again = QUERIES["q_sample_temperature"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
