@@ -87,6 +87,7 @@ HEAVY = [
     "q_bpe_corpus_stats",
     "q_quality_drift_psi",
     "q_length_filter_adaptive",
+    "q_sample_temperature",
 ]
 
 SF_DIRS = [
