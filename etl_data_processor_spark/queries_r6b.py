@@ -336,3 +336,212 @@ def q_hybrid_rrf(spark, sf_dir):
             "fused_rank", "lex_rank", "vec_rank",
         )
     )
+
+
+# =====================================================================
+# Unigram-LM tokenization, Viterbi segmentation (B31/B64 ext — the
+# SentencePiece counterpart of the queries_r6 BPE train/encode pair)
+# =====================================================================
+
+_UNI_MAX_PIECE = 4   # max piece length considered for the vocabulary
+_UNI_TOP_MULTI = 48  # multi-char vocab budget (all single chars always in)
+
+_UNIGRAM_ORACLE = f"""
+WITH w AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ) WHERE word <> '' GROUP BY word
+),
+subs AS (
+    SELECT piece, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
+        SELECT w.wcount, substr(w.word, CAST(s.s AS INTEGER),
+                                CAST(l.l AS INTEGER)) AS piece
+        FROM w,
+             range(1, 65) s(s),
+             range(1, {_UNI_MAX_PIECE} + 1) l(l)
+        WHERE s.s + l.l - 1 <= len(w.word)
+    ) GROUP BY piece
+),
+vocab AS (
+    SELECT piece, cnt FROM subs WHERE len(piece) = 1
+    UNION ALL
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt FROM subs WHERE len(piece) >= 2
+        ORDER BY cnt DESC, piece ASC LIMIT {_UNI_TOP_MULTI}
+    )
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+scores AS (
+    SELECT piece,
+           CAST(FLOOR(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                      * 1000000000.0) AS BIGINT) AS sq
+    FROM vocab, tot
+),
+segs AS (
+    WITH RECURSIVE r(word, pos, lens, ps, score, ntok) AS (
+        SELECT word, 0, CAST([] AS INTEGER[]), CAST([] AS VARCHAR[]),
+               CAST(0 AS BIGINT), 0
+        FROM w
+        UNION ALL
+        SELECT r.word, r.pos + l.l,
+               list_append(r.lens, CAST(l.l AS INTEGER)),
+               list_append(r.ps, s.piece),
+               r.score + s.sq, r.ntok + 1
+        FROM r, range(1, {_UNI_MAX_PIECE} + 1) l(l)
+        JOIN scores s
+          ON s.piece = substr(r.word, r.pos + 1, CAST(l.l AS INTEGER))
+        WHERE r.pos + l.l <= len(r.word)
+    )
+    SELECT word, lens, ps, score, ntok FROM r WHERE pos = len(word)
+),
+pick AS (
+    SELECT word, score, ntok, ps,
+           ROW_NUMBER() OVER (
+               PARTITION BY word
+               ORDER BY score DESC, ntok ASC, list_reverse(lens) DESC
+           ) AS rk
+    FROM segs
+)
+SELECT w.word, w.wcount,
+       CAST(p.ntok AS INTEGER) AS n_tokens,
+       array_to_string(p.ps, '|') AS pieces,
+       p.score AS score_q
+FROM w JOIN pick p ON p.word = w.word AND p.rk = 1
+"""
+
+
+@q("q_unigram_viterbi", _UNIGRAM_ORACLE)
+def q_unigram_viterbi(spark, sf_dir):
+    """B66: unigram-LM subword tokenization (SentencePiece/Kudo 2018
+    inference shape) — Viterbi-optimal segmentation of every corpus word
+    under a frequency-derived piece vocabulary. Completes the tokenizer
+    pair: queries_r6's BPE keys are the merge-based algorithm, this is
+    the probabilistic one. Vocabulary = every single character plus the
+    top-48 length-2..4 substrings by occurrence-weighted corpus count
+    (ties piece-asc); piece score = floor(ln(cnt/total)*1e9), an INTEGER
+    fixed-point log-prob, so the DP maximizes an exact integer sum —
+    no float compare anywhere in the search. Tie policy (proven against
+    the oracle): max score, then fewest tokens, then longest-last-piece
+    (the DP's prefer-larger-l rule == lexicographically greatest
+    REVERSED length sequence, which the oracle states declaratively).
+    The ORACLE brute-force-enumerates every vocab segmentation via a
+    recursive CTE and picks the best declaratively — so a green
+    differential proves the Spark DP optimal, not just consistent.
+    Spark plan: the corpus collapses to the distinct-word table in one
+    tokenize+agg pass; vocabulary (chars + 48) is collected driver-side
+    as bounded model state (the shipped-tokenizer artifact, same
+    precedent as BPE_MERGES / IVF centroids) and re-enters as a literal
+    map; the per-word DP + backtrace are two JVM-side ``aggregate``
+    folds (O(len * 4) map lookups per DISTINCT word — vocabulary-sized,
+    not corpus-sized). At 100 TB: corpus scan is one shuffle; the DP
+    runs on the distinct-word table, which a real tokenizer bounds at
+    vocabulary scale."""
+    d = _cat(spark, sf_dir).documents
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+
+    # --- vocabulary: distributed substring counts, driver-collected ---
+    L = F.length("word")
+    all_subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), L - s + 1)
+                ),
+                lambda l: F.substring(F.col("word"), s, l),
+            ),
+        )
+    )
+    subs = (
+        words.select("wcount", F.explode(all_subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcount").alias("cnt"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(_UNI_TOP_MULTI)
+    )
+    vocab_rows = chars.unionAll(multi).collect()  # bounded: |alphabet|+48
+    total = sum(r["cnt"] for r in vocab_rows)
+    import math as _math
+
+    score_of = {
+        r["piece"]: _math.floor(_math.log(r["cnt"] / total) * 1e9)
+        for r in vocab_rows
+    }
+    pairs: list = []
+    for p in sorted(score_of):
+        pairs.extend([F.lit(p), F.lit(score_of[p]).cast("long")])
+    smap = F.create_map(*pairs)
+    MISS = F.lit(-(2**40)).cast("long")  # unreachable: single chars cover
+
+    # --- forward DP: best[i] = (score, -ntok, chosen piece len) ---
+    def cand(acc, i, l):
+        prev = F.element_at(acc, i - l + 1)
+        piece = F.col("word").substr(i - l + 1, F.lit(l))
+        s = prev.getField("s") + F.coalesce(
+            F.element_at(smap, piece), MISS
+        )
+        return F.struct(
+            s.alias("s"),
+            (prev.getField("negn") - 1).alias("negn"),
+            F.lit(l).alias("l"),
+        )
+
+    def step(acc, i):
+        dead = F.struct(
+            F.lit(-(2**62)).cast("long").alias("s"),
+            F.lit(-(2**30)).alias("negn"),
+            F.lit(0).alias("l"),
+        )
+        cands = [
+            F.when(i >= l, cand(acc, i, l)).otherwise(dead)
+            for l in range(1, _UNI_MAX_PIECE + 1)
+        ]
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).alias("negn"),
+            F.lit(0).alias("l"),
+        )
+    )
+    best = F.aggregate(F.sequence(F.lit(1), L), init, step)
+
+    # --- backtrace: walk cut lengths from the end, emit pieces ---
+    def back(st, _):
+        pos = st.getField("pos")
+        cut = F.element_at(F.col("__best"), pos + 1).getField("l")
+        piece = F.col("word").substr(pos - cut + 1, cut)
+        return F.when(pos <= 0, st).otherwise(
+            F.struct(
+                (pos - cut).alias("pos"),
+                F.concat(F.array(piece), st.getField("ps")).alias("ps"),
+            )
+        )
+
+    binit = F.struct(
+        L.alias("pos"), F.array().cast("array<string>").alias("ps")
+    )
+    out = (
+        words.withColumn("__best", best)
+        .withColumn(
+            "__ps",
+            F.aggregate(F.sequence(F.lit(1), L), binit, back).getField("ps"),
+        )
+        .withColumn("__top", F.element_at("__best", L + 1))
+    )
+    return out.select(
+        "word", "wcount",
+        (-F.col("__top").getField("negn")).alias("n_tokens"),
+        F.array_join("__ps", "|").alias("pieces"),
+        F.col("__top").getField("s").alias("score_q"),
+    )
