@@ -545,3 +545,291 @@ def q_unigram_viterbi(spark, sf_dir):
         F.array_join("__ps", "|").alias("pieces"),
         F.col("__top").getField("s").alias("score_q"),
     )
+
+
+# =====================================================================
+# Fellegi–Sunter EM: learned record-linkage match weights (B50/B61 ext —
+# the parameter-estimation half that q_record_linkage's fixed integer
+# weights stand in for; Splink's core algorithm, public)
+# =====================================================================
+
+# Quantization/clamp discipline shared by both engines: posteriors are
+# 1e-12 fixed-point BIGINTs (so every cross-pattern sum is an exact
+# integer), probabilities are 1e-12-quantized doubles clamped away from
+# {0, 1} before any log-ratio.
+_FS_CLAMP_LO = "1e-6"
+_FS_CLAMP_HI = "0.999999"
+
+# One EM iteration in SQL: (pattern counts p; params r) -> new params.
+# E-step posterior per pattern, M-step ratios of exact BIGINT sums.
+_FS_E = """
+    SELECT p.g1, p.g2, p.g3, p.n,
+           CAST(FLOOR(
+             (r.lam * CASE WHEN p.g1 = 1 THEN r.m1 ELSE 1.0 - r.m1 END
+                    * CASE WHEN p.g2 = 1 THEN r.m2 ELSE 1.0 - r.m2 END
+                    * CASE WHEN p.g3 = 1 THEN r.m3 ELSE 1.0 - r.m3 END)
+             / ((r.lam * CASE WHEN p.g1 = 1 THEN r.m1 ELSE 1.0 - r.m1 END
+                       * CASE WHEN p.g2 = 1 THEN r.m2 ELSE 1.0 - r.m2 END
+                       * CASE WHEN p.g3 = 1 THEN r.m3 ELSE 1.0 - r.m3 END)
+                + ((1.0 - r.lam)
+                       * CASE WHEN p.g1 = 1 THEN r.u1 ELSE 1.0 - r.u1 END
+                       * CASE WHEN p.g2 = 1 THEN r.u2 ELSE 1.0 - r.u2 END
+                       * CASE WHEN p.g3 = 1 THEN r.u3 ELSE 1.0 - r.u3 END))
+             * 1000000000000.0 + 0.5) AS BIGINT) AS wq
+    FROM {p} p CROSS JOIN {r} r
+"""
+
+_FS_M = f"""
+    SELECT
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(wq * n) AS DOUBLE)
+          / (CAST(SUM(n) AS DOUBLE) * 1000000000000.0)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS lam,
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(CASE WHEN g1 = 1 THEN wq * n ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(wq * n) AS DOUBLE)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS m1,
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(CASE WHEN g2 = 1 THEN wq * n ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(wq * n) AS DOUBLE)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS m2,
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(CASE WHEN g3 = 1 THEN wq * n ELSE 0 END) AS DOUBLE)
+          / CAST(SUM(wq * n) AS DOUBLE)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS m3,
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(CASE WHEN g1 = 1 THEN (1000000000000 - wq) * n ELSE 0 END)
+             AS DOUBLE)
+          / CAST(SUM((1000000000000 - wq) * n) AS DOUBLE)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS u1,
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(CASE WHEN g2 = 1 THEN (1000000000000 - wq) * n ELSE 0 END)
+             AS DOUBLE)
+          / CAST(SUM((1000000000000 - wq) * n) AS DOUBLE)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS u2,
+      LEAST(GREATEST(CAST(FLOOR(
+        CAST(SUM(CASE WHEN g3 = 1 THEN (1000000000000 - wq) * n ELSE 0 END)
+             AS DOUBLE)
+          / CAST(SUM((1000000000000 - wq) * n) AS DOUBLE)
+        * 1000000000000.0 + 0.5) AS DOUBLE) / 1000000000000.0,
+        {_FS_CLAMP_LO}), {_FS_CLAMP_HI}) AS u3
+    FROM {{e}}
+"""
+
+_FS_ORACLE = f"""
+WITH dirty AS (
+    SELECT c_custkey + 10000000 AS d_id,
+           substr(c_name, 1, len(c_name) - 1)
+             || CAST((CAST(substr(c_name, len(c_name), 1) AS INTEGER) + 5) % 10
+                     AS VARCHAR) AS d_name,
+           ROUND(c_acctbal, 1) AS d_bal,
+           c_nationkey AS d_nationkey, c_mktsegment AS d_seg
+    FROM customer
+),
+pairs AS (
+    SELECT a.c_custkey, d.d_id,
+           CASE WHEN levenshtein(a.c_name, d.d_name) <= 1
+                THEN 1 ELSE 0 END AS g1,
+           CASE WHEN abs(a.c_acctbal - d.d_bal) <= 0.051
+                THEN 1 ELSE 0 END AS g2,
+           CASE WHEN a.c_mktsegment = d.d_seg THEN 1 ELSE 0 END AS g3
+    FROM customer a
+    JOIN dirty d ON a.c_nationkey = d.d_nationkey
+                AND levenshtein(a.c_name, d.d_name) <= 2
+),
+pat AS (
+    SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY g1, g2, g3
+),
+p0 AS (
+    SELECT CAST(0.1 AS DOUBLE) AS lam,
+           CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+           CAST(0.9 AS DOUBLE) AS m3,
+           CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+           CAST(0.1 AS DOUBLE) AS u3
+),
+e1 AS ({_FS_E.format(p="pat", r="p0")}),
+p1 AS ({_FS_M.format(e="e1")}),
+e2 AS ({_FS_E.format(p="pat", r="p1")}),
+p2 AS ({_FS_M.format(e="e2")}),
+ef AS ({_FS_E.format(p="pat", r="p2")})
+SELECT e.g1 AS g_name, e.g2 AS g_bal, e.g3 AS g_seg, e.n AS n_pairs,
+       CAST(FLOOR((
+           (CASE WHEN e.g1 = 1 THEN LOG2(r.m1 / r.u1)
+                 ELSE LOG2((1.0 - r.m1) / (1.0 - r.u1)) END)
+         + (CASE WHEN e.g2 = 1 THEN LOG2(r.m2 / r.u2)
+                 ELSE LOG2((1.0 - r.m2) / (1.0 - r.u2)) END)
+         + (CASE WHEN e.g3 = 1 THEN LOG2(r.m3 / r.u3)
+                 ELSE LOG2((1.0 - r.m3) / (1.0 - r.u3)) END)
+       ) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS weight6,
+       CAST(FLOOR(CAST(e.wq AS DOUBLE) / 1000000.0 + 0.5) AS DOUBLE)
+         / 1000000.0 AS posterior6,
+       CAST(FLOOR(r.lam * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS lambda6
+FROM ef e CROSS JOIN p2 r
+"""
+
+
+def _fs_estep(pat, params):
+    """E-step: posterior-of-match per agreement pattern, as a 1e-12
+    fixed-point BIGINT (exact under summation)."""
+
+    def field(g, m):
+        return F.when(F.col(g) == 1, F.col(m)).otherwise(F.lit(1.0) - F.col(m))
+
+    j = pat.crossJoin(F.broadcast(params))
+    pm = (
+        F.col("lam")
+        * field("g1", "m1") * field("g2", "m2") * field("g3", "m3")
+    )
+    pu = (
+        (F.lit(1.0) - F.col("lam"))
+        * field("g1", "u1") * field("g2", "u2") * field("g3", "u3")
+    )
+    wq = F.floor(pm / (pm + pu) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return j.select("g1", "g2", "g3", "n", wq.alias("wq"))
+
+
+def _fs_mstep(e):
+    """M-step: new (lam, m_i, u_i) from exact integer sums; each ratio is
+    one double division of exact BIGINTs, then 1e-12-quantized and
+    clamped away from {0,1} (log-ratio safety, the Splink clamp)."""
+    lo, hi = F.lit(1e-6), F.lit(0.999999)
+
+    def qz12(c):
+        return (
+            F.floor(c * F.lit(1e12) + F.lit(0.5)).cast("double") / F.lit(1e12)
+        )
+
+    def clamp(c):
+        return F.least(F.greatest(qz12(c), lo), hi)
+
+    wn = F.col("wq") * F.col("n")
+    vn = (F.lit(1000000000000).cast("long") - F.col("wq")) * F.col("n")
+    agg = e.agg(
+        F.sum(wn).alias("S"),
+        F.sum(F.col("n")).alias("T"),
+        F.sum(vn).alias("V"),
+        *[
+            F.sum(F.when(F.col(g) == 1, wn).otherwise(F.lit(0))).alias(f"S{g}")
+            for g in ("g1", "g2", "g3")
+        ],
+        *[
+            F.sum(F.when(F.col(g) == 1, vn).otherwise(F.lit(0))).alias(f"V{g}")
+            for g in ("g1", "g2", "g3")
+        ],
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        clamp(d(F.col("S")) / (d(F.col("T")) * F.lit(1e12))).alias("lam"),
+        clamp(d(F.col("Sg1")) / d(F.col("S"))).alias("m1"),
+        clamp(d(F.col("Sg2")) / d(F.col("S"))).alias("m2"),
+        clamp(d(F.col("Sg3")) / d(F.col("S"))).alias("m3"),
+        clamp(d(F.col("Vg1")) / d(F.col("V"))).alias("u1"),
+        clamp(d(F.col("Vg2")) / d(F.col("V"))).alias("u2"),
+        clamp(d(F.col("Vg3")) / d(F.col("V"))).alias("u3"),
+    )
+
+
+@q("q_linkage_fs_em", _FS_ORACLE)
+def q_linkage_fs_em(spark, sf_dir):
+    """B66: Fellegi–Sunter parameter estimation (the EM at the core of
+    Splink, public) — learn record-linkage m/u probabilities and match
+    weights FROM the candidate pairs instead of hardcoding them
+    (q_record_linkage ships fixed integer weights; this key derives
+    them). Same clean-vs-dirty-replica setup and the same scale-safe
+    candidate generation: symmetric-delete variant equi-join
+    intersected with the nation block (lossless for lev <= 2 —
+    q_fuzzy_symdelete proves it against the naive all-pairs oracle this
+    key's oracle still uses). Three agreement fields: name lev <= 1,
+    |Δbal| <= 0.051, same mktsegment. The EM runs on the PATTERN table
+    (<= 2^3 rows — corpus-size-independent model state): posteriors are
+    1e-12 fixed-point BIGINTs so every cross-pattern sum is an exact
+    integer (no float-sum order dependence), each M-step ratio is one
+    double division of exact BIGINTs, quantized then clamped away from
+    {0,1} before the log2 weight (the Splink clamp). Two EM iterations
+    + final E-step, unrolled declaratively in BOTH engines (DataFrame
+    ops here, CTE chain in the oracle). At 100 TB: the corpus cost is
+    the one candidate-pair pattern count (same plan family as
+    q_record_linkage, measured linear); everything after is 8 rows.
+    BIGINT posterior sums bound pairs at ~9e6 per pattern shard before
+    a DECIMAL(38,0) switch."""
+    from etl_data_processor_spark.ops.text import deletion_neighborhood
+
+    cust = _cat(spark, sf_dir).customer
+    last = F.substring(F.col("c_name"), -1, 1).cast("int")
+    dirty = cust.select(
+        (F.col("c_custkey") + 10000000).alias("d_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+            ((last + 5) % 10).cast("string"),
+        ).alias("d_name"),
+        F.round(F.col("c_acctbal"), 1).alias("d_bal"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.col("c_mktsegment").alias("d_seg"),
+    )
+    cand_a = cust.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
+        F.explode(deletion_neighborhood("c_name", 2, hashed=True)).alias("__v"),
+    )
+    cand_b = dirty.select(
+        "d_id", "d_name", "d_nationkey", "d_seg", "d_bal",
+        F.explode(deletion_neighborhood("d_name", 2, hashed=True)).alias("__vb"),
+    )
+    pairs = (
+        cand_a.hint("shuffle_hash")
+        .join(
+            cand_b,
+            (F.col("__v") == F.col("__vb"))
+            & (F.col("c_nationkey") == F.col("d_nationkey")),
+        )
+        .filter(F.levenshtein("c_name", "d_name") <= 2)
+        .select("c_custkey", "d_id", "c_name", "d_name", "c_acctbal",
+                "d_bal", "c_mktsegment", "d_seg")
+        .distinct()  # pair-dedup: multiple shared deletion variants
+    )
+    pat = pairs.select(
+        F.when(F.levenshtein("c_name", "d_name") <= 1, 1).otherwise(0)
+        .alias("g1"),
+        F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 0.051, 1)
+        .otherwise(0).alias("g2"),
+        F.when(F.col("c_mktsegment") == F.col("d_seg"), 1).otherwise(0)
+        .alias("g3"),
+    ).groupBy("g1", "g2", "g3").agg(F.count(F.lit(1)).alias("n"))
+
+    p0 = spark.range(1).select(
+        F.lit(0.1).alias("lam"),
+        F.lit(0.9).alias("m1"), F.lit(0.9).alias("m2"),
+        F.lit(0.9).alias("m3"),
+        F.lit(0.1).alias("u1"), F.lit(0.1).alias("u2"),
+        F.lit(0.1).alias("u3"),
+    )
+    pat = pat.cache()  # tiny (<= 8 rows); reused by all three E-steps
+    p1 = _fs_mstep(_fs_estep(pat, p0))
+    p2 = _fs_mstep(_fs_estep(pat, p1))
+    ef = _fs_estep(pat, p2)
+
+    def lr(g, m, u):
+        return F.when(
+            F.col(g) == 1, F.log2(F.col(m) / F.col(u))
+        ).otherwise(
+            F.log2((F.lit(1.0) - F.col(m)) / (F.lit(1.0) - F.col(u)))
+        )
+
+    out = ef.crossJoin(F.broadcast(p2))
+    weight = lr("g1", "m1", "u1") + lr("g2", "m2", "u2") + lr("g3", "m3", "u3")
+    return out.select(
+        F.col("g1").alias("g_name"), F.col("g2").alias("g_bal"),
+        F.col("g3").alias("g_seg"), F.col("n").alias("n_pairs"),
+        SIM.stable_round6(weight).alias("weight6"),
+        (
+            F.floor(F.col("wq").cast("double") / F.lit(1e6) + F.lit(0.5))
+            .cast("double") / F.lit(1e6)
+        ).alias("posterior6"),
+        SIM.stable_round6(F.col("lam")).alias("lambda6"),
+    )
