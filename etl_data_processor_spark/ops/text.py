@@ -624,3 +624,136 @@ def bpe_encode_words(
     for a, b in merges:
         col = F.aggregate(col, empty, make_pass(a, b))
     return words.withColumn("tokens", col)
+
+
+def unigram_vocab_scores(
+    words: DataFrame,
+    max_piece: int = 4,
+    top_multi: int = 48,
+    word_col: str = "word",
+    count_col: str = "wcount",
+) -> dict[str, int]:
+    """Frequency-derived unigram-LM piece vocabulary (SentencePiece shape):
+    every single character of the corpus plus the ``top_multi`` most
+    frequent length-2..``max_piece`` substrings (occurrence-weighted count,
+    ties piece-asc). Returns ``{piece: score_q}`` with score_q =
+    floor(ln(cnt/total)*1e9) — an INTEGER fixed-point log-prob, so any
+    downstream DP maximizes an exact integer sum. Substring counting is
+    distributed (one explode + hash agg over the DISTINCT-word table);
+    only the final chars+``top_multi`` rows are collected — bounded model
+    state, the shipped-tokenizer artifact (same precedent as BPE merges /
+    IVF centroids)."""
+    import math as _math
+
+    L = F.length(word_col)
+    all_subs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), L),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece), L - s + 1)),
+                lambda l: F.substring(F.col(word_col), s, l),
+            ),
+        )
+    )
+    subs = (
+        words.select(F.col(count_col).alias("__wc"),
+                     F.explode(all_subs).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("__wc").alias("cnt"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_multi)
+    )
+    rows = chars.unionAll(multi).collect()
+    total = sum(r["cnt"] for r in rows)
+    return {
+        r["piece"]: _math.floor(_math.log(r["cnt"] / total) * 1e9)
+        for r in rows
+    }
+
+
+def unigram_viterbi(
+    words: DataFrame,
+    score_of: dict[str, int],
+    max_piece: int = 4,
+    word_col: str = "word",
+) -> DataFrame:
+    """Viterbi-optimal unigram-LM segmentation of ``word_col`` under an
+    integer piece-score vocabulary (Kudo 2018 inference). Appends
+    ``n_tokens`` (int), ``pieces`` ('|'-joined), ``score_q`` (bigint).
+    Tie policy: max score, then fewest tokens, then longest-last-piece
+    (== lexicographically greatest REVERSED piece-length sequence —
+    proven against a brute-force enumeration oracle in q_unigram_viterbi
+    and tests/test_r6b_ops.py). Two JVM-side ``aggregate`` folds
+    (forward DP + backtrace), no Python boundary; the score map enters
+    as a literal — vocabulary-bounded model state. Pieces absent from
+    the vocabulary carry a -2^40 penalty; as long as every single
+    character is in-vocab (unigram_vocab_scores guarantees it) they are
+    never chosen."""
+    pairs: list[Column] = []
+    for p in sorted(score_of):
+        pairs.extend([F.lit(p), F.lit(score_of[p]).cast("long")])
+    smap = F.create_map(*pairs)
+    MISS = F.lit(-(2**40)).cast("long")
+    L = F.length(word_col)
+
+    def cand(acc, i, l):
+        prev = F.element_at(acc, i - l + 1)
+        piece = F.col(word_col).substr(i - l + 1, F.lit(l))
+        s = prev.getField("s") + F.coalesce(F.element_at(smap, piece), MISS)
+        return F.struct(
+            s.alias("s"),
+            (prev.getField("negn") - 1).alias("negn"),
+            F.lit(l).alias("l"),
+        )
+
+    def step(acc, i):
+        dead = F.struct(
+            F.lit(-(2**62)).cast("long").alias("s"),
+            F.lit(-(2**30)).alias("negn"),
+            F.lit(0).alias("l"),
+        )
+        cands = [
+            F.when(i >= l, cand(acc, i, l)).otherwise(dead)
+            for l in range(1, max_piece + 1)
+        ]
+        return F.concat(acc, F.array(F.greatest(*cands)))
+
+    init = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("s"),
+            F.lit(0).alias("negn"),
+            F.lit(0).alias("l"),
+        )
+    )
+    best = F.aggregate(F.sequence(F.lit(1), L), init, step)
+
+    def back(st, _):
+        pos = st.getField("pos")
+        cut = F.element_at(F.col("__best"), pos + 1).getField("l")
+        piece = F.col(word_col).substr(pos - cut + 1, cut)
+        return F.when(pos <= 0, st).otherwise(
+            F.struct(
+                (pos - cut).alias("pos"),
+                F.concat(F.array(piece), st.getField("ps")).alias("ps"),
+            )
+        )
+
+    binit = F.struct(
+        L.alias("pos"), F.array().cast("array<string>").alias("ps")
+    )
+    return (
+        words.withColumn("__best", best)
+        .withColumn(
+            "__ps",
+            F.aggregate(F.sequence(F.lit(1), L), binit, back).getField("ps"),
+        )
+        .withColumn("__top", F.element_at("__best", L + 1))
+        .withColumn("n_tokens", -F.col("__top").getField("negn"))
+        .withColumn("pieces", F.array_join("__ps", "|"))
+        .withColumn("score_q", F.col("__top").getField("s"))
+        .drop("__best", "__ps", "__top")
+    )

@@ -426,16 +426,18 @@ def q_unigram_viterbi(spark, sf_dir):
     REVERSED length sequence, which the oracle states declaratively).
     The ORACLE brute-force-enumerates every vocab segmentation via a
     recursive CTE and picks the best declaratively — so a green
-    differential proves the Spark DP optimal, not just consistent.
-    Spark plan: the corpus collapses to the distinct-word table in one
-    tokenize+agg pass; vocabulary (chars + 48) is collected driver-side
-    as bounded model state (the shipped-tokenizer artifact, same
-    precedent as BPE_MERGES / IVF centroids) and re-enters as a literal
-    map; the per-word DP + backtrace are two JVM-side ``aggregate``
-    folds (O(len * 4) map lookups per DISTINCT word — vocabulary-sized,
-    not corpus-sized). At 100 TB: corpus scan is one shuffle; the DP
-    runs on the distinct-word table, which a real tokenizer bounds at
-    vocabulary scale."""
+    differential proves the Spark DP optimal, not just consistent (and
+    tests/test_r6b_ops.py re-proves it on random corpora against a
+    pure-Python reference). Core factored into ops.text
+    (unigram_vocab_scores trains the bounded-model-state vocabulary,
+    unigram_viterbi runs the two-fold DP+backtrace in codegen). At
+    100 TB: corpus scan is one shuffle; the DP runs on the
+    distinct-word table, which a real tokenizer bounds at vocabulary
+    scale."""
+    from etl_data_processor_spark.ops.text import (
+        unigram_viterbi, unigram_vocab_scores,
+    )
+
     d = _cat(spark, sf_dir).documents
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -443,107 +445,11 @@ def q_unigram_viterbi(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
     )
-
-    # --- vocabulary: distributed substring counts, driver-collected ---
-    L = F.length("word")
-    all_subs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), L),
-            lambda s: F.transform(
-                F.sequence(
-                    F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), L - s + 1)
-                ),
-                lambda l: F.substring(F.col("word"), s, l),
-            ),
-        )
+    score_of = unigram_vocab_scores(
+        words, max_piece=_UNI_MAX_PIECE, top_multi=_UNI_TOP_MULTI
     )
-    subs = (
-        words.select("wcount", F.explode(all_subs).alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("wcount").alias("cnt"))
-    )
-    chars = subs.filter(F.length("piece") == 1)
-    multi = (
-        subs.filter(F.length("piece") >= 2)
-        .orderBy(F.desc("cnt"), F.asc("piece"))
-        .limit(_UNI_TOP_MULTI)
-    )
-    vocab_rows = chars.unionAll(multi).collect()  # bounded: |alphabet|+48
-    total = sum(r["cnt"] for r in vocab_rows)
-    import math as _math
-
-    score_of = {
-        r["piece"]: _math.floor(_math.log(r["cnt"] / total) * 1e9)
-        for r in vocab_rows
-    }
-    pairs: list = []
-    for p in sorted(score_of):
-        pairs.extend([F.lit(p), F.lit(score_of[p]).cast("long")])
-    smap = F.create_map(*pairs)
-    MISS = F.lit(-(2**40)).cast("long")  # unreachable: single chars cover
-
-    # --- forward DP: best[i] = (score, -ntok, chosen piece len) ---
-    def cand(acc, i, l):
-        prev = F.element_at(acc, i - l + 1)
-        piece = F.col("word").substr(i - l + 1, F.lit(l))
-        s = prev.getField("s") + F.coalesce(
-            F.element_at(smap, piece), MISS
-        )
-        return F.struct(
-            s.alias("s"),
-            (prev.getField("negn") - 1).alias("negn"),
-            F.lit(l).alias("l"),
-        )
-
-    def step(acc, i):
-        dead = F.struct(
-            F.lit(-(2**62)).cast("long").alias("s"),
-            F.lit(-(2**30)).alias("negn"),
-            F.lit(0).alias("l"),
-        )
-        cands = [
-            F.when(i >= l, cand(acc, i, l)).otherwise(dead)
-            for l in range(1, _UNI_MAX_PIECE + 1)
-        ]
-        return F.concat(acc, F.array(F.greatest(*cands)))
-
-    init = F.array(
-        F.struct(
-            F.lit(0).cast("long").alias("s"),
-            F.lit(0).alias("negn"),
-            F.lit(0).alias("l"),
-        )
-    )
-    best = F.aggregate(F.sequence(F.lit(1), L), init, step)
-
-    # --- backtrace: walk cut lengths from the end, emit pieces ---
-    def back(st, _):
-        pos = st.getField("pos")
-        cut = F.element_at(F.col("__best"), pos + 1).getField("l")
-        piece = F.col("word").substr(pos - cut + 1, cut)
-        return F.when(pos <= 0, st).otherwise(
-            F.struct(
-                (pos - cut).alias("pos"),
-                F.concat(F.array(piece), st.getField("ps")).alias("ps"),
-            )
-        )
-
-    binit = F.struct(
-        L.alias("pos"), F.array().cast("array<string>").alias("ps")
-    )
-    out = (
-        words.withColumn("__best", best)
-        .withColumn(
-            "__ps",
-            F.aggregate(F.sequence(F.lit(1), L), binit, back).getField("ps"),
-        )
-        .withColumn("__top", F.element_at("__best", L + 1))
-    )
-    return out.select(
-        "word", "wcount",
-        (-F.col("__top").getField("negn")).alias("n_tokens"),
-        F.array_join("__ps", "|").alias("pieces"),
-        F.col("__top").getField("s").alias("score_q"),
+    return unigram_viterbi(words, score_of, max_piece=_UNI_MAX_PIECE).select(
+        "word", "wcount", "n_tokens", "pieces", "score_q"
     )
 
 

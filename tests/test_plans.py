@@ -625,3 +625,54 @@ def test_symdelete_evaluates_levenshtein_once(spark, sf_dir):
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     plan = plan_of(T.fuzzy_key_pairs_symdelete(part, "p_name", max_dist=2))
     assert plan.count("levenshtein") == 1, plan
+
+
+def test_inverted_index_two_exchanges_single_scan(spark, sf_dir):
+    """B66 q_inverted_index: one corpus scan; exactly the two designed
+    hash exchanges ((token,block,doc) tf then (token,block) assembly),
+    both with map-side partials (partial_collect_list); no Window, no
+    Python boundary — the posting-list build must stay a pure two-level
+    hash aggregation at any scale."""
+    import re
+
+    plan = plan_of(QUERIES["q_inverted_index"](spark, sf_dir))
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2
+    assert "partial_collect_list" in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_unigram_viterbi_codegen_no_python(spark, sf_dir):
+    """B66 q_unigram_viterbi: the DP + backtrace folds must be JVM-side
+    lambda aggregates — no Python eval, no Window; the corpus collapses
+    to the distinct-word table via hash aggregation."""
+    plan = plan_of(QUERIES["q_unigram_viterbi"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "aggregate(sequence(1" in plan  # the forward-DP fold
+
+
+def test_hybrid_rrf_broadcast_legs_no_cartesian(spark, sf_dir):
+    """B66 q_hybrid_rrf: query-side frames (query tokens, df, corpus
+    stats, query vectors) broadcast into both legs; no cartesian
+    product, no Python boundary, no round-robin repartition — corpus
+    cost is the tf aggregate plus the query-partitioned top-k windows."""
+    plan = plan_of(QUERIES["q_hybrid_rrf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "RoundRobinPartitioning" not in plan
+
+
+def test_fs_em_shuffle_hash_candidates_no_python(spark, sf_dir):
+    """B66 q_linkage_fs_em: the symmetric-delete candidate join must be
+    the hinted shuffle-hash (Catalyst under-sizes the post-Generate
+    side — same pin as q_record_linkage); agreements (levenshtein,
+    abs, equality) run in codegen, so no Python eval anywhere; the EM's
+    cross joins are broadcast nested-loop over <=8-row frames, never a
+    cartesian product."""
+    plan = plan_of(QUERIES["q_linkage_fs_em"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
