@@ -88,6 +88,15 @@ HEADLINE = [
     "q_quality_drift_psi",
     "q_length_filter_adaptive",
     "q_sample_temperature",
+    # round-6 batch 2 (B66)
+    "q_inverted_index",
+    "q_hybrid_rrf",
+    "q_unigram_viterbi",
+    "q_linkage_fs_em",
+    # round-6 batch 3 (B66 #2)
+    "q_contamination_ngrams",
+    "q_ks_drift",
+    "q_rag_context",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -121,8 +121,7 @@ _LEG_K = 20          # per-leg candidate depth
 _FUSED_K = 10        # fused result depth
 _RRF_QUERIES = (0, 1, 2)
 
-_HYBRID_ORACLE = f"""
-WITH qdoc AS (
+_HYBRID_CTES = f"""qdoc AS (
     SELECT doc_id AS query_id, text FROM documents
     WHERE doc_id IN {_RRF_QUERIES!r}
 ),
@@ -219,16 +218,26 @@ fused AS (
              + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0.0) AS rrf
     FROM lex l FULL OUTER JOIN vec v
       ON l.query_id = v.query_id AND l.doc_id = v.doc_id
-)
-SELECT query_id, doc_id,
-       CAST(FLOOR(rrf * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rrf6,
-       CAST(ROW_NUMBER() OVER (
-           PARTITION BY query_id
-           ORDER BY CAST(FLOOR(rrf * 1000000000000.0 + 0.5) AS BIGINT) DESC,
-                    doc_id ASC
-       ) AS INTEGER) AS fused_rank,
-       lex_rank, vec_rank
-FROM fused QUALIFY fused_rank <= {_FUSED_K}
+)"""
+
+# fused -> ranked rows; shared by q_hybrid_rrf and the q_rag_context capstone
+_HYBRID_RANKED = f"""
+    SELECT query_id, doc_id,
+           CAST(FLOOR(rrf * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS rrf6,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(FLOOR(rrf * 1000000000000.0 + 0.5) AS BIGINT)
+                            DESC,
+                        doc_id ASC
+           ) AS INTEGER) AS fused_rank,
+           lex_rank, vec_rank
+    FROM fused
+"""
+
+_HYBRID_ORACLE = f"""
+WITH {_HYBRID_CTES},
+ranked AS ({_HYBRID_RANKED})
+SELECT * FROM ranked WHERE fused_rank <= {_FUSED_K}
 """
 
 
@@ -254,6 +263,14 @@ def q_hybrid_rrf(spark, sf_dir):
     qids = list(_RRF_QUERIES)
 
     # --- lexical leg: q_bm25's scorer, per-query term sets ---
+    # One corpus explode+shuffle end to end: the tf subtree is the only
+    # corpus-shuffle pass; doc length is a codegen scan expression (no
+    # second explode), and the CANDIDATE frame — query-bounded, one row
+    # per (matched token, containing doc) — is cached and reused for
+    # both the df statistic and the scoring join. (The first form of
+    # this leg rebuilt tf and an exploded dl in four subtrees; the r6
+    # scale stress measured it at 21x CPU for 10x data — linear outputs
+    # but 4x the corpus passes magnified by cache-locality constants.)
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -263,15 +280,31 @@ def q_hybrid_rrf(spark, sf_dir):
         .distinct()
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    dl = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+        ).cast("long").alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    df = (
+    # tf rows are distinct per (doc, token), so the per-token row count
+    # of the candidate frame IS the document frequency. The frame is
+    # repartitioned DOWN before caching: it is query-bounded and skinny
+    # (the round-robin exchange moves |q_tokens| x df three-column rows,
+    # negligible at any scale), while caching it at the tf shuffle's
+    # width pins corpus-width partitioning past AQE's reach — measured
+    # on this VM at ~0.15 cpu-s per-task fixed overhead, which is what
+    # the r6 scale stress actually flagged. coalesce() instead would
+    # collapse the corpus-wide tf reduce stage itself to 4 tasks — wrong
+    # at 100 TB; repartition keeps the upstream agg at full parallelism.
+    cand = (
         tf.join(F.broadcast(qtok.select("token").distinct()), "token")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .repartition(max(4, len(qids)))
+        .cache()
     )
+    df = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
@@ -291,7 +324,7 @@ def q_hybrid_rrf(spark, sf_dir):
     )
     tq = F.floor(score * F.lit(1e12) + F.lit(0.5)).cast("long")
     lex_scored = (
-        tf.join(F.broadcast(qtok), "token")
+        cand.join(F.broadcast(qtok), "token")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(F.broadcast(df), "token")
         .join(dl, "doc_id")
@@ -738,4 +771,330 @@ def q_linkage_fs_em(spark, sf_dir):
             .cast("double") / F.lit(1e6)
         ).alias("posterior6"),
         SIM.stable_round6(F.col("lam")).alias("lambda6"),
+    )
+
+
+# =====================================================================
+# Benchmark contamination report: exact n-gram overlap (B22/B53 ext —
+# the REPORT companion to q_decontaminate's LSH drop list; GPT-3 /
+# The Pile style exact n-gram contamination accounting, public)
+# =====================================================================
+
+_CONTAM_N = 3          # n-gram order (13 in GPT-3; 3 here for fixture signal)
+_CONTAM_BENCH = "src0"  # the held-out benchmark source
+_CONTAM_TAU = 0.2      # contaminated-flag threshold on the overlap fraction
+
+_CONTAM_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, source,
+           list_filter(string_split(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, source,
+           list_aggregate(w[i:i+{_CONTAM_N}-1], 'string_agg', ' ') AS g
+    FROM d, range(1, 4097) t(i)
+    WHERE i + {_CONTAM_N} - 1 <= len(w)
+),
+bench AS (
+    SELECT DISTINCT g FROM grams WHERE source = '{_CONTAM_BENCH}'
+),
+corpus AS (
+    SELECT doc_id, g FROM grams
+    WHERE source <> '{_CONTAM_BENCH}' GROUP BY doc_id, g
+),
+hits AS (
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(b.g) AS BIGINT) AS n_hits
+    FROM corpus c LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_hits,
+       CAST(FLOOR(CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS overlap6,
+       CAST(CASE WHEN CAST(n_hits AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                      > {_CONTAM_TAU} THEN 1 ELSE 0 END AS INTEGER)
+         AS contaminated
+FROM hits
+"""
+
+
+@q("q_contamination_ngrams", _CONTAM_ORACLE)
+def q_contamination_ngrams(spark, sf_dir):
+    """B66 #2: exact n-gram benchmark-contamination REPORT (the GPT-3 /
+    The Pile accounting recipe, public): for every corpus document, the
+    fraction of its DISTINCT word n-grams that appear anywhere in the
+    held-out benchmark source — plus the binary contaminated flag at
+    tau=0.2. Complements q_decontaminate (which LSH-drops near-dups):
+    this is the exact-overlap audit a lab publishes next to its eval
+    numbers. Plan: one tokenize pass fans each doc into distinct
+    n-grams (slide a transform over the token array — no self-join);
+    the benchmark gram set is DISTINCT-aggregated and broadcast into a
+    left join (benchmark is eval-sized, i.e. tiny vs the corpus, the
+    same asymmetry q_decontaminate exploits); per-doc counts are one
+    hash agg. At 100 TB the broadcast becomes a bloom-filter
+    pre-screen + shuffle join on gram hash — same plan family, and the
+    n-gram explode stays linear (len-n+1 grams per doc)."""
+    d = _cat(spark, sf_dir).documents
+    from etl_data_processor_spark.ops.text import tokenize
+
+    w = tokenize(F.col("text"))
+    n_grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(w) - F.lit(_CONTAM_N - 1)),
+        lambda i: F.array_join(F.slice(w, i, _CONTAM_N), " "),
+    )
+    grams = d.select(
+        "doc_id", "source", F.explode(n_grams_arr).alias("g")
+    )
+    bench = (
+        grams.filter(F.col("source") == _CONTAM_BENCH).select("g").distinct()
+    )
+    corpus = (
+        grams.filter(F.col("source") != _CONTAM_BENCH)
+        .select("doc_id", "g")
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g",
+                    "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hits"),
+        )
+    )
+    frac = F.col("n_hits").cast("double") / F.col("n_grams").cast("double")
+    return hits.select(
+        "doc_id", "n_grams", "n_hits",
+        SIM.stable_round6(frac).alias("overlap6"),
+        F.when(frac > _CONTAM_TAU, 1).otherwise(0).alias("contaminated"),
+    )
+
+
+# =====================================================================
+# Two-sample Kolmogorov–Smirnov drift (B52 ext — the rank-based drift
+# test next to q_quality_drift_psi's binned one)
+# =====================================================================
+
+_KS_REF = "src0"   # reference source
+_KS_C05 = 1.358    # c(alpha) for alpha = 0.05 (standard KS table)
+
+_KS_ORACLE = f"""
+WITH vc AS (
+    SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY source, n_chars
+),
+rc AS (SELECT v, c AS cr FROM vc WHERE source = '{_KS_REF}'),
+nn AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY source
+),
+nref AS (SELECT n AS n_ref FROM nn WHERE source = '{_KS_REF}'),
+pts AS (
+    SELECT s.source, p.v,
+           COALESCE(sv.c, 0) AS cs, COALESCE(r.cr, 0) AS cr
+    FROM (SELECT DISTINCT source FROM vc
+          WHERE source <> '{_KS_REF}') s
+    CROSS JOIN (SELECT DISTINCT v FROM vc) p
+    LEFT JOIN vc sv ON sv.source = s.source AND sv.v = p.v
+    LEFT JOIN rc r ON r.v = p.v
+),
+cum AS (
+    SELECT source, v,
+           SUM(cs) OVER (PARTITION BY source ORDER BY v) AS fs,
+           SUM(cr) OVER (PARTITION BY source ORDER BY v) AS fr
+    FROM pts
+),
+d AS (
+    SELECT c.source, nn.n,
+           MAX(ABS(c.fs * nref.n_ref - c.fr * nn.n)) AS dmax
+    FROM cum c
+    JOIN nn ON nn.source = c.source
+    CROSS JOIN nref
+    GROUP BY c.source, nn.n
+)
+SELECT d.source, d.n,
+       CAST(FLOOR(CAST(d.dmax AS DOUBLE)
+                  / (CAST(d.n AS DOUBLE) * CAST(nref.n_ref AS DOUBLE))
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS ks6,
+       CAST(CASE WHEN CAST(d.dmax AS DOUBLE)
+                      / (CAST(d.n AS DOUBLE) * CAST(nref.n_ref AS DOUBLE))
+                 > {_KS_C05} * SQRT((CAST(d.n AS DOUBLE)
+                                     + CAST(nref.n_ref AS DOUBLE))
+                                    / (CAST(d.n AS DOUBLE)
+                                       * CAST(nref.n_ref AS DOUBLE)))
+            THEN 1 ELSE 0 END AS INTEGER) AS drifted
+FROM d CROSS JOIN nref
+"""
+
+
+@q("q_ks_drift", _KS_ORACLE)
+def q_ks_drift(spark, sf_dir):
+    """B66 #2: EXACT two-sample Kolmogorov–Smirnov statistic of every
+    source's document-length distribution against the reference source,
+    with the alpha=0.05 rejection flag — the rank-based drift monitor
+    that complements q_quality_drift_psi's binned PSI (KS needs no bin
+    choice and catches shape drift PSI's 10 bins smooth away). The
+    statistic is computed in EXACT integer arithmetic: D is maximized
+    over cross-multiplied ECDF counts (fs*n_ref - fr*n_s — integers),
+    and only the final normalization divides, so engines agree to the
+    bit before the 1e-6 quantization. Plan: the corpus collapses to
+    per-(source, length) value counts in one hash agg (the
+    q_length_filter_adaptive pattern); the ECDF grid is
+    |sources| x |distinct lengths| rows — value-distribution-sized, not
+    corpus-sized; the only window runs per source on that tiny grid.
+    At 100 TB the value-count table for an integer-valued metric is
+    bounded by the metric's range, not the row count."""
+    d = _cat(spark, sf_dir).documents
+    vc = d.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    vc = vc.cache()  # value-distribution-sized; feeds four branches
+    rc = vc.filter(F.col("source") == _KS_REF).select(
+        "v", F.col("c").alias("cr")
+    )
+    nn = vc.groupBy("source").agg(F.sum("c").alias("n"))
+    n_ref = nn.filter(F.col("source") == _KS_REF).select(
+        F.col("n").alias("n_ref")
+    )
+    sources = vc.select("source").filter(
+        F.col("source") != _KS_REF
+    ).distinct()
+    points = vc.select("v").distinct()
+    pts = (
+        sources.crossJoin(points)
+        .join(vc, ["source", "v"], "left")
+        .join(F.broadcast(rc), "v", "left")
+        .select(
+            "source", "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+        )
+    )
+    wv = Window.partitionBy("source").orderBy("v")
+    cum = pts.select(
+        "source", "v",
+        F.sum("cs").over(wv).alias("fs"),
+        F.sum("cr").over(wv).alias("fr"),
+    )
+    dmax = (
+        cum.join(F.broadcast(nn), "source")
+        .crossJoin(F.broadcast(n_ref))
+        .groupBy("source", "n")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("fs") * F.col("n_ref") - F.col("fr") * F.col("n")
+                )
+            ).alias("dmax"),
+            F.first("n_ref").alias("n_ref"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("n_ref").cast("double")
+    ks = F.col("dmax").cast("double") / (nd * rd)
+    crit = F.lit(_KS_C05) * F.sqrt((nd + rd) / (nd * rd))
+    return dmax.select(
+        "source", "n",
+        SIM.stable_round6(ks).alias("ks6"),
+        F.when(ks > crit, 1).otherwise(0).alias("drifted"),
+    )
+
+
+# =====================================================================
+# Retrieval context assembly (B31/B32 capstone — RAG serving: fused
+# retrieval -> chunk -> budgeted pack, composing q_hybrid_rrf,
+# q_chunk_documents and q_pack_sequences' disciplines)
+# =====================================================================
+
+_RAG_TOP_DOCS = 3      # fused docs pulled per query
+_RAG_CHUNK_W = 50      # words per chunk (non-overlapping)
+_RAG_BUDGET = 96       # context token budget per query
+
+_RAG_ORACLE = f"""
+WITH {_HYBRID_CTES},
+ranked AS ({_HYBRID_RANKED}),
+sel AS (
+    SELECT query_id, doc_id, fused_rank FROM ranked
+    WHERE fused_rank <= {_RAG_TOP_DOCS}
+),
+dw AS (
+    SELECT s.query_id, s.fused_rank, s.doc_id,
+           list_filter(string_split(d.text, ' '), t -> t <> '') AS w
+    FROM sel s JOIN documents d USING (doc_id)
+),
+chunks AS (
+    SELECT query_id, fused_rank, doc_id,
+           CAST(t.i AS INTEGER) AS chunk_id,
+           CAST(LEAST({_RAG_CHUNK_W},
+                      len(w) - t.i * {_RAG_CHUNK_W}) AS INTEGER)
+             AS n_tokens
+    FROM dw, range(0, 4097) t(i)
+    WHERE t.i * {_RAG_CHUNK_W} < len(w)
+),
+packed AS (
+    SELECT query_id, doc_id, chunk_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+               PARTITION BY query_id
+               ORDER BY fused_rank, chunk_id
+           ) AS BIGINT) AS cum_tokens,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY fused_rank, chunk_id
+           ) AS INTEGER) AS seq
+    FROM chunks
+)
+SELECT query_id, seq, doc_id, chunk_id, n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+"""
+
+
+@q("q_rag_context", _RAG_ORACLE)
+def q_rag_context(spark, sf_dir):
+    """B66 #2 capstone: retrieval-context assembly — the full RAG serving
+    path in one declarative plan. Per query: hybrid-RRF top-3 documents
+    (q_hybrid_rrf's exact fused ranking), split into 50-word
+    non-overlapping chunks (q_chunk_documents' discipline, word grain),
+    then packed GREEDILY in relevance order into a 96-token context
+    budget (q_pack_sequences' running-sum gate): a chunk enters while
+    the query's cumulative token count stays within budget. Output is
+    the context manifest (query_id, seq, doc_id, chunk_id, n_tokens,
+    cum_tokens) — exactly what a serving layer feeds the prompt
+    builder. Plan shape: the fused ranking's corpus work is
+    q_hybrid_rrf's (tf agg + query-bounded fusion); everything after
+    joins the TOP-3 doc ids back to the corpus (a broadcast semi-join
+    at scale), so chunk+pack run on queries x 3 documents — the
+    context assembly itself is query-bounded, never corpus-bounded.
+    The only windows partition by query_id over <= queries x docs x
+    chunks rows."""
+    fused = q_hybrid_rrf(spark, sf_dir).filter(
+        F.col("fused_rank") <= _RAG_TOP_DOCS
+    ).select("query_id", "doc_id", "fused_rank")
+    d = _cat(spark, sf_dir).documents
+    from etl_data_processor_spark.ops.text import tokenize
+
+    dw = fused.join(d.select("doc_id", "text"), "doc_id").select(
+        "query_id", "fused_rank", "doc_id",
+        tokenize(F.col("text")).alias("w"),
+    )
+    n_chunks = F.ceil(F.size("w") / F.lit(_RAG_CHUNK_W)).cast("int")
+    chunks = dw.select(
+        "query_id", "fused_rank", "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.size("w").alias("__nw"),
+    ).select(
+        "query_id", "fused_rank", "doc_id", "chunk_id",
+        F.least(
+            F.lit(_RAG_CHUNK_W),
+            F.col("__nw") - F.col("chunk_id") * _RAG_CHUNK_W,
+        ).cast("int").alias("n_tokens"),
+    )
+    wq = Window.partitionBy("query_id").orderBy("fused_rank", "chunk_id")
+    packed = chunks.select(
+        "query_id", "doc_id", "chunk_id", "n_tokens",
+        F.sum("n_tokens").over(wq).cast("long").alias("cum_tokens"),
+        F.row_number().over(wq).alias("seq"),
+    )
+    return packed.filter(F.col("cum_tokens") <= _RAG_BUDGET).select(
+        "query_id", "seq", "doc_id", "chunk_id", "n_tokens", "cum_tokens"
     )

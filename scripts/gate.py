@@ -70,6 +70,11 @@ HEAVY_SF01 = [
     # round-6 batch (B65)
     "q_bpe_encode", "q_bpe_corpus_stats", "q_quality_drift_psi",
     "q_length_filter_adaptive", "q_sample_temperature",
+    # round-6 batch 2 (B66): retrieval stack + learned linkage weights
+    "q_inverted_index", "q_hybrid_rrf", "q_unigram_viterbi",
+    "q_linkage_fs_em",
+    # round-6 batch 3 (B66 #2): contamination report, KS drift, RAG context
+    "q_contamination_ngrams", "q_ks_drift", "q_rag_context",
 ]
 
 

@@ -88,6 +88,21 @@ HEAVY = [
     "q_quality_drift_psi",
     "q_length_filter_adaptive",
     "q_sample_temperature",
+    # B66 (round 6): retrieval stack — index build is the corpus-shuffle
+    # pair, hybrid retrieval is tf-agg + query-bounded fusion, Viterbi is
+    # corpus-once + vocab-sized DP. (q_linkage_fs_em is measured manually
+    # — SCALE.md — because its DuckDB oracle is the naive in-block
+    # quadratic, over the sf1 budget; its Spark candidate plan is the
+    # stress-proven q_record_linkage symdelete family.)
+    "q_inverted_index",
+    "q_hybrid_rrf",
+    "q_unigram_viterbi",
+    # B66 #2: contamination explodes the corpus into n-grams (bounded
+    # fan-out, broadcast bench set); KS collapses to value counts; RAG
+    # context is hybrid retrieval + query-bounded assembly.
+    "q_contamination_ngrams",
+    "q_ks_drift",
+    "q_rag_context",
 ]
 
 SF_DIRS = [
