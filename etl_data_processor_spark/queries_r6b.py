@@ -836,9 +836,16 @@ def q_contamination_ngrams(spark, sf_dir):
     hash agg. At 100 TB the broadcast becomes a bloom-filter
     pre-screen + shuffle join on gram hash — same plan family, and the
     n-gram explode stays linear (len-n+1 grams per doc)."""
-    d = _cat(spark, sf_dir).documents
+    from etl_data_processor_spark.ops.dedup import _parallelize
     from etl_data_processor_spark.ops.text import tokenize
 
+    # width-guard: the gram explode is the CPU-heavy stage, and a small
+    # single-file corpus arrives as one partition (stress showed
+    # max-task == wall); at 100 TB the scan is already wide and
+    # _parallelize is a no-op.
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
     w = tokenize(F.col("text"))
     n_grams_arr = F.transform(
         F.sequence(F.lit(1), F.size(w) - F.lit(_CONTAM_N - 1)),
