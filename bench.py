@@ -97,6 +97,11 @@ HEADLINE = [
     "q_contamination_ngrams",
     "q_ks_drift",
     "q_rag_context",
+    # round-6 batch 4 (B67): selection layer
+    "q_curriculum_interleave",
+    "q_dsir_select",
+    "q_ccnet_perplexity",
+    "q_quality_probe_gd",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -757,3 +757,34 @@ def unigram_viterbi(
         .withColumn("score_q", F.col("__top").getField("s"))
         .drop("__best", "__ps", "__top")
     )
+
+
+# --- portable string hashing -------------------------------------------------
+
+_POLY_MOD = 4294967296  # 2^32
+
+
+def char_poly_hash(s: Column) -> Column:
+    """Portable 32-bit polynomial string hash: fold h = (h*31 + code) mod
+    2^32 over the string's character codes. Pure integer arithmetic both
+    engines implement identically (the DuckDB mirror is
+    :func:`char_poly_hash_sql`); parity holds for single-codepoint
+    characters (ASCII/BMP — Spark ``ascii`` and DuckDB ``unicode`` both
+    return the first codepoint). Intended for VOCABULARY-sized frames
+    (distinct tokens), not per-corpus-row hot paths: the char fold costs
+    O(len) per distinct string once, then broadcasts."""
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % F.lit(_POLY_MOD),
+    )
+
+
+def char_poly_hash_sql(expr: str) -> str:
+    """DuckDB expression computing exactly :func:`char_poly_hash`."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform("
+        f"string_split({expr}, ''), c -> unicode(c)::BIGINT)), "
+        f"(a, b) -> (a * 31 + b) % {_POLY_MOD})"
+    )

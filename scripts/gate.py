@@ -75,6 +75,9 @@ HEAVY_SF01 = [
     "q_linkage_fs_em",
     # round-6 batch 3 (B66 #2): contamination report, KS drift, RAG context
     "q_contamination_ngrams", "q_ks_drift", "q_rag_context",
+    # round-6 batch 4 (B67): CCNet ppl, DSIR, GD probe, curriculum
+    "q_ccnet_perplexity", "q_dsir_select", "q_quality_probe_gd",
+    "q_curriculum_interleave",
 ]
 
 

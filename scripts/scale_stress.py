@@ -103,6 +103,13 @@ HEAVY = [
     "q_contamination_ngrams",
     "q_ks_drift",
     "q_rag_context",
+    # B67: reference-LM scoring + DSIR selection explode the corpus once
+    # against broadcast model tables; the GD probe is 3 shuffle-free
+    # aggregate passes; curriculum is one per-source window.
+    "q_ccnet_perplexity",
+    "q_dsir_select",
+    "q_quality_probe_gd",
+    "q_curriculum_interleave",
 ]
 
 SF_DIRS = [
