@@ -102,6 +102,10 @@ HEADLINE = [
     "q_dsir_select",
     "q_ccnet_perplexity",
     "q_quality_probe_gd",
+    # round-6 batch 5 (B68): reporting/serving layer
+    "q_vocab_prune_oov",
+    "q_eval_winrate_wilson",
+    "q_prf_expand",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

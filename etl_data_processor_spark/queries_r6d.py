@@ -1,0 +1,453 @@
+"""Round-6 extension batch #4 (B68): tokenizer-vocabulary audit,
+statistically-sound eval aggregation, and pseudo-relevance-feedback
+query expansion — the reporting/serving ops AROUND the training run.
+
+House rules: deterministic, DuckDB-oracled, fixed-point quantization
+before any cross-engine float comparison (sqrt/division ARE IEEE
+correctly-rounded and engine-identical on identical operands; only
+summation order is not — ops/exact), and 100 TB shapes: corpus work is
+one explode + hash agg, model/report tables are vocabulary- or
+group-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.ops import similarity as SIM
+from etl_data_processor_spark.ops.text import tokenize
+from etl_data_processor_spark.registry import cat as _cat
+from etl_data_processor_spark.registry import q
+
+_SQL_TOKENS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+
+
+# =====================================================================
+# Vocabulary pruning + OOV-rate audit (B31/B64 ext — the "can we ship
+# this vocab?" report next to the BPE/unigram trainers)
+# =====================================================================
+
+_VOCAB_TOP = 256  # shipped vocabulary budget (most-frequent tokens)
+
+_OOV_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+freq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token
+),
+vocab AS (
+    SELECT token FROM freq ORDER BY c DESC, token ASC LIMIT {_VOCAB_TOP}
+),
+st AS (
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.token IS NULL) AS BIGINT)
+             AS n_oov
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.source
+)
+SELECT source, n_tokens, n_oov,
+       CAST(FLOOR(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS oov6
+FROM st
+"""
+
+
+@q("q_vocab_prune_oov", _OOV_ORACLE)
+def q_vocab_prune_oov(spark, sf_dir):
+    """B68: vocabulary-pruning audit — shipped-vocab = the 256 most
+    frequent corpus tokens (count desc, token asc ties); per source,
+    the out-of-vocabulary token rate that budget would cost. This is
+    the go/no-go report a tokenizer team reads before freezing a vocab
+    (high per-source OOV = that domain gets shredded into bytes).
+    Plan: one token explode feeds BOTH the frequency aggregate and the
+    per-source OOV count; the shipped vocab is top-k of the
+    vocabulary-sized frequency table (TakeOrderedAndProject — never a
+    global sort of the corpus) and broadcasts back into a left join.
+    At 100 TB: two hash aggs + a vocab broadcast — the identical plan."""
+    d = _cat(spark, sf_dir).documents
+    toks = d.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = freq.orderBy(F.desc("c"), F.asc("token")).limit(_VOCAB_TOP)
+    st = (
+        toks.join(
+            F.broadcast(vocab.select("token", F.lit(1).alias("__v"))),
+            "token",
+            "left",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__v").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    rate = F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+    return st.select(
+        "source", "n_tokens", "n_oov", SIM.stable_round6(rate).alias("oov6")
+    )
+
+
+# =====================================================================
+# Wilson-interval eval aggregation (B11/B52 ext — win rates with a
+# defensible confidence bound, not bare means)
+# =====================================================================
+
+_WILSON_Z = 1.96       # 95% two-sided
+_WILSON_THRESH = 50.0  # success = value > threshold
+
+_WILSON_ORACLE = f"""
+WITH st AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE value > {_WILSON_THRESH}) AS BIGINT)
+             AS wins
+    FROM events GROUP BY event_type
+),
+w AS (
+    SELECT event_type, n, wins,
+           CAST(wins AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+           {_WILSON_Z} * {_WILSON_Z} / CAST(n AS DOUBLE) AS zz
+    FROM st
+),
+ci AS (
+    SELECT event_type, n, wins, p,
+           (p + zz / 2.0
+              - {_WILSON_Z}
+                * SQRT((p * (1.0 - p) + zz / 4.0) / CAST(n AS DOUBLE)))
+             / (1.0 + zz) AS lo,
+           (p + zz / 2.0
+              + {_WILSON_Z}
+                * SQRT((p * (1.0 - p) + zz / 4.0) / CAST(n AS DOUBLE)))
+             / (1.0 + zz) AS hi
+    FROM w
+)
+SELECT event_type, n, wins,
+       CAST(FLOOR(p * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS p6,
+       CAST(FLOOR(lo * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS lo6,
+       CAST(FLOOR(hi * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS hi6,
+       CAST(CASE WHEN lo > 0.5 THEN 1
+                 WHEN hi < 0.5 THEN -1 ELSE 0 END AS INTEGER) AS verdict
+FROM ci
+"""
+
+
+@q("q_eval_winrate_wilson", _WILSON_ORACLE)
+def q_eval_winrate_wilson(spark, sf_dir):
+    """B68: eval win rates with the Wilson score interval (the standard
+    small-sample-safe binomial CI, public) — per event_type, the win
+    rate vs a fixed threshold plus the 95% Wilson bounds and a
+    three-way verdict (above / below / indistinguishable from 0.5).
+    The statistically honest form of an eval dashboard: a bare mean of
+    30 samples says nothing; the Wilson lower bound does. Determinism:
+    p, the interval, and sqrt are all IEEE-correctly-rounded ops on
+    identical operands (both engines mirror the expression tree token
+    for token), then 1e-6 quantized. Scale: one corpus aggregate to
+    |event_type| rows; everything after is constant-sized."""
+    ev = _cat(spark, sf_dir).events
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value") > _WILSON_THRESH, 1)).alias("wins"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("wins").cast("double") / nd
+    zz = F.lit(_WILSON_Z) * F.lit(_WILSON_Z) / nd
+    root = F.sqrt(
+        (p * (F.lit(1.0) - p) + zz / F.lit(4.0)) / nd
+    )
+    lo = (p + zz / F.lit(2.0) - F.lit(_WILSON_Z) * root) / (F.lit(1.0) + zz)
+    hi = (p + zz / F.lit(2.0) + F.lit(_WILSON_Z) * root) / (F.lit(1.0) + zz)
+    return st.select(
+        "event_type", "n", "wins",
+        SIM.stable_round6(p).alias("p6"),
+        SIM.stable_round6(lo).alias("lo6"),
+        SIM.stable_round6(hi).alias("hi6"),
+        F.when(lo > 0.5, 1).when(hi < 0.5, -1).otherwise(0).alias("verdict"),
+    )
+
+
+# =====================================================================
+# Rocchio pseudo-relevance-feedback expansion (B31/B58 ext — the
+# second retrieval round on top of q_bm25 / q_hybrid_rrf's lexical leg)
+# =====================================================================
+
+_PRF_QUERIES = (0, 1, 2)
+_PRF_FB_K = 5      # feedback depth (round-1 docs)
+_PRF_EXP_T = 3     # expansion terms per query
+_PRF_OUT_K = 10    # final result depth
+
+
+def _bm25_sql(qterms_cte: str, out: str) -> str:
+    """One BM25 round as SQL CTE text: score every doc against the
+    per-query term sets in ``qterms_cte`` (query_id, token), emitting
+    ``out`` (query_id, doc_id, sq). Mirrors the Spark `_bm25` helper
+    token for token (1e-12 per-term quantization, integer sums)."""
+    return f"""
+{out}_cand AS (
+    SELECT tf.token, tf.doc_id, tf.tf
+    FROM tf JOIN (SELECT DISTINCT token FROM {qterms_cte}) qt
+      USING (token)
+),
+{out}_df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+    FROM {out}_cand GROUP BY token
+),
+{out} AS (
+    SELECT q.query_id, c.doc_id,
+           CAST(SUM(CAST(FLOOR(
+               LN(1.0 + (CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE)
+                         + 0.5) / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(c.tf AS DOUBLE) * 2.2)
+               / (CAST(c.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                           * CAST(st.n_docs AS DOUBLE)
+                           / CAST(st.sum_dl AS DOUBLE)))
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+    FROM {out}_cand c
+    JOIN {qterms_cte} q USING (token)
+    JOIN {out}_df d USING (token)
+    JOIN dl ON dl.doc_id = c.doc_id
+    CROSS JOIN st
+    WHERE c.doc_id <> q.query_id
+    GROUP BY q.query_id, c.doc_id
+)"""
+
+
+_PRF_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, token
+),
+dl AS (
+    SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl FROM documents
+),
+st AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+),
+q0 AS (
+    SELECT DISTINCT doc_id AS query_id, token FROM toks
+    WHERE doc_id IN {_PRF_QUERIES!r}
+),
+{_bm25_sql("q0", "r1")},
+fb AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY sq DESC, doc_id ASC
+               ) AS rk
+        FROM r1
+    ) WHERE rk <= {_PRF_FB_K}
+),
+fbterms AS (
+    SELECT f.query_id, t.token,
+           CAST(SUM(t.tf) AS BIGINT) AS fb_tf
+    FROM fb f JOIN tf t USING (doc_id)
+    GROUP BY f.query_id, t.token
+),
+expdf AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+    WHERE token IN (SELECT DISTINCT token FROM fbterms)
+    GROUP BY token
+),
+exp AS (
+    SELECT query_id, token FROM (
+        SELECT ft.query_id, ft.token,
+               ROW_NUMBER() OVER (
+                   PARTITION BY ft.query_id
+                   ORDER BY CAST(FLOOR(
+                       CAST(ft.fb_tf AS DOUBLE)
+                       * LN(CAST(st.n_docs AS DOUBLE) / CAST(e.df AS DOUBLE))
+                       * 1000000000000.0 + 0.5) AS BIGINT) DESC,
+                   ft.token ASC
+               ) AS rk
+        FROM fbterms ft
+        JOIN expdf e USING (token)
+        CROSS JOIN st
+        LEFT JOIN q0 ON q0.query_id = ft.query_id AND q0.token = ft.token
+        WHERE q0.token IS NULL
+    ) WHERE rk <= {_PRF_EXP_T}
+),
+q1 AS (
+    SELECT query_id, token FROM q0
+    UNION
+    SELECT query_id, token FROM exp
+),
+{_bm25_sql("q1", "r2")}
+SELECT query_id, doc_id,
+       CAST(FLOOR(CAST(sq AS DOUBLE) / 1000000.0 + 0.5) AS DOUBLE)
+           / 1000000.0 AS score6,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY sq DESC, doc_id ASC
+       ) AS INTEGER) AS final_rank
+FROM r2 QUALIFY final_rank <= {_PRF_OUT_K}
+"""
+
+
+def _bm25(tf, dl, stats, qterms):
+    """One BM25 round: score every doc against the per-query term sets
+    (query_id, token) -> (query_id, doc_id, sq). Same exact-arithmetic
+    scorer as q_hybrid_rrf's lexical leg, with the same two scale moves:
+    df derives from the candidate frame (tf rows are distinct per
+    (doc, token)), and the query-bounded candidate frame is
+    repartitioned DOWN and cached so each round costs ONE tf build and
+    no near-empty pinned-width downstream stages (the r6 hybrid-RRF
+    stress lesson)."""
+    cand = (
+        tf.join(F.broadcast(qterms.select("token").distinct()), "token")
+        .repartition(4)
+        .cache()
+    )
+    df = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df").cast("double")
+           + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (F.col("tf").cast("double") + norm)
+    )
+    tq = F.floor(score * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        cand.join(F.broadcast(qterms), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", tq.alias("tsq"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tsq").alias("sq"))
+    )
+
+
+@q("q_prf_expand", _PRF_ORACLE)
+def q_prf_expand(spark, sf_dir):
+    """B68: Rocchio pseudo-relevance feedback (public classic): round-1
+    BM25 retrieves 5 feedback docs per query; the 3 best non-query
+    terms across them (by feedback-tf x idf, exact 1e-12 quantized,
+    token-asc ties) expand the query; round-2 BM25 over the expanded
+    term set returns the final top-10 — the standard recall-recovery
+    loop every lexical search stack ships. Determinism: both BM25
+    rounds use the hybrid-RRF lexical scorer's per-term integer-sum
+    discipline; every ranking tie breaks on doc_id/token. Scale shape:
+    term sets and feedback frames are query-bounded and broadcast; the
+    corpus cost is the tf aggregate per round (at 100 TB both rounds
+    read q_inverted_index's materialized shards instead of
+    re-aggregating — same plan from tf on); expansion-term df is one
+    probe of tf against a broadcast term set."""
+    d = _cat(spark, sf_dir).documents
+    qids = list(_PRF_QUERIES)
+    toks = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = d.select(
+        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    q0 = (
+        toks.filter(F.col("doc_id").isin(qids))
+        .select(F.col("doc_id").alias("query_id"), "token")
+        .distinct()
+    )
+    r1 = _bm25(tf, dl, stats, q0)
+    wfb = Window.partitionBy("query_id").orderBy(
+        F.desc("sq"), F.asc("doc_id")
+    )
+    fb = (
+        r1.withColumn("rk", F.row_number().over(wfb))
+        .filter(F.col("rk") <= _PRF_FB_K)
+        .select("query_id", "doc_id")
+    )
+    # feedback docs are query-bounded (queries x 5): broadcast them onto
+    # the raw table and tokenize ONLY those rows — never a corpus-wide
+    # tf shuffle keyed by doc_id (the stress flagged that form at 21x
+    # CPU for 10x data; the broadcast join's doc_id filter prunes the
+    # scan instead)
+    fbterms = (
+        F.broadcast(fb)
+        .join(d.select("doc_id", "text"), "doc_id")
+        .select(
+            "query_id", F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).alias("fb_tf"))
+    )
+    expdf = (
+        tf.join(
+            F.broadcast(fbterms.select("token").distinct()), "token"
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    rocchio_q = F.floor(
+        F.col("fb_tf").cast("double")
+        * F.log(
+            F.col("n_docs").cast("double") / F.col("df").cast("double")
+        )
+        * F.lit(1e12)
+        + F.lit(0.5)
+    ).cast("long")
+    wexp = Window.partitionBy("query_id").orderBy(
+        F.desc("rq"), F.asc("token")
+    )
+    exp = (
+        fbterms.join(F.broadcast(expdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .join(
+            q0.select("query_id", "token", F.lit(1).alias("__orig")),
+            ["query_id", "token"],
+            "left",
+        )
+        .filter(F.col("__orig").isNull())
+        .select("query_id", "token", rocchio_q.alias("rq"))
+        .withColumn("rk", F.row_number().over(wexp))
+        .filter(F.col("rk") <= _PRF_EXP_T)
+        .select("query_id", "token")
+    )
+    # The expanded term set is consumed by several broadcast builds in
+    # round 2; without a cache each build re-executes the ENTIRE
+    # round-1 pipeline (profiled: the r1 scoring stage ran 4-5x per
+    # query execution). The frame is queries x ~25 terms — cache it at
+    # one partition so round 1 runs exactly once.
+    q1 = (
+        q0.select("query_id", "token")
+        .union(exp)
+        .distinct()
+        .repartition(1)
+        .cache()
+    )
+    r2 = _bm25(tf, dl, stats, q1)
+    wout = Window.partitionBy("query_id").orderBy(
+        F.desc("sq"), F.asc("doc_id")
+    )
+    return (
+        r2.withColumn("final_rank", F.row_number().over(wout))
+        .filter(F.col("final_rank") <= _PRF_OUT_K)
+        .select(
+            "query_id", "doc_id",
+            (
+                F.floor(F.col("sq").cast("double") / F.lit(1e6) + F.lit(0.5))
+                .cast("double") / F.lit(1e6)
+            ).alias("score6"),
+            "final_rank",
+        )
+    )

@@ -78,6 +78,8 @@ HEAVY_SF01 = [
     # round-6 batch 4 (B67): CCNet ppl, DSIR, GD probe, curriculum
     "q_ccnet_perplexity", "q_dsir_select", "q_quality_probe_gd",
     "q_curriculum_interleave",
+    # round-6 batch 5 (B68): vocab OOV audit, Wilson CI, Rocchio PRF
+    "q_vocab_prune_oov", "q_eval_winrate_wilson", "q_prf_expand",
 ]
 
 

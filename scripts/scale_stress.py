@@ -110,6 +110,11 @@ HEAVY = [
     "q_dsir_select",
     "q_quality_probe_gd",
     "q_curriculum_interleave",
+    # B68: OOV audit is explode + two hash aggs; PRF is two BM25 rounds
+    # (tf agg per round, query-bounded fusion); Wilson is one group agg.
+    "q_vocab_prune_oov",
+    "q_eval_winrate_wilson",
+    "q_prf_expand",
 ]
 
 SF_DIRS = [
