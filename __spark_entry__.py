@@ -31,6 +31,7 @@ from etl_data_processor_spark import queries_r6 as _q_r6  # noqa: F401 (register
 from etl_data_processor_spark import queries_r6b as _q_r6b  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_r6c as _q_r6c  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_r6d as _q_r6d  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_r6e as _q_r6e  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 
 

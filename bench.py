@@ -106,6 +106,9 @@ HEADLINE = [
     "q_vocab_prune_oov",
     "q_eval_winrate_wilson",
     "q_prf_expand",
+    # round-6 batch 6 (B69): collocations + spectral
+    "q_collocations_pmi",
+    "q_power_iteration",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

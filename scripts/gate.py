@@ -80,6 +80,8 @@ HEAVY_SF01 = [
     "q_curriculum_interleave",
     # round-6 batch 5 (B68): vocab OOV audit, Wilson CI, Rocchio PRF
     "q_vocab_prune_oov", "q_eval_winrate_wilson", "q_prf_expand",
+    # round-6 batch 6 (B69): PMI collocations, power iteration
+    "q_collocations_pmi", "q_power_iteration",
 ]
 
 

@@ -115,6 +115,10 @@ HEAVY = [
     "q_vocab_prune_oov",
     "q_eval_winrate_wilson",
     "q_prf_expand",
+    # B69: PMI is one bigram explode into a cached vocab table; power
+    # iteration is 2 shuffle-free matrix-vector corpus passes.
+    "q_collocations_pmi",
+    "q_power_iteration",
 ]
 
 SF_DIRS = [

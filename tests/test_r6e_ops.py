@@ -1,0 +1,170 @@
+"""Round-6 batch-6 tests (B69): PMI collocations + distributed power
+iteration. Pure-Python/numpy references on the real fixture + hand
+checks + plan pins; fixture value proof is the DuckDB oracle
+differential (green at sf0.01 + sf0.1 this round).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+QUERIES = entry_mod.queries()
+
+
+def _mini_docs(spark, tmp_path, rows):
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+# --- PMI collocations ----------------------------------------------------------
+
+
+def test_pmi_hand_checked(spark, tmp_path, monkeypatch):
+    """A bigram that always co-occurs scores the maximal PMI; a pair of
+    independent frequent tokens scores ~0; values recompute exactly."""
+    import etl_data_processor_spark.queries_r6e as R
+
+    monkeypatch.setattr(R, "_PMI_MIN_C", 2)
+    # 'x y' appears 4x and x,y appear nowhere else; filler bigrams mix
+    rows = [
+        (0, "s", "x y a b x y"),
+        (1, "s", "x y b a x y"),
+        (2, "s", "a b a b a b"),
+    ]
+    sf = _mini_docs(spark, tmp_path, rows)
+    got = {
+        (r["a"], r["b"]): (r["c"], r["pmi6"], r["rank"])
+        for r in R.q_collocations_pmi(spark, sf).collect()
+    }
+    # recompute the full contingency from the corpus
+    bg = Counter()
+    for _, _, text in rows:
+        w = text.split()
+        for i in range(len(w) - 1):
+            bg[(w[i], w[i + 1])] += 1
+    n = sum(bg.values())
+    ca = Counter()
+    cb = Counter()
+    for (a, b), c in bg.items():
+        ca[a] += c
+        cb[b] += c
+    for (a, b), (c, pmi6, _rank) in got.items():
+        assert bg[(a, b)] == c
+        expect = math.floor(
+            math.log(c * n / (ca[a] * cb[b])) * 1e6 + 0.5
+        ) / 1e6
+        assert pmi6 == expect, (a, b)
+    # 'x y' is a perfect collocation: P(x y) = P(x.) = P(.y) -> pmi = ln(n/c)
+    assert ("x", "y") in got
+    assert got[("x", "y")][1] == math.floor(math.log(n / 4) * 1e6 + 0.5) / 1e6
+    # ranks are dense from 1
+    ranks = sorted(r for (_, _, r) in got.values())
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+# --- power iteration -------------------------------------------------------------
+
+
+def test_power_iteration_matches_numpy_direction(spark, tmp_path):
+    """On a planted-spike matrix (dominant direction + small noise) two
+    power steps recover numpy's top eigenvector of X^T X to
+    |cosine| > 0.999, and the output is unit-norm. (The real fixture's
+    spectrum is near-flat, where ANY power method needs many steps —
+    the planted fixture tests the semantics, the exact-replay test
+    below pins the arithmetic on the real data.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    u = rng.randn(64)
+    u /= np.linalg.norm(u)
+    X = (
+        np.outer(rng.randn(200) * 5.0, u)
+        + rng.randn(200, 64) * 0.1
+    ).astype(np.float32)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+
+    got = {
+        r["dim"]: r["loading6"]
+        for r in QUERIES["q_power_iteration"](spark, sf).collect()
+    }
+    v = np.array([got[d] for d in range(1, 65)])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+    Xd = X.astype(np.float64)
+    evals, evecs = np.linalg.eigh(Xd.T @ Xd)
+    top = evecs[:, -1]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999, cos
+
+
+def test_power_iteration_exact_python_replay(spark, sf_dir):
+    """The full quantized 2-step trajectory replays bit-exactly in pure
+    Python (same fold order, same 1e-9 integer sums, same integer-norm
+    sqrt) — the engine-parity argument, verified a third way."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("embedding")
+        .collect()
+    )
+    X = [[float(x) for x in r["embedding"]] for r in rows]
+    v = [1.0] * 64
+    gq = None
+    for _ in range(2):
+        g = [0] * 64
+        for xi in X:
+            s = 0.0
+            for x, vv in zip(xi, v):
+                s = s + x * vv
+            for d in range(64):
+                g[d] += math.floor(xi[d] * s * 1e9 + 0.5)
+        nsq = sum(t * t for t in g)
+        nrm = math.sqrt(float(nsq))
+        v = [float(t) / nrm for t in g]
+        gq = g
+    expect = {
+        d + 1: math.floor(float(gq[d]) / nrm * 1e6 + 0.5) / 1e6
+        for d in range(64)
+    }
+    got = {
+        r["dim"]: r["loading6"]
+        for r in QUERIES["q_power_iteration"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --- plan pins ---------------------------------------------------------------------
+
+
+def test_round6_batch6_plan_pins(spark, sf_dir):
+    """q_collocations_pmi: marginals broadcast onto the bigram table, no
+    Python, no cartesian (one 1-row BNLJ total allowed); the corpus is
+    exploded once into ONE cached bigram table — every printed FileScan
+    is that cache's reprint (the q_ks_drift pin pattern), so totals,
+    both marginals, and the scored join all read the cache."""
+    spark.catalog.clearCache()
+    plan = (
+        QUERIES["q_collocations_pmi"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("Scan parquet") == plan.count("InMemoryTableScan")
