@@ -109,6 +109,8 @@ HEADLINE = [
     # round-6 batch 6 (B69): collocations + spectral
     "q_collocations_pmi",
     "q_power_iteration",
+    # round-6 batch 7 (B70): embedding-space quality
+    "q_source_centroid_outliers",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).
@@ -326,6 +328,12 @@ def main() -> None:
             out["regressions_gt_20pct"] = sorted(flagged) if bw else out[
                 "wall_regressions_gt_20pct"
             ]
+            # Keys with no baseline work row are UNGUARDED by the primary
+            # list — name them so the artifact can't overstate coverage
+            # (new keys get envelope rows at the round's baseline refresh).
+            out["unbaselined_keys"] = sorted(
+                n for n in work if n not in bw
+            )
     except (OSError, ValueError):
         pass
     payload = json.dumps(out)

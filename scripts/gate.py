@@ -82,6 +82,8 @@ HEAVY_SF01 = [
     "q_vocab_prune_oov", "q_eval_winrate_wilson", "q_prf_expand",
     # round-6 batch 6 (B69): PMI collocations, power iteration
     "q_collocations_pmi", "q_power_iteration",
+    # round-6 batch 7 (B70): source-centroid embedding outliers
+    "q_source_centroid_outliers",
 ]
 
 

@@ -119,6 +119,8 @@ HEAVY = [
     # iteration is 2 shuffle-free matrix-vector corpus passes.
     "q_collocations_pmi",
     "q_power_iteration",
+    # B70: one co-keyed join + (source, dim) agg broadcast back.
+    "q_source_centroid_outliers",
 ]
 
 SF_DIRS = [
