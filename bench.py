@@ -111,6 +111,9 @@ HEADLINE = [
     "q_power_iteration",
     # round-6 batch 7 (B70): embedding-space quality
     "q_source_centroid_outliers",
+    # round-6 batch 8 (B71): novelty + spectral debias
+    "q_ngram_novelty",
+    "q_emb_debias_abtt",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

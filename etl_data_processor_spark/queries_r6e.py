@@ -142,8 +142,10 @@ def q_collocations_pmi(spark, sf_dir):
 _PI_DIM = 64
 _PI_STEPS = 2
 
-_PI_ORACLE = f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+# CTE prefix shared with q_emb_debias_abtt (queries_r6g): two unrolled
+# power steps ending at (g2, n2) — the un-normalized direction and its
+# integer-exact norm.
+_PI_CTES = f"""e AS (SELECT vec_id, embedding FROM embeddings),
 s1 AS (
     SELECT vec_id, embedding,
            list_reduce([x::DOUBLE for x in embedding], (a, b) -> a + b) AS s
@@ -181,7 +183,10 @@ n2 AS (
     SELECT SQRT(CAST(SUM(CAST(gq AS HUGEINT) * CAST(gq AS HUGEINT))
                      AS DOUBLE)) AS nrm
     FROM g2
-)
+)"""
+
+_PI_ORACLE = f"""
+WITH {_PI_CTES}
 SELECT CAST(g2.d AS INTEGER) AS dim,
        CAST(FLOOR(CAST(g2.gq AS DOUBLE) / n2.nrm * 1000000.0 + 0.5)
             AS DOUBLE) / 1000000.0 AS loading6
@@ -208,9 +213,23 @@ def q_power_iteration(spark, sf_dir):
     products bit-exactly, the capability PCA/whitening/spectral methods
     need. Scale: 2 narrow corpus scans (no shuffle — per-dim partial
     aggregates combine), model state is 64 doubles."""
+    gq, nrm = _power_gq(_cat(spark, sf_dir).embeddings)
     import math
 
-    emb = _cat(spark, sf_dir).embeddings
+    out = [
+        (d, math.floor(float(gq[d]) / nrm * 1e6 + 0.5) / 1e6)
+        for d in range(1, _PI_DIM + 1)
+    ]
+    return spark.createDataFrame(out, "dim int, loading6 double")
+
+
+def _power_gq(emb):
+    """Two power steps over an embeddings frame; returns the final
+    un-normalized direction (per-dim 1e-9-quantized integer sums) and
+    its exact-integer norm — the bounded model state q_power_iteration
+    reports and q_emb_debias_abtt projects out."""
+    import math
+
     xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(xd.alias("xd"))
 
@@ -241,8 +260,4 @@ def q_power_iteration(spark, sf_dir):
         nrm = math.sqrt(float(nsq))
         v = [float(gq[d]) / nrm for d in range(1, _PI_DIM + 1)]
 
-    out = [
-        (d, math.floor(float(gq[d]) / nrm * 1e6 + 0.5) / 1e6)
-        for d in range(1, _PI_DIM + 1)
-    ]
-    return spark.createDataFrame(out, "dim int, loading6 double")
+    return gq, nrm

@@ -84,6 +84,8 @@ HEAVY_SF01 = [
     "q_collocations_pmi", "q_power_iteration",
     # round-6 batch 7 (B70): source-centroid embedding outliers
     "q_source_centroid_outliers",
+    # round-6 batch 8 (B71): n-gram novelty, ABTT debias
+    "q_ngram_novelty", "q_emb_debias_abtt",
 ]
 
 

@@ -121,6 +121,10 @@ HEAVY = [
     "q_power_iteration",
     # B70: one co-keyed join + (source, dim) agg broadcast back.
     "q_source_centroid_outliers",
+    # B71: novelty is explode + min-agg + gram-key self-join; debias is
+    # the power direction + one report pass.
+    "q_ngram_novelty",
+    "q_emb_debias_abtt",
 ]
 
 SF_DIRS = [
