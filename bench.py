@@ -114,6 +114,8 @@ HEADLINE = [
     # round-6 batch 8 (B71): novelty + spectral debias
     "q_ngram_novelty",
     "q_emb_debias_abtt",
+    # round-6 batch 9 (B72): model-eval layer
+    "q_probe_calibration",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

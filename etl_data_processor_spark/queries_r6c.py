@@ -503,11 +503,19 @@ def q_quality_probe_gd(spark, sf_dir):
     corpus scans (features are scan expressions; no shuffle at all —
     gradient partial-aggregates combine associatively), model state is
     4 doubles. Output: per-step weights (6dp) + training MSE."""
-    import math
+    out, _ws, _n = _gd_train(_gd_feats(_cat(spark, sf_dir).documents))
+    return spark.createDataFrame(
+        out,
+        "step int, w0_6 double, w1_6 double, w2_6 double, w3_6 double, "
+        "mse6 double",
+    )
 
-    d = _cat(spark, sf_dir).documents
+
+def _gd_feats(d):
+    """The probe's feature block: exact per-row doubles from integers
+    (mirrors _GD_F_SQL token for token)."""
     w = tokenize(F.col("text"))
-    feats = d.select(
+    return d.select(
         (F.col("n_chars").cast("double") / F.lit(500.0)).alias("x1"),
         (F.size(w).cast("double") / F.lit(100.0)).alias("x2"),
         (
@@ -516,6 +524,13 @@ def q_quality_probe_gd(spark, sf_dir):
         ).alias("x3"),
         F.when(F.col("source") == _GD_REF, 1.0).otherwise(0.0).alias("y"),
     ).filter(F.size(w) > 0)
+
+
+def _gd_train(feats):
+    """The 3-step full-batch GD loop (bounded driver state); returns
+    (per-step report rows, final weights, n) — shared by
+    q_quality_probe_gd and q_probe_calibration (queries_r6h)."""
+    import math
 
     def q9(t):
         return F.floor(t * F.lit(1e9) + F.lit(0.5)).cast("long")
@@ -551,8 +566,4 @@ def q_quality_probe_gd(spark, sf_dir):
                 math.floor(row["mse_q"] / 1000.0 / n + 0.5) / 1e6,
             )
         )
-    return spark.createDataFrame(
-        out,
-        "step int, w0_6 double, w1_6 double, w2_6 double, w3_6 double, "
-        "mse6 double",
-    )
+    return out, ws, n

@@ -125,6 +125,8 @@ HEAVY = [
     # the power direction + one report pass.
     "q_ngram_novelty",
     "q_emb_debias_abtt",
+    # B72: 3 GD aggregates + one scoring/binning pass, cuts broadcast.
+    "q_probe_calibration",
 ]
 
 SF_DIRS = [
