@@ -116,6 +116,7 @@ HEADLINE = [
     "q_emb_debias_abtt",
     # round-6 batch 9 (B72): model-eval layer
     "q_probe_calibration",
+    "q_dup_source_matrix",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

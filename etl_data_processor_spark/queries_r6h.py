@@ -120,3 +120,113 @@ def q_probe_calibration(spark, sf_dir):
         mean_pred6.alias("mean_pred6"),
         mean_label6.alias("mean_label6"),
     )
+
+
+# =====================================================================
+# Cross-source duplication matrix (B22 ext — WHO copies from WHOM: the
+# provenance view of the near-dup pair graph)
+# =====================================================================
+
+from etl_data_processor_spark.ops import dedup as D  # noqa: E402
+from etl_data_processor_spark.queries_north import (  # noqa: E402
+    _DUCK_PREFIX_LEN,
+    _DUCK_SHINGLES,
+    _lsh_index,
+)
+
+_DUPMAT_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {_DUCK_SHINGLES} AS ss
+    FROM (SELECT doc_id, string_split(text, ' ') w FROM documents)
+),
+pref AS (
+    SELECT doc_id,
+           UNNEST(list_slice(list_sort(ss), 1, {_DUCK_PREFIX_LEN})) AS tok
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(list_concat(a.ss, b.ss))), 4) AS j
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= 0.8
+),
+m AS (
+    SELECT LEAST(da.source, db.source) AS src_lo,
+           GREATEST(da.source, db.source) AS src_hi,
+           p.j
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.id_a
+    JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT src_lo, src_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(FLOOR(CAST(SUM(CAST(FLOOR(j * 1000000.0 + 0.5) AS BIGINT))
+                       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) + 0.5)
+            AS DOUBLE) / 1000000.0 AS avg_jaccard6
+FROM m GROUP BY src_lo, src_hi
+"""
+
+
+@q("q_dup_source_matrix", _DUPMAT_ORACLE)
+def q_dup_source_matrix(spark, sf_dir):
+    """B72 #2: cross-source duplication matrix — the near-dup pair graph
+    (q_dedup_minhash's verified >= 0.8-Jaccard pairs, off the session's
+    shared persisted LSH index) rolled up to (source, source) cells with
+    pair counts and exact mean Jaccard: WHO copies from WHOM, the
+    provenance question a curation team asks before deciding which
+    source to drop. Unordered cells (least/greatest) so mirror pairs
+    collapse. Determinism: the pair relation is exact-verified (perfect
+    precision), per-pair Jaccard is the identical 4dp-rounded double on
+    both engines, and the cell mean quantizes per pair to 1e-6 integers
+    before the sum. Scale: everything downstream of the pair graph is
+    |pairs| rows -> |sources|^2 cells; the source labels come from two
+    broadcast-able joins against the docs projection (at 100 TB the
+    signature index already carries source — a plain column ride-along,
+    see _lsh_index)."""
+    docs = _cat(spark, sf_dir).documents
+    sh, bk = _lsh_index(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.8, shingled=sh, buckets=bk
+    )
+    src = docs.select("doc_id", "source")
+    m = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+            F.floor(F.col("jaccard") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("jq"),
+        )
+    )
+    agg = m.groupBy("src_lo", "src_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("jq").alias("sjq")
+    )
+    mean6 = (
+        F.floor(
+            F.col("sjq").cast("double") / F.col("n_pairs").cast("double")
+            + F.lit(0.5)
+        ).cast("double") / F.lit(1e6)
+    )
+    return agg.select(
+        "src_lo", "src_hi", "n_pairs", mean6.alias("avg_jaccard6")
+    )

@@ -86,8 +86,8 @@ HEAVY_SF01 = [
     "q_source_centroid_outliers",
     # round-6 batch 8 (B71): n-gram novelty, ABTT debias
     "q_ngram_novelty", "q_emb_debias_abtt",
-    # round-6 batch 9 (B72): probe calibration
-    "q_probe_calibration",
+    # round-6 batch 9 (B72): probe calibration + dup provenance
+    "q_probe_calibration", "q_dup_source_matrix",
 ]
 
 

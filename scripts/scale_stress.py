@@ -127,6 +127,8 @@ HEAVY = [
     "q_emb_debias_abtt",
     # B72: 3 GD aggregates + one scoring/binning pass, cuts broadcast.
     "q_probe_calibration",
+    # B72 #2: pair graph -> |sources|^2 cells, off the shared LSH index.
+    "q_dup_source_matrix",
 ]
 
 SF_DIRS = [

@@ -95,3 +95,46 @@ def test_calibration_plan_pins(spark, sf_dir):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dup_source_matrix_consistency(spark, sf_dir):
+    """Cell counts sum to the total verified pair count; cells are
+    unordered (src_lo <= src_hi) and Jaccard means stay in [0.8, 1]."""
+    from etl_data_processor_spark.queries_north import q_dedup_minhash
+
+    total_pairs = q_dedup_minhash(spark, sf_dir).count()
+    rows = QUERIES["q_dup_source_matrix"](spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == total_pairs
+    for r in rows:
+        assert r["src_lo"] <= r["src_hi"]
+        assert 0.8 <= r["avg_jaccard6"] <= 1.0 + 1e-9
+
+
+def test_dup_source_matrix_planted(spark, tmp_path):
+    """Planted cross-source copies land in the right cell with the
+    right count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, "a", base),
+        (1, "b", base),                      # a-b dup
+        (2, "b", base + " extra"),           # near-dup of both
+        (3, "c", "totally different words entirely here now ok fine yes"),
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        rows, ["doc_id", "source", "text"]
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{sf}/documents.parquet")
+    got = {
+        (r["src_lo"], r["src_hi"]): r["n_pairs"]
+        for r in QUERIES["q_dup_source_matrix"](spark, sf).collect()
+    }
+    assert got.get(("a", "b"), 0) >= 1       # the planted cross-source dup
+    assert ("c", "c") not in got
+    assert all(lo <= hi for lo, hi in got)
