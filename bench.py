@@ -117,6 +117,9 @@ HEADLINE = [
     # round-6 batch 9 (B72): model-eval layer
     "q_probe_calibration",
     "q_dup_source_matrix",
+    # round-6 batch 10 (B73): entropy gate + stopword lexicon
+    "q_char_entropy_filter",
+    "q_stopword_discovery",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

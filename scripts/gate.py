@@ -88,6 +88,8 @@ HEAVY_SF01 = [
     "q_ngram_novelty", "q_emb_debias_abtt",
     # round-6 batch 9 (B72): probe calibration + dup provenance
     "q_probe_calibration", "q_dup_source_matrix",
+    # round-6 batch 10 (B73): entropy gate + stopword lexicon
+    "q_char_entropy_filter", "q_stopword_discovery",
 ]
 
 

@@ -129,6 +129,9 @@ HEAVY = [
     "q_probe_calibration",
     # B72 #2: pair graph -> |sources|^2 cells, off the shared LSH index.
     "q_dup_source_matrix",
+    # B73: char explode -> per-doc alphabet agg; distinct-token df agg.
+    "q_char_entropy_filter",
+    "q_stopword_discovery",
 ]
 
 SF_DIRS = [
