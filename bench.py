@@ -120,6 +120,8 @@ HEADLINE = [
     # round-6 batch 10 (B73): entropy gate + stopword lexicon
     "q_char_entropy_filter",
     "q_stopword_discovery",
+    # round-6 capstone (B74): the composed selection pipeline
+    "q_selection_pipeline",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

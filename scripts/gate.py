@@ -90,6 +90,8 @@ HEAVY_SF01 = [
     "q_probe_calibration", "q_dup_source_matrix",
     # round-6 batch 10 (B73): entropy gate + stopword lexicon
     "q_char_entropy_filter", "q_stopword_discovery",
+    # round-6 capstone (B74): composed selection pipeline
+    "q_selection_pipeline",
 ]
 
 

@@ -132,6 +132,8 @@ HEAVY = [
     # B73: char explode -> per-doc alphabet agg; distinct-token df agg.
     "q_char_entropy_filter",
     "q_stopword_discovery",
+    # B74 capstone: six chained one-pass stages, model tables broadcast.
+    "q_selection_pipeline",
 ]
 
 SF_DIRS = [
