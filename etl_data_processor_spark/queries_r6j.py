@@ -179,17 +179,31 @@ def q_selection_pipeline(spark, sf_dir):
     proved (one corpus pass each; model tables broadcast; the only
     global window ranks the top-k); nothing materializes between
     stages."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
     d = _cat(spark, sf_dir).documents
+    # width-guard the CPU-heavy explode stages (char counts, corpus-side
+    # gram/token streams): a small single-file scan arrives as one
+    # partition and ran the whole capstone nearly serially (stress:
+    # 20 s wall ~ 19 cpu-s at sf0.1); a no-op on wide scans at 100 TB
+    dp = _parallelize(d.select("doc_id", "source", "text", "n_chars"))
 
     # stage 1: entropy gate (q_char_entropy_filter's integer rule)
     cnt = (
-        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        dp.select("doc_id", F.explode(F.split("text", "")).alias("c"))
         .groupBy("doc_id", "c")
         .agg(F.count(F.lit(1)).alias("k"))
     )
     tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
     p = F.col("k").cast("double") / F.col("n").cast("double")
     tq = F.floor(-p * F.log2(p) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    # Every gate's decision is cached as a SKINNY doc-id set: without
+    # this, each downstream consumer re-executes the whole upstream
+    # chain (the stress measured the uncached form at 19 s wall ~ 5
+    # sequential re-runs of the prefix). The cached frames carry ONE
+    # long per surviving doc — negligible at any scale — while the
+    # heavy passes (char explode, trigram join, token explode) run
+    # exactly once.
     ent = (
         cnt.join(tot, "doc_id")
         .select("doc_id", tq.alias("tq"))
@@ -197,8 +211,10 @@ def q_selection_pipeline(spark, sf_dir):
         .agg(F.sum("tq").alias("eq"))
         .filter(F.col("eq") >= F.lit(_SEL_ENT_MIN) * F.lit(1e12))
         .select("doc_id")
+        .repartition(8)
+        .cache()
     )
-    g1 = d.join(ent, "doc_id").select("doc_id", "source", "text", "n_chars")
+    g1 = dp.join(ent, "doc_id").select("doc_id", "source", "text", "n_chars")
 
     # stage 2: length-quantile gate on the gated corpus
     cuts = g1.agg(
@@ -217,6 +233,8 @@ def q_selection_pipeline(spark, sf_dir):
         .groupBy("norm")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .repartition(8)
+        .cache()
     )
     g3 = g2.join(keep, "doc_id")
 
@@ -229,7 +247,7 @@ def q_selection_pipeline(spark, sf_dir):
         lambda i: F.array_join(F.slice(w, i, 3), " "),
     )
     bench = (
-        d.filter(F.col("source") == _SEL_REF)
+        dp.filter(F.col("source") == _SEL_REF)
         .select(F.explode(trigrams).alias("g"))
         .distinct()
     )
@@ -246,17 +264,22 @@ def q_selection_pipeline(spark, sf_dir):
             <= _SEL_CONTAM_TAU
         )
         .select("doc_id")
+        .repartition(8)
+        .cache()
     )
     g4 = cand0.join(contam, "doc_id")
 
     # stage 5: DSIR over the survivors (target = RAW reference corpus)
-    ttoks = d.filter(F.col("source") == _SEL_REF).select(
+    ttoks = dp.filter(F.col("source") == _SEL_REF).select(
         F.explode(w).alias("token")
     )
     rtoks = g4.select("doc_id", F.explode(w).alias("token"))
+    # vocab from the FULL corpus distinct tokens: a superset of the
+    # oracle's ttoks-union-rtoks (extra rows never match a join key, so
+    # counts are identical) that costs one pass instead of re-running
+    # the gated chain inside the union
     vocab = (
-        ttoks.select("token")
-        .union(rtoks.select("token"))
+        dp.select(F.explode(w).alias("token"))
         .distinct()
         .select(
             "token",
@@ -267,9 +290,14 @@ def q_selection_pipeline(spark, sf_dir):
     tgt = ttoks.join(F.broadcast(vocab), "token").groupBy("bucket").agg(
         F.count(F.lit(1)).alias("ct")
     )
-    raw = rtoks.join(F.broadcast(vocab), "token").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr")
+    # candidate token->bucket stream computed ONCE for both the raw LM
+    # and the per-doc scores (skinny two-column frame)
+    bt = (
+        rtoks.join(F.broadcast(vocab), "token")
+        .select("doc_id", "bucket")
+        .cache()
     )
+    raw = bt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tots = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
         raw.agg(F.sum("cr").alias("nr"))
     )
@@ -295,8 +323,7 @@ def q_selection_pipeline(spark, sf_dir):
         )
     )
     scored = (
-        rtoks.join(F.broadcast(vocab), "token")
-        .join(F.broadcast(lr), "bucket")
+        bt.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
