@@ -614,6 +614,13 @@ FROM ef e CROSS JOIN p2 r
 """
 
 
+def _pyfloor(x: float) -> int:
+    """math.floor as the Spark/DuckDB FLOOR-on-double (driver-side EM)."""
+    import math
+
+    return math.floor(x)
+
+
 def _fs_estep(pat, params):
     """E-step: posterior-of-match per agreement pattern, as a 1e-12
     fixed-point BIGINT (exact under summation)."""
@@ -720,6 +727,13 @@ def q_linkage_fs_em(spark, sf_dir):
         "d_id", "d_name", "d_nationkey", "d_seg", "d_bal",
         F.explode(deletion_neighborhood("d_name", 2, hashed=True)).alias("__vb"),
     )
+    # The agreements are computed IN the join projection and the
+    # pair-dedup groups on (keys + three small ints) — one levenshtein
+    # per candidate, and the dedup shuffle never carries the name/text
+    # columns (the q_record_linkage r4/r5 discipline; the earlier form
+    # re-shuffled 8 wide columns through distinct and re-ran levenshtein
+    # for the g1 agreement).
+    lv = F.levenshtein("c_name", "d_name")
     pairs = (
         cand_a.hint("shuffle_hash")
         .join(
@@ -727,41 +741,106 @@ def q_linkage_fs_em(spark, sf_dir):
             (F.col("__v") == F.col("__vb"))
             & (F.col("c_nationkey") == F.col("d_nationkey")),
         )
-        .filter(F.levenshtein("c_name", "d_name") <= 2)
-        .select("c_custkey", "d_id", "c_name", "d_name", "c_acctbal",
-                "d_bal", "c_mktsegment", "d_seg")
+        .select(
+            "c_custkey", "d_id",
+            lv.alias("lv"),
+            F.abs(F.col("c_acctbal") - F.col("d_bal")).alias("ab"),
+            (F.col("c_mktsegment") == F.col("d_seg")).alias("same_seg"),
+        )
+        .filter(F.col("lv") <= 2)
         .distinct()  # pair-dedup: multiple shared deletion variants
     )
     pat = pairs.select(
-        F.when(F.levenshtein("c_name", "d_name") <= 1, 1).otherwise(0)
-        .alias("g1"),
-        F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) <= 0.051, 1)
-        .otherwise(0).alias("g2"),
-        F.when(F.col("c_mktsegment") == F.col("d_seg"), 1).otherwise(0)
-        .alias("g3"),
+        F.when(F.col("lv") <= 1, 1).otherwise(0).alias("g1"),
+        F.when(F.col("ab") <= 0.051, 1).otherwise(0).alias("g2"),
+        F.when(F.col("same_seg"), 1).otherwise(0).alias("g3"),
     ).groupBy("g1", "g2", "g3").agg(F.count(F.lit(1)).alias("n"))
 
-    p0 = spark.range(1).select(
-        F.lit(0.1).alias("lam"),
-        F.lit(0.9).alias("m1"), F.lit(0.9).alias("m2"),
-        F.lit(0.9).alias("m3"),
-        F.lit(0.1).alias("u1"), F.lit(0.1).alias("u2"),
-        F.lit(0.1).alias("u3"),
+    # The pattern table is <= 2^3 rows — BOUNDED MODEL STATE (the BPE-
+    # training discipline): collect it once and run the EM in the driver
+    # with arithmetic mirroring _fs_estep/_fs_mstep token for token.
+    # The earlier all-DataFrame form chained ~8 one-row aggregate jobs
+    # (each a separate job barrier) and was the slowest bench key at
+    # 6.6 s wall; the corpus-scale work (the candidate-pair pattern
+    # count) is unchanged. The final log2 weight projection stays IN
+    # SPARK with the learned params as literals, preserving the
+    # JVM-vs-DuckDB libm pairing the oracle already proved.
+    rows = [
+        (r["g1"], r["g2"], r["g3"], r["n"]) for r in pat.collect()
+    ]
+    params = (0.1, 0.9, 0.9, 0.9, 0.1, 0.1, 0.1)  # lam, m1-3, u1-3
+
+    def estep(p):
+        lam, m1, m2, m3, u1, u2, u3 = p
+        out = []
+        for g1, g2, g3, n in rows:
+            pm = (
+                lam
+                * (m1 if g1 == 1 else 1.0 - m1)
+                * (m2 if g2 == 1 else 1.0 - m2)
+                * (m3 if g3 == 1 else 1.0 - m3)
+            )
+            pu = (
+                (1.0 - lam)
+                * (u1 if g1 == 1 else 1.0 - u1)
+                * (u2 if g2 == 1 else 1.0 - u2)
+                * (u3 if g3 == 1 else 1.0 - u3)
+            )
+            out.append((g1, g2, g3, n, _pyfloor(pm / (pm + pu) * 1e12 + 0.5)))
+        return out
+
+    def mstep(e):
+        S = sum(wq * n for _, _, _, n, wq in e)
+        T = sum(n for _, _, _, n, _ in e)
+        V = sum((1000000000000 - wq) * n for _, _, _, n, wq in e)
+        Sg = [sum(wq * n for r_, n, wq in
+                  ((r[i], r[3], r[4]) for r in e) if r_ == 1)
+              for i in (0, 1, 2)]
+        Vg = [sum((1000000000000 - wq) * n for r_, n, wq in
+                  ((r[i], r[3], r[4]) for r in e) if r_ == 1)
+              for i in (0, 1, 2)]
+
+        def clamp(x):
+            q = _pyfloor(x * 1e12 + 0.5) / 1e12
+            return min(max(q, 1e-6), 0.999999)
+
+        return (
+            clamp(float(S) / (float(T) * 1e12)),
+            clamp(float(Sg[0]) / float(S)),
+            clamp(float(Sg[1]) / float(S)),
+            clamp(float(Sg[2]) / float(S)),
+            clamp(float(Vg[0]) / float(V)),
+            clamp(float(Vg[1]) / float(V)),
+            clamp(float(Vg[2]) / float(V)),
+        )
+
+    params = mstep(estep(params))       # p1
+    params = mstep(estep(params))       # p2
+    ef_rows = estep(params)             # final E-step under p2
+    lam, m1v, m2v, m3v, u1v, u2v, u3v = params
+
+    ef = spark.createDataFrame(
+        ef_rows, "g1 int, g2 int, g3 int, n long, wq long"
     )
-    pat = pat.cache()  # tiny (<= 8 rows); reused by all three E-steps
-    p1 = _fs_mstep(_fs_estep(pat, p0))
-    p2 = _fs_mstep(_fs_estep(pat, p1))
-    ef = _fs_estep(pat, p2)
 
     def lr(g, m, u):
         return F.when(
-            F.col(g) == 1, F.log2(F.col(m) / F.col(u))
+            F.col(g) == 1, F.log2(F.lit(m) / F.lit(u))
         ).otherwise(
-            F.log2((F.lit(1.0) - F.col(m)) / (F.lit(1.0) - F.col(u)))
+            F.log2((F.lit(1.0) - F.lit(m)) / (F.lit(1.0) - F.lit(u)))
         )
 
-    out = ef.crossJoin(F.broadcast(p2))
-    weight = lr("g1", "m1", "u1") + lr("g2", "m2", "u2") + lr("g3", "m3", "u3")
+    out = ef.select(
+        "g1", "g2", "g3", "n", "wq",
+        F.lit(lam).alias("lam"),
+        F.lit(m1v).alias("m1"), F.lit(m2v).alias("m2"),
+        F.lit(m3v).alias("m3"),
+        F.lit(u1v).alias("u1"), F.lit(u2v).alias("u2"),
+        F.lit(u3v).alias("u3"),
+    )
+    weight = (
+        lr("g1", m1v, u1v) + lr("g2", m2v, u2v) + lr("g3", m3v, u3v)
+    )
     return out.select(
         F.col("g1").alias("g_name"), F.col("g2").alias("g_bal"),
         F.col("g3").alias("g_seg"), F.col("n").alias("n_pairs"),

@@ -674,14 +674,17 @@ def test_hybrid_rrf_broadcast_legs_no_cartesian(spark, sf_dir):
     assert "InMemoryRelation" in plan
 
 
-def test_fs_em_shuffle_hash_candidates_no_python(spark, sf_dir):
-    """B66 q_linkage_fs_em: the symmetric-delete candidate join must be
-    the hinted shuffle-hash (Catalyst under-sizes the post-Generate
-    side — same pin as q_record_linkage); agreements (levenshtein,
-    abs, equality) run in codegen, so no Python eval anywhere; the EM's
-    cross joins are broadcast nested-loop over <=8-row frames, never a
-    cartesian product."""
+def test_fs_em_driver_em_bounded_output_plan(spark, sf_dir):
+    """B66 q_linkage_fs_em: the corpus-scale work (the candidate-pattern
+    count via the hinted shuffle-hash symmetric-delete join — the
+    q_record_linkage plan family, pinned there) runs ONCE during
+    construction and collapses to the <=8-row pattern table; the EM is
+    driver-held bounded state (the BPE-training discipline — the earlier
+    all-DataFrame EM chained ~8 one-row aggregate jobs and was the
+    slowest bench key). The RETURNED plan is therefore a tiny local
+    projection: Python-free, cartesian-free, and crucially SCAN-free —
+    consuming the result never re-reads the corpus."""
     plan = plan_of(QUERIES["q_linkage_fs_em"](spark, sf_dir))
-    assert "ShuffledHashJoin" in plan
-    assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan
