@@ -115,6 +115,52 @@ def top_k_per_group(
     )
 
 
+def ranked_topk(
+    df: DataFrame,
+    order: Sequence[tuple],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic global top-k WITH a rank column, without ever planning
+    an unpartitioned Window over the input.
+
+    `Window.partitionBy().orderBy(...)` plans as Exchange SinglePartition +
+    a one-task sort of EVERY input row — a corpus-sized single task at
+    100 TB (Spark logs "Moving all data to a single partition" on it).
+    Instead: `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    (per-partition top-k heaps, then a k-row merge), and the rank is
+    recovered ON THE <=k-ROW RESULT by a broadcast self-join count —
+    rank(x) = 1 + |{y : y strictly before x}| — which equals row_number
+    because `order` must be a total order (include a unique tiebreak
+    column; keys must be non-null). No WindowExec anywhere in the plan.
+
+    The k-row frame is cached so the TakeOrdered subtree executes once,
+    not once per self-join side (broadcast builds re-execute shared
+    subtrees otherwise).
+
+    order: sequence of (column_name, "asc"|"desc").
+    """
+    sort_exprs = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order
+    ]
+    top = df.orderBy(*sort_exprs).limit(k).cache()
+    keys = [c for c, _ in order]
+    rhs = top.select([F.col(c).alias(f"__tk_{c}") for c in keys])
+    before = F.lit(False)
+    eq = F.lit(True)
+    for c, d in order:
+        other, mine = F.col(f"__tk_{c}"), F.col(c)
+        lt = (other > mine) if d == "desc" else (other < mine)
+        before = before | (eq & lt)
+        eq = eq & (other == mine)
+    out_cols = list(top.columns)
+    return (
+        top.join(F.broadcast(rhs), before, "left")
+        .groupBy(*out_cols)
+        .agg((F.count(f"__tk_{keys[0]}") + F.lit(1)).cast("int").alias(rank_col))
+    )
+
+
 # ---------------------------------------------------------------- counts
 
 def counted(df: DataFrame) -> DataFrame:

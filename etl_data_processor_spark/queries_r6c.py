@@ -24,6 +24,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops import similarity as SIM
+from etl_data_processor_spark.ops.relational import ranked_topk
 from etl_data_processor_spark.ops.text import (
     char_poly_hash,
     char_poly_hash_sql,
@@ -191,9 +192,12 @@ def q_dsir_select(spark, sf_dir):
     integer — ops/exact), ranking ties break on doc_id. Scale shape:
     the token->bucket map is VOCABULARY-sized (char fold runs once per
     distinct token) and broadcasts; the two LMs are 64 rows; corpus
-    work is one explode + one (doc, bucket-join) aggregate; top-k is a
-    rank window WindowGroupLimit keeps partial per partition. At the
-    paper's scale the same plan selects from 100 TB with a raised k."""
+    work is one explode + one (doc, bucket-join) aggregate; top-k is
+    TakeOrderedAndProject (per-partition heaps + a k-row merge — never a
+    single-partition window over the scored corpus), with sel_rank
+    recovered on the <=k-row result by a broadcast self-join count. At
+    the paper's scale the same plan selects from 100 TB with a raised
+    k."""
     d = _cat(spark, sf_dir).documents
     toks = d.select(
         "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("token")
@@ -253,18 +257,23 @@ def q_dsir_select(spark, sf_dir):
             F.sum("lr_q").alias("lw_q"),
         )
     )
-    w = Window.partitionBy().orderBy(F.desc("lw_q"), F.asc("doc_id"))
-    return (
-        scored.withColumn("sel_rank", F.row_number().over(w))
-        .filter(F.col("sel_rank") <= _DSIR_TOP_K)
-        .select(
-            "doc_id", "source", "n_tokens",
-            (
-                F.floor(F.col("lw_q").cast("double") / F.lit(1e6) + F.lit(0.5))
-                .cast("double") / F.lit(1e6)
-            ).alias("lw6"),
-            "sel_rank",
-        )
+    # top-k: TakeOrderedAndProject (per-partition heaps + a k-row merge),
+    # NOT an unpartitioned row_number window — that plans Exchange
+    # SinglePartition + a one-task sort of every scored doc, corpus-sized
+    # at 100 TB (VERDICT r6 #1). Rank is recovered on the <=k-row result.
+    sel = ranked_topk(
+        scored,
+        [("lw_q", "desc"), ("doc_id", "asc")],
+        _DSIR_TOP_K,
+        rank_col="sel_rank",
+    )
+    return sel.select(
+        "doc_id", "source", "n_tokens",
+        (
+            F.floor(F.col("lw_q").cast("double") / F.lit(1e6) + F.lit(0.5))
+            .cast("double") / F.lit(1e6)
+        ).alias("lw6"),
+        "sel_rank",
     )
 
 

@@ -75,12 +75,13 @@ def q_collocations_pmi(spark, sf_dir):
     exact integer ratios. Scale: one corpus bigram explode into a
     vocabulary-sized aggregate; marginals re-aggregate the BIGRAM table
     (never the corpus); top-k is vocabulary-sized."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.dedup import _parallelize, cache_skinny
 
     # width guard: the bigram explode is the CPU-heavy stage and a
     # small single-file scan arrives as one partition (stress: 3.6 s
     # max task at sf1); a no-op on wide scans at 100 TB
-    d = _parallelize(_cat(spark, sf_dir).documents.select("text"))
+    raw_scan = _cat(spark, sf_dir).documents.select("text")
+    d = _parallelize(raw_scan)
     w = tokenize(F.col("text"))
     n = F.size(w)
     bigrams = F.zip_with(
@@ -90,17 +91,17 @@ def q_collocations_pmi(spark, sf_dir):
     )
     # the bigram table is vocabulary-sized and feeds FOUR consumers
     # (totals, both marginals, the scored join): cache it so the corpus
-    # explode runs exactly once (plan-pinned), and repartition it DOWN
-    # first — caching at the agg shuffle's width pins near-empty
-    # partitions past AQE for all four consumers (the hybrid-RRF
-    # lesson); the round-robin moves only the skinny vocab table
-    bg = (
+    # explode runs exactly once (plan-pinned). Width is adaptive
+    # (cache_skinny, VERDICT r6 item 3): down to 8 at test scale —
+    # caching at the agg shuffle's width pins near-empty partitions past
+    # AQE for all four consumers (the hybrid-RRF lesson) — and untouched
+    # at 100 TB, where the bigram table's growth is unbounded
+    bg = cache_skinny(
         d.select(F.explode(bigrams).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .repartition(8)
-        .cache()
+        .agg(F.count(F.lit(1)).alias("c")),
+        raw_scan,
     )
     tot = bg.agg(F.sum("c").alias("n"))
     ua = bg.groupBy(F.col("a").alias("t")).agg(F.sum("c").alias("ca"))
@@ -110,12 +111,9 @@ def q_collocations_pmi(spark, sf_dir):
         / (F.col("ca").cast("double") * F.col("cb").cast("double"))
     )
     pmi_q = F.floor(pmi * F.lit(1e12) + F.lit(0.5)).cast("long")
-    from pyspark.sql import Window
+    from etl_data_processor_spark.ops.relational import ranked_topk
 
-    wr = Window.partitionBy().orderBy(
-        F.desc("pmi_q"), F.asc("a"), F.asc("b")
-    )
-    return (
+    scored = (
         bg.filter(F.col("c") >= _PMI_MIN_C)
         .join(F.broadcast(ua), F.col("a") == F.col("t"))
         .drop("t")
@@ -127,10 +125,16 @@ def q_collocations_pmi(spark, sf_dir):
             SIM.stable_round6(pmi).alias("pmi6"),
             pmi_q.alias("pmi_q"),
         )
-        .withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _PMI_TOP)
-        .drop("pmi_q")
     )
+    # top-k: TakeOrderedAndProject over the (unbounded-growth) bigram
+    # table, never a single-partition row_number window (VERDICT r6 #1);
+    # rank recovered on the <=k rows by a broadcast self-join count
+    return ranked_topk(
+        scored,
+        [("pmi_q", "desc"), ("a", "asc"), ("b", "asc")],
+        _PMI_TOP,
+        rank_col="rank",
+    ).drop("pmi_q")
 
 
 # =====================================================================

@@ -15,9 +15,9 @@ raw-side DSIR distribution), not just each stage alone.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_data_processor_spark.ops.relational import ranked_topk
 from etl_data_processor_spark.ops.sampling import hash32, hash32_sql
 from etl_data_processor_spark.ops.text import (
     char_poly_hash,
@@ -176,17 +176,19 @@ def q_selection_pipeline(spark, sf_dir):
     the differential proves every stage INTERACTION (gate ordering,
     survivors feeding downstream distributions), not just each operator
     alone. Scale shape: each stage is the shape its standalone key
-    proved (one corpus pass each; model tables broadcast; the only
-    global window ranks the top-k); nothing materializes between
+    proved (one corpus pass each; model tables broadcast; the top-k is
+    TakeOrderedAndProject with rank recovered on the <=k rows — no
+    single-partition window anywhere); nothing materializes between
     stages."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.dedup import _parallelize, cache_skinny
 
     d = _cat(spark, sf_dir).documents
+    raw_scan = d.select("doc_id", "source", "text", "n_chars")
     # width-guard the CPU-heavy explode stages (char counts, corpus-side
     # gram/token streams): a small single-file scan arrives as one
     # partition and ran the whole capstone nearly serially (stress:
     # 20 s wall ~ 19 cpu-s at sf0.1); a no-op on wide scans at 100 TB
-    dp = _parallelize(d.select("doc_id", "source", "text", "n_chars"))
+    dp = _parallelize(raw_scan)
 
     # stage 1: entropy gate (q_char_entropy_filter's integer rule)
     cnt = (
@@ -201,18 +203,19 @@ def q_selection_pipeline(spark, sf_dir):
     # this, each downstream consumer re-executes the whole upstream
     # chain (the stress measured the uncached form at 19 s wall ~ 5
     # sequential re-runs of the prefix). The cached frames carry ONE
-    # long per surviving doc — negligible at any scale — while the
-    # heavy passes (char explode, trigram join, token explode) run
-    # exactly once.
-    ent = (
+    # long per surviving doc, so the heavy passes (char explode, trigram
+    # join, token explode) run exactly once. Width is adaptive
+    # (cache_skinny, VERDICT r6 item 3): down to 8 at test scale (caching
+    # at the 32-way shuffle width pins near-empty partitions past AQE),
+    # untouched at 100 TB (the doc-id sets are corpus-cardinality there).
+    ent = cache_skinny(
         cnt.join(tot, "doc_id")
         .select("doc_id", tq.alias("tq"))
         .groupBy("doc_id")
         .agg(F.sum("tq").alias("eq"))
         .filter(F.col("eq") >= F.lit(_SEL_ENT_MIN) * F.lit(1e12))
-        .select("doc_id")
-        .repartition(8)
-        .cache()
+        .select("doc_id"),
+        raw_scan,
     )
     g1 = dp.join(ent, "doc_id").select("doc_id", "source", "text", "n_chars")
 
@@ -228,13 +231,12 @@ def q_selection_pipeline(spark, sf_dir):
 
     # stage 3: exact dedup, keep min doc_id per normalized text
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    keep = (
+    keep = cache_skinny(
         g2.select("doc_id", norm.alias("norm"))
         .groupBy("norm")
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-        .repartition(8)
-        .cache()
+        .select("doc_id"),
+        raw_scan,
     )
     g3 = g2.join(keep, "doc_id")
 
@@ -255,7 +257,7 @@ def q_selection_pipeline(spark, sf_dir):
     cgrams = (
         cand0.select("doc_id", F.explode(trigrams).alias("g")).distinct()
     )
-    contam = (
+    contam = cache_skinny(
         cgrams.join(F.broadcast(bench.withColumn("__h", F.lit(1))), "g", "left")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("ng"), F.count("__h").alias("nh"))
@@ -263,9 +265,8 @@ def q_selection_pipeline(spark, sf_dir):
             F.col("nh").cast("double") / F.col("ng").cast("double")
             <= _SEL_CONTAM_TAU
         )
-        .select("doc_id")
-        .repartition(8)
-        .cache()
+        .select("doc_id"),
+        raw_scan,
     )
     g4 = cand0.join(contam, "doc_id")
 
@@ -331,12 +332,15 @@ def q_selection_pipeline(spark, sf_dir):
         )
     )
 
-    # stage 6: top-k + shard placement
-    wr = Window.partitionBy().orderBy(F.desc("lw_q"), F.asc("doc_id"))
-    sel = (
-        scored.join(g4.select("doc_id", "source"), "doc_id")
-        .withColumn("sel_rank", F.row_number().over(wr))
-        .filter(F.col("sel_rank") <= _SEL_TOP_K)
+    # stage 6: top-k + shard placement. TakeOrderedAndProject
+    # (per-partition heaps + a k-row merge), never a single-partition
+    # row_number window over the corpus-sized scored frame (VERDICT r6
+    # #1); sel_rank is recovered on the <=k-row result.
+    sel = ranked_topk(
+        scored.join(g4.select("doc_id", "source"), "doc_id"),
+        [("lw_q", "desc"), ("doc_id", "asc")],
+        _SEL_TOP_K,
+        rank_col="sel_rank",
     )
     return sel.select(
         "doc_id", "source", "n_tokens",

@@ -688,3 +688,48 @@ def test_fs_em_driver_em_bounded_output_plan(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Scan parquet" not in plan
+
+
+def test_topk_ranking_keys_plan_take_ordered_no_window(spark, sf_dir):
+    """VERDICT r6 #1: the three selection-layer top-k keys must rank via
+    TakeOrderedAndProject (per-partition heaps + a k-row merge), never an
+    unpartitioned row_number Window — that plans Exchange SinglePartition
+    + a one-task sort of EVERY scored row, corpus-sized at 100 TB. The
+    rank column is recovered on the <=k-row result by a broadcast
+    self-join count, so NO WindowExec may appear anywhere in these
+    plans."""
+    import re
+
+    for name in ("q_dsir_select", "q_collocations_pmi",
+                 "q_selection_pipeline"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+        assert len(re.findall(r"^\(\d+\) Window", plan, re.M)) == 0, name
+
+
+def test_cache_skinny_width_adapts_to_probe():
+    """cache_skinny (VERDICT r6 #3): a skinny derived frame caches at the
+    small fixed width when the raw scan is narrow (test scale) and keeps
+    its shuffle width untouched when the scan is wide — corpus-cardinality
+    doc-id sets must not collapse to 8 tasks at 100 TB. The cached plan is
+    an InMemoryRelation, so the width shows as the RoundRobin exchange in
+    its stored physical plan."""
+    from pyspark.sql import SparkSession
+
+    from etl_data_processor_spark.ops.dedup import cache_skinny
+
+    spark = SparkSession.getActiveSession()
+    narrow_probe = spark.range(10)  # tiny -> _parallelize would widen it
+    wide_probe = spark.range(10).repartition(64)  # explicit wide node
+    try:
+        derived = spark.range(100).groupBy("id").count()
+        out_n = cache_skinny(derived, narrow_probe)
+        plan_n = out_n._jdf.queryExecution().optimizedPlan().toString()
+        assert "RoundRobinPartitioning(8)" in plan_n
+
+        derived2 = spark.range(100).groupBy("id").agg(F.count(F.lit(1)))
+        out_w = cache_skinny(derived2, wide_probe)
+        plan_w = out_w._jdf.queryExecution().optimizedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan_w
+    finally:
+        spark.catalog.clearCache()

@@ -153,9 +153,11 @@ def test_power_iteration_exact_python_replay(spark, sf_dir):
 def test_round6_batch6_plan_pins(spark, sf_dir):
     """q_collocations_pmi: marginals broadcast onto the bigram table, no
     Python, no cartesian (one 1-row BNLJ total allowed); the corpus is
-    exploded once into ONE cached bigram table — every printed FileScan
-    is that cache's reprint (the q_ks_drift pin pattern), so totals,
-    both marginals, and the scored join all read the cache."""
+    exploded once into ONE cached bigram table, so every FileScan printed
+    anywhere in the tree is a cache reprint (the first Scan parquet
+    appears BELOW the first InMemoryTableScan); the top-k is
+    TakeOrderedAndProject with rank recovered on the <=k cached rows —
+    no single-partition Window (VERDICT r6 #1)."""
     spark.catalog.clearCache()
     plan = (
         QUERIES["q_collocations_pmi"](spark, sf_dir)
@@ -167,4 +169,6 @@ def test_round6_batch6_plan_pins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan
-    assert plan.count("Scan parquet") == plan.count("InMemoryTableScan")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # never a single-partition rank window
+    assert plan.index("Scan parquet") > plan.index("InMemoryTableScan")

@@ -63,8 +63,9 @@ def test_selection_pipeline_stage_consistency(spark, sf_dir):
 
 
 def test_selection_pipeline_plan_pins(spark, sf_dir):
-    """Single DAG, JVM-side throughout; model tables broadcast; only the
-    final top-k is a global window (WindowGroupLimit-bounded)."""
+    """Single DAG, JVM-side throughout; model tables broadcast; the final
+    top-k is TakeOrderedAndProject with rank recovered on the <=k rows —
+    no single-partition Window anywhere (VERDICT r6 #1)."""
     spark.catalog.clearCache()
     plan = (
         QUERIES["q_selection_pipeline"](spark, sf_dir)
@@ -75,4 +76,5 @@ def test_selection_pipeline_plan_pins(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
-    assert "Window" in plan  # the top-k rank (strategy AQE-decided)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan  # never a single-partition rank window
