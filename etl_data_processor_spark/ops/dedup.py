@@ -535,7 +535,17 @@ def vacuum_artifacts(
         if not stale:
             continue
         fam = meta.get("family")
-        if fam is not None and srcs and all(os.path.exists(s) for s in srcs):
+        # Manifests lacking the 'params' key predate the params-equality
+        # rule in _find_incremental_base — which now always rejects them —
+        # so sparing one as "the closest ancestor" would pin an unusable
+        # legacy slug per family forever (ADVICE r6): classify them as
+        # plain garbage instead.
+        if (
+            fam is not None
+            and "params" in meta
+            and srcs
+            and all(os.path.exists(s) for s in srcs)
+        ):
             try:
                 old = set(ast.literal_eval(meta["signature"]))
                 cur_set = set(ast.literal_eval(cur))

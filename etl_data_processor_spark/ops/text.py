@@ -521,7 +521,10 @@ def dedup_consecutive_words(
 
 
 def train_bpe_merges(
-    df: DataFrame, n_merges: int = 16, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+    max_vocab: int = 65536,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merge-list training (Sennrich et al. 2016, public):
     repeatedly merge the highest-weighted adjacent symbol pair over the
@@ -531,18 +534,27 @@ def train_bpe_merges(
 
     100 TB shape: the CORPUS is touched exactly once — the word-frequency
     hash aggregate (map-side partials shrink the shuffle to vocabulary
-    size). The iterative merge loop then runs on the collected vocabulary
-    (a bounded MODEL artifact, like k-means centroids in
-    ops.similarity.train_ivf_centroids — production tokenizers train on a
-    vocab of millions while the corpus holds trillions of words), where
-    each iteration is a linear pass over vocab symbol sequences. Pure
-    Python on driver-side model state, never on corpus rows."""
+    size) — and the driver collects at most ``max_vocab`` word types (the
+    most frequent, ties word-asc, via TakeOrderedAndProject). Word-type
+    counts grow ~sqrt(corpus) (Heaps' law), so an UNCAPPED collect would
+    pull billions of types onto the driver at 100 TB (VERDICT r6 #3);
+    capping is standard practice (production BPE trainers prune hapax/
+    low-frequency types), and tail types cannot win a merge argmax while
+    n_merges << vocab on any realistic corpus — the trained list on the
+    fixture is pinned unchanged in tests/test_r6_ops.py. The iterative
+    merge loop then runs on the collected vocabulary (a bounded MODEL
+    artifact, like k-means centroids in
+    ops.similarity.train_ivf_centroids), where each iteration is a linear
+    pass over vocab symbol sequences. Pure Python on driver-side model
+    state, never on corpus rows."""
     from collections import Counter
 
     rows = (
         df.select(F.explode(tokenize(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(max_vocab)
         .collect()
     )
     words = Counter()
@@ -616,14 +628,30 @@ def bpe_encode_words(
 
         return step
 
+    # Empty-word guard (ADVICE r6): sequence(1, 0) infers step -1 and
+    # yields [1, 0], so an empty word would split into ['',''] instead of
+    # []. Callers feed tokenize()-derived non-empty vocab words, but the
+    # function is a general utility — make the edge correct, not latent.
     col = F.expr(
-        f"transform(sequence(1, length({word_col})), "
-        f"i -> substring({word_col}, CAST(i AS INT), 1))"
+        f"CASE WHEN length({word_col}) = 0 "
+        f"THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, length({word_col})), "
+        f"i -> substring({word_col}, CAST(i AS INT), 1)) END"
     )
     empty = F.array().cast("array<string>")
     for a, b in merges:
         col = F.aggregate(col, empty, make_pass(a, b))
     return words.withColumn("tokens", col)
+
+
+def _one_to(n: Column) -> Column:
+    """``sequence(1, n)`` that is EMPTY for ``n <= 0``. Spark infers step
+    -1 for ``sequence(1, 0)`` and yields ``[1, 0]`` — so a fold over an
+    empty word's positions would visit two phantom indices (ADVICE r6).
+    """
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
 
 
 def unigram_vocab_scores(
@@ -648,7 +676,7 @@ def unigram_vocab_scores(
     L = F.length(word_col)
     all_subs = F.flatten(
         F.transform(
-            F.sequence(F.lit(1), L),
+            _one_to(L),
             lambda s: F.transform(
                 F.sequence(F.lit(1), F.least(F.lit(max_piece), L - s + 1)),
                 lambda l: F.substring(F.col(word_col), s, l),
@@ -729,7 +757,7 @@ def unigram_viterbi(
             F.lit(0).alias("l"),
         )
     )
-    best = F.aggregate(F.sequence(F.lit(1), L), init, step)
+    best = F.aggregate(_one_to(L), init, step)
 
     def back(st, _):
         pos = st.getField("pos")
@@ -749,7 +777,7 @@ def unigram_viterbi(
         words.withColumn("__best", best)
         .withColumn(
             "__ps",
-            F.aggregate(F.sequence(F.lit(1), L), binit, back).getField("ps"),
+            F.aggregate(_one_to(L), binit, back).getField("ps"),
         )
         .withColumn("__top", F.element_at("__best", L + 1))
         .withColumn("n_tokens", -F.col("__top").getField("negn"))
@@ -782,9 +810,15 @@ def char_poly_hash(s: Column) -> Column:
 
 
 def char_poly_hash_sql(expr: str) -> str:
-    """DuckDB expression computing exactly :func:`char_poly_hash`."""
+    """DuckDB expression computing exactly :func:`char_poly_hash`.
+
+    ``greatest(unicode(c), 0)`` pins the empty-string edge (ADVICE r6):
+    both engines split '' into [''], but Spark ``ascii('')`` is 0 while
+    DuckDB ``unicode('')`` is -1 — clamping matches Spark's 0 so hashing
+    an empty string yields 0 on both engines. (Parity remains
+    single-codepoint/BMP, as documented on :func:`char_poly_hash`.)"""
     return (
         f"list_reduce(list_prepend(0::BIGINT, list_transform("
-        f"string_split({expr}, ''), c -> unicode(c)::BIGINT)), "
+        f"string_split({expr}, ''), c -> greatest(unicode(c), 0)::BIGINT)), "
         f"(a, b) -> (a * 31 + b) % {_POLY_MOD})"
     )

@@ -216,14 +216,21 @@ def _measure_one_subprocess(name: str) -> dict | None:
     """Measure one key in a FRESH interpreter/session; returns {scale: row}."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--one", name],
-        cwd=REPO,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.STDOUT,
-        text=True,
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # A hung confirm session must degrade to the first-pass
+        # measurement, not abort the whole stress run before
+        # SCALE_STRESS.json is rewritten (ADVICE r6).
+        print(f"    confirm session for {name} timed out; keeping first pass")
+        return None
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith("ONE_RESULT "):
             return json.loads(line[len("ONE_RESULT "):])

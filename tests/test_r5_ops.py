@@ -932,3 +932,33 @@ def test_multiprocess_publish_vacuum_race(tmp_path):
     with open(os.path.join(slug_path, "_KEY.json")) as f:
         meta = json.load(f)
     assert meta["signature"] == repr(D.source_signature(src))
+
+
+def test_vacuum_reclaims_legacy_family_slug_without_params(adir, tmp_path):
+    """ADVICE r6: a pre-params family manifest is unusable by
+    _find_incremental_base (which requires params equality), so the
+    vacuum must classify it as plain garbage — never spare it forever as
+    the closest (family, None) ancestor."""
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "f0.txt").write_text("chunk 0")
+    sig0 = D.source_signature(str(corpus))
+    time.sleep(0.01)
+    (corpus / "f1.txt").write_text("chunk 1")  # append-only growth
+
+    path = _mk_slug(adir, "legacy-gen0", sources=[str(corpus)],
+                    signature=repr(sig0), age=None)
+    with open(os.path.join(path, "_KEY.json")) as f:
+        meta = json.load(f)
+    meta["family"] = "famL"  # legacy: family but NO params key
+    with open(os.path.join(path, "_KEY.json"), "w") as f:
+        json.dump(meta, f)
+    old = time.time() - 3600
+    os.utime(path, (old, old))
+
+    # a proper params-bearing sibling chain is still spared
+    _mk_family_slug(adir, "modern-gen0", [str(corpus)], repr(sig0), "famL")
+
+    dropped = D.vacuum_artifacts(warehouse=_wh(adir), min_age_seconds=600)
+    assert dropped == ["legacy-gen0"]
+    assert os.path.isdir(os.path.join(adir, "modern-gen0"))

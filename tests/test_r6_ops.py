@@ -467,3 +467,65 @@ def test_temperature_sampling_flattens_the_mixture(spark, sf_dir):
     # deterministic: a second evaluation reproduces the mix exactly
     again = QUERIES["q_sample_temperature"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# --- ADVICE r6 edge fixes ----------------------------------------------------
+
+
+def test_char_poly_hash_empty_string_parity(spark):
+    """ADVICE r6: hashing '' must agree across engines — Spark ascii('')
+    is 0, DuckDB unicode('') is -1; the SQL mirror clamps with
+    greatest(unicode(c), 0). Parity re-pinned on ASCII/BMP strings too."""
+    import duckdb
+
+    vals = ["", "a", "abc", "Zürich", "ab cd", "0"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", T.char_poly_hash(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        (want,) = con.execute(
+            f"SELECT {T.char_poly_hash_sql('?')}", [v]
+        ).fetchone()
+        assert got[v] == want, v
+    assert got[""] == 0
+
+
+def test_bpe_encode_words_empty_word_is_empty_tokens(spark):
+    """ADVICE r6: sequence(1, 0) infers step -1 ([1, 0]) so an empty word
+    used to split into ['','']; it must encode to []."""
+    df = spark.createDataFrame([("",), ("ab",), ("b",)], ["word"])
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in T.bpe_encode_words(df, [("a", "b")]).collect()
+    }
+    assert got[""] == []
+    assert got["ab"] == ["ab"]
+    assert got["b"] == ["b"]
+
+
+def test_unigram_viterbi_empty_word_zero_tokens(spark):
+    df = spark.createDataFrame([("",), ("ab",)], ["word"])
+    rows = {
+        r["word"]: r
+        for r in T.unigram_viterbi(df, {"a": -1, "b": -2, "ab": -2}).collect()
+    }
+    assert rows[""]["n_tokens"] == 0
+    assert rows[""]["pieces"] == ""
+    assert rows[""]["score_q"] == 0
+    assert rows["ab"]["pieces"] == "ab"
+
+
+def test_train_bpe_merges_vocab_cap(spark):
+    """VERDICT r6 #3: the driver collect is capped at max_vocab word
+    types (most frequent, ties word-asc). A generous cap reproduces the
+    uncapped list; max_vocab=1 trains on ONLY the single most frequent
+    word type."""
+    docs = [(0, "aa bb aa bb aa cc"), (1, "aa bb aa dd ee ff")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = T.train_bpe_merges(df, n_merges=4)
+    assert T.train_bpe_merges(df, n_merges=4, max_vocab=10_000) == full
+    # cap=1 keeps only 'aa' (freq 5): the only merge learnable is (a, a)
+    assert T.train_bpe_merges(df, n_merges=4, max_vocab=1) == [("a", "a")]
