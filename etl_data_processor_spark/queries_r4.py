@@ -287,7 +287,9 @@ def q_record_linkage(spark, sf_dir):
     (nationkey, mktsegment) attributes — candidates per record are
     bounded by spelling-neighbor density, NOT block population, so the
     candidate space is linear in N (the r4 in-block form measured 94.8x
-    CPU at 10x data; this form re-measured linear — SCALE_STRESS.json).
+    CPU at 10x data; this form re-measured linear — SCALE_STRESS.json;
+    the PassJoin alternative measured 14x worse candidate precision on
+    this fixture and was rejected — see the inline note).
     Field agreements (Jaro-Winkler ≥ 0.95 on names, |Δbal| ≤ 0.051)
     combine into an integer evidence score; score ≥ 5 needs BOTH
     agreements — one-digit neighbors pass the name test but fail the
@@ -333,7 +335,13 @@ def q_record_linkage(spark, sf_dir):
     # 27.6 s task (SCALE_STRESS.json). The variant equi-join's candidate
     # count per row is bounded by how many rows share a near-identical
     # spelling — independent of N — so the whole query is one linear
-    # explode + one hash shuffle at any scale. levenshtein then runs
+    # explode + one hash shuffle at any scale. VERDICT r6 item 2's
+    # lower-volume PassJoin alternative (q_fuzzy_passjoin) was measured
+    # HERE and rejected: 6-char segments are weakly selective among
+    # sequential-ID names (18.0M candidates vs symdelete's ~1.25M at
+    # sf0.1, forward OR reversed — NOTES_r7), so the cheaper explode
+    # loses 14x on candidate precision; full-length deletion variants
+    # keep the distinguishing digits. levenshtein then runs
     # per-candidate (cheap codegen, textbook multi-stage linkage:
     # block → cheap filter → expensive Arrow-batched score), and the
     # pair-dedup shuffle sees only verified near-pairs. The probe side

@@ -692,7 +692,9 @@ def q_linkage_fs_em(spark, sf_dir):
     candidate generation: symmetric-delete variant equi-join
     intersected with the nation block (lossless for lev <= 2 —
     q_fuzzy_symdelete proves it against the naive all-pairs oracle this
-    key's oracle still uses). Three agreement fields: name lev <= 1,
+    key's oracle still uses; the lower-explode-volume PassJoin
+    alternative was measured at 14x worse candidate precision on this
+    fixture and rejected — see q_record_linkage's inline note). Three agreement fields: name lev <= 1,
     |Δbal| <= 0.051, same mktsegment. The EM runs on the PATTERN table
     (<= 2^3 rows — corpus-size-independent model state): posteriors are
     1e-12 fixed-point BIGINTs so every cross-pattern sum is an exact
