@@ -295,6 +295,7 @@ def cached_df(
     sources: tuple = (),
     family: str | None = None,
     delta_builder=None,
+    delta_merge=None,
 ) -> DataFrame:
     """Session-memoized cached DataFrame — the stand-in for a PERSISTED
     corpus artifact (the shingle table, the band-bucket signature index).
@@ -336,7 +337,19 @@ def cached_df(
     requires the derivation to be per-row (shingles, band signatures, PQ
     codes — true for every materialized artifact in this repo). On any
     other change shape (rewrite, delete, multi-source) it falls back to
-    the full ``builder``. :func:`vacuum_artifacts` spares the closest
+    the full ``builder``.
+
+    ``delta_merge`` is the generalization for PER-GROUP-derived artifacts
+    (the inverted-index shards: one row per (token, doc-block), NOT one
+    per source row, so a plain ancestor-union is wrong whenever a new doc
+    lands in a block the ancestor already covers): ``delta_merge(
+    ancestor_df, new_file_paths) -> DataFrame`` receives the ancestor
+    rows and must return the complete new artifact — typically ancestor
+    rows for untouched groups unioned with re-derived rows for the groups
+    the delta touches (the ancestor itself is a lossless encoding, so the
+    touched groups rebuild from decoded ancestor rows + delta rows
+    without re-reading the old corpus). Mutually exclusive with
+    ``delta_builder``. :func:`vacuum_artifacts` spares the closest
     append-only ancestor per (family, params) — GC on any schedule never
     degrades the next incremental build — and reclaims the rest of the
     superseded chain."""
@@ -366,7 +379,7 @@ def cached_df(
                 params = repr(tuple(k for k in key if k != cur_sig))
                 base = None
                 if (
-                    delta_builder is not None
+                    (delta_builder is not None or delta_merge is not None)
                     and family is not None
                     and len(sources) == 1
                 ):
@@ -381,9 +394,11 @@ def cached_df(
                 def write_tmp(tmp):
                     if base is not None:
                         base_path, new_files = base
-                        out = spark.read.parquet(base_path).unionByName(
-                            delta_builder(new_files)
-                        )
+                        anc = spark.read.parquet(base_path)
+                        if delta_merge is not None:
+                            out = delta_merge(anc, new_files)
+                        else:
+                            out = anc.unionByName(delta_builder(new_files))
                     else:
                         out = builder()
                     out.write.mode("overwrite").parquet(tmp)

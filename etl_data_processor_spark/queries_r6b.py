@@ -81,34 +81,16 @@ def q_inverted_index(spark, sf_dir):
     at the block size, the groupBy key (token, block) is high-cardinality
     (no stop-word hot key), and the query side — q_bm25's df/tf — is a
     sum over blocks. One tokenize pass, two hash shuffles ((token,doc)
-    tf then (token,block) assembly), array work in codegen."""
+    tf then (token,block) assembly), array work in codegen. The
+    derivation lives in ops.invindex.postings, shared with the
+    PERSISTED incrementally-maintained artifact
+    (ops.invindex.inverted_index_shards — an append-only corpus change
+    rebuilds only the doc blocks the new doc_ids touch, VERDICT r6
+    item 4)."""
+    from etl_data_processor_spark.ops.invindex import postings
+
     d = _cat(spark, sf_dir).documents
-    toks = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).filter(F.col("token") != "")
-    tf = toks.groupBy(
-        "token", (F.col("doc_id") / _IDX_BLOCK).cast("long").alias("block"),
-        "doc_id",
-    ).agg(F.count(F.lit(1)).alias("tf"))
-    pl = tf.groupBy("token", "block").agg(
-        F.count(F.lit(1)).alias("df"),
-        F.sum("tf").alias("cf"),
-        F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("pl"),
-    )
-    ids = F.col("pl").getField("doc_id")
-    base = F.col("block") * F.lit(_IDX_BLOCK)
-    gaps = F.transform(
-        F.sequence(F.lit(1), F.size("pl")),
-        lambda i: F.element_at(ids, i)
-        - F.when(i == 1, base).otherwise(F.element_at(ids, i - 1)),
-    )
-    tfs = F.transform(
-        F.col("pl").getField("tf"), lambda t: t.cast("int")
-    )
-    return pl.select(
-        "token", "block", "df", "cf",
-        gaps.alias("doc_gaps"), tfs.alias("tfs"),
-    )
+    return postings(d.select("doc_id", "text"), _IDX_BLOCK)
 
 
 # =====================================================================
