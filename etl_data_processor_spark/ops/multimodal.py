@@ -330,6 +330,33 @@ def pcm_synthesize(df, id_col: str = "doc_id", n_samples: int = 1024):
     return df.select(id_col).mapInPandas(gen, f"{id_col} long, pcm binary")
 
 
+def pcm_synthesize_gated(
+    df, id_col: str = "doc_id", n_samples: int = 1024, block: int = 64
+):
+    """:func:`pcm_synthesize` with an amplitude ENVELOPE: every third
+    ``block`` of samples is silenced — wave[n] = (((id*7 + n*13) % 200)
+    - 100) * (0 if (n // block + id) % 3 == 0 else 1). The closed form
+    stays engine-reproducible while giving the blob a speech-like
+    active/silent structure, which is what the VAD-segmentation key
+    (q_audio_vad_segments) needs: frame energies alternate between 0 and
+    full scale with a per-id phase, so the island grouping is exercised
+    for real instead of degenerating to one segment per track."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                n = np.arange(n_samples, dtype=np.int64)
+                gate = ((n // block + int(i)) % 3 != 0).astype(np.int64)
+                w = (((int(i) * 7 + n * 13) % 200 - 100) * gate).astype("<i2")
+                blobs.append(w.tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "pcm": blobs})
+
+    return df.select(id_col).mapInPandas(gen, f"{id_col} long, pcm binary")
+
+
 def pcm_frame_features(df, blob_col: str = "pcm", id_col: str = "doc_id",
                        frame: int = 256):
     """REAL audio feature extraction over binary PCM columns (the

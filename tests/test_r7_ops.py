@@ -87,3 +87,164 @@ def test_passjoin_probe_volume_bounded(spark):
     # ... and the index side is exactly k+1 keys
     idx = df.select(F.size(T.passjoin_index_keys("s", k)).alias("n")).collect()
     assert all(r["n"] == k + 1 for r in idx)
+
+
+# --- round-7 batch #2: diversity / A-Res / BLEU / span corruption / VAD ------
+
+
+def test_span_corruption_round_trips(spark, sf_dir):
+    """Splicing each target span back over its sentinel in the inputs
+    string must reconstruct the original tokenized text exactly — the
+    defining property of the T5 objective."""
+    import re as _re
+
+    import __spark_entry__ as entry_mod
+
+    from etl_data_processor_spark.io import Catalog
+
+    out = {
+        r["doc_id"]: r
+        for r in entry_mod.queries()["q_span_corruption"](spark, sf_dir).collect()
+    }
+    orig = {
+        r["doc_id"]: " ".join(r["text"].split())
+        for r in Catalog(spark, sf_dir).documents.collect()
+    }
+    assert set(out) == {d for d, t in orig.items() if t}
+    for d, r in out.items():
+        spans = {}
+        toks = _re.findall(r"<extra_id_(\d+)>|(\S+)", r["targets"])
+        cur = None
+        for sid, tok in toks:
+            if sid != "":
+                cur = int(sid)
+                spans[cur] = []
+            else:
+                spans[cur].append(tok)
+        rebuilt = []
+        for sid, tok in _re.findall(r"<extra_id_(\d+)>|(\S+)", r["inputs"]):
+            if sid != "":
+                rebuilt.extend(spans[int(sid)])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == orig[d], d
+        assert r["n_masked"] == sum(len(v) for v in spans.values())
+        assert r["n_spans"] == len(spans)
+
+
+def test_bleu_eval_matches_pure_python(spark, sf_dir):
+    """Full independent recompute: clipped modified n-gram precisions,
+    add-one smoothing for n>=2, brevity penalty — pure Python over the
+    collected fixture vs the distributed result."""
+    import math
+    from collections import Counter
+
+    import __spark_entry__ as entry_mod
+
+    from etl_data_processor_spark.io import Catalog
+
+    docs = {
+        r["doc_id"]: (r["source"], r["text"].split())
+        for r in Catalog(spark, sf_dir).documents.collect()
+    }
+
+    def grams(w, n):
+        return Counter(
+            " ".join(w[i:i + n]) for i in range(len(w) - n + 1)
+        )
+
+    agg = {}
+    for d, (src, w) in docs.items():
+        if src == "src0":
+            continue
+        rid = d - d % 20
+        if rid not in docs or docs[rid][0] != "src0":
+            continue
+        rw = docs[rid][1]
+        a = agg.setdefault(src, {"m": [0] * 5, "t": [0] * 5, "c": 0, "r": 0, "n": 0})
+        a["n"] += 1
+        a["c"] += len(w)
+        a["r"] += len(rw)
+        for n in range(1, 5):
+            cg, rg = grams(w, n), grams(rw, n)
+            a["m"][n] += sum(min(c, rg.get(g, 0)) for g, c in cg.items())
+            a["t"][n] += sum(cg.values())
+    want = {}
+    for src, a in agg.items():
+        if a["m"][1] == 0:
+            bleu = 0.0
+        else:
+            bp = 1.0 if a["c"] >= a["r"] else math.exp(1.0 - a["r"] / a["c"])
+            ls = math.log(a["m"][1] / a["t"][1]) + sum(
+                math.log((a["m"][n] + 1.0) / (a["t"][n] + 1.0)) for n in (2, 3, 4)
+            )
+            bleu = bp * math.exp(ls / 4.0)
+        want[src] = (
+            a["n"], a["c"], a["r"], *a["m"][1:], *a["t"][1:],
+            math.floor(bleu * 1e6 + 0.5) / 1e6,
+        )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["c_len"], r["r_len"],
+            r["m1"], r["m2"], r["m3"], r["m4"],
+            r["t1"], r["t2"], r["t3"], r["t4"], r["bleu6"],
+        )
+        for r in entry_mod.queries()["q_bleu_eval"](spark, sf_dir).collect()
+    }
+    assert got == want and len(got) >= 10
+
+
+def test_vad_segments_match_closed_form(spark, sf_dir):
+    """Python recompute of the gated waveform's voiced islands for every
+    track; also pins that the fixture actually exercises multi-segment
+    tracks (the gate pattern yields ~5 segments per 16-frame track)."""
+    import __spark_entry__ as entry_mod
+
+    got = {}
+    for r in entry_mod.queries()["q_audio_vad_segments"](spark, sf_dir).collect():
+        got[(r["doc_id"], r["seg_idx"])] = (
+            r["start_frame"], r["end_frame"], r["n_frames"], r["energy"]
+        )
+    want = {}
+    n_multi = 0
+    for d in range(100):
+        frames = []
+        for f in range(16):
+            s = 0
+            for n in range(f * 64, (f + 1) * 64):
+                w = (((d * 7 + n * 13) % 200) - 100) * (
+                    0 if (n // 64 + d) % 3 == 0 else 1
+                )
+                s += w * w
+            frames.append(s)
+        seg = -1
+        prev = False
+        segs = {}
+        for f, s in enumerate(frames):
+            v = s > 0
+            if v and not prev:
+                seg += 1
+                segs[seg] = [f, f, 0, 0]
+            if v:
+                segs[seg][1] = f
+                segs[seg][2] += 1
+                segs[seg][3] += s
+            prev = v
+        if len(segs) > 1:
+            n_multi += 1
+        for k, v in segs.items():
+            want[(d, k)] = tuple(v)
+    assert got == want
+    assert n_multi == 100  # every track splits into multiple segments
+
+
+def test_ares_sample_properties(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["q_sample_ares"](spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert len({r["doc_id"] for r in rows}) == 50
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    keys = [r["score6"] for r in by_rank]
+    assert all(keys[i] >= keys[i + 1] - 1e-9 for i in range(len(keys) - 1))
+    assert all(r["score6"] <= 0.0 for r in rows)  # ln(u)/w is never positive
