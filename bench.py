@@ -122,6 +122,19 @@ HEADLINE = [
     "q_stopword_discovery",
     # round-6 capstone (B74): the composed selection pipeline
     "q_selection_pipeline",
+    # round-7 batch (B75): passjoin blocking, diversity, A-Res, BLEU,
+    # span corruption, VAD (q_distinct_ngrams via no rule — explicit)
+    "q_fuzzy_passjoin",
+    "q_distinct_ngrams",
+    "q_sample_ares",
+    "q_bleu_eval",
+    "q_span_corruption",
+    "q_audio_vad_segments",
+    # round-7 batch 2 (B76): eval/diagnostic layer
+    "q_langid_confusion",
+    "q_langid_f1",
+    "q_zipf_fit",
+    "q_gate_agreement_kappa",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -596,3 +596,391 @@ def q_audio_vad_segments(spark, sf_dir):
             F.sum("sumsq").alias("energy"),
         )
     )
+
+
+# =====================================================================
+# Classifier eval: language-ID confusion matrix + per-class F1 (B-eval
+# ext — turns q_text_langid's predictions into the standard multi-class
+# report against the documents.lang ground truth)
+# =====================================================================
+
+_LC_GUESS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, lang,
+               len(list_filter(tk, t -> list_contains({en}, t))) AS s_en,
+               len(list_filter(tk, t -> list_contains({es}, t))) AS s_es,
+               len(list_filter(tk, t -> list_contains({de}, t))) AS s_de,
+               len(list_filter(tk, t -> list_contains({fr}, t))) AS s_fr
+        FROM toks
+    ),
+    pred AS (
+        SELECT doc_id, lang,
+               COALESCE(CASE
+                   WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN NULL
+                   WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de >= s_fr THEN 'de'
+                   ELSE 'fr' END, 'und') AS guess
+        FROM scores
+    )
+"""
+
+
+def _lc_pred_sql():
+    from etl_data_processor_spark.queries_north import _LANGID_SQL_LISTS
+
+    return _LC_GUESS_SQL.format(**_LANGID_SQL_LISTS)
+
+
+@q(
+    "q_langid_confusion",
+    _lc_pred_sql()
+    + """
+SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, guess
+""",
+)
+def q_langid_confusion(spark, sf_dir):
+    """Eval ext: the confusion matrix of q_text_langid's stopword-argmax
+    prediction against the documents.lang ground-truth column (long form:
+    one row per (true, predicted) cell; no-stopword-hit docs predict
+    'und'). The standard first artifact of any classifier eval — here
+    auditing the langid GATE itself, the way corpus teams validate a
+    cheap heuristic against labeled data before trusting it at 100 TB.
+    Plan: the per-doc prediction is one stopword-hit scan (broadcast
+    literal lists), then a tiny (|langs| x |langs|) hash aggregate."""
+    from etl_data_processor_spark.io import Catalog
+    import __spark_entry__  # noqa: F401 (registry populated)
+    from etl_data_processor_spark.registry import QUERIES
+
+    pred = QUERIES["q_text_langid"](spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("lang_guess"), F.lit("und")).alias("guess")
+    )
+    truth = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    return truth.join(pred, "doc_id").groupBy("lang", "guess").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "q_langid_f1",
+    _lc_pred_sql()
+    + """
+, cls AS (SELECT DISTINCT lang AS c FROM pred),
+m AS (
+    SELECT c,
+           CAST(COALESCE(SUM(CASE WHEN lang = c AND guess = c THEN 1 END), 0)
+                AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN lang <> c AND guess = c THEN 1 END), 0)
+                AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN lang = c AND guess <> c THEN 1 END), 0)
+                AS BIGINT) AS fn
+    FROM cls LEFT JOIN pred ON TRUE GROUP BY c
+)
+SELECT c AS lang, tp, fp, fn,
+       CAST(FLOOR(CASE WHEN tp + fp = 0 THEN 0.0
+                       ELSE CAST(tp AS DOUBLE) / (tp + fp) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS precision6,
+       CAST(FLOOR(CASE WHEN tp + fn = 0 THEN 0.0
+                       ELSE CAST(tp AS DOUBLE) / (tp + fn) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS recall6,
+       CAST(FLOOR(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                       ELSE 2.0 * tp / (2 * tp + fp + fn) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS f16
+FROM m
+""",
+)
+def q_langid_f1(spark, sf_dir):
+    """Eval ext: per-true-class precision/recall/F1 of the langid
+    heuristic (zero-division pinned to 0.0, the sklearn convention) —
+    the report read next to q_langid_confusion; macro-F1 is the mean of
+    the f16 column. Exact integer tp/fp/fn; one tiny aggregate over the
+    per-doc predictions, grouped against the distinct true-class set so
+    classes the predictor never emits still report (tp=0)."""
+    from etl_data_processor_spark.io import Catalog
+    import __spark_entry__  # noqa: F401
+    from etl_data_processor_spark.registry import QUERIES
+
+    pred = QUERIES["q_text_langid"](spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("lang_guess"), F.lit("und")).alias("guess")
+    )
+    truth = Catalog(spark, sf_dir).documents.select("doc_id", "lang")
+    p = truth.join(pred, "doc_id")
+    cls = p.select(F.col("lang").alias("c")).distinct()
+    m = cls.join(p, F.lit(True), "left").groupBy("c").agg(
+        F.coalesce(
+            F.sum(
+                F.when((F.col("lang") == F.col("c")) & (F.col("guess") == F.col("c")), 1)
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("lang") != F.col("c")) & (F.col("guess") == F.col("c")), 1)
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when((F.col("lang") == F.col("c")) & (F.col("guess") != F.col("c")), 1)
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fn"))
+    )
+    f1 = F.when(
+        F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0) * dd(F.col("tp"))
+        / dd(F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn"))
+    )
+    return m.select(
+        F.col("c").alias("lang"), "tp", "fp", "fn",
+        SIM.stable_round6(prec).alias("precision6"),
+        SIM.stable_round6(rec).alias("recall6"),
+        SIM.stable_round6(f1).alias("f16"),
+    )
+
+
+# =====================================================================
+# Zipf-fit corpus diagnostic (B31 ext — log-log OLS over the frequency
+# head; the tokenizer-planning statistic next to q_stopword_discovery)
+# =====================================================================
+
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH freq AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+    GROUP BY token
+),
+head AS (
+    SELECT token, c,
+           CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS BIGINT)
+             AS rnk
+    FROM freq
+    QUALIFY rnk <= {_ZIPF_TOP}
+),
+pts AS (
+    SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS xq,
+           CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS yq
+    FROM head
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(xq AS HUGEINT) * yq) AS HUGEINT) AS sxy
+    FROM pts
+)
+SELECT n,
+       {_SQL_ROUND6.format(
+           x="CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) "
+             "/ CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)")}
+         AS slope6,
+       {_SQL_ROUND6.format(
+           x="(CAST(sy AS DOUBLE) - (CAST(n * sxy - CAST(sx AS HUGEINT) * sy "
+             "AS DOUBLE) / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))"
+             " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000000.0")}
+         AS intercept6
+FROM mo
+"""
+
+
+@q("q_zipf_fit", _ZIPF_ORACLE)
+def q_zipf_fit(spark, sf_dir):
+    """B31 ext: Zipf-law fit over the frequency head — OLS slope of
+    ln(count) on ln(rank) for the top-100 tokens (natural text fits
+    slope ~ -1; a corpus that doesn't is synthetic, templated, or
+    shredded by the tokenizer — the diagnostic tokenizer teams check
+    before vocab sizing, Zipf 1949 / public). Determinism: ranks come
+    from the exact frequency table with token tiebreaks; each ln is
+    1e-9-quantized to an integer so the OLS moment sums are exact
+    (q_trend_ols discipline; 128-bit products on the oracle side);
+    slope/intercept are single double divisions. Plan: corpus-once token
+    aggregate, TakeOrderedAndProject for the head, rank recovered on the
+    <=100 rows (ranked_topk), one 1-row moment aggregate — no
+    corpus-sized window."""
+    from etl_data_processor_spark.ops.relational import ranked_topk
+
+    d = _cat(spark, sf_dir).documents
+    freq = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    head = ranked_topk(
+        freq, [("c", "desc"), ("token", "asc")], _ZIPF_TOP, rank_col="rnk"
+    )
+    q9 = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    pts = head.select(q9(F.col("rnk")).alias("xq"), q9(F.col("c")).alias("yq"))
+    # xq ~ ln(rank)*1e9 ~ 4.6e9, so xq^2 overflows BIGINT: the moment
+    # products run in DECIMAL(38,0) (the oracle's HUGEINT twin)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mo = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(dec(F.col("xq")) * dec(F.col("xq"))).alias("sxx"),
+        F.sum(dec(F.col("xq")) * dec(F.col("yq"))).alias("sxy"),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    slope = dd(
+        dec(F.col("n")) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))
+    ) / dd(dec(F.col("n")) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx")))
+    intercept = (
+        (dd(F.col("sy")) - slope * dd(F.col("sx")))
+        / dd(F.col("n"))
+        / F.lit(1e9)
+    )
+    return mo.select(
+        "n",
+        SIM.stable_round6(slope).alias("slope6"),
+        SIM.stable_round6(intercept).alias("intercept6"),
+    )
+
+
+# =====================================================================
+# Quality-gate agreement: Cohen's kappa (B52 ext — do two cheap gates
+# measure the same thing, beyond chance?)
+# =====================================================================
+
+_KAPPA_ORACLE = f"""
+WITH ent AS (
+    SELECT doc_id, SUM(tq) AS eq FROM (
+        SELECT cnt.doc_id,
+               CAST(FLOOR(-(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * LOG2(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                          * 1000000000000.0 + 0.5) AS BIGINT) AS tq
+        FROM (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+              FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                    FROM documents) GROUP BY doc_id, c) cnt
+        JOIN (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n
+              FROM (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+                    FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                          FROM documents) GROUP BY doc_id, c)
+              GROUP BY doc_id) tot USING (doc_id)
+    ) GROUP BY doc_id
+),
+cuts AS (
+    SELECT quantile_cont(n_chars, 0.05) AS lo,
+           quantile_cont(n_chars, 0.95) AS hi
+    FROM documents
+),
+g AS (
+    SELECT d.doc_id,
+           CASE WHEN e.eq >= 2.0 * 1000000000000.0 THEN 1 ELSE 0 END AS a,
+           CASE WHEN CAST(d.n_chars AS DOUBLE) >= cuts.lo
+                 AND CAST(d.n_chars AS DOUBLE) <= cuts.hi
+                THEN 1 ELSE 0 END AS b
+    FROM documents d JOIN ent e USING (doc_id), cuts
+),
+ct AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a * b) AS BIGINT) AS n11,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+    FROM g
+),
+k AS (
+    SELECT *,
+           CAST(n11 + n00 AS DOUBLE) / n AS po,
+           (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+            + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+             / (CAST(n AS DOUBLE) * n) AS pe
+    FROM ct
+)
+SELECT n, n11, n10, n01, n00,
+       {_SQL_ROUND6.format(x="po")} AS po6,
+       {_SQL_ROUND6.format(x="pe")} AS pe6,
+       {_SQL_ROUND6.format(
+           x="CASE WHEN pe = 1.0 THEN 1.0 ELSE (po - pe) / (1.0 - pe) END")}
+         AS kappa6
+FROM k
+"""
+
+
+@q("q_gate_agreement_kappa", _KAPPA_ORACLE)
+def q_gate_agreement_kappa(spark, sf_dir):
+    """B52 ext: Cohen's kappa between two quality gates — the
+    character-entropy gate (>= 2.0 bits, the capstone's stage 1) and the
+    [p05, p95] length-quantile gate — i.e. chance-corrected agreement
+    (Cohen 1960, public): raw agreement po against the chance rate pe
+    from the marginals. Corpus teams run exactly this before REPLACING
+    an expensive gate with a cheap one; kappa ~ 0 means the gates filter
+    different documents no matter how high the raw overlap looks.
+    Determinism: the 2x2 contingency is exact integers (the entropy gate
+    compares 1e-12 integer sums; the quantile cuts are engine-identical
+    percentile_cont); po/pe/kappa are a handful of double ops on those
+    integers. Plan: one char-explode pass for the entropy gate, one
+    2-float quantile aggregate, one 1-row contingency — no window, no
+    Python."""
+    d = _cat(spark, sf_dir).documents
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    tq = F.floor(-p * F.log2(p) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .select("doc_id", tq.alias("tq"))
+        .groupBy("doc_id")
+        .agg(F.sum("tq").alias("eq"))
+    )
+    cuts = d.agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    nc = F.col("n_chars").cast("double")
+    g = (
+        d.select("doc_id", "n_chars")
+        .join(ent, "doc_id")
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            F.when(F.col("eq") >= F.lit(2.0) * F.lit(1e12), 1)
+            .otherwise(0)
+            .alias("a"),
+            F.when((nc >= F.col("lo")) & (nc <= F.col("hi")), 1)
+            .otherwise(0)
+            .alias("b"),
+        )
+    )
+    ct = g.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (F.lit(1) - F.col("b"))).alias("n10"),
+        F.sum((F.lit(1) - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((F.lit(1) - F.col("a")) * (F.lit(1) - F.col("b"))).alias("n00"),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    po = dd(F.col("n11") + F.col("n00")) / dd(F.col("n"))
+    pe = (
+        dd(F.col("n11") + F.col("n10")) * dd(F.col("n11") + F.col("n01"))
+        + dd(F.col("n01") + F.col("n00")) * dd(F.col("n10") + F.col("n00"))
+    ) / (dd(F.col("n")) * dd(F.col("n")))
+    kappa = F.when(pe == 1.0, F.lit(1.0)).otherwise((po - pe) / (F.lit(1.0) - pe))
+    return ct.select(
+        "n", "n11", "n10", "n01", "n00",
+        SIM.stable_round6(po).alias("po6"),
+        SIM.stable_round6(pe).alias("pe6"),
+        SIM.stable_round6(kappa).alias("kappa6"),
+    )

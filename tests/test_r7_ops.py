@@ -248,3 +248,53 @@ def test_ares_sample_properties(spark, sf_dir):
     keys = [r["score6"] for r in by_rank]
     assert all(keys[i] >= keys[i + 1] - 1e-9 for i in range(len(keys) - 1))
     assert all(r["score6"] <= 0.0 for r in rows)  # ln(u)/w is never positive
+
+
+# --- round-7 batch #3: eval/diagnostic keys ----------------------------------
+
+
+def test_langid_f1_consistent_with_confusion(spark, sf_dir):
+    """tp/fp/fn per class must recompute exactly from the confusion
+    matrix; macro-F1 in [0, 1]."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    cm = [(r["lang"], r["guess"], r["n"])
+          for r in qs["q_langid_confusion"](spark, sf_dir).collect()]
+    f1 = {r["lang"]: r for r in qs["q_langid_f1"](spark, sf_dir).collect()}
+    classes = {t for t, _, _ in cm}
+    assert set(f1) == classes
+    for c in classes:
+        tp = sum(n for t, g, n in cm if t == c and g == c)
+        fp = sum(n for t, g, n in cm if t != c and g == c)
+        fn = sum(n for t, g, n in cm if t == c and g != c)
+        assert (f1[c]["tp"], f1[c]["fp"], f1[c]["fn"]) == (tp, fp, fn), c
+        assert 0.0 <= f1[c]["f16"] <= 1.0
+    macro = sum(r["f16"] for r in f1.values()) / len(f1)
+    assert 0.0 <= macro <= 1.0
+
+
+def test_zipf_slope_negative_and_head_sized(spark, sf_dir):
+    import __spark_entry__ as entry_mod
+
+    (row,) = entry_mod.queries()["q_zipf_fit"](spark, sf_dir).collect()
+    assert 2 <= row["n"] <= 100  # min(vocab, head budget); fixture vocab is 31
+    assert row["slope6"] < 0  # frequency decays with rank, always
+
+
+def test_kappa_internal_consistency(spark, sf_dir):
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    (r,) = entry_mod.queries()["q_gate_agreement_kappa"](spark, sf_dir).collect()
+    n = r["n11"] + r["n10"] + r["n01"] + r["n00"]
+    assert n == r["n"] and n > 0
+    po = (r["n11"] + r["n00"]) / n
+    pe = (
+        (r["n11"] + r["n10"]) * (r["n11"] + r["n01"])
+        + (r["n01"] + r["n00"]) * (r["n10"] + r["n00"])
+    ) / (n * n)
+    assert abs(r["po6"] - math.floor(po * 1e6 + 0.5) / 1e6) < 1e-9
+    assert abs(r["pe6"] - math.floor(pe * 1e6 + 0.5) / 1e6) < 1e-9
+    assert -1.0 <= r["kappa6"] <= 1.0
