@@ -135,6 +135,7 @@ HEADLINE = [
     "q_langid_f1",
     "q_zipf_fit",
     "q_gate_agreement_kappa",
+    "q_dedup_blocking_audit",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

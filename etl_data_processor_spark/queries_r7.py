@@ -984,3 +984,184 @@ def q_gate_agreement_kappa(spark, sf_dir):
         SIM.stable_round6(pe).alias("pe6"),
         SIM.stable_round6(kappa).alias("kappa6"),
     )
+
+
+# =====================================================================
+# Dedup blocking audit: precision/recall of the SimHash candidate
+# relation against the exact-Jaccard gold (B22/B52 ext — "how much
+# near-dup mass does the cheap blocker actually catch?")
+# =====================================================================
+
+_AUD_TAU = 0.5   # gold: exact word-3-gram Jaccard >= tau within source
+_AUD_HAM = 3     # predicted: portable-SimHash hamming <= 3 within source
+
+_AUD_SHINGLES = (
+    "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] "
+    "for i in range(1, len(w)-1)])"
+)
+_AUD_CHARFOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({t}) + 1), "
+    "i -> CAST(ascii(substr({t}, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+    "(a, c) -> (a * 31 + c) % 4294967296)"
+)
+
+_AUD_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, source, {_AUD_SHINGLES} AS ss
+    FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+),
+pref AS (
+    SELECT doc_id, source,
+           UNNEST(list_slice(list_sort(ss), 1,
+                             len(ss) - (len(ss) + 1) // 2 + 1)) AS tok
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b
+      ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+),
+gold AS (
+    SELECT c.source, c.id_a, c.id_b
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= {_AUD_TAU}
+),
+tok AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+),
+h AS (SELECT doc_id, source, {_AUD_CHARFOLD.format(t="t")} AS h FROM tok),
+bits AS (
+    SELECT doc_id, source, CAST(b.b AS INTEGER) AS bit,
+           CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1
+                THEN 1 ELSE -1 END AS s
+    FROM h, UNNEST(range(32)) AS b(b)
+),
+votes AS (SELECT doc_id, source, bit, SUM(s) AS v FROM bits GROUP BY 1, 2, 3),
+sig AS (
+    SELECT doc_id, source,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id, source
+),
+pred AS (
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {_AUD_HAM}
+),
+u AS (
+    SELECT COALESCE(g.source, p.source) AS source,
+           CASE WHEN g.id_a IS NOT NULL AND p.id_a IS NOT NULL THEN 'tp'
+                WHEN g.id_a IS NOT NULL THEN 'fn' ELSE 'fp' END AS cls
+    FROM gold g FULL OUTER JOIN pred p
+      ON g.source = p.source AND g.id_a = p.id_a AND g.id_b = p.id_b
+),
+m AS (
+    SELECT source,
+           CAST(COALESCE(SUM(CASE WHEN cls = 'tp' THEN 1 END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN cls = 'fp' THEN 1 END), 0) AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN cls = 'fn' THEN 1 END), 0) AS BIGINT) AS fn
+    FROM u GROUP BY source
+)
+SELECT source, tp, fp, fn,
+       CAST(FLOOR(CASE WHEN tp + fp = 0 THEN 0.0
+                       ELSE CAST(tp AS DOUBLE) / (tp + fp) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS precision6,
+       CAST(FLOOR(CASE WHEN tp + fn = 0 THEN 0.0
+                       ELSE CAST(tp AS DOUBLE) / (tp + fn) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS recall6
+FROM m
+"""
+
+
+@q("q_dedup_blocking_audit", _AUD_ORACLE)
+def q_dedup_blocking_audit(spark, sf_dir):
+    """B22/B52 ext: the dedup BLOCKING AUDIT — per source, precision and
+    recall of the cheap near-dup candidate relation (portable 32-bit
+    SimHash, hamming <= 3) against the exact gold relation (word-3-gram
+    Jaccard >= 0.5, the q_dedup_ngram semantics). This is the
+    measurement a corpus team runs before trusting a signature blocker
+    at 100 TB — the audit q_fuzzy_passjoin's 14x-precision lesson shows
+    is NOT optional. Scale shape: the gold side is the prefix-filter
+    candidate join (Bayardo-complete, never all-pairs); the predicted
+    side blocks sig pairs by 4x8-bit SimHash BANDS (pigeonhole: hamming
+    <= 3 implies at least one equal band), then verifies
+    bit_count(xor) — an equi-join, never an all-pairs hamming scan; the
+    outcome classes reduce to a |sources|-row table. Exact integer
+    tp/fp/fn; the oracle replays both relations (its pred side IS
+    all-pairs — fine at oracle scale, the budget gate would catch a
+    quadratic creep)."""
+    from etl_data_processor_spark.ops.dedup import ngram_jaccard_pairs_blocked
+    from etl_data_processor_spark.queries_north import _lsh_index
+
+    d = _cat(spark, sf_dir).documents
+    sh, _ = _lsh_index(spark, sf_dir)
+    gold = ngram_jaccard_pairs_blocked(
+        d, block_cols=["source"], threshold=_AUD_TAU, shingled=sh
+    ).select("source", "id_a", "id_b")
+
+    import __spark_entry__  # noqa: F401
+    from etl_data_processor_spark.registry import QUERIES
+
+    sig = QUERIES["q_simhash_portable"](spark, sf_dir).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftrightunsigned(F.col("sig"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    bt = sig.select(
+        "doc_id", "source", "sig", F.explode(bands).alias("b")
+    ).select("doc_id", "source", "sig", F.col("b.bi"), F.col("b.bv"))
+    rhs = bt.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src2"),
+        F.col("sig").alias("sig2"), F.col("bi").alias("bi2"),
+        F.col("bv").alias("bv2"),
+    )
+    pred = (
+        bt.join(
+            rhs.hint("shuffle_hash"),
+            (F.col("source") == F.col("src2"))
+            & (F.col("bi") == F.col("bi2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .filter(
+            F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2"))) <= _AUD_HAM
+        )
+        .select("source", F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    g = gold.withColumn("__g", F.lit(1))
+    p = pred.withColumn("__p", F.lit(1))
+    u = g.join(p, ["source", "id_a", "id_b"], "full_outer")
+    m = u.groupBy("source").agg(
+        F.coalesce(F.sum(F.when(F.col("__g").isNotNull() & F.col("__p").isNotNull(), 1)), F.lit(0)).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("__g").isNull(), 1)), F.lit(0)).alias("fp"),
+        F.coalesce(F.sum(F.when(F.col("__p").isNull(), 1)), F.lit(0)).alias("fn"),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fn"))
+    )
+    return m.select(
+        "source", "tp", "fp", "fn",
+        SIM.stable_round6(prec).alias("precision6"),
+        SIM.stable_round6(rec).alias("recall6"),
+    )

@@ -134,6 +134,22 @@ HEAVY = [
     "q_stopword_discovery",
     # B74 capstone: six chained one-pass stages, model tables broadcast.
     "q_selection_pipeline",
+    # B75 (round 7): passjoin candidate join; one-explode diversity agg;
+    # shuffle-free A-Res scan + TakeOrdered; BLEU gram joins; span
+    # corruption per-doc windows; VAD decode + per-track islands.
+    "q_fuzzy_passjoin",
+    "q_distinct_ngrams",
+    "q_sample_ares",
+    "q_bleu_eval",
+    "q_span_corruption",
+    "q_audio_vad_segments",
+    # B76 (round 7): per-doc stopword scan + tiny aggs; frequency head
+    # OLS; two-gate contingency.
+    "q_langid_confusion",
+    "q_zipf_fit",
+    "q_gate_agreement_kappa",
+    # B76 #2: banded simhash pairs vs prefix-filter gold, both equi-joins.
+    "q_dedup_blocking_audit",
 ]
 
 SF_DIRS = [

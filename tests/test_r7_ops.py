@@ -298,3 +298,19 @@ def test_kappa_internal_consistency(spark, sf_dir):
     assert abs(r["po6"] - math.floor(po * 1e6 + 0.5) / 1e6) < 1e-9
     assert abs(r["pe6"] - math.floor(pe * 1e6 + 0.5) / 1e6) < 1e-9
     assert -1.0 <= r["kappa6"] <= 1.0
+
+
+def test_blocking_audit_catches_gold_and_counts_consistent(spark, sf_dir):
+    """The simhash blocker must RECALL the (tiny) exact-Jaccard gold on
+    the fixture (recall 1.0 where gold exists), and tp+fn per source must
+    equal that source's gold-pair count from q_dedup_ngram."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    audit = {r["source"]: r for r in qs["q_dedup_blocking_audit"](spark, sf_dir).collect()}
+    gold = {}
+    for r in qs["q_dedup_ngram"](spark, sf_dir).collect():
+        gold[r["source"]] = gold.get(r["source"], 0) + 1
+    for src, n in gold.items():
+        assert audit[src]["tp"] + audit[src]["fn"] == n, src
+    assert all(r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0 for r in audit.values())
