@@ -97,7 +97,12 @@ def q_distinct_ngrams(spark, sf_dir):
     a single hash aggregate per (source, n) with a distinct count —
     vocabulary-sized state, corpus-linear work, the identical plan at
     100 TB."""
-    d = _cat(spark, sf_dir).documents
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    # width guard: the (n, gram) explode is the CPU-heavy stage and a
+    # small single-file scan arrives as one partition (stress: 14 s max
+    # task at sf1 unguarded); a no-op on wide scans at 100 TB
+    d = _parallelize(_cat(spark, sf_dir).documents.select("source", "text"))
     w = tokenize(F.col("text"))
     grams = F.flatten(
         F.transform(
@@ -281,7 +286,12 @@ def q_bleu_eval(spark, sf_dir):
     precedent). Plan: one gram explode per side into (pair, n, gram)
     counts, one hash join on the gram key, two source-sized aggregates —
     corpus-linear, model-free, no window, no Python."""
-    d = _cat(spark, sf_dir).documents
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    # width guard for the gram explodes (no-op on wide scans at 100 TB)
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
     w = tokenize(F.col("text"))
     grams = F.flatten(
         F.transform(
@@ -438,10 +448,13 @@ def q_span_corruption(spark, sf_dir):
     scale), pieces re-assembled with the sort-collect_list idiom; no
     Python, no global window. At 100 TB this runs as the final map-shape
     pass before shard write."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
     from etl_data_processor_spark.ops.sampling import hash32
     from pyspark.sql import Window
 
-    d = _cat(spark, sf_dir).documents
+    # width guard: the tokenize posexplode is the heavy stage (no-op on
+    # wide scans at 100 TB)
+    d = _parallelize(_cat(spark, sf_dir).documents.select("doc_id", "text"))
     tok = d.select(
         "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos0", "token")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
