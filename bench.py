@@ -136,6 +136,11 @@ HEADLINE = [
     "q_zipf_fit",
     "q_gate_agreement_kappa",
     "q_dedup_blocking_audit",
+    # round-7 batch 3 (B77): recall-eval, drift, privacy, formats
+    "q_rouge_n",
+    "q_js_divergence",
+    "q_l_diversity",
+    "q_scan_orc",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

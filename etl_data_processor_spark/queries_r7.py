@@ -1178,3 +1178,346 @@ def q_dedup_blocking_audit(spark, sf_dir):
         SIM.stable_round6(prec).alias("precision6"),
         SIM.stable_round6(rec).alias("recall6"),
     )
+
+
+# =====================================================================
+# ROUGE-N recall (B-eval ext — Lin 2004: the recall-oriented sibling of
+# q_bleu_eval, same pairs, same clipped gram machinery)
+# =====================================================================
+
+_ROUGE_ORACLE = f"""
+WITH cand AS (
+    SELECT doc_id AS cid, source,
+           doc_id - (doc_id % {_BLEU_SRCS}) AS rid,
+           {_SQL_TOKENS} AS w
+    FROM documents WHERE source <> 'src0'
+),
+ref AS (
+    SELECT doc_id AS rid, {_SQL_TOKENS} AS w
+    FROM documents WHERE source = 'src0'
+),
+pairs AS (SELECT c.cid, c.source, c.rid FROM cand c JOIN ref r USING (rid)),
+cg AS (
+    SELECT cid AS pid, nn.n AS n,
+           array_to_string(w[i:i + nn.n - 1], ' ') AS g,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM cand, range(1, 3) nn(n), range(1, 4097) t(i)
+    WHERE i + nn.n - 1 <= len(w)
+    GROUP BY pid, n, g
+),
+rg AS (
+    SELECT rid AS pid, nn.n AS n,
+           array_to_string(w[i:i + nn.n - 1], ' ') AS g,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM ref, range(1, 3) nn(n), range(1, 4097) t(i)
+    WHERE i + nn.n - 1 <= len(w)
+    GROUP BY pid, n, g
+),
+-- recall side: every REF gram counts toward the denominator; matches
+-- clip against the candidate counts
+clip AS (
+    SELECT p.source, rg.n,
+           CAST(SUM(LEAST(rg.c, COALESCE(cg.c, 0))) AS BIGINT) AS m,
+           CAST(SUM(rg.c) AS BIGINT) AS t
+    FROM pairs p
+    JOIN rg ON rg.pid = p.rid
+    LEFT JOIN cg ON cg.pid = p.cid AND cg.n = rg.n AND cg.g = rg.g
+    GROUP BY p.source, rg.n
+)
+SELECT source,
+       MAX(CASE WHEN n = 1 THEN m END) AS m1,
+       MAX(CASE WHEN n = 1 THEN t END) AS t1,
+       MAX(CASE WHEN n = 2 THEN m END) AS m2,
+       MAX(CASE WHEN n = 2 THEN t END) AS t2,
+       {_SQL_ROUND6.format(
+           x="CAST(MAX(CASE WHEN n = 1 THEN m END) AS DOUBLE)"
+             " / MAX(CASE WHEN n = 1 THEN t END)")} AS rouge1_6,
+       {_SQL_ROUND6.format(
+           x="CAST(MAX(CASE WHEN n = 2 THEN m END) AS DOUBLE)"
+             " / MAX(CASE WHEN n = 2 THEN t END)")} AS rouge2_6
+FROM clip GROUP BY source
+"""
+
+
+@q("q_rouge_n", _ROUGE_ORACLE)
+def q_rouge_n(spark, sf_dir):
+    """Eval ext: corpus-level ROUGE-1/ROUGE-2 recall (Lin 2004, public) —
+    the recall-oriented sibling of q_bleu_eval over the SAME candidate/
+    reference pairing: per pair, clipped gram matches are divided by the
+    REFERENCE gram total (did the candidate cover the reference?),
+    micro-averaged per source. Exact integer matches/totals; one double
+    division. Plan: the q_bleu_eval shape with the join direction flipped
+    (ref grams LEFT JOIN candidate grams) — one gram explode per side,
+    one hash join, a source-sized aggregate."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
+    w = tokenize(F.col("text"))
+    grams = F.flatten(
+        F.transform(
+            F.array(F.lit(1), F.lit(2)),
+            lambda n: F.transform(
+                _one_to(F.size("__w") - n + F.lit(1)),
+                lambda i: F.struct(
+                    n.alias("n"),
+                    F.array_join(F.slice("__w", i, n), " ").alias("g"),
+                ),
+            ),
+        )
+    )
+    cand = d.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("cid"),
+        "source",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_BLEU_SRCS))).alias("rid"),
+        w.alias("__w"),
+    )
+    ref = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("rid"), w.alias("__w")
+    )
+    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
+
+    def gram_counts(side, idc):
+        return (
+            side.select(F.col(idc).alias("pid"), F.explode(grams).alias("p"))
+            .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rgc = gram_counts(ref, "rid")
+    cgc = gram_counts(cand, "cid").select(
+        F.col("pid").alias("cpid"), F.col("n").alias("cn"),
+        F.col("g").alias("cg"), F.col("c").alias("cc"),
+    )
+    clip = (
+        pairs.join(rgc, pairs["rid"] == rgc["pid"])
+        .join(
+            cgc,
+            (F.col("cid") == F.col("cpid"))
+            & (F.col("n") == F.col("cn"))
+            & (F.col("g") == F.col("cg")),
+            "left",
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.sum(F.least(F.col("c"), F.coalesce(F.col("cc"), F.lit(0)))).alias("m"),
+            F.sum("c").alias("t"),
+        )
+    )
+    wide = clip.groupBy("source").agg(
+        *[
+            F.max(F.when(F.col("n") == i, F.col(col))).alias(f"{col}{i}")
+            for i in (1, 2)
+            for col in ("m", "t")
+        ]
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    return wide.select(
+        "source", "m1", "t1", "m2", "t2",
+        SIM.stable_round6(dd(F.col("m1")) / dd(F.col("t1"))).alias("rouge1_6"),
+        SIM.stable_round6(dd(F.col("m2")) / dd(F.col("t2"))).alias("rouge2_6"),
+    )
+
+
+# =====================================================================
+# Jensen-Shannon drift (B-drift ext — the bounded, symmetric divergence
+# next to q_quality_drift_psi's PSI and q_ks_drift's KS)
+# =====================================================================
+
+_JSD_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+cs AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+       GROUP BY source, token),
+cg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cs GROUP BY source),
+ng AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cg),
+grid AS (
+    SELECT s.source, g.token, COALESCE(x.c, 0) AS cs, g.c AS cg,
+           ns.n AS nsrc, ng.n AS ntot
+    FROM (SELECT DISTINCT source FROM cs) s
+    CROSS JOIN cg g
+    LEFT JOIN cs x ON x.source = s.source AND x.token = g.token
+    JOIN ns ON ns.source = s.source CROSS JOIN ng
+),
+terms AS (
+    SELECT source,
+           CAST(FLOOR(CASE WHEN cs = 0 THEN 0.0 ELSE
+               (CAST(cs AS DOUBLE) / nsrc)
+               * LN((CAST(cs AS DOUBLE) / nsrc) /
+                    ((CAST(cs AS DOUBLE) / nsrc
+                      + CAST(cg AS DOUBLE) / ntot) / 2.0)) END
+               * 1000000000000.0 + 0.5) AS BIGINT) AS pq,
+           CAST(FLOOR(
+               (CAST(cg AS DOUBLE) / ntot)
+               * LN((CAST(cg AS DOUBLE) / ntot) /
+                    ((CAST(cs AS DOUBLE) / nsrc
+                      + CAST(cg AS DOUBLE) / ntot) / 2.0))
+               * 1000000000000.0 + 0.5) AS BIGINT) AS qq
+    FROM grid
+)
+SELECT source,
+       {_SQL_ROUND6.format(
+           x="(CAST(SUM(pq) AS DOUBLE) + CAST(SUM(qq) AS DOUBLE))"
+             " / 2.0 / 1000000000000.0")} AS jsd6
+FROM terms GROUP BY source
+"""
+
+
+@q("q_js_divergence", _JSD_ORACLE)
+def q_js_divergence(spark, sf_dir):
+    """Drift ext: Jensen-Shannon divergence of each source's unigram
+    distribution against the GLOBAL corpus distribution — the bounded
+    (<= ln 2), symmetric member of the drift family next to PSI
+    (unbounded, needs binning floors) and KS (max-gap only). JSD(P||Q) =
+    (KL(P||M) + KL(Q||M))/2 with M the midpoint. Determinism: every
+    p*ln(p/m) term quantizes to a 1e-12 integer before summation (the
+    ops/exact discipline), so cross-engine sums are exact; zero source
+    counts contribute only the q-side term (0*ln0 pinned to 0). Scale:
+    the corpus collapses to a (source, token) count table; the grid is
+    |sources| x |vocab| — vocabulary-sized work however large the
+    corpus."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(_cat(spark, sf_dir).documents.select("source", "text"))
+    toks = d.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
+    cs = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    cg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cg"))
+    ns = cs.groupBy("source").agg(F.sum("c").alias("nsrc"))
+    ng = cg.agg(F.sum("cg").alias("ntot"))
+    grid = (
+        cs.select("source").distinct()
+        .crossJoin(cg)
+        .join(cs, ["source", "token"], "left")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            F.coalesce(F.col("c"), F.lit(0)).alias("cs"),
+            "cg", "nsrc", "ntot",
+        )
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    p = dd(F.col("cs")) / dd(F.col("nsrc"))
+    qv = dd(F.col("cg")) / dd(F.col("ntot"))
+    m = (p + qv) / F.lit(2.0)
+    q12 = lambda x: F.floor(x * F.lit(1e12) + F.lit(0.5)).cast("long")  # noqa: E731
+    pq = F.when(F.col("cs") == 0, F.lit(0).cast("long")).otherwise(
+        q12(p * F.log(p / m))
+    )
+    qq = q12(qv * F.log(qv / m))
+    terms = grid.select("source", pq.alias("pq"), qq.alias("qq"))
+    jsd = (
+        F.sum("pq").cast("double") + F.sum("qq").cast("double")
+    ) / F.lit(2.0) / F.lit(1e12)
+    return terms.groupBy("source").agg(SIM.stable_round6(jsd).alias("jsd6"))
+
+
+# =====================================================================
+# l-diversity audit (B-privacy ext — Machanavajjhala et al. 2007: the
+# k-anonymity follow-up q_k_anonymity's docstring points at)
+# =====================================================================
+
+
+@q(
+    "q_l_diversity",
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, bal_band,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+        FROM qi GROUP BY c_nationkey, bal_band
+    )
+    SELECT c_nationkey, bal_band, n, l, l < 3 AS violates_l3
+    FROM g
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """Privacy ext: l-DIVERSITY audit (Machanavajjhala et al. 2007,
+    public) — k-anonymity's follow-up: an equivalence class can be
+    large (k-anonymous) yet still leak when every member shares the
+    SENSITIVE value. Quasi-identifiers = (nation, coarse balance band);
+    sensitive attribute = market segment; flag classes with fewer than
+    l=3 distinct sensitive values. One aggregate pass with a distinct
+    count — the release gate runs this next to q_k_anonymity before
+    publishing any grouped extract."""
+    qi = _cat(spark, sf_dir).customer.select(
+        "c_nationkey",
+        F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+        "c_mktsegment",
+    )
+    return (
+        qi.groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("c_mktsegment")).alias("l"),
+        )
+        .withColumn("violates_l3", F.col("l") < 3)
+    )
+
+
+# =====================================================================
+# ORC scan + sink roundtrip (B1 ext — the third columnar format after
+# parquet; proves pushdown/pruning hold beyond parquet)
+# =====================================================================
+
+
+def _ensure_orc_copy(spark, sf_dir: str) -> str:
+    """Idempotent setup hook (the ensure_bucketed_join_tables pattern):
+    one ORC copy of the documents table per sf_dir under the warehouse,
+    written once and reused; a partial/stale dir (no _SUCCESS) is
+    rebuilt."""
+    import hashlib
+    import os
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(warehouse, f"_orc_documents_{key}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        _cat(spark, sf_dir).documents.select(
+            "doc_id", "source", "lang", "n_chars"
+        ).write.mode("overwrite").orc(path)
+    return path
+
+
+@q(
+    "q_scan_orc",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= 100
+    GROUP BY source
+    """,
+)
+def q_scan_orc(spark, sf_dir):
+    """B1 ext: ORC source/sink roundtrip — the documents table written
+    once to ORC (idempotent setup hook) and aggregated back with filter
+    pushdown + column pruning through Spark's native ORC reader (plan
+    pin: PushedFilters on lang/n_chars, 3-column ReadSchema). The oracle
+    aggregates the SAME rows from parquet, so a green differential
+    proves the roundtrip byte-exact. At 100 TB this is the
+    mixed-format-lake reality: the engine must scan whichever columnar
+    format the upstream team landed, with the same pruning guarantees."""
+    path = _ensure_orc_copy(spark, sf_dir)
+    d = spark.read.orc(path)
+    return (
+        d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )

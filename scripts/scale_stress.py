@@ -150,6 +150,12 @@ HEAVY = [
     "q_gate_agreement_kappa",
     # B76 #2: banded simhash pairs vs prefix-filter gold, both equi-joins.
     "q_dedup_blocking_audit",
+    # B77: flipped-direction gram joins; |sources|x|vocab| drift grid;
+    # distinct-count privacy agg; ORC scan with pushdown.
+    "q_rouge_n",
+    "q_js_divergence",
+    "q_l_diversity",
+    "q_scan_orc",
 ]
 
 SF_DIRS = [

@@ -314,3 +314,72 @@ def test_blocking_audit_catches_gold_and_counts_consistent(spark, sf_dir):
     for src, n in gold.items():
         assert audit[src]["tp"] + audit[src]["fn"] == n, src
     assert all(r["tp"] >= 0 and r["fp"] >= 0 and r["fn"] >= 0 for r in audit.values())
+
+
+def test_rouge_bounds_and_bleu_consistency(spark, sf_dir):
+    """ROUGE-n in [0,1]; its clipped-match numerators relate to BLEU's:
+    both clip per (pair, gram), so sum-of-min is the SAME quantity — only
+    the denominator side differs (candidate totals vs reference totals).
+    Verify m1/m2 equal BLEU's m1/m2 per source."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    rouge = {r["source"]: r for r in qs["q_rouge_n"](spark, sf_dir).collect()}
+    bleu = {r["source"]: r for r in qs["q_bleu_eval"](spark, sf_dir).collect()}
+    assert set(rouge) == set(bleu)
+    for s in rouge:
+        assert rouge[s]["m1"] == bleu[s]["m1"], s
+        assert rouge[s]["m2"] == bleu[s]["m2"], s
+        assert 0.0 <= rouge[s]["rouge1_6"] <= 1.0
+        assert 0.0 <= rouge[s]["rouge2_6"] <= 1.0
+
+
+def test_jsd_bounds(spark, sf_dir):
+    """JSD is within [0, ln 2] and zero only for an identical
+    distribution (no source IS the global mixture, so strictly > 0)."""
+    import math
+
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["q_js_divergence"](spark, sf_dir).collect()
+    assert len(rows) >= 10
+    for r in rows:
+        assert 0.0 < r["jsd6"] <= math.log(2) + 1e-9, r
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark, sf_dir):
+    """Every l-diversity class size n must equal the sum of the
+    k-anonymity class sizes sharing its (nation, band) prefix, and
+    l <= number of distinct segments in that prefix."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    ka = {}
+    for r in qs["q_k_anonymity"](spark, sf_dir).collect():
+        key = (r["c_nationkey"], r["bal_band"])
+        ka.setdefault(key, []).append(r)
+    for r in qs["q_l_diversity"](spark, sf_dir).collect():
+        key = (r["c_nationkey"], r["bal_band"])
+        assert r["n"] == sum(x["n"] for x in ka[key]), key
+        assert r["l"] == len(ka[key]), key
+        assert r["violates_l3"] == (r["l"] < 3)
+
+
+def test_orc_roundtrip_plan_pushdown(spark, sf_dir):
+    """The ORC scan must push both filters and prune to the 3 used
+    columns — the same guarantees the parquet scans are pinned to."""
+    import io as _io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_scan_orc"](spark, sf_dir)
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "lang" in pushed and "n_chars" in pushed
+    schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "doc_id" not in schema  # unused column pruned from the read
