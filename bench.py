@@ -141,6 +141,7 @@ HEADLINE = [
     "q_js_divergence",
     "q_l_diversity",
     "q_scan_orc",
+    "q_blocking_tradeoff",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -1521,3 +1521,183 @@ def q_scan_orc(spark, sf_dir):
             F.sum("n_chars").alias("chars"),
         )
     )
+
+
+# =====================================================================
+# Blocking tradeoff curve: precision/recall vs hamming threshold (B22/
+# B52 ext — the tuning view over q_dedup_blocking_audit's fixed point)
+# =====================================================================
+
+_TRD_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, source, {_AUD_SHINGLES} AS ss
+    FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+),
+pref AS (
+    SELECT doc_id, source,
+           UNNEST(list_slice(list_sort(ss), 1,
+                             len(ss) - (len(ss) + 1) // 2 + 1)) AS tok
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b
+      ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+),
+gold AS (
+    SELECT c.source, c.id_a, c.id_b
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= {_AUD_TAU}
+),
+ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM gold),
+tok AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+),
+h AS (SELECT doc_id, source, {_AUD_CHARFOLD.format(t="t")} AS h FROM tok),
+bits AS (
+    SELECT doc_id, source, CAST(b.b AS INTEGER) AS bit,
+           CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1
+                THEN 1 ELSE -1 END AS s
+    FROM h, UNNEST(range(32)) AS b(b)
+),
+votes AS (SELECT doc_id, source, bit, SUM(s) AS v FROM bits GROUP BY 1, 2, 3),
+sig AS (
+    SELECT doc_id, source,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id, source
+),
+pred AS (
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS ham
+    FROM sig a JOIN sig b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+),
+lab AS (
+    SELECT p.ham, (g.id_a IS NOT NULL) AS is_gold
+    FROM pred p LEFT JOIN gold g
+      ON g.source = p.source AND g.id_a = p.id_a AND g.id_b = p.id_b
+),
+grid AS (SELECT CAST(t.i AS INTEGER) AS h FROM UNNEST(range(0, 4)) t(i)),
+m AS (
+    SELECT grid.h,
+           CAST(COALESCE(SUM(CASE WHEN lab.ham <= grid.h AND lab.is_gold
+                                  THEN 1 END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN lab.ham <= grid.h AND NOT lab.is_gold
+                                  THEN 1 END), 0) AS BIGINT) AS fp
+    FROM grid LEFT JOIN lab ON TRUE GROUP BY grid.h
+)
+SELECT m.h, m.tp, m.fp, CAST(ng.g - m.tp AS BIGINT) AS fn,
+       CAST(FLOOR(CASE WHEN m.tp + m.fp = 0 THEN 0.0
+                       ELSE CAST(m.tp AS DOUBLE) / (m.tp + m.fp) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS precision6,
+       CAST(FLOOR(CASE WHEN ng.g = 0 THEN 0.0
+                       ELSE CAST(m.tp AS DOUBLE) / ng.g END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS recall6
+FROM m CROSS JOIN ng
+"""
+
+
+@q("q_blocking_tradeoff", _TRD_ORACLE)
+def q_blocking_tradeoff(spark, sf_dir):
+    """B22/B52 ext: the blocker TUNING CURVE — precision/recall of the
+    banded portable-SimHash candidate relation at every hamming
+    threshold h in 0..3 against the exact Jaccard>=0.5 gold (the
+    threshold sweep q_dedup_blocking_audit's single fixed point feeds;
+    0..3 because the 4x8-bit banding guarantee covers hamming <= 3).
+    One pass computes each candidate pair's hamming distance; the four
+    thresholds are cumulative conditional sums over that (<= 4+|gold|)-
+    bucket table — no re-blocking per threshold. This is the table a
+    corpus team reads to PICK the threshold: on this fixture precision
+    collapses well before recall is at risk, so the shipped h must stay
+    small (the audit's 'simhash at h<=3 is too loose' finding, now with
+    the whole curve). Scale shape identical to the audit: equi-join-
+    blocked relations, a constant-size report."""
+    from etl_data_processor_spark.ops.dedup import ngram_jaccard_pairs_blocked
+    from etl_data_processor_spark.queries_north import _lsh_index
+
+    d = _cat(spark, sf_dir).documents
+    sh, _ = _lsh_index(spark, sf_dir)
+    gold = ngram_jaccard_pairs_blocked(
+        d, block_cols=["source"], threshold=_AUD_TAU, shingled=sh
+    ).select("source", "id_a", "id_b")
+
+    import __spark_entry__  # noqa: F401
+    from etl_data_processor_spark.registry import QUERIES
+
+    sig = QUERIES["q_simhash_portable"](spark, sf_dir).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftrightunsigned(F.col("sig"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    bt = sig.select(
+        "doc_id", "source", "sig", F.explode(bands).alias("b")
+    ).select("doc_id", "source", "sig", F.col("b.bi"), F.col("b.bv"))
+    rhs = bt.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src2"),
+        F.col("sig").alias("sig2"), F.col("bi").alias("bi2"),
+        F.col("bv").alias("bv2"),
+    )
+    ham = F.bit_count(F.col("sig").bitwiseXOR(F.col("sig2")))
+    pred = (
+        bt.join(
+            rhs.hint("shuffle_hash"),
+            (F.col("source") == F.col("src2"))
+            & (F.col("bi") == F.col("bi2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .filter(ham <= 3)
+        .select(
+            "source", F.col("doc_id").alias("id_a"), "id_b",
+            ham.cast("int").alias("ham"),
+        )
+        .distinct()
+    )
+    lab = pred.join(
+        gold.withColumn("__g", F.lit(1)), ["source", "id_a", "id_b"], "left"
+    ).select("ham", F.col("__g").isNotNull().alias("is_gold"))
+    ng = gold.agg(F.count(F.lit(1)).alias("g"))
+    grid = spark.range(4).select(F.col("id").cast("int").alias("h"))
+    m = (
+        grid.join(lab, F.lit(True), "left")
+        .groupBy("h")
+        .agg(
+            F.coalesce(
+                F.sum(F.when((F.col("ham") <= F.col("h")) & F.col("is_gold"), 1)),
+                F.lit(0),
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(F.when((F.col("ham") <= F.col("h")) & ~F.col("is_gold"), 1)),
+                F.lit(0),
+            ).alias("fp"),
+        )
+        .crossJoin(F.broadcast(ng))
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("g") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("g"))
+    )
+    return m.select(
+        "h", "tp", "fp", (F.col("g") - F.col("tp")).alias("fn"),
+        SIM.stable_round6(prec).alias("precision6"),
+        SIM.stable_round6(rec).alias("recall6"),
+    )

@@ -156,6 +156,7 @@ HEAVY = [
     "q_js_divergence",
     "q_l_diversity",
     "q_scan_orc",
+    "q_blocking_tradeoff",
 ]
 
 SF_DIRS = [

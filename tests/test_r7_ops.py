@@ -383,3 +383,25 @@ def test_orc_roundtrip_plan_pushdown(spark, sf_dir):
     assert "lang" in pushed and "n_chars" in pushed
     schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "doc_id" not in schema  # unused column pruned from the read
+
+
+def test_blocking_tradeoff_monotone_and_matches_audit(spark, sf_dir):
+    """Thresholds are cumulative: tp and fp are non-decreasing in h,
+    recall non-decreasing; the h=3 point must equal
+    q_dedup_blocking_audit's totals (same relations)."""
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    curve = sorted(
+        (r["h"], r["tp"], r["fp"], r["fn"], r["recall6"])
+        for r in qs["q_blocking_tradeoff"](spark, sf_dir).collect()
+    )
+    assert [h for h, *_ in curve] == [0, 1, 2, 3]
+    for (h1, tp1, fp1, _, r1), (h2, tp2, fp2, _, r2) in zip(curve, curve[1:]):
+        assert tp2 >= tp1 and fp2 >= fp1 and r2 >= r1
+    audit = qs["q_dedup_blocking_audit"](spark, sf_dir).collect()
+    tot_tp = sum(r["tp"] for r in audit)
+    tot_fp = sum(r["fp"] for r in audit)
+    tot_fn = sum(r["fn"] for r in audit)
+    h3 = curve[-1]
+    assert (h3[1], h3[2], h3[3]) == (tot_tp, tot_fp, tot_fn)
