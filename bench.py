@@ -142,6 +142,9 @@ HEADLINE = [
     "q_l_diversity",
     "q_scan_orc",
     "q_blocking_tradeoff",
+    # round-7 batch 4 (B78): the tuned 64-bit blocker pair
+    "q_simhash64_portable",
+    "q_dedup_blocking_audit64",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -1,0 +1,348 @@
+"""Round-7 extension batch 2: the TUNED near-dup blocker (64-bit
+portable SimHash — round-7 candidate #1/#4 from NOTES_r7), plus the
+eval/diagnostic keys that landed with it.
+
+The headline story: q_dedup_blocking_audit measured the 32-bit
+SimHash blocker at precision ~0.001 / recall 1.0 (hamming <= 3) on the
+word-soup documents fixture, and the tradeoff curve showed tightening h
+kills recall before precision recovers — so the candidate fix is a
+WIDER SIGNATURE. This file ships the 64-bit portable signature — two
+independent 32-bit polynomial char folds (bases 31 and 37, both mod
+2^32, so every intermediate fits a signed int64 on BOTH engines; a
+single mod-2^64 fold would overflow DuckDB's checked BIGINT
+arithmetic) — and re-runs the identical audit at the EQUAL-RELATIVE-
+RADIUS threshold hamming <= 6 (3/32 == 6/64).
+
+Measured before wiring (the audit discipline applied to the audit
+itself; full grid in NOTES_r7 session 2): keeping h = 3 on 64 bits
+looks spectacular at sf0.01 (fp 960 -> 43, ~22x) but HALVES the
+relative radius and drops gold pairs at sf0.001 (a 97%-Jaccard pair
+sits at hamming 5/64) and sf0.1 (6/7) — a recall trap. At the scaled
+h <= 6 the lift is a consistent ~1.6x at recall 1.0 across ALL THREE
+scales (fp 996 -> 635 at sf0.001, 960 -> 632 at sf0.01,
+104220 -> 63547 at sf0.1): exactly the variance reduction doubling the
+averaged bits should buy, no more. Both lessons ship: widen the
+signature AND scale the threshold with it.
+
+House rules as ever: deterministic, DuckDB-oracled on the same parquet,
+exact integers until one final libm pair, equi-join-blocked candidate
+relations (never all-pairs on the Spark side), constant-size reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_data_processor_spark.ops import similarity as SIM
+from etl_data_processor_spark.registry import cat as _cat
+from etl_data_processor_spark.registry import q
+
+# =====================================================================
+# 64-bit portable SimHash (B22/B32 ext — the tuned signature)
+# =====================================================================
+
+_M32 = 1 << 32
+
+# DuckDB mirror of the two char folds (Horner, mod 2^32; base via {b}).
+_CF_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({t}) + 1), "
+    "i -> CAST(ascii(substr({t}, CAST(i AS INTEGER), 1)) AS BIGINT))), "
+    "(a, c) -> (a * {b} + c) % 4294967296)"
+)
+
+
+def _charfold(tok, base: int):
+    """Portable 32-bit polynomial char fold (Horner, ``base``, mod 2^32)
+    as a pure Column expression — bit-identical on DuckDB via _CF_SQL.
+    Two folds with coprime bases (31, 37) give 64 independent portable
+    hash bits without ever leaving checked int64 range on either engine
+    (max intermediate (2^32-1)*37 + 127 < 2^38)."""
+    codes = F.when(
+        F.length(tok) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda a, c: (a * base + c) % F.lit(_M32),
+    )
+
+
+def _sig32(hashes):
+    """32-bit SimHash signature from an array of token hashes: per-bit
+    +1/-1 votes folded through a 32-counter array accumulator (one pass,
+    no explode), majority-positive bits OR-ed into a long."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+# Shared oracle CTE text: the 64-bit signature per (doc_id, source).
+_SIG64_SQL = f"""
+tok AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+    FROM documents
+),
+h AS (SELECT doc_id, source, {_CF_SQL.format(t="t", b=31)} AS h1,
+             {_CF_SQL.format(t="t", b=37)} AS h2 FROM tok),
+bits AS (
+    SELECT doc_id, source, CAST(b.b AS INTEGER) AS bit,
+           CASE WHEN bit < 32 THEN
+                (CASE WHEN (h1 >> bit) & 1 = 1 THEN 1 ELSE -1 END)
+           ELSE (CASE WHEN (h2 >> (bit - 32)) & 1 = 1 THEN 1 ELSE -1 END)
+           END AS s
+    FROM h, UNNEST(range(64)) AS b(b)
+),
+votes AS (SELECT doc_id, source, bit, SUM(s) AS v FROM bits GROUP BY 1, 2, 3),
+sig AS (
+    SELECT doc_id, source,
+           CAST(SUM(CASE WHEN v > 0 AND bit < 32
+                         THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                AS BIGINT) AS sig_lo,
+           CAST(SUM(CASE WHEN v > 0 AND bit >= 32
+                         THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END)
+                AS BIGINT) AS sig_hi
+    FROM votes GROUP BY doc_id, source
+)
+"""
+
+
+@q(
+    "q_simhash64_portable",
+    f"WITH {_SIG64_SQL} SELECT doc_id, sig_lo, sig_hi FROM sig",
+)
+def q_simhash64_portable(spark, sf_dir):
+    """PORTABLE 64-bit SimHash: two independent 32-bit signature halves
+    (char folds base 31 / base 37, mod 2^32) per document, fully
+    value-matched against DuckDB. This is the TUNED signature the
+    blocking audit asked for: q_dedup_blocking_audit measured the
+    32-bit signature at precision ~0.001 (recall 1.0, h <= 3); doubling
+    the averaged bits cuts the per-bit noise, a measured ~1.6x
+    precision lift at recall 1.0 at the equal-relative-radius threshold
+    h <= 6 across all three fixture scales (see
+    q_dedup_blocking_audit64 for the full story incl. the h=3 recall
+    trap). Same
+    single-pass, no-explode array-accumulator plan as
+    q_simhash_portable — two vote folds over the same token array, one
+    corpus pass, no shuffle beyond the parallelism repartition. The
+    production xxhash64 simhash (ops.dedup.simhash) stays the scale
+    default; this portable twin exists so the 64-bit blocker is
+    DIFFERENTIALLY TESTABLE end to end."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "text")
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    h1 = F.transform(toks, lambda t: _charfold(t, 31))
+    h2 = F.transform(toks, lambda t: _charfold(t, 37))
+    return d.select(
+        "doc_id",
+        _sig32(h1).alias("sig_lo"),
+        _sig32(h2).alias("sig_hi"),
+    )
+
+
+# =====================================================================
+# Tuned blocking audit: the 64-bit blocker at the same gold/threshold
+# (round-7 candidate #1 closed — the audit's finding, acted on)
+# =====================================================================
+
+_AUD_TAU = 0.5
+# Equal relative radius to the 32-bit audit's h <= 3: thresholds must
+# scale with signature width or the wider signature silently tightens
+# the match semantics (measured: h=3/64 drops gold pairs at two of the
+# three fixture scales).
+_AUD64_HAM = 6
+
+_AUD_SHINGLES = (
+    "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] "
+    "for i in range(1, len(w)-1)])"
+)
+
+_AUD64_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, source, {_AUD_SHINGLES} AS ss
+    FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+),
+pref AS (
+    SELECT doc_id, source,
+           UNNEST(list_slice(list_sort(ss), 1,
+                             len(ss) - (len(ss) + 1) // 2 + 1)) AS tok
+    FROM sh
+),
+cand AS (
+    SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM pref a JOIN pref b
+      ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+),
+gold AS (
+    SELECT c.source, c.id_a, c.id_b
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(list_concat(a.ss, b.ss))) >= {_AUD_TAU}
+),
+{_SIG64_SQL.strip().lstrip()},
+pred AS (
+    SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+          + bit_count(xor(a.sig_hi, b.sig_hi)) <= {_AUD64_HAM}
+),
+u AS (
+    SELECT COALESCE(g.source, p.source) AS source,
+           CASE WHEN g.id_a IS NOT NULL AND p.id_a IS NOT NULL THEN 'tp'
+                WHEN g.id_a IS NOT NULL THEN 'fn' ELSE 'fp' END AS cls
+    FROM gold g FULL OUTER JOIN pred p
+      ON g.source = p.source AND g.id_a = p.id_a AND g.id_b = p.id_b
+),
+m AS (
+    SELECT source,
+           CAST(COALESCE(SUM(CASE WHEN cls = 'tp' THEN 1 END), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(CASE WHEN cls = 'fp' THEN 1 END), 0) AS BIGINT) AS fp,
+           CAST(COALESCE(SUM(CASE WHEN cls = 'fn' THEN 1 END), 0) AS BIGINT) AS fn
+    FROM u GROUP BY source
+)
+SELECT source, tp, fp, fn,
+       CAST(FLOOR(CASE WHEN tp + fp = 0 THEN 0.0
+                       ELSE CAST(tp AS DOUBLE) / (tp + fp) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS precision6,
+       CAST(FLOOR(CASE WHEN tp + fn = 0 THEN 0.0
+                       ELSE CAST(tp AS DOUBLE) / (tp + fn) END
+                  * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS recall6
+FROM m
+"""
+
+
+@q("q_dedup_blocking_audit64", _AUD64_ORACLE)
+def q_dedup_blocking_audit64(spark, sf_dir):
+    """B22/B52 ext: the blocking audit RE-RUN ON THE TUNED BLOCKER —
+    identical gold (word-3-gram Jaccard >= 0.5 within source), the
+    64-bit portable SimHash signature (q_simhash64_portable), and the
+    EQUAL-RELATIVE-RADIUS threshold hamming <= 6 (3/32 == 6/64). This
+    closes the loop q_dedup_blocking_audit opened — and documents the
+    trap found while closing it: re-using h = 3 on the wider signature
+    halves the relative match radius and DROPS GOLD PAIRS (a
+    97%-Jaccard pair sits at hamming 5/64; measured recall loss at
+    sf0.001 and sf0.1), even though it looks like a ~22x precision win
+    at sf0.01 alone. At the scaled h <= 6 the widening buys a
+    consistent, honest ~1.6x precision lift at recall 1.0 across all
+    three fixture scales (fp 996 -> 635 / 960 -> 632 /
+    104220 -> 63547) — the variance reduction of averaging 64 noisy
+    bits instead of 32. Scale shape: gold is the Bayardo prefix-filter
+    join; predicted side blocks by 8 x 8-bit bands (pigeonhole:
+    hamming <= 6 < 8 leaves at least one band untouched), then verifies
+    bit_count(xor(lo)) + bit_count(xor(hi)) — equi-joins all the way,
+    never an all-pairs hamming scan; outcome classes reduce to a
+    |sources|-row report. The read of the audit PAIR side by side is
+    the deliverable: measure the blocker, tune one variable at a time,
+    and scale thresholds with signature width."""
+    from etl_data_processor_spark.ops.dedup import ngram_jaccard_pairs_blocked
+    from etl_data_processor_spark.queries_north import _lsh_index
+
+    d = _cat(spark, sf_dir).documents
+    sh, _ = _lsh_index(spark, sf_dir)
+    gold = ngram_jaccard_pairs_blocked(
+        d, block_cols=["source"], threshold=_AUD_TAU, shingled=sh
+    ).select("source", "id_a", "id_b")
+
+    import __spark_entry__  # noqa: F401
+    from etl_data_processor_spark.registry import QUERIES
+
+    sig = QUERIES["q_simhash64_portable"](spark, sf_dir).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    # 8 x 8-bit bands, four per signature half: >= 7 bands are needed
+    # for the hamming <= 6 pigeonhole guarantee.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bi"),
+                F.shiftrightunsigned(
+                    F.col("sig_lo" if b < 4 else "sig_hi"), 8 * (b % 4)
+                )
+                .bitwiseAND(F.lit(255))
+                .alias("bv"),
+            )
+            for b in range(8)
+        ]
+    )
+    bt = sig.select(
+        "doc_id", "source", "sig_lo", "sig_hi", F.explode(bands).alias("b")
+    ).select(
+        "doc_id", "source", "sig_lo", "sig_hi",
+        F.col("b.bi"), F.col("b.bv"),
+    )
+    rhs = bt.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src2"),
+        F.col("sig_lo").alias("lo2"), F.col("sig_hi").alias("hi2"),
+        F.col("bi").alias("bi2"), F.col("bv").alias("bv2"),
+    )
+    ham = F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("lo2"))) + F.bit_count(
+        F.col("sig_hi").bitwiseXOR(F.col("hi2"))
+    )
+    pred = (
+        bt.join(
+            rhs.hint("shuffle_hash"),
+            (F.col("source") == F.col("src2"))
+            & (F.col("bi") == F.col("bi2"))
+            & (F.col("bv") == F.col("bv2"))
+            & (F.col("doc_id") < F.col("id_b")),
+        )
+        .filter(ham <= _AUD64_HAM)
+        .select("source", F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    g = gold.withColumn("__g", F.lit(1))
+    p = pred.withColumn("__p", F.lit(1))
+    u = g.join(p, ["source", "id_a", "id_b"], "full_outer")
+    m = u.groupBy("source").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("__g").isNotNull() & F.col("__p").isNotNull(), 1)
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(F.sum(F.when(F.col("__g").isNull(), 1)), F.lit(0)).alias(
+            "fp"
+        ),
+        F.coalesce(F.sum(F.when(F.col("__p").isNull(), 1)), F.lit(0)).alias(
+            "fn"
+        ),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    prec = F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fp"))
+    )
+    rec = F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0)).otherwise(
+        dd(F.col("tp")) / dd(F.col("tp") + F.col("fn"))
+    )
+    return m.select(
+        "source", "tp", "fp", "fn",
+        SIM.stable_round6(prec).alias("precision6"),
+        SIM.stable_round6(rec).alias("recall6"),
+    )

@@ -157,6 +157,10 @@ HEAVY = [
     "q_l_diversity",
     "q_scan_orc",
     "q_blocking_tradeoff",
+    # B78: two vote folds over one token array; 8x8-bit banded pairs at
+    # the scaled h<=6 verify vs the same prefix-filter gold.
+    "q_simhash64_portable",
+    "q_dedup_blocking_audit64",
 ]
 
 SF_DIRS = [
