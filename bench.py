@@ -142,9 +142,10 @@ HEADLINE = [
     "q_l_diversity",
     "q_scan_orc",
     "q_blocking_tradeoff",
-    # round-7 batch 4 (B78): the tuned 64-bit blocker pair
+    # round-7 batch 4 (B78): the tuned 64-bit blocker pair + ROUGE-L
     "q_simhash64_portable",
     "q_dedup_blocking_audit64",
+    "q_rouge_l",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

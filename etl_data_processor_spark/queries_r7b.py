@@ -346,3 +346,166 @@ def q_dedup_blocking_audit64(spark, sf_dir):
         SIM.stable_round6(prec).alias("precision6"),
         SIM.stable_round6(rec).alias("recall6"),
     )
+
+
+# =====================================================================
+# ROUGE-L via bit-parallel LCS (B-eval ext — Lin 2004; Allison & Dix
+# 1986 for the O(m * ceil(n/w)) bit-vector DP; round-7 candidate #2)
+# =====================================================================
+
+# Reference window = 62 tokens so the whole DP row fits ONE signed
+# 64-bit word: bits 0..61 keep (R << 1) | 1 below 2^63, so the
+# subtraction in the Allison-Dix step never overflows DuckDB's checked
+# BIGINT arithmetic, and two's-complement bit patterns (the borrow
+# propagation the algorithm rides on) are identical on both engines.
+_RL_REF_W = 62
+# Candidate window: a cost bound only (the fold is O(m * n) mask ops);
+# fixture docs are <= 99 tokens, so nothing is truncated there.
+_RL_CAND_W = 512
+_RL_SRCS = 20  # fixture layout: source = src{doc_id % 20} (q_bleu_eval)
+
+_RL_TOKENS = "list_filter(string_split(trim(text), ' '), t -> t <> '')"
+_RL_ROUND6 = "CAST(FLOOR(({x}) * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
+
+# Match mask of candidate token `a` against reference tokens rw[1..n]:
+# bit j-1 set iff rw[j] = a. Disjoint bits, OR-folded.
+_RL_MASK = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(range(1, n + 1), "
+    "j -> CASE WHEN rw[CAST(j AS INTEGER)] = a "
+    "THEN (1::BIGINT << CAST(j - 1 AS INTEGER)) ELSE 0::BIGINT END)), "
+    "(x, y) -> x | y)"
+)
+
+_RLL_ORACLE = f"""
+WITH cand AS (
+    SELECT doc_id AS cid, source, doc_id - (doc_id % {_RL_SRCS}) AS rid,
+           {_RL_TOKENS}[1:{_RL_CAND_W}] AS w
+    FROM documents WHERE source <> 'src0'
+),
+ref AS (
+    SELECT doc_id AS rid, {_RL_TOKENS}[1:{_RL_REF_W}] AS w
+    FROM documents WHERE source = 'src0'
+),
+pairs AS (
+    SELECT c.cid, c.source, c.w AS cw, r.w AS rw, len(r.w) AS n
+    FROM cand c JOIN ref r USING (rid)
+),
+masked AS (
+    SELECT cid, source, len(cw) AS m, n,
+           list_transform(cw, a -> {_RL_MASK}) AS cm
+    FROM pairs
+),
+lcs AS (
+    SELECT source, m, n,
+           bit_count(list_reduce(list_prepend(0::BIGINT, cm),
+               (R, mk) -> ((mk | R)
+                           & (~((mk | R) - ((R << 1) | 1::BIGINT))))
+           )) AS l
+    FROM masked
+),
+agg AS (
+    SELECT source,
+           CAST(SUM(l) AS BIGINT) AS lcs_sum,
+           CAST(SUM(n) AS BIGINT) AS ref_tokens,
+           CAST(SUM(m) AS BIGINT) AS cand_tokens
+    FROM lcs GROUP BY source
+)
+SELECT source, lcs_sum, ref_tokens, cand_tokens,
+       {_RL_ROUND6.format(
+           x="CAST(lcs_sum AS DOUBLE) / ref_tokens")} AS rougeL_r6,
+       {_RL_ROUND6.format(
+           x="CAST(lcs_sum AS DOUBLE) / cand_tokens")} AS rougeL_p6,
+       {_RL_ROUND6.format(
+           x="2.0 * lcs_sum / (ref_tokens + cand_tokens)")} AS rougeL_f6
+FROM agg
+"""
+
+
+@q("q_rouge_l", _RLL_ORACLE)
+def q_rouge_l(spark, sf_dir):
+    """Eval ext: corpus-level ROUGE-L (Lin 2004, public) over the
+    q_bleu_eval candidate/reference pairing — the LCS-based metric that
+    rewards in-order coverage rather than contiguous n-grams. The LCS
+    itself is the Allison-Dix (1986) BIT-PARALLEL DP: the whole DP row
+    lives in one 64-bit word, each candidate token costs one
+    (mask | R) & ~((mask | R) - ((R << 1) | 1)) step, and
+    bit_count(R) at the end IS the LCS length — O(m) word ops per pair
+    instead of the O(m * n) cell DP, no UDF, no explode, pure JVM-side
+    higher-order functions (the identical fold runs on DuckDB's
+    list_reduce; two's-complement borrow propagation matches bit for
+    bit, proven by the pure-Python cell-DP replay in
+    tests/test_r7b_ops.py). Reference window 62 tokens = the bitmask
+    capacity of a signed word (nothing in this fixture exceeds it by
+    much — docs are 10-99 tokens; the window is the documented metric
+    semantics, as eval harnesses cap anyway); candidate window 512
+    bounds per-pair cost at scale. Corpus-level recall, precision, and
+    F1 from EXACT integer lcs/ref/cand token sums per source — one
+    final double division each. Scale shape: pairing is an equi-join on
+    rid, per-pair work is O(m * n / 64) words, report is
+    |sources|-sized."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import _one_to, tokenize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
+    w = tokenize(F.col("text"))
+    cand = d.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("cid"),
+        "source",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_RL_SRCS))).alias(
+            "rid"
+        ),
+        F.slice(w, 1, _RL_CAND_W).alias("cw"),
+    )
+    ref = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("rid"), F.slice(w, 1, _RL_REF_W).alias("rw")
+    )
+    pairs = cand.join(ref, "rid")
+
+    pw = F.array(*[F.lit(1 << i).cast("long") for i in range(_RL_REF_W)])
+    rw = F.col("rw")
+
+    def match_mask(a):
+        return F.aggregate(
+            _one_to(F.size(rw)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc.bitwiseOR(
+                F.when(
+                    F.element_at(rw, j) == a, F.element_at(pw, j)
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+        )
+
+    cm = F.transform(F.col("cw"), match_mask)
+    step = lambda R, mk: mk.bitwiseOR(R).bitwiseAND(  # noqa: E731
+        F.bitwise_not(
+            mk.bitwiseOR(R) - F.shiftleft(R, 1).bitwiseOR(F.lit(1).cast("long"))
+        )
+    )
+    lcs = F.bit_count(F.aggregate(cm, F.lit(0).cast("long"), step))
+    per_pair = pairs.select(
+        "source",
+        F.size("cw").alias("m"),
+        F.size("rw").alias("n"),
+        lcs.alias("l"),
+    )
+    agg = per_pair.groupBy("source").agg(
+        F.sum("l").alias("lcs_sum"),
+        F.sum("n").alias("ref_tokens"),
+        F.sum("m").alias("cand_tokens"),
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    return agg.select(
+        "source", "lcs_sum", "ref_tokens", "cand_tokens",
+        SIM.stable_round6(dd(F.col("lcs_sum")) / dd(F.col("ref_tokens"))).alias(
+            "rougeL_r6"
+        ),
+        SIM.stable_round6(
+            dd(F.col("lcs_sum")) / dd(F.col("cand_tokens"))
+        ).alias("rougeL_p6"),
+        SIM.stable_round6(
+            F.lit(2.0) * dd(F.col("lcs_sum"))
+            / dd(F.col("ref_tokens") + F.col("cand_tokens"))
+        ).alias("rougeL_f6"),
+    )

@@ -1,8 +1,8 @@
-"""Streaming drift monitor: per-micro-batch PSI against a FROZEN
-reference distribution (the streaming twin of q_quality_drift_psi,
-completing the pattern streaming/selection.py set: corpus-relative
-state freezes per epoch; per-batch work is stateless expression math
-against broadcast state).
+"""Streaming drift monitors: per-micro-batch PSI and Jensen-Shannon
+divergence against a FROZEN reference (the streaming twins of
+q_quality_drift_psi and q_js_divergence, completing the pattern
+streaming/selection.py set: corpus-relative state freezes per epoch;
+per-batch work is stateless expression math against frozen state).
 
 A production ingest pipeline scores every arriving batch's
 quality-score distribution against the last epoch's reference bins and
@@ -59,6 +59,96 @@ def psi_of_counts(counts: dict[int, int], ref: dict[int, int]) -> float:
         r = (ref.get(b, 0) + 1.0) / (rn + 10.0)
         acc += math.floor((p - r) * math.log(p / r) * 1e12 + 0.5)
     return math.floor(acc / 1e6 + 0.5) / 1e6
+
+
+def frozen_reference_unigrams(docs: DataFrame) -> DataFrame:
+    """Epoch freeze for the JSD monitor: the reference unigram count
+    table (token, rc) plus its total, CACHED as a cluster-side artifact.
+    Unlike the 10-integer PSI bins, unigram state is VOCABULARY-sized, so
+    it stays a DataFrame (never a driver dict): at 100 TB this is the
+    same vocabulary-sized table every drift key in the family reduces
+    to, and a production deployment would persist it through the table
+    format exactly like the dedup signature artifacts."""
+    from etl_data_processor_spark.ops.text import tokenize
+
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("token"))
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("rc")).cache()
+
+
+def jsd_of_counts(p_counts: dict[str, int], q_counts: dict[str, int]) -> float:
+    """q_js_divergence's exact arithmetic on two unigram count dicts:
+    each side's p*ln(p/m) term floored to a 1e-12 integer BEFORE the
+    sums, final 1e-6 rounding. Union-vocabulary semantics: a token
+    absent from one side contributes only the other side's term
+    (0*ln 0 pinned to 0; m is then half the present side's mass)."""
+    n = sum(p_counts.values())
+    rn = sum(q_counts.values())
+    pq = qq = 0
+    for tok in set(p_counts) | set(q_counts):
+        p = p_counts.get(tok, 0) / n if n else 0.0
+        r = q_counts.get(tok, 0) / rn if rn else 0.0
+        m = (p + r) / 2.0
+        if p > 0:
+            pq += math.floor(p * math.log(p / m) * 1e12 + 0.5)
+        if r > 0:
+            qq += math.floor(r * math.log(r / m) * 1e12 + 0.5)
+    return math.floor((pq + qq) / 2.0 / 1e6 + 0.5) / 1e6
+
+
+def jsd_monitor_sink(ref: DataFrame, out_table: str, alert_at: float = 0.5):
+    """foreachBatch closure for the JSD drift monitor: per micro-batch,
+    aggregate the batch's unigram counts (one corpus pass), full-outer
+    join the frozen reference table (union vocabulary), quantize each
+    side's KL term to a 1e-12 integer, and sum — the ONLY values that
+    reach the driver are the two term sums and the token total; the
+    vocabulary-sized work stays distributed, unlike the PSI monitor's
+    10-bin collect. Appends (batch_id, n_tokens, jsd6, alert)
+    exactly-once through the table format. Bit-identical to
+    jsd_of_counts (and thus to q_js_divergence's arithmetic) on the
+    same rows — asserted per batch by tests/test_streaming_drift.py."""
+    from etl_data_processor_spark import tableformat as TF
+    from etl_data_processor_spark.ops.text import tokenize
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(
+            F.explode(tokenize(F.col("text"))).alias("token")
+        )
+        bc = toks.groupBy("token").agg(F.count(F.lit(1)).alias("bc"))
+        joined = bc.join(ref, "token", "full_outer").select(
+            F.coalesce(F.col("bc"), F.lit(0)).alias("bc"),
+            F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
+        )
+        totals = joined.agg(
+            F.sum("bc").alias("n"), F.sum("rc").alias("rn")
+        ).collect()[0]
+        n, rn = totals["n"] or 0, totals["rn"] or 0
+        if n == 0:
+            return
+        dd = lambda c: c.cast("double")  # noqa: E731
+        p = dd(F.col("bc")) / F.lit(float(n))
+        r = dd(F.col("rc")) / F.lit(float(rn)) if rn else F.lit(0.0)
+        m = (p + r) / F.lit(2.0)
+        q12 = lambda x: F.floor(  # noqa: E731
+            x * F.lit(1e12) + F.lit(0.5)
+        ).cast("long")
+        pq = F.when(F.col("bc") == 0, F.lit(0).cast("long")).otherwise(
+            q12(p * F.log(p / m))
+        )
+        qq = F.when(F.col("rc") == 0, F.lit(0).cast("long")).otherwise(
+            q12(r * F.log(r / m))
+        )
+        sums = joined.select(pq.alias("pq"), qq.alias("qq")).agg(
+            F.sum("pq").alias("sp"), F.sum("qq").alias("sq")
+        ).collect()[0]
+        jsd6 = math.floor((sums["sp"] + sums["sq"]) / 2.0 / 1e6 + 0.5) / 1e6
+        row = spark.createDataFrame(
+            [(batch_id, int(n), jsd6, jsd6 > alert_at)],
+            "batch_id long, n_tokens long, jsd6 double, alert boolean",
+        )
+        TF.append_idempotent(row, out_table, f"jsd-{batch_id}")
+
+    return apply
 
 
 def drift_monitor_sink(ref: dict[int, int], out_table: str):

@@ -161,6 +161,8 @@ HEAVY = [
     # the scaled h<=6 verify vs the same prefix-filter gold.
     "q_simhash64_portable",
     "q_dedup_blocking_audit64",
+    # B78: pairing equi-join; O(m*n/64) word-ops LCS fold per pair.
+    "q_rouge_l",
 ]
 
 SF_DIRS = [

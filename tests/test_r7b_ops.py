@@ -55,3 +55,57 @@ def test_audit64_recall_parity_and_precision_lift(spark, sf_dir):
     # no recall regression from widening, and a real precision lift
     assert t64["fn"] <= t32["fn"]
     assert t64["fp"] < t32["fp"]
+
+
+def test_rouge_l_matches_cell_dp_replay(spark, sf_dir):
+    """The bit-parallel Allison-Dix fold must equal the classic O(m*n)
+    cell DP: replay every candidate/reference pair in pure Python
+    (quadratic LCS over the same truncated windows) and compare the
+    per-source integer sums and all three rounded metrics."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    qs = _queries()
+    rows = {r["source"]: r for r in qs["q_rouge_l"](spark, sf_dir).collect()}
+
+    docs = {
+        r["doc_id"]: (
+            r["source"],
+            [w for w in r["text"].strip().split(" ") if w],
+        )
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    }
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for x in a:
+            cur = [0]
+            for j, y in enumerate(b, 1):
+                cur.append(max(prev[j], cur[-1], prev[j - 1] + (x == y)))
+            prev = cur
+        return prev[-1]
+
+    exp = {}
+    for cid, (source, w) in docs.items():
+        if source == "src0":
+            continue
+        rid = cid - (cid % 20)
+        if rid not in docs or docs[rid][0] != "src0":
+            continue
+        cw, rw = w[:512], docs[rid][1][:62]
+        e = exp.setdefault(source, [0, 0, 0])
+        e[0] += lcs(cw, rw)
+        e[1] += len(rw)
+        e[2] += len(cw)
+
+    assert set(rows) == set(exp)
+    for source, (l, t, c) in exp.items():
+        r = rows[source]
+        assert (r["lcs_sum"], r["ref_tokens"], r["cand_tokens"]) == (l, t, c)
+        for col, val in (
+            ("rougeL_r6", l / t),
+            ("rougeL_p6", l / c),
+            ("rougeL_f6", 2.0 * l / (t + c)),
+        ):
+            assert r[col] == math.floor(val * 1e6 + 0.5) / 1e6, (source, col)

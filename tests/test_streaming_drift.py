@@ -61,3 +61,67 @@ def test_streaming_psi_matches_batch_per_file(spark, sf_dir, tmp_path):
     # a degenerate batch (every doc in one bin) must alert
     shifted = {0: 1000}
     assert psi_of_counts(shifted, ref) > 0.25
+
+
+def test_streaming_jsd_matches_batch_per_file(spark, sf_dir, tmp_path):
+    """The JSD monitor's per-micro-batch value must equal jsd_of_counts
+    (q_js_divergence's exact arithmetic) on that file slice's unigram
+    counts, and a disjoint-vocabulary batch must hit the ln 2 bound."""
+    import math
+
+    from etl_data_processor_spark.ops.text import tokenize
+    from etl_data_processor_spark.streaming.drift import (
+        frozen_reference_unigrams,
+        jsd_monitor_sink,
+        jsd_of_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    ref_docs = docs.filter(F.col("source") == "src0")
+    ref = frozen_reference_unigrams(ref_docs)
+    ref_counts = {r["token"]: r["rc"] for r in ref.collect()}
+    assert sum(ref_counts.values()) > 0
+
+    src = str(tmp_path / "incoming")
+    cuts = [(0, 150), (150, 300), (300, 10_000_000)]
+    for lo, hi in cuts:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "jsd")
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(jsd_monitor_sink(ref, out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_jsd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["n_tokens"], r["jsd6"]) for r in TF.read(spark, out).collect()
+    )
+    assert len(got) == 3
+
+    want = []
+    for lo, hi in cuts:
+        sl = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        counts = {
+            r["token"]: r["c"]
+            for r in sl.select(
+                F.explode(tokenize(F.col("text"))).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        want.append((sum(counts.values()), jsd_of_counts(counts, ref_counts)))
+    assert got == sorted(want)
+
+    # fully disjoint vocabularies sit at the ln 2 bound and must alert
+    disjoint = jsd_of_counts({"zzz_only": 10}, ref_counts)
+    assert abs(disjoint - math.floor(math.log(2) * 1e6) / 1e6) < 2e-6
+    assert disjoint > 0.5
