@@ -146,6 +146,9 @@ HEADLINE = [
     "q_simhash64_portable",
     "q_dedup_blocking_audit64",
     "q_rouge_l",
+    "q_chrf_eval",
+    "q_t_closeness",
+    "q_heaps_fit",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -509,3 +509,458 @@ def q_rouge_l(spark, sf_dir):
             / dd(F.col("ref_tokens") + F.col("cand_tokens"))
         ).alias("rougeL_f6"),
     )
+
+
+# =====================================================================
+# chrF (B-eval ext — Popović 2015: character n-gram F-score, the
+# tokenization-free member of the eval family next to BLEU and ROUGE)
+# =====================================================================
+
+_CHRF_N = 4      # char n-gram orders 1..4 (standard chrF uses 1..6;
+                 # 4 bounds the explode at the same fixture semantics)
+_CHRF_BETA2 = 4  # beta = 2: recall weighted 2x, per the chrF paper
+
+# chrF removes whitespace before extracting char n-grams.
+_CHRF_CHARS = "regexp_replace(trim(text), '\\s+', '', 'g')"
+
+_CHRF_ORACLE = f"""
+WITH cand AS (
+    SELECT doc_id AS cid, source, doc_id - (doc_id % {_RL_SRCS}) AS rid,
+           {_CHRF_CHARS} AS s
+    FROM documents WHERE source <> 'src0'
+),
+ref AS (
+    SELECT doc_id AS rid, {_CHRF_CHARS} AS s
+    FROM documents WHERE source = 'src0'
+),
+pairs AS (SELECT c.cid, c.source, c.rid FROM cand c JOIN ref r USING (rid)),
+cg AS (
+    SELECT cid AS pid, nn.n AS n, substr(s, CAST(i AS INTEGER),
+           CAST(nn.n AS INTEGER)) AS g,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM cand, range(1, {_CHRF_N + 1}) nn(n), range(1, 8193) t(i)
+    WHERE i + nn.n - 1 <= length(s)
+    GROUP BY pid, n, g
+),
+rg AS (
+    SELECT rid AS pid, nn.n AS n, substr(s, CAST(i AS INTEGER),
+           CAST(nn.n AS INTEGER)) AS g,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM ref, range(1, {_CHRF_N + 1}) nn(n), range(1, 8193) t(i)
+    WHERE i + nn.n - 1 <= length(s)
+    GROUP BY pid, n, g
+),
+joined AS (
+    SELECT p.source, rg.n,
+           CAST(SUM(LEAST(rg.c, COALESCE(cg.c, 0))) AS BIGINT) AS m,
+           CAST(SUM(rg.c) AS BIGINT) AS tr
+    FROM pairs p
+    JOIN rg ON rg.pid = p.rid
+    LEFT JOIN cg ON cg.pid = p.cid AND cg.n = rg.n AND cg.g = rg.g
+    GROUP BY p.source, rg.n
+),
+ctot AS (
+    SELECT p.source, cg.n, CAST(SUM(cg.c) AS BIGINT) AS tc
+    FROM pairs p JOIN cg ON cg.pid = p.cid
+    GROUP BY p.source, cg.n
+),
+byn AS (
+    SELECT j.source, j.n, j.m, j.tr, c.tc,
+           CAST(j.m AS DOUBLE) / c.tc AS prec_n,
+           CAST(j.m AS DOUBLE) / j.tr AS rec_n
+    FROM joined j JOIN ctot c ON c.source = j.source AND c.n = j.n
+),
+pr AS (
+    SELECT source, AVG(prec_n) AS p, AVG(rec_n) AS r,
+           CAST(SUM(m) AS BIGINT) AS matches,
+           CAST(SUM(tc) AS BIGINT) AS cand_grams,
+           CAST(SUM(tr) AS BIGINT) AS ref_grams
+    FROM byn GROUP BY source
+)
+SELECT source, matches, cand_grams, ref_grams,
+       {_RL_ROUND6.format(x="p")} AS chrp6,
+       {_RL_ROUND6.format(x="r")} AS chrr6,
+       {_RL_ROUND6.format(
+           x=f"CASE WHEN {_CHRF_BETA2} * p + r = 0 THEN 0.0 ELSE "
+             f"(1 + {_CHRF_BETA2}) * p * r "
+             f"/ ({_CHRF_BETA2} * p + r) END")} AS chrf6
+FROM pr
+"""
+
+
+@q("q_chrf_eval", _CHRF_ORACLE)
+def q_chrf_eval(spark, sf_dir):
+    """Eval ext: corpus-level chrF (Popović 2015, public) over the
+    q_bleu_eval pairing — the CHARACTER n-gram F-score that needs no
+    tokenizer and so survives morphology/diacritics where word BLEU
+    breaks. Whitespace is stripped, char n-grams of orders 1..4 are
+    counted per side, matches clip per (pair, order, gram) exactly like
+    BLEU/ROUGE, micro-summed per (source, order); chrP/chrR are the
+    arithmetic means over orders of exact-integer ratios, combined with
+    beta=2 (recall weighted twice — the paper's recommended operating
+    point). Completes the eval family: BLEU (word precision), ROUGE-N
+    (word recall), ROUGE-L (order-aware LCS), chrF (char F). Scale
+    shape identical to q_bleu_eval: one gram explode per side, one hash
+    join on (pid, n, g), a |sources| x 4 aggregate, constant-size
+    report."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import _one_to
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
+    s = F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
+    grams = F.flatten(
+        F.transform(
+            F.array(*[F.lit(i) for i in range(1, _CHRF_N + 1)]),
+            lambda n: F.transform(
+                _one_to(F.length("__s") - n + F.lit(1)),
+                lambda i: F.struct(
+                    n.alias("n"), F.col("__s").substr(i, n).alias("g")
+                ),
+            ),
+        )
+    )
+    cand = d.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("cid"),
+        "source",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_RL_SRCS))).alias(
+            "rid"
+        ),
+        s.alias("__s"),
+    )
+    ref = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("rid"), s.alias("__s")
+    )
+    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
+
+    def gram_counts(side, idc):
+        return (
+            side.select(F.col(idc).alias("pid"), F.explode(grams).alias("p"))
+            .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rgc = gram_counts(ref, "rid")
+    cgc = gram_counts(cand, "cid").select(
+        F.col("pid").alias("cpid"), F.col("n").alias("cn"),
+        F.col("g").alias("cg"), F.col("c").alias("cc"),
+    )
+    joined = (
+        pairs.join(rgc, pairs["rid"] == rgc["pid"])
+        .join(
+            cgc,
+            (F.col("cid") == F.col("cpid"))
+            & (F.col("n") == F.col("cn"))
+            & (F.col("g") == F.col("cg")),
+            "left",
+        )
+        .groupBy("source", "n")
+        .agg(
+            F.sum(
+                F.least(F.col("c"), F.coalesce(F.col("cc"), F.lit(0)))
+            ).alias("m"),
+            F.sum("c").alias("tr"),
+        )
+    )
+    ctot = (
+        pairs.join(cgc, pairs["cid"] == cgc["cpid"])
+        .groupBy("source", F.col("cn").alias("n"))
+        .agg(F.sum("cc").alias("tc"))
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    byn = joined.join(ctot, ["source", "n"]).select(
+        "source", "n", "m", "tr", "tc",
+        (dd(F.col("m")) / dd(F.col("tc"))).alias("prec_n"),
+        (dd(F.col("m")) / dd(F.col("tr"))).alias("rec_n"),
+    )
+    pr = byn.groupBy("source").agg(
+        F.avg("prec_n").alias("p"),
+        F.avg("rec_n").alias("r"),
+        F.sum("m").alias("matches"),
+        F.sum("tc").alias("cand_grams"),
+        F.sum("tr").alias("ref_grams"),
+    )
+    b2 = F.lit(float(_CHRF_BETA2))
+    fb = F.when(b2 * F.col("p") + F.col("r") == 0, F.lit(0.0)).otherwise(
+        (F.lit(1.0) + b2) * F.col("p") * F.col("r")
+        / (b2 * F.col("p") + F.col("r"))
+    )
+    return pr.select(
+        "source", "matches", "cand_grams", "ref_grams",
+        SIM.stable_round6(F.col("p")).alias("chrp6"),
+        SIM.stable_round6(F.col("r")).alias("chrr6"),
+        SIM.stable_round6(fb).alias("chrf6"),
+    )
+
+
+# =====================================================================
+# t-closeness (B-privacy ext — Li, Li & Venkatasubramanian 2007:
+# completes the privacy trio after q_k_anonymity and q_l_diversity)
+# =====================================================================
+
+
+@q(
+    "q_t_closeness",
+    """
+    WITH qi AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, bal_band, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM qi GROUP BY 1, 2, 3
+    ),
+    gdist AS (
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS g FROM qi GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS big_n FROM qi),
+    sizes AS (
+        SELECT c_nationkey, bal_band, CAST(SUM(c) AS BIGINT) AS n
+        FROM cls GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.c_nationkey, s.bal_band, s.n, g.c_mktsegment, g.g,
+               COALESCE(c.c, 0) AS c, tot.big_n
+        FROM sizes s CROSS JOIN gdist g
+        LEFT JOIN cls c ON c.c_nationkey = s.c_nationkey
+                       AND c.bal_band = s.bal_band
+                       AND c.c_mktsegment = g.c_mktsegment
+        CROSS JOIN tot
+    )
+    SELECT c_nationkey, bal_band, ANY_VALUE(n) AS n,
+           CAST(FLOOR(CAST(SUM(ABS(c * big_n - g * n)) AS DOUBLE)
+                      / (2.0 * ANY_VALUE(n) * ANY_VALUE(big_n))
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0 AS t6,
+           CAST(FLOOR(CAST(SUM(ABS(c * big_n - g * n)) AS DOUBLE)
+                      / (2.0 * ANY_VALUE(n) * ANY_VALUE(big_n))
+                      * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0
+               > 0.2 AS violates_t02
+    FROM grid GROUP BY c_nationkey, bal_band
+    """,
+)
+def q_t_closeness(spark, sf_dir):
+    """Privacy ext: t-CLOSENESS audit (Li, Li & Venkatasubramanian
+    2007, public) — the third rung after q_k_anonymity (class size) and
+    q_l_diversity (distinct sensitive values): each equivalence class's
+    sensitive-attribute distribution must sit within t of the GLOBAL
+    distribution, else the class leaks attribute skew even when k and l
+    pass. For a categorical sensitive attribute under uniform ground
+    distance the EMD reduces to total variation distance
+    (1/2) * sum |p_class - p_global|, and that is computed EXACTLY:
+    every term is the integer |c*N - g*n| over the common denominator
+    n*N, summed as bigints, with ONE final double division (the
+    ops/exact discipline — no per-term float drift between engines).
+    Same quasi-identifier banding as the sibling audits so the three
+    reports line up row for row. Scale shape: two aggregates (class and
+    global counts), a |classes| x |segments| grid join against a
+    broadcast 5-row global table, a class-sized report."""
+    c = _cat(spark, sf_dir).customer.select(
+        "c_nationkey",
+        F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cls = c.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("g"))
+    tot = c.agg(F.count(F.lit(1)).alias("big_n"))
+    sizes = cls.groupBy("c_nationkey", "bal_band").agg(F.sum("c").alias("n"))
+    grid = (
+        sizes.crossJoin(F.broadcast(glob))
+        .join(cls, ["c_nationkey", "bal_band", "c_mktsegment"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_nationkey", "bal_band", "n", "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "big_n",
+        )
+    )
+    num = F.sum(F.abs(F.col("c") * F.col("big_n") - F.col("g") * F.col("n")))
+    t6 = SIM.stable_round6(
+        num.cast("double")
+        / (F.lit(2.0) * F.first("n").cast("double") * F.first("big_n").cast("double"))
+    )
+    out = grid.groupBy("c_nationkey", "bal_band").agg(
+        F.first("n").alias("n"), t6.alias("t6")
+    )
+    return out.select(
+        "c_nationkey", "bal_band", "n", "t6",
+        (F.col("t6") > 0.2).alias("violates_t02"),
+    )
+
+
+# =====================================================================
+# Heaps-law fit (B31 ext — Heaps 1978: vocabulary growth V ~ K * n^beta;
+# the capacity-planning diagnostic behind the BPE trainer's bounded
+# collect, now measured instead of cited)
+# =====================================================================
+
+_HEAPS_B = 32  # ingest-order checkpoints per source
+
+_HEAPS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split(trim(text), ' '),
+                              t -> t <> '')) AS token
+    FROM documents
+),
+rng AS (
+    SELECT source, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+    FROM documents GROUP BY source
+),
+bt AS (
+    SELECT t.source, t.token,
+           CAST((t.doc_id - r.mn) * {_HEAPS_B} // (r.mx - r.mn + 1)
+                AS BIGINT) AS bucket
+    FROM tok t JOIN rng r ON r.source = t.source
+),
+toks_per AS (
+    SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS nt
+    FROM bt GROUP BY source, bucket
+),
+first_b AS (
+    SELECT source, token, MIN(bucket) AS fb FROM bt GROUP BY source, token
+),
+types_per AS (
+    SELECT source, fb AS bucket, CAST(COUNT(*) AS BIGINT) AS nv
+    FROM first_b GROUP BY source, fb
+),
+cum AS (
+    SELECT t.source, t.bucket,
+           SUM(t.nt) OVER (PARTITION BY t.source ORDER BY t.bucket) AS n,
+           SUM(COALESCE(v.nv, 0)) OVER (PARTITION BY t.source
+                                        ORDER BY t.bucket) AS v
+    FROM toks_per t LEFT JOIN types_per v USING (source, bucket)
+),
+pts AS (
+    SELECT source,
+           CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS xq,
+           CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1000000000.0 + 0.5)
+                AS BIGINT) AS yq
+    FROM cum
+),
+mo AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(xq AS HUGEINT) * yq) AS HUGEINT) AS sxy
+    FROM pts GROUP BY source
+),
+tot AS (
+    SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+    FROM toks_per GROUP BY source
+),
+vt AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM first_b GROUP BY source
+)
+SELECT mo.source, mo.n_points, tot.n_tokens, vt.n_types,
+       {_RL_ROUND6.format(
+           x="CAST(mo.n_points * mo.sxy - CAST(mo.sx AS HUGEINT) * mo.sy "
+             "AS DOUBLE) / CAST(mo.n_points * mo.sxx "
+             "- CAST(mo.sx AS HUGEINT) * mo.sx AS DOUBLE)")} AS beta6,
+       {_RL_ROUND6.format(
+           x="(CAST(mo.sy AS DOUBLE) - (CAST(mo.n_points * mo.sxy "
+             "- CAST(mo.sx AS HUGEINT) * mo.sy AS DOUBLE) "
+             "/ CAST(mo.n_points * mo.sxx - CAST(mo.sx AS HUGEINT) * mo.sx "
+             "AS DOUBLE)) * CAST(mo.sx AS DOUBLE)) "
+             "/ CAST(mo.n_points AS DOUBLE) / 1000000000.0")} AS logk6
+FROM mo JOIN tot ON tot.source = mo.source JOIN vt ON vt.source = mo.source
+"""
+
+
+@q("q_heaps_fit", _HEAPS_ORACLE)
+def q_heaps_fit(spark, sf_dir):
+    """B31 ext: Heaps-law fit per source — OLS of ln(distinct types) on
+    ln(tokens seen) at 32 ingest-order checkpoints, estimating the
+    vocabulary-growth exponent beta in V ~ K * n^beta (Heaps 1978,
+    public; natural text sits near 0.4-0.6). This is the measured form
+    of the argument VERDICT r6 item 5 made from citation: word-type
+    counts grow like n^beta, so any driver-side vocabulary collect
+    (ops.text.train_bpe_merges) MUST be frequency-capped — a corpus
+    team fits beta once and sizes the cap from it. Plan shape: docs
+    bucket by exact integer arithmetic on doc_id into 32 ordered
+    checkpoints per source; token totals and FIRST-OCCURRENCE buckets
+    are two hash aggregates (the corpus is never windowed — min(bucket)
+    per (source, token) is what makes the cumulative vocabulary
+    computable from per-bucket NEW-type counts); the only window is the
+    32-row-per-source cumulative sum; moments run in DECIMAL(38)/
+    HUGEINT (xq^2 overflows int64 — the q_zipf_fit lesson); one double
+    division per coefficient."""
+    from etl_data_processor_spark.ops.text import tokenize
+    from pyspark.sql import Window
+
+    d = _cat(spark, sf_dir).documents
+    tok = d.select(
+        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    rng = d.groupBy("source").agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    # exact integer division: (num - num mod den) / den is an exact
+    # multiple, so the double division cannot round across a bucket edge
+    num = (F.col("doc_id") - F.col("mn")) * _HEAPS_B
+    den = F.col("mx") - F.col("mn") + 1
+    bt = tok.join(F.broadcast(rng), "source").select(
+        "source",
+        "token",
+        ((num - F.pmod(num, den)) / den).cast("long").alias("bucket"),
+    )
+    toks_per = bt.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("nt"))
+    first_b = bt.groupBy("source", "token").agg(F.min("bucket").alias("fb"))
+    types_per = first_b.groupBy("source", F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("nv")
+    )
+    # <= 32 rows per source: a bounded cumulative frame, not a corpus window
+    win = Window.partitionBy("source").orderBy("bucket")
+    cum = (
+        toks_per.join(types_per, ["source", "bucket"], "left")
+        .select(
+            "source", "bucket", "nt",
+            F.coalesce(F.col("nv"), F.lit(0)).alias("nv"),
+        )
+        .select(
+            "source",
+            F.sum("nt").over(win).alias("n"),
+            F.sum("nv").over(win).alias("v"),
+        )
+    )
+    q9 = lambda col: F.floor(  # noqa: E731
+        F.log(col.cast("double")) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    pts = cum.select("source", q9(F.col("n")).alias("xq"), q9(F.col("v")).alias("yq"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mo = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(dec(F.col("xq")) * dec(F.col("xq"))).alias("sxx"),
+        F.sum(dec(F.col("xq")) * dec(F.col("yq"))).alias("sxy"),
+    )
+    tot = toks_per.groupBy("source").agg(F.sum("nt").alias("n_tokens"))
+    vt = first_b.groupBy("source").agg(F.count(F.lit(1)).alias("n_types"))
+    dd = lambda c: c.cast("double")  # noqa: E731
+    slope = dd(
+        dec(F.col("n_points")) * F.col("sxy") - dec(F.col("sx")) * dec(F.col("sy"))
+    ) / dd(
+        dec(F.col("n_points")) * F.col("sxx") - dec(F.col("sx")) * dec(F.col("sx"))
+    )
+    intercept = (
+        (dd(F.col("sy")) - slope * dd(F.col("sx")))
+        / dd(F.col("n_points"))
+        / F.lit(1e9)
+    )
+    return (
+        mo.join(tot, "source")
+        .join(vt, "source")
+        .select(
+            "source", "n_points", "n_tokens", "n_types",
+            SIM.stable_round6(slope).alias("beta6"),
+            SIM.stable_round6(intercept).alias("logk6"),
+        )
+    )

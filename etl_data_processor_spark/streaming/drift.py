@@ -1,8 +1,9 @@
-"""Streaming drift monitors: per-micro-batch PSI and Jensen-Shannon
-divergence against a FROZEN reference (the streaming twins of
-q_quality_drift_psi and q_js_divergence, completing the pattern
-streaming/selection.py set: corpus-relative state freezes per epoch;
-per-batch work is stateless expression math against frozen state).
+"""Streaming drift monitors: per-micro-batch PSI, Jensen-Shannon
+divergence, and Kolmogorov-Smirnov against a FROZEN reference (the
+streaming twins of q_quality_drift_psi, q_js_divergence, and
+q_ks_drift — the full batch drift family, evaluated incrementally with
+the pattern streaming/selection.py set: corpus-relative state freezes
+per epoch; per-batch work is stateless math against frozen state).
 
 A production ingest pipeline scores every arriving batch's
 quality-score distribution against the last epoch's reference bins and
@@ -172,5 +173,75 @@ def drift_monitor_sink(ref: dict[int, int], out_table: str):
             "batch_id long, n_docs long, psi6 double, alert boolean",
         )
         TF.append_idempotent(row, out_table, f"psi-{batch_id}")
+
+    return apply
+
+
+# --- KS monitor (the rank-based third member of the family) ----------
+
+_KS_C05 = 1.358  # c(alpha) for alpha = 0.05, as in q_ks_drift
+
+
+def frozen_reference_lengths(docs: DataFrame) -> dict[int, int]:
+    """Epoch freeze for the KS monitor: the reference n_chars value-count
+    table as a driver dict. Unlike unigram state this IS bounded model
+    state at any corpus size — an integer-valued metric's value-count
+    table is bounded by the metric's range, not the row count (the
+    q_ks_drift scale argument)."""
+    return {
+        r["v"]: r["c"]
+        for r in docs.groupBy(F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def ks_of_counts(
+    counts: dict[int, int], ref: dict[int, int]
+) -> tuple[float, bool]:
+    """q_ks_drift's exact arithmetic on two value-count dicts: D is
+    maximized over cross-multiplied ECDF integers (fs*n_ref - fr*n — no
+    float until the single final normalization), the alpha=0.05
+    rejection compares against c(alpha)*sqrt((n+m)/(n*m))."""
+    n = sum(counts.values())
+    rn = sum(ref.values())
+    fs = fr = 0
+    dmax = 0
+    for v in sorted(set(counts) | set(ref)):
+        fs += counts.get(v, 0)
+        fr += ref.get(v, 0)
+        dmax = max(dmax, abs(fs * rn - fr * n))
+    ks6 = math.floor(dmax / (n * rn) * 1e6 + 0.5) / 1e6
+    crit = _KS_C05 * math.sqrt((n + rn) / (n * rn))
+    return ks6, dmax / (n * rn) > crit
+
+
+def ks_monitor_sink(ref: dict[int, int], out_table: str):
+    """foreachBatch closure for the KS drift monitor: per micro-batch,
+    ONE aggregate to the batch's n_chars value counts (bounded by the
+    metric's range), exact integer ECDF max against the frozen
+    reference on the driver, exactly-once append of
+    (batch_id, n_docs, ks6, drifted). Completes the streaming drift
+    family: PSI (binned), JSD (distributional), KS (rank-based,
+    bin-free)."""
+    from etl_data_processor_spark import tableformat as TF
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = {
+            r["v"]: r["c"]
+            for r in batch_df.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return
+        ks6, drifted = ks_of_counts(counts, ref)
+        row = spark.createDataFrame(
+            [(batch_id, n, ks6, drifted)],
+            "batch_id long, n_docs long, ks6 double, drifted boolean",
+        )
+        TF.append_idempotent(row, out_table, f"ks-{batch_id}")
 
     return apply

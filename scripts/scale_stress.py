@@ -163,6 +163,11 @@ HEAVY = [
     "q_dedup_blocking_audit64",
     # B78: pairing equi-join; O(m*n/64) word-ops LCS fold per pair.
     "q_rouge_l",
+    # B78: char-gram joins (BLEU shape); two aggregates + grid join.
+    "q_chrf_eval",
+    "q_t_closeness",
+    # B78: two corpus hash aggs + 32-row-per-source cumsum + quantized OLS.
+    "q_heaps_fit",
 ]
 
 SF_DIRS = [

@@ -125,3 +125,61 @@ def test_streaming_jsd_matches_batch_per_file(spark, sf_dir, tmp_path):
     disjoint = jsd_of_counts({"zzz_only": 10}, ref_counts)
     assert abs(disjoint - math.floor(math.log(2) * 1e6) / 1e6) < 2e-6
     assert disjoint > 0.5
+
+
+def test_streaming_ks_matches_batch_per_file(spark, sf_dir, tmp_path):
+    """The KS monitor's per-micro-batch statistic must equal
+    ks_of_counts (q_ks_drift's exact integer ECDF arithmetic) on that
+    file slice's value counts, and a shifted batch must set drifted."""
+    from etl_data_processor_spark.streaming.drift import (
+        frozen_reference_lengths,
+        ks_monitor_sink,
+        ks_of_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    ref = frozen_reference_lengths(docs.filter(F.col("source") == "src0"))
+    assert sum(ref.values()) > 0
+
+    src = str(tmp_path / "incoming_ks")
+    cuts = [(0, 150), (150, 300), (300, 10_000_000)]
+    for lo, hi in cuts:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "ks")
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(ks_monitor_sink(ref, out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ks"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["n_docs"], r["ks6"], r["drifted"])
+        for r in TF.read(spark, out).collect()
+    )
+    assert len(got) == 3
+
+    want = []
+    for lo, hi in cuts:
+        sl = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        counts = {
+            r["v"]: r["c"]
+            for r in sl.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        ks6, drifted = ks_of_counts(counts, ref)
+        want.append((sum(counts.values()), ks6, drifted))
+    assert got == sorted(want)
+
+    # a batch shifted far outside the reference support must drift
+    shifted = {10_000_000: 500}
+    ks6, drifted = ks_of_counts(shifted, ref)
+    assert ks6 == 1.0 and drifted
