@@ -1671,18 +1671,23 @@ def q_golden_record(spark, sf_dir):
     lexicographic-min canonical name, deterministic brand mode (count desc,
     brand asc), max price, member/variant counts. This is the master-data
     deliverable B49+B50 exist to feed. Names map to dense integer node ids
-    by sorted rank (the CC contract wants longs; at 100 TB swap the
-    rank window for a fingerprint id — plan shape unchanged). Cluster
+    by sorted rank via ops/prefix.chunked_rank (first-character chunks:
+    monotone in name order, equal names share a chunk) — the registry-wide
+    plan audit caught the old global-window id assignment, and the output
+    is invariant to the id labeling anyway (ids only thread the CC
+    machinery; no output column exposes them). Cluster
     graphs are pair-bounded and tiny; the only full-table work is one scan
     of part joined to the broadcast-scale name->cluster map."""
     from etl_data_processor_spark.ops.graph import connected_components
+    from etl_data_processor_spark.ops.prefix import chunked_rank
     from etl_data_processor_spark.ops.text import fuzzy_key_pairs
 
     part = _cat(spark, sf_dir).part
-    ids = (
-        part.select("p_name")
-        .distinct()
-        .withColumn("nid", F.row_number().over(Window.orderBy("p_name")))
+    ids = chunked_rank(
+        part.select("p_name").distinct(),
+        [F.col("p_name")],
+        F.substring("p_name", 1, 1),
+        rank_col="nid",
     )
     ids.cache()  # consumed by both edge endpoints + the member map
     pairs = fuzzy_key_pairs(part, "p_name", max_dist=2)

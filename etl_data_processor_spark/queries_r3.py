@@ -517,14 +517,18 @@ def q_eval_auc(spark, sf_dir):
     tie-broken estimator equals randomized tie handling in expectation);
     the output is the integer (rank_sum, n_pos, n_neg) triple — the AUC
     ratio itself is derived in pytest, keeping every oracle cell exact.
-    At 100 TB: a global sort is the honest cost of exact AUC; the
-    chunked-prefix-sum escape hatch (ops/prefix.py) applies when scores
-    are pre-binned."""
-    from pyspark.sql import Window
+    The global rank is ops/prefix.chunked_rank over score-decile chunks
+    (scores are already integer-binned 0..999, so chunk = sc div 100 is
+    monotone and tie-safe) — within-chunk row_number + offset join, no
+    data-sized single-partition WindowExec (the registry-wide plan audit
+    in tests/test_plans.py caught the old global-window form); the plain
+    window survives as the DuckDB oracle cross-check."""
+    from etl_data_processor_spark.ops.prefix import chunked_rank
 
     scored = _eval_scored(spark, sf_dir)
-    ranked = scored.withColumn(
-        "r", F.row_number().over(Window.orderBy("sc", "doc_id"))
+    chunk = F.floor(F.col("sc") / F.lit(100)).cast("int")
+    ranked = chunked_rank(
+        scored, [F.col("sc"), F.col("doc_id")], chunk, rank_col="r"
     )
     return ranked.agg(
         F.sum(F.when(F.col("label"), F.col("r")).otherwise(0)).alias(
@@ -1078,12 +1082,18 @@ def q_quantile_normalize(spark, sf_dir):
     the GLOBAL distribution (the batch-effect remover / feature scaler):
     a row at within-group rank r of n_g becomes the global value at
     nearest rank ceil(r·N/n_g), all in exact integer rank arithmetic
-    with deterministic (value, key) tie order on both engines. Plan: one
-    grouped rank window + one global rank window + an equi-join on the
-    target rank. The global window is the honest single-partition cost —
-    at 100 TB pre-bin values and rank bins (or chunked_cumsum,
-    ops/prefix.py) exactly as for exact percentiles."""
-    from pyspark.sql import Window
+    with deterministic (value, key) tie order on both engines. Plan
+    (reworked by the registry-wide plan audit): BOTH ranks run through
+    ops/prefix chunked forms over equi-depth value chunks — the grouped
+    rank as chunked_cumsum of ones per (g, chunk), the global rank as
+    chunked_rank — and the group/total counts are hash aggregates joined
+    back, so no WindowExec anywhere touches a data-sized frame; the
+    plain-window form survives as the DuckDB oracle cross-check."""
+    from etl_data_processor_spark.ops.prefix import (
+        chunked_cumsum,
+        chunked_rank,
+        equidepth_chunk,
+    )
 
     v = (
         _cat(spark, sf_dir)
@@ -1098,17 +1108,17 @@ def q_quantile_normalize(spark, sf_dir):
         )
     )
     order = [F.col("c"), F.col("l_orderkey"), F.col("l_linenumber")]
-    ranked = v.select(
-        "*",
-        F.row_number().over(Window.partitionBy("g").orderBy(*order)).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("ng"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
-    glob = v.select(
-        F.col("c").alias("gc"),
-        F.row_number().over(Window.orderBy(*order)).alias("gr"),
+    vb, chunk = equidepth_chunk(v, "c")
+    vb = vb.withColumn("__one", F.lit(1).cast("long"))
+    grouped = chunked_cumsum(
+        vb, ["g"], order, "__one", chunk, out_col="r"
+    ).drop("__one", "__bs")
+    ng = v.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    ranked = grouped.join(F.broadcast(ng), "g").crossJoin(F.broadcast(n))
+    gb, gchunk = equidepth_chunk(v, "c")
+    glob = chunked_rank(gb, order, gchunk, rank_col="gr").select(
+        F.col("c").alias("gc"), "gr"
     )
     target = F.expr("CAST((r * n + ng - 1) DIV ng AS BIGINT)")
     return (

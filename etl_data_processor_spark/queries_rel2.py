@@ -146,12 +146,22 @@ def q_filter_null(spark, sf_dir):
 def q_null_ordering(spark, sf_dir):
     """B19: explicit NULLS FIRST ordering (engines default differently —
     Spark ASC is nulls-first, DuckDB nulls-last — so explicit is the only
-    portable spelling; row_number makes the placement observable)."""
+    portable spelling; row_number makes the placement observable). The
+    global rank runs through ops/prefix.chunked_rank with a NULLS-FIRST-
+    compatible chunk (coalesce(first char, '') sorts the NULL group ahead
+    of every letter, matching asc_nulls_first) — no single-partition
+    WindowExec; the plain window survives as the oracle."""
+    from etl_data_processor_spark.ops.prefix import chunked_rank
+
     c = _cat(spark, sf_dir).customer
-    w = Window.orderBy(F.asc_nulls_first("seg"), F.asc("c_custkey"))
-    return c.select(
+    base = c.select(
         "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
-    ).withColumn("rn", F.row_number().over(w))
+    )
+    chunk = F.coalesce(F.substring("seg", 1, 1), F.lit(""))
+    ranked = chunked_rank(
+        base, [F.asc_nulls_first("seg"), F.asc("c_custkey")], chunk, rank_col="rn"
+    )
+    return ranked.withColumn("rn", F.col("rn").cast("int"))
 
 
 # ---------------------------------------------------------------- casts
