@@ -149,6 +149,7 @@ HEADLINE = [
     "q_chrf_eval",
     "q_t_closeness",
     "q_heaps_fit",
+    "q_label_propagation",
 ]
 
 # Stage-level work counters summed per query (REST field -> output key).

@@ -964,3 +964,107 @@ def q_heaps_fit(spark, sf_dir):
             SIM.stable_round6(intercept).alias("logk6"),
         )
     )
+
+
+# =====================================================================
+# Label propagation community detection (B49 ext — Raghavan, Albert &
+# Kumara 2007, made deterministic: synchronized rounds, ties to the
+# lexicographically smallest label)
+# =====================================================================
+
+_LPA_ROUNDS = 3
+
+# One synchronized LPA round in SQL: each node adopts the most frequent
+# label among its neighbors, ties to the smallest label; isolated nodes
+# (none here — every node in the edge list has a neighbor) keep theirs.
+_LPA_ROUND_SQL = """
+{next} AS (
+    SELECT node, lbl
+    FROM (
+        SELECT e.dst AS node, l.lbl,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.lbl ASC) AS rk
+        FROM edges e JOIN {cur} l ON l.node = e.src
+        GROUP BY e.dst, l.lbl
+    )
+    WHERE rk = 1
+)
+"""
+
+_LPA_ORACLE = (
+    """
+WITH k AS (SELECT DISTINCT p_name AS key FROM part),
+pairs AS (
+    SELECT a.key AS key_a, b.key AS key_b
+    FROM k a JOIN k b ON a.key < b.key
+    WHERE levenshtein(a.key, b.key) <= 2
+),
+edges AS (
+    SELECT key_a AS src, key_b AS dst FROM pairs
+    UNION ALL
+    SELECT key_b AS src, key_a AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+"""
+    + ",".join(
+        _LPA_ROUND_SQL.format(cur=f"l{i}", next=f"l{i + 1}")
+        for i in range(_LPA_ROUNDS)
+    )
+    + f"""
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{_LPA_ROUNDS} GROUP BY lbl
+"""
+)
+
+
+@q("q_label_propagation", _LPA_ORACLE)
+def q_label_propagation(spark, sf_dir):
+    """B49 ext: LABEL PROPAGATION community detection (Raghavan et al.
+    2007, public) over the lev<=2 fuzzy part-name graph — the
+    frequency-based community structure next to q_dedup_clusters'
+    connectivity-based one (CC merges anything touching; LPA keeps
+    weakly-bridged districts apart, which is what entity-resolution
+    reviewers actually want to see). Made fully deterministic for the
+    differential: labels ARE the name strings, rounds are synchronized
+    (all nodes update from the previous round's labels), the argmax
+    ties break to the lexicographically smallest label, and the round
+    count is fixed (3) rather than run-to-convergence — so both engines
+    walk the identical label lattice. The per-round argmax is
+    min(struct(-count, label)) — a plain hash aggregate, NO per-node
+    window; one edges⋈labels join + one aggregate per round. Edges come
+    from the lossless length-band blocked candidate join (never
+    all-pairs; the oracle's all-pairs form re-proves losslessness).
+    Scale: rounds are the CC machinery's cost shape (ops/graph.py);
+    label payloads are names, bounded by key length."""
+    from etl_data_processor_spark.ops.text import fuzzy_key_pairs
+
+    part = _cat(spark, sf_dir).part
+    pairs = fuzzy_key_pairs(part, "p_name", max_dist=2).select(
+        "key_a", "key_b"
+    )
+    edges = pairs.select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+    )
+    edges = edges.cache()  # consumed once per round
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            edges.join(
+                labels.select(F.col("node").alias("src"), "lbl"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counted.groupBy("node").agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))).alias(
+                "__b"
+            )
+        ).select("node", F.col("__b.lbl").alias("lbl"))
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )

@@ -168,6 +168,8 @@ HEAVY = [
     "q_t_closeness",
     # B78: two corpus hash aggs + 32-row-per-source cumsum + quantized OLS.
     "q_heaps_fit",
+    # B49 ext: 3 rounds of edges-join-labels + argmax hash agg.
+    "q_label_propagation",
 ]
 
 SF_DIRS = [

@@ -258,3 +258,56 @@ def test_heaps_fit_python_replay(spark, sf_dir):
         assert r["n_types"] == len(first_b)
         assert r["beta6"] == math.floor(slope * 1e6 + 0.5) / 1e6
         assert r["logk6"] == math.floor(logk * 1e6 + 0.5) / 1e6
+
+
+def test_label_propagation_python_replay_and_cc_containment(spark, sf_dir):
+    """LPA replayed in pure Python (3 synchronized rounds, ties to the
+    smallest label) from the same pair relation; plus the structural
+    invariant: a label never crosses a connected component, so every
+    LPA community's members sit inside one CC component."""
+    from collections import Counter, defaultdict
+
+    qs = _queries()
+    got = sorted(
+        (r["community"], r["n_members"])
+        for r in qs["q_label_propagation"](spark, sf_dir).collect()
+    )
+
+    pairs = [
+        (r["key_a"], r["key_b"])
+        for r in qs["q_fuzzy_match"](spark, sf_dir).collect()
+        if r["dist"] <= 2
+    ]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            cnt = Counter(labels[u] for u in adj[n])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+    want = sorted(Counter(labels.values()).items())
+    assert got == want
+
+    # CC containment: union-find over the same edges
+    parent = {n: n for n in adj}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comm_comp = defaultdict(set)
+    for n, lbl in labels.items():
+        comm_comp[lbl].add(find(n))
+    for lbl, comps in comm_comp.items():
+        assert len(comps) == 1, (lbl, comps)
