@@ -92,6 +92,13 @@ HEAVY_SF01 = [
     "q_char_entropy_filter", "q_stopword_discovery",
     # round-6 capstone (B74): composed selection pipeline
     "q_selection_pipeline",
+    # round-7 batches (B75-B79): blocking audits (32+64-bit), eval
+    # family, drift, diversity, VAD, LPA — the heavy new shapes
+    "q_fuzzy_passjoin", "q_bleu_eval", "q_span_corruption",
+    "q_audio_vad_segments", "q_dedup_blocking_audit",
+    "q_blocking_tradeoff", "q_rouge_n", "q_js_divergence",
+    "q_simhash64_portable", "q_dedup_blocking_audit64", "q_rouge_l",
+    "q_chrf_eval", "q_t_closeness", "q_heaps_fit", "q_label_propagation",
 ]
 
 
