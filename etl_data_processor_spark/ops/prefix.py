@@ -109,35 +109,54 @@ def chunked_rank(
     chunk_col: Column,
     rank_col: str = "rank",
     total_col: str | None = None,
+    series_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exact global row number over a UNIQUE total order, without the
-    single-reducer sort of ``row_number() OVER (ORDER BY ...)``.
+    """Exact row number over a UNIQUE total order — global, or per
+    series with ``series_cols`` — without the single-reducer sort of
+    ``row_number() OVER ([PARTITION BY series] ORDER BY ...)``. (The
+    partitioned form is just as dangerous when the partition column is
+    low-cardinality: PARTITION BY segment single-tasks each segment's
+    whole slice of the corpus.)
 
-    Same two-phase shape as :func:`chunked_cumsum`: within-chunk
-    ``row_number`` (parallel across chunks) + per-chunk counts cumulated
-    into starting offsets (a chunk-count-sized frame; its global window
-    is bounded, never data-sized) joined back broadcast. ``chunk_col``
-    must be deterministic and monotone non-decreasing along
-    ``order_cols``'s total order (rows that compare equal on the leading
-    order expressions must share a chunk — derive it from boundary
-    comparisons on the FIRST order column only). ``order_cols`` must be a
-    unique total order (include a tie-break key) or ranks are ambiguous.
+    Same two-phase shape as :func:`chunked_cumsum`: within-(series,
+    chunk) ``row_number`` (parallel across chunks) + per-chunk counts
+    cumulated into starting offsets (a series x chunks frame; its
+    window is chunk-count-bounded per series, never data-sized) joined
+    back. ``chunk_col`` must be deterministic and monotone
+    non-decreasing along ``order_cols``'s total order within each
+    series (rows that compare equal on the leading order expressions
+    must share a chunk — derive it from boundary comparisons on the
+    FIRST order column only). ``order_cols`` must be a unique total
+    order (include a tie-break key) or ranks are ambiguous.
 
     VERDICT r4 item 4: this is the registered scale path for the global
-    NTILE / global-rank family (q_rfm_segments); the plain global-window
-    form stays as the DuckDB oracle cross-check.
+    NTILE / global-rank family (q_rfm_segments); the plain window forms
+    stay as the DuckDB oracle cross-checks. The offsets join is
+    broadcast only in the global case — with series_cols the offsets
+    frame is series-cardinality-sized, so join strategy stays with the
+    planner (the chunked_cumsum cost note).
     """
+    series = list(series_cols or [])
     d = df.withColumn("__chunk", chunk_col)
-    w_in = Window.partitionBy("__chunk").orderBy(*order_cols)
+    w_in = Window.partitionBy(*series, "__chunk").orderBy(*order_cols)
     local = d.withColumn("__local", F.row_number().over(w_in))
-    counts = d.groupBy("__chunk").agg(F.count(F.lit(1)).alias("__cnt"))
-    w_off = Window.orderBy("__chunk").rowsBetween(Window.unboundedPreceding, -1)
+    counts = d.groupBy(*series, "__chunk").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*series)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.select(
+        *series,
         "__chunk",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
-        F.sum("__cnt").over(Window.partitionBy()).alias("__tot"),
+        F.sum("__cnt").over(Window.partitionBy(*series)).alias("__tot"),
     )
-    out = local.join(F.broadcast(offsets), "__chunk").withColumn(
+    if not series:
+        offsets = F.broadcast(offsets)
+    out = local.join(offsets, [*series, "__chunk"]).withColumn(
         rank_col, F.col("__off") + F.col("__local")
     )
     if total_col is not None:

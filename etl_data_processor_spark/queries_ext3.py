@@ -2805,9 +2805,16 @@ def q_gini(spark, sf_dir):
     """Gini coefficient of customer-spend concentration per segment —
     the Lorenz-curve summary next to q_hhi's sum-of-squares: with spend
     sorted ascending and ranked 1..n, G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx)
-    — rank weights and sums stay exact BIGINTs (one rank window over
-    the per-customer aggregate + one aggregate), a single final float
-    expression. Deterministic (cents, custkey) rank tiebreak."""
+    — rank weights and sums stay exact BIGINTs, a single final float
+    expression. Deterministic (cents, custkey) rank tiebreak. The
+    per-segment rank runs through ops/prefix.chunked_rank with
+    series_cols (PARTITION BY segment would single-task each segment's
+    whole slice of the corpus — the low-cardinality-partition cousin of
+    the unpartitioned-window class the registry audit hunts); global
+    equi-depth cents boundaries give monotone, tie-safe chunks within
+    every segment; the plain window survives as the DuckDB oracle."""
+    from etl_data_processor_spark.ops.prefix import chunked_rank, equidepth_chunk
+
     cat = _cat(spark, sf_dir)
     spend = (
         cat.orders.join(
@@ -2818,10 +2825,14 @@ def q_gini(spark, sf_dir):
         )
         .agg(F.sum(_cents("o_totalprice")).alias("cents"))
     )
-    i = F.row_number().over(
-        Window.partitionBy("segment").orderBy("cents", "o_custkey")
-    ).cast("long")
-    ranked = spend.select("segment", "cents", i.alias("i"))
+    sb, chunk = equidepth_chunk(spend, "cents")
+    ranked = chunked_rank(
+        sb,
+        [F.col("cents"), F.col("o_custkey")],
+        chunk,
+        rank_col="i",
+        series_cols=["segment"],
+    ).select("segment", "cents", F.col("i").cast("long").alias("i"))
     m = ranked.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("tot"),

@@ -170,6 +170,8 @@ HEAVY = [
     "q_heaps_fit",
     # B49 ext: 3 rounds of edges-join-labels + argmax hash agg.
     "q_label_propagation",
+    # r7s2 rework: grouped chunked_rank (series_cols) — prove the new plan.
+    "q_gini",
 ]
 
 SF_DIRS = [

@@ -521,3 +521,59 @@ def test_abc_plan_has_no_global_data_window(spark, sf_dir):
     # every window ordering by cents must be partitioned by the chunk id
     for m in re.finditer(r"windowspecdefinition\(([^)]*?)cents", plan):
         assert "__chunk" in m.group(0) or "__chunk" in m.group(1)
+
+
+def test_chunked_rank_grouped_matches_partitioned_window(spark):
+    """series_cols path: the grouped chunked rank must equal
+    row_number() OVER (PARTITION BY series ORDER BY ...) exactly,
+    including ties broken by the key column and chunks that are empty
+    for some series."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_data_processor_spark.ops.prefix import chunked_rank
+
+    rows = [
+        ("a", k, v)
+        for k, v in [(1, 5), (2, 5), (3, 1), (4, 9), (5, 1), (6, 7)]
+    ] + [
+        ("b", k, v) for k, v in [(1, 9), (2, 9), (3, 9), (4, 0)]
+    ] + [
+        ("c", k, v) for k, v in [(1, 3)]
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v long")
+
+    want = {
+        (r["g"], r["k"]): r["rn"]
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("v", "k")
+            ),
+        ).collect()
+    }
+    got = {
+        (r["g"], r["k"]): r["rn"]
+        for r in chunked_rank(
+            df,
+            [F.col("v"), F.col("k")],
+            F.floor(F.col("v") / F.lit(4)).cast("int"),
+            rank_col="rn",
+            series_cols=["g"],
+            total_col="tot",
+        ).collect()
+    }
+    assert got == want
+
+    tots = {
+        r["g"]: r["tot"]
+        for r in chunked_rank(
+            df,
+            [F.col("v"), F.col("k")],
+            F.floor(F.col("v") / F.lit(4)).cast("int"),
+            rank_col="rn",
+            series_cols=["g"],
+            total_col="tot",
+        ).collect()
+    }
+    assert tots == {"a": 6, "b": 4, "c": 1}
