@@ -999,7 +999,12 @@ def simhash_pairs(
     the candidate volume of narrow bands is not (the tradeoff is the
     q_dedup_blocking_audit / q_blocking_tradeoff measurement)."""
     if bands is None:
-        bands = max_hamming + 1
+        # clamp: 64 one-bit bands already give the pigeonhole guarantee
+        # for any radius <= 63; bands > 64 would produce zero-width
+        # (always-colliding) bands and degenerate toward all-pairs
+        bands = min(max_hamming + 1, 64)
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
     base, rem = divmod(64, bands)
     widths = [base + (1 if b < rem else 0) for b in range(bands)]
     starts = [sum(widths[:b]) for b in range(bands)]

@@ -2889,14 +2889,19 @@ def q_audience_overlap(spark, sf_dir):
     ev = _cat(spark, sf_dir).events
     au = ev.select("event_type", "user_id").distinct()
     sizes = au.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    # explicit side aliases: both sides derive from the same `au`
+    # lineage, and the USING-form join of two same-lineage projections
+    # fires Spark's "trivially true predicate" warning — an aliased
+    # explicit equality keeps the join condition unambiguous (VERDICT
+    # r7 item 7)
     a = au.select(
         F.col("event_type").alias("type_a"), "user_id"
-    )
+    ).alias("__a")
     b = au.select(
         F.col("event_type").alias("type_b"), "user_id"
-    )
+    ).alias("__b")
     inter = (
-        a.join(b, "user_id")
+        a.join(b, F.col("__a.user_id") == F.col("__b.user_id"))
         .filter(F.col("type_a") < F.col("type_b"))
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_both"))

@@ -77,27 +77,39 @@ def q_curriculum_interleave(spark, sf_dir):
     chars-per-token (floor(n_chars*1e6 / n_tokens)); within each source
     docs rank easy->hard (batch_idx), and the trainer consumes batches
     in (batch_idx, src_pos) order — one doc per source per round, so no
-    source floods any training window. Scale shape: the ONLY corpus
-    window partitions by source (never a global total-order — the
-    q_shard_manifest discipline); the source dimension is a tiny
-    broadcast; the schedule key is arithmetic, so the global order
+    source floods any training window. Scale shape (VERDICT r7 item 1):
+    the per-source rank routes through ops/prefix.chunked_rank with
+    series_cols=["source"] — a plain `ROW_NUMBER OVER (PARTITION BY
+    source ORDER BY diff_q)` single-tasks each source's whole corpus
+    slice (~20 sources at 100 TB = 20 tasks each sorting ~5 TB);
+    equi-depth difficulty boundaries give monotone, tie-safe chunks
+    within every source (offsets frame <= sources x 33 rows); the plain
+    window survives as the DuckDB oracle. The source dimension is a
+    tiny broadcast; the schedule key is arithmetic, so the global order
     never materializes on one node. Output: (doc_id, source,
     batch_idx, src_pos, diff_q)."""
+    from etl_data_processor_spark.ops.prefix import (
+        chunked_rank,
+        equidepth_chunk,
+    )
+
     d = _cat(spark, sf_dir).documents
     nt = F.size(tokenize(F.col("text")))
     base = d.select("doc_id", "source", "n_chars", nt.alias("n_tokens"))
     diff_q = F.expr("n_chars * 1000000 div n_tokens")
-    ranked = (
-        base.filter(F.col("n_tokens") > 0)
-        .select("doc_id", "source", diff_q.alias("diff_q"))
-        .withColumn(
-            "batch_idx",
-            F.row_number().over(
-                Window.partitionBy("source").orderBy(
-                    F.asc("diff_q"), F.asc("doc_id")
-                )
-            ),
-        )
+    scored = base.filter(F.col("n_tokens") > 0).select(
+        "doc_id", "source", diff_q.alias("diff_q")
+    )
+    sb, chunk = equidepth_chunk(scored, "diff_q")
+    ranked = chunked_rank(
+        sb,
+        [F.asc("diff_q"), F.asc("doc_id")],
+        chunk,
+        rank_col="batch_idx",
+        series_cols=["source"],
+    ).select(
+        "doc_id", "source", "diff_q",
+        F.col("batch_idx").cast("int").alias("batch_idx"),
     )
     srcdim = (
         base.select("source")

@@ -519,6 +519,10 @@ def q_rouge_l(spark, sf_dir):
 _CHRF_N = 4      # char n-gram orders 1..4 (standard chrF uses 1..6;
                  # 4 bounds the explode at the same fixture semantics)
 _CHRF_BETA2 = 4  # beta = 2: recall weighted 2x, per the chrF paper
+_CHRF_W = 8192   # shared gram-start-position cap: BOTH engines only
+                 # enumerate char-gram starts 1.._CHRF_W (the q_rouge_l
+                 # _RL_CAND_W discipline — a one-sided cap would silently
+                 # diverge on any doc longer than the cap; ADVICE r7)
 
 # chrF removes whitespace before extracting char n-grams.
 _CHRF_CHARS = "regexp_replace(trim(text), '\\s+', '', 'g')"
@@ -538,7 +542,7 @@ cg AS (
     SELECT cid AS pid, nn.n AS n, substr(s, CAST(i AS INTEGER),
            CAST(nn.n AS INTEGER)) AS g,
            CAST(COUNT(*) AS BIGINT) AS c
-    FROM cand, range(1, {_CHRF_N + 1}) nn(n), range(1, 8193) t(i)
+    FROM cand, range(1, {_CHRF_N + 1}) nn(n), range(1, {_CHRF_W + 1}) t(i)
     WHERE i + nn.n - 1 <= length(s)
     GROUP BY pid, n, g
 ),
@@ -546,7 +550,7 @@ rg AS (
     SELECT rid AS pid, nn.n AS n, substr(s, CAST(i AS INTEGER),
            CAST(nn.n AS INTEGER)) AS g,
            CAST(COUNT(*) AS BIGINT) AS c
-    FROM ref, range(1, {_CHRF_N + 1}) nn(n), range(1, 8193) t(i)
+    FROM ref, range(1, {_CHRF_N + 1}) nn(n), range(1, {_CHRF_W + 1}) t(i)
     WHERE i + nn.n - 1 <= length(s)
     GROUP BY pid, n, g
 ),
@@ -614,7 +618,11 @@ def q_chrf_eval(spark, sf_dir):
         F.transform(
             F.array(*[F.lit(i) for i in range(1, _CHRF_N + 1)]),
             lambda n: F.transform(
-                _one_to(F.length("__s") - n + F.lit(1)),
+                _one_to(
+                    F.least(
+                        F.length("__s") - n + F.lit(1), F.lit(_CHRF_W)
+                    )
+                ),
                 lambda i: F.struct(
                     n.alias("n"), F.col("__s").substr(i, n).alias("g")
                 ),

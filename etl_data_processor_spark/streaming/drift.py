@@ -120,28 +120,36 @@ def jsd_monitor_sink(ref: DataFrame, out_table: str, alert_at: float = 0.5):
             F.coalesce(F.col("bc"), F.lit(0)).alias("bc"),
             F.coalesce(F.col("rc"), F.lit(0)).alias("rc"),
         )
-        totals = joined.agg(
-            F.sum("bc").alias("n"), F.sum("rc").alias("rn")
-        ).collect()[0]
-        n, rn = totals["n"] or 0, totals["rn"] or 0
-        if n == 0:
-            return
-        dd = lambda c: c.cast("double")  # noqa: E731
-        p = dd(F.col("bc")) / F.lit(float(n))
-        r = dd(F.col("rc")) / F.lit(float(rn)) if rn else F.lit(0.0)
-        m = (p + r) / F.lit(2.0)
-        q12 = lambda x: F.floor(  # noqa: E731
-            x * F.lit(1e12) + F.lit(0.5)
-        ).cast("long")
-        pq = F.when(F.col("bc") == 0, F.lit(0).cast("long")).otherwise(
-            q12(p * F.log(p / m))
-        )
-        qq = F.when(F.col("rc") == 0, F.lit(0).cast("long")).otherwise(
-            q12(r * F.log(r / m))
-        )
-        sums = joined.select(pq.alias("pq"), qq.alias("qq")).agg(
-            F.sum("pq").alias("sp"), F.sum("qq").alias("sq")
-        ).collect()[0]
+        # two collect() actions read this frame (the totals below, then
+        # the quantized term sums); without a persist the batch unigram
+        # aggregate + vocabulary-sized outer join would run twice per
+        # micro-batch (ADVICE r7)
+        joined.persist()
+        try:
+            totals = joined.agg(
+                F.sum("bc").alias("n"), F.sum("rc").alias("rn")
+            ).collect()[0]
+            n, rn = totals["n"] or 0, totals["rn"] or 0
+            if n == 0:
+                return
+            dd = lambda c: c.cast("double")  # noqa: E731
+            p = dd(F.col("bc")) / F.lit(float(n))
+            r = dd(F.col("rc")) / F.lit(float(rn)) if rn else F.lit(0.0)
+            m = (p + r) / F.lit(2.0)
+            q12 = lambda x: F.floor(  # noqa: E731
+                x * F.lit(1e12) + F.lit(0.5)
+            ).cast("long")
+            pq = F.when(F.col("bc") == 0, F.lit(0).cast("long")).otherwise(
+                q12(p * F.log(p / m))
+            )
+            qq = F.when(F.col("rc") == 0, F.lit(0).cast("long")).otherwise(
+                q12(r * F.log(r / m))
+            )
+            sums = joined.select(pq.alias("pq"), qq.alias("qq")).agg(
+                F.sum("pq").alias("sp"), F.sum("qq").alias("sq")
+            ).collect()[0]
+        finally:
+            joined.unpersist()
         jsd6 = math.floor((sums["sp"] + sums["sq"]) / 2.0 / 1e6 + 0.5) / 1e6
         row = spark.createDataFrame(
             [(batch_id, int(n), jsd6, jsd6 > alert_at)],
