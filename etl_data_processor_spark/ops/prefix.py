@@ -183,21 +183,219 @@ def ntile_expr(rank: Column, total: Column, k: int) -> Column:
     )
 
 
-def equidepth_chunk(df: DataFrame, metric_col: str, num_chunks: int = 32):
+def equidepth_chunk(
+    df: DataFrame,
+    metric_col: str,
+    num_chunks: int = 32,
+    descending: bool = False,
+):
     """Deterministic equi-depth chunk id for :func:`chunked_rank`: interior
     quantile boundaries of ``metric_col`` via the EXACT ``percentile``
     aggregate (deterministic — an approx sketch's partition-merge order
     could assign a row different chunks in the rank's two consumers),
     broadcast-joined back; the chunk is the count of boundaries strictly
     below the value (q_profile_equidepth's technique), so equal metric
-    values always share a chunk. Returns (df_with_boundaries, chunk_col).
+    values always share a chunk. With ``descending`` the chunk is the
+    count of boundaries strictly ABOVE — monotone non-decreasing along a
+    ``metric_col DESC`` order, for rank windows that sort descending
+    (q_pareto_share's top-spender rank). Returns
+    (df_with_boundaries, chunk_col).
     """
     ps = [i / num_chunks for i in range(1, num_chunks)]
     b = df.agg(
         F.percentile(metric_col, F.array(*[F.lit(p) for p in ps])).alias("__bs")
     )
     joined = df.crossJoin(F.broadcast(b))
-    chunk = F.size(
-        F.filter(F.col("__bs"), lambda x: F.col(metric_col) > x)
-    ).cast("int")
+    if descending:
+        pred = lambda x: F.col(metric_col) < x  # noqa: E731
+    else:
+        pred = lambda x: F.col(metric_col) > x  # noqa: E731
+    chunk = F.size(F.filter(F.col("__bs"), pred)).cast("int")
     return joined, chunk
+
+
+def bounded_window_frame(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list,
+    chunk_col: Column,
+    lookback: int = 0,
+    lookahead: int = 0,
+    width: int = 1024,
+):
+    """Exact bounded-ROWS-frame windows (rolling aggregates, LAG/LEAD)
+    over a low-cardinality series column WITHOUT the per-series
+    single-task sort of ``... OVER (PARTITION BY series ORDER BY t ROWS
+    BETWEEN lookback PRECEDING AND lookahead FOLLOWING)``.
+
+    Two-phase: (1) an exact dense per-series position via
+    :func:`chunked_rank` (itself single-task-free); (2) rows bucket by
+    ``(pos-1) div width`` and REPLICATE into the neighbor bucket on the
+    side(s) the frame can reach (one extra copy per needed direction),
+    so the window runs per (series, bucket) over at most ~3·width
+    contiguous-position rows — every global frame of span <= width lies
+    entirely inside one such partition, and partition count GROWS with
+    the data (rows/width per series), unlike the fixed-fan-out
+    PARTITION BY series plan this replaces.
+
+    Returns ``(frame_df, window_spec, emit_col)``: apply any
+    offset/frame expression bounded by (lookback, lookahead) over
+    ``window_spec`` (e.g. ``F.sum(x).over(spec.rowsBetween(-lookback,
+    0))`` or ``F.lead(x).over(spec)``), then filter ``emit_col`` to
+    drop the replicas and the helper columns ``__pos/__o/__bkt``.
+
+    Exactness: positions are dense 1..n per series; partition
+    (series, b) holds exactly the rows with pos in
+    ((b-1)·width, (b+1)·width], each once, ordered by pos — so a ROWS
+    frame evaluated there equals the global frame, including the
+    clipped frames at series boundaries and NULL lead/lag past the
+    series end. Requires lookback <= width and lookahead <= width
+    (asserted).
+
+    No reference counterpart; north-star scale engineering for the
+    rolling-statistics family (q_bollinger's 20-row bands, q_twap's
+    holding-interval lead) — the sibling of chunked_cumsum for frames
+    with bounded span instead of unbounded-preceding.
+    """
+    if lookback > width or lookahead > width:
+        raise ValueError(
+            f"frame span ({lookback}, {lookahead}) exceeds width {width}"
+        )
+    pos = chunked_rank(
+        df,
+        order_cols,
+        chunk_col,
+        rank_col="__pos",
+        series_cols=series_cols,
+    )
+    offs = [0] + ([1] if lookback > 0 else []) + ([-1] if lookahead > 0 else [])
+    rep = (
+        pos.select(
+            "*",
+            F.explode(
+                F.array(*[F.lit(o).cast("int") for o in offs])
+            ).alias("__o"),
+        )
+        .withColumn(
+            "__bkt",
+            F.expr(f"(__pos - 1) div {int(width)}") + F.col("__o"),
+        )
+        .filter(F.col("__bkt") >= 0)
+    )
+    spec = Window.partitionBy(*series_cols, "__bkt").orderBy("__pos")
+    return rep, spec, F.col("__o") == 0
+
+
+def chunked_ranks(
+    df: DataFrame,
+    order_cols: list,
+    chunk_col: Column,
+    series_cols: list[str] | None = None,
+    tie_cols: list | None = None,
+    rn_col: str | None = "rn",
+    rank_col: str | None = None,
+    dense_col: str | None = None,
+    cume_count_col: str | None = None,
+    total_col: str | None = None,
+) -> DataFrame:
+    """The full ANSI ranking-function suite — ROW_NUMBER / RANK /
+    DENSE_RANK / cumulative row count (CUME_DIST's numerator) / partition
+    total — per series, single-task-free: the generalization of
+    :func:`chunked_rank` for orders WITH ties.
+
+    Same two-phase shape: ranking windows within (series, chunk) run
+    parallel across chunks; per-chunk row and DISTINCT-TIE-GROUP counts
+    cumulate into starting offsets over the bounded chunks frame.
+    Correctness hinges on tie groups never spanning chunks: rows equal
+    on ALL of ``tie_cols`` are equal on the leading order expression,
+    and any ``chunk_col`` that is a pure function of that leading
+    expression (e.g. :func:`equidepth_chunk`) therefore keeps every tie
+    group inside one chunk — so within-chunk RANK/DENSE_RANK offsets by
+    plain row / group counts reproduce the global values exactly:
+
+      row_number = rows_before_chunk + local row_number
+      rank       = rows_before_chunk + local rank
+      dense_rank = tie_groups_before_chunk + local dense_rank
+      cume_count = rows_before_chunk + local rank - 1 + tie group size
+                   (rows ordered at-or-before current, CUME_DIST * N)
+
+    ``tie_cols`` (plain Columns/names, no asc/desc wrappers) is required
+    for rank_col / dense_col / cume_count_col, and must name the SEMANTIC
+    sort keys: ``order_cols[:len(tie_cols)]`` must be exactly those keys
+    (with their directions), followed by pure tie-break columns — RANK /
+    DENSE_RANK / CUME_DIST tie over the semantic keys while ROW_NUMBER
+    uses the full deterministic order. PERCENT_RANK, CUME_DIST and NTILE
+    derive arithmetically: (rank-1)/(N-1), cume_count/N, and
+    :func:`ntile_expr` (rn, N, k). Registered consumers: q_win_rank,
+    q_win_dist (B16) — the plain window forms stay as their DuckDB
+    oracles."""
+    series = list(series_cols or [])
+    need_ties = any([rank_col, dense_col, cume_count_col])
+    if need_ties and not tie_cols:
+        raise ValueError("tie_cols required for rank/dense/cume outputs")
+    ties = [F.col(c) if isinstance(c, str) else c for c in (tie_cols or [])]
+    d = df.withColumn("__chunk", chunk_col)
+    w_in = Window.partitionBy(*series, "__chunk").orderBy(*order_cols)
+    # ranks that tie on the semantic keys sort by the order prefix that
+    # expresses them (directions included); the trailing order_cols are
+    # determinism tie-breaks that must NOT split rank ties
+    w_tie = Window.partitionBy(*series, "__chunk").orderBy(
+        *order_cols[: len(ties)] if ties else order_cols
+    )
+    local = d.withColumn("__lrn", F.row_number().over(w_in))
+    if rank_col or cume_count_col:
+        local = local.withColumn("__lrk", F.rank().over(w_tie))
+    if dense_col:
+        local = local.withColumn("__ldr", F.dense_rank().over(w_tie))
+    if cume_count_col:
+        # tie-group size: unordered count over the (series, chunk, tie)
+        # partition — tie groups are chunk-local, so this is exact
+        local = local.withColumn(
+            "__tsz",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*series, "__chunk", *ties)
+            ),
+        )
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    if dense_col:
+        aggs.append(F.countDistinct(F.struct(*ties)).alias("__gct"))
+    counts = d.groupBy(*series, "__chunk").agg(*aggs)
+    w_off = (
+        Window.partitionBy(*series)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_cols = [
+        *series,
+        "__chunk",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy(*series)).alias("__tot"),
+    ]
+    if dense_col:
+        off_cols.append(
+            F.coalesce(F.sum("__gct").over(w_off), F.lit(0)).alias("__goff")
+        )
+    offsets = counts.select(*off_cols)
+    if not series:
+        offsets = F.broadcast(offsets)
+    out = local.join(offsets, [*series, "__chunk"])
+    if rn_col:
+        out = out.withColumn(rn_col, F.col("__off") + F.col("__lrn"))
+    if rank_col:
+        out = out.withColumn(rank_col, F.col("__off") + F.col("__lrk"))
+    if dense_col:
+        out = out.withColumn(dense_col, F.col("__goff") + F.col("__ldr"))
+    if cume_count_col:
+        out = out.withColumn(
+            cume_count_col,
+            F.col("__off") + F.col("__lrk") - 1 + F.col("__tsz"),
+        )
+    if total_col:
+        out = out.withColumn(total_col, F.col("__tot"))
+    drop = [
+        c
+        for c in ("__chunk", "__lrn", "__lrk", "__ldr", "__tsz", "__off",
+                  "__goff", "__tot")
+        if c in out.columns
+    ]
+    return out.drop(*drop)

@@ -645,15 +645,39 @@ def q_except(spark, sf_dir):
     """,
 )
 def q_win_rank(spark, sf_dir):
-    """B16: ranking windows (single shuffle on the partition key)."""
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return _cat(spark, sf_dir).customer.select(
+    """B16: ranking windows — ROW_NUMBER / RANK / DENSE_RANK per segment.
+    Scale shape: routed through ops/prefix.chunked_ranks (the suite
+    generalizing chunked_rank to tied orders) — the plain `OVER
+    (PARTITION BY c_mktsegment ...)` form single-tasks each of the 5
+    segments' whole customer population; here the ranking windows run
+    per (segment, acctbal-equi-depth chunk) with bounded offset frames.
+    The plain window form stays as the DuckDB oracle."""
+    from etl_data_processor_spark.ops.prefix import (
+        chunked_ranks,
+        equidepth_chunk,
+    )
+
+    cust = _cat(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    sb, chunk = equidepth_chunk(cust, "c_acctbal", descending=True)
+    out = chunked_ranks(
+        sb,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        chunk,
+        series_cols=["c_mktsegment"],
+        tie_cols=["c_acctbal", "c_custkey"],
+        rn_col="__rn",
+        rank_col="__rk",
+        dense_col="__dr",
+    )
+    return out.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.col("__rn").cast("int").alias("rn"),
+        F.col("__rk").cast("int").alias("rnk"),
+        F.col("__dr").cast("int").alias("drnk"),
     )
 
 
@@ -921,19 +945,67 @@ def q_flagship(spark, sf_dir):
 def q_win_dist(spark, sf_dir):
     """B16: distribution windows — ntile/percent_rank/cume_dist/first/last
     (ranks are pure integer ratios; stable floor-rounding keeps the doubles
-    engine-identical)."""
+    engine-identical). Scale shape: all five derive ARITHMETICALLY from
+    ops/prefix.chunked_ranks outputs — NTILE via ntile_expr(rn, N, 4),
+    PERCENT_RANK = (rank-1)/(N-1), CUME_DIST = cume_count/N, FIRST/LAST
+    as the rn==1 / rn==N rows broadcast back — so no window ever
+    partitions a segment's whole customer population into one task (the
+    plain form is the DuckDB oracle)."""
+    from etl_data_processor_spark.ops.prefix import (
+        chunked_ranks,
+        equidepth_chunk,
+        ntile_expr,
+    )
     from etl_data_processor_spark.ops.similarity import stable_round6
 
-    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return _cat(spark, sf_dir).customer.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
-        stable_round6(F.percent_rank().over(w)).alias("pct_rank"),
-        stable_round6(F.cume_dist().over(w)).alias("cume"),
-        F.first("c_custkey").over(w).alias("first_in_seg"),
-        F.last("c_custkey").over(w_full).alias("last_in_seg"),
+    cust = _cat(spark, sf_dir).customer.select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    sb, chunk = equidepth_chunk(cust, "c_acctbal", descending=True)
+    r = chunked_ranks(
+        sb,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        chunk,
+        series_cols=["c_mktsegment"],
+        tie_cols=["c_acctbal", "c_custkey"],
+        rn_col="__rn",
+        rank_col="__rk",
+        cume_count_col="__cc",
+        total_col="__n",
+    )
+    # FIRST/LAST value in the (acctbal DESC, custkey ASC) order via one
+    # min/max-struct aggregate (negated custkey flips the tie-break) —
+    # re-deriving the rank suite for rn==1 / rn==N would run the whole
+    # two-phase ranking three times
+    key = F.struct(
+        F.col("c_acctbal").alias("b"), (-F.col("c_custkey")).alias("nk")
+    )
+    ext = F.broadcast(
+        cust.groupBy("c_mktsegment")
+        .agg(F.max(key).alias("__f"), F.min(key).alias("__l"))
+        .select(
+            "c_mktsegment",
+            (-F.col("__f.nk")).alias("first_in_seg"),
+            (-F.col("__l.nk")).alias("last_in_seg"),
+        )
+    )
+    n, rk = F.col("__n").cast("double"), F.col("__rk").cast("double")
+    pct = F.when(
+        F.col("__n") > 1, (rk - F.lit(1.0)) / (n - F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    return (
+        r.join(ext, "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            ntile_expr(F.col("__rn"), F.col("__n"), 4).alias("quartile"),
+            stable_round6(pct).alias("pct_rank"),
+            stable_round6(
+                F.col("__cc").cast("double") / n
+            ).alias("cume"),
+            "first_in_seg",
+            "last_in_seg",
+        )
     )
 
 

@@ -1098,16 +1098,37 @@ def q_twap(spark, sf_dir):
     aggregate; weights and cent-values stay integral, so the weighted
     moments are exact and only the final division is floating point.
     Zero-gap (same-day) readings carry no holding time and drop out —
-    identical rule both engines."""
+    identical rule both engines. Scale shape: the next-observation
+    lookup runs through ops/prefix.bounded_window_frame — a plain
+    `LEAD OVER (PARTITION BY event_type ORDER BY ts)` single-tasks each
+    type's whole reading stream; here LEAD(1) runs per (type, 1024-row
+    position bucket) with one boundary replica row per bucket."""
+    from etl_data_processor_spark.ops.prefix import (
+        bounded_window_frame,
+        equidepth_chunk,
+    )
+
     ev = _cat(spark, sf_dir).events
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    seq = ev.select(
+    base = ev.select(
         "event_type",
+        "event_id",
+        "ts",
         F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v_cents"),
-        F.datediff(
-            F.lead(F.col("ts").cast("date")).over(w),
-            F.col("ts").cast("date"),
-        ).alias("gap_days"),
+        F.col("ts").cast("date").alias("d"),
+        F.unix_micros("ts").alias("us"),
+    )
+    pb, chunk = equidepth_chunk(base, "us")
+    frame, spec, emit = bounded_window_frame(
+        pb, ["event_type"], ["ts", "event_id"], chunk, lookahead=1
+    )
+    seq = (
+        frame.select(
+            "event_type",
+            "v_cents",
+            F.datediff(F.lead("d").over(spec), F.col("d")).alias("gap_days"),
+            emit.alias("__emit"),
+        )
+        .filter(F.col("__emit"))
     )
     m = (
         seq.filter(F.col("gap_days").isNotNull() & (F.col("gap_days") > 0))
@@ -1148,18 +1169,20 @@ def q_twap(spark, sf_dir):
 )
 def q_minmax_scale(spark, sf_dir):
     """ML-prep: per-group min-max scaling of the value column to [0, 1]
-    — one window pass for the group extrema (exact integer cents), one
-    exact-integer subtraction, one final division. Degenerate groups
-    (constant value) are excluded rather than emitting 0/0."""
+    — group extrema from a hash aggregate broadcast back (exact integer
+    cents), one exact-integer subtraction, one final division. Degenerate
+    groups (constant value) are excluded rather than emitting 0/0.
+    Scale shape: a `MIN/MAX OVER (PARTITION BY event_type)` window would
+    single-task each type's whole slice of the fact table (the low-NDV
+    window class the registry audit hunts); the partial+final aggregate
+    + broadcast join touches the facts once with no per-type sort."""
     ev = _cat(spark, sf_dir).events
     v = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
-    wp = Window.partitionBy("event_type")
-    s = ev.select(
-        "event_id",
-        "event_type",
-        v.alias("v"),
-        F.min(v).over(wp).alias("mn"),
-        F.max(v).over(wp).alias("mx"),
+    ext = ev.groupBy("event_type").agg(
+        F.min(v).alias("mn"), F.max(v).alias("mx")
+    )
+    s = ev.select("event_id", "event_type", v.alias("v")).join(
+        F.broadcast(ext), "event_type"
     )
     scaled = (F.col("v") - F.col("mn")).cast("double") / (
         F.col("mx") - F.col("mn")
@@ -2446,22 +2469,41 @@ def q_bollinger(spark, sf_dir):
     an integer-exact breakout flag — v > mean + 2σ is tested as
     v·n > sx + 2·round(sqrt(n·sxx − sx²)) so the signal itself never
     depends on float formatting (the band columns are display values,
-    stable-rounded). Same moment technique as q_win_rolling_corr."""
+    stable-rounded). Same moment technique as q_win_rolling_corr.
+    Scale shape: the 20-row rolling frame runs through
+    ops/prefix.bounded_window_frame — a plain `... OVER (PARTITION BY
+    event_type ORDER BY ts ROWS 19 PRECEDING)` single-tasks each type's
+    whole series; here the moments accumulate per (type, 1024-row
+    position bucket) with a 19-row boundary replica per bucket, exact
+    by the bucket-containment argument in the helper's docstring."""
+    from etl_data_processor_spark.ops.prefix import (
+        bounded_window_frame,
+        equidepth_chunk,
+    )
+
     ev = _cat(spark, sf_dir).events
     v = _cents("value")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-19, 0)
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        v.alias("v"),
+        F.unix_micros("ts").alias("us"),
     )
-    m = ev.select(
+    pb, chunk = equidepth_chunk(base, "us")
+    frame, spec, emit = bounded_window_frame(
+        pb, ["event_type"], ["ts", "event_id"], chunk, lookback=19
+    )
+    w = spec.rowsBetween(-19, 0)
+    m = frame.select(
         "event_type",
         "event_id",
         F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(v).over(w).alias("sx"),
-        F.sum(v * v).over(w).alias("sxx"),
-        v.alias("v"),
-    ).filter(F.col("n") == 20)
+        F.sum("v").over(w).alias("sx"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sxx"),
+        "v",
+        emit.alias("__emit"),
+    ).filter(F.col("__emit") & (F.col("n") == 20))
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     var_q = (n * sxx - sx * sx).cast("double")
     mid = sx.cast("double") / n.cast("double")
@@ -2601,9 +2643,12 @@ def q_peak_concurrency(spark, sf_dir):
     rate-limit sizing). Half-open [s, e) intervals: ends sort BEFORE
     starts at equal t (tb 0 < 1), so a session ending exactly when
     another begins is NOT double-counted; event_id totalizes the
-    order. One narrow explode + one window + one
-    aggregate; at 100 TB the window key is the series, not the point
-    count."""
+    order. One narrow explode + one cumulative pass + one aggregate.
+    Scale shape: the timeline walk runs through ops/prefix.chunked_cumsum
+    with series_cols — a plain `SUM OVER (PARTITION BY event_type ORDER
+    BY t)` single-tasks each type's whole point stream (exactly the
+    family the ops/prefix docstring names); equi-depth time boundaries
+    give monotone, tie-safe chunks within every series."""
     ev = _cat(spark, sf_dir).events
     us = F.unix_micros("ts")
     dur = _cents("value") * F.lit(1000000)
@@ -2625,14 +2670,20 @@ def q_peak_concurrency(spark, sf_dir):
             "event_id",
         )
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("t", "tb", "delta", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    from etl_data_processor_spark.ops.prefix import (
+        chunked_cumsum,
+        equidepth_chunk,
     )
-    swept = pts.select(
-        "event_type", F.sum("delta").over(w).alias("live"), "t"
-    )
+
+    pb, chunk = equidepth_chunk(pts, "t")
+    swept = chunked_cumsum(
+        pb,
+        series_cols=["event_type"],
+        order_cols=["t", "tb", "delta", "event_id"],
+        val_col="delta",
+        chunk_col=chunk,
+        out_col="live",
+    ).select("event_type", "live", "t")
     return swept.groupBy("event_type").agg(
         F.max("live").alias("peak"),
         F.min(F.when(F.col("live") > 0, F.col("t"))).alias(
@@ -2963,9 +3014,20 @@ def q_audience_overlap(spark, sf_dir):
 def q_pareto_share(spark, sf_dir):
     """Pareto 80/20 check: the revenue share of the top 20% of customers
     per segment (membership by the INTEGER test i·5 <= n — no float
-    percentile cut). One rank window over the per-customer aggregate +
-    one conditional aggregate; completes the concentration trio with
-    q_hhi and q_gini."""
+    percentile cut). Completes the concentration trio with q_hhi and
+    q_gini, and shares q_gini's scale shape: the per-segment spend rank
+    runs through ops/prefix.chunked_rank with series_cols (a plain
+    `ROW_NUMBER OVER (PARTITION BY segment ...)` single-tasks each
+    segment's whole customer population — 5 segments at 100 TB);
+    DESCENDING equi-depth cents boundaries give monotone, tie-safe
+    chunks along the top-spender-first order; the per-segment count
+    rides along as chunked_rank's total_col (a window over the bounded
+    per-chunk counts frame, never the customer population)."""
+    from etl_data_processor_spark.ops.prefix import (
+        chunked_rank,
+        equidepth_chunk,
+    )
+
     cat = _cat(spark, sf_dir)
     spend = (
         cat.orders.join(
@@ -2976,14 +3038,17 @@ def q_pareto_share(spark, sf_dir):
         )
         .agg(F.sum(_cents("o_totalprice")).alias("cents"))
     )
-    wseg = Window.partitionBy("segment")
-    ranked = spend.select(
-        "segment",
-        "cents",
-        F.row_number().over(
-            wseg.orderBy(F.col("cents").desc(), F.col("o_custkey"))
-        ).cast("long").alias("i"),
-        F.count(F.lit(1)).over(wseg).alias("n"),
+    sb, chunk = equidepth_chunk(spend, "cents", descending=True)
+    ranked = chunked_rank(
+        sb,
+        [F.col("cents").desc(), F.col("o_custkey").asc()],
+        chunk,
+        rank_col="i",
+        total_col="n",
+        series_cols=["segment"],
+    ).select(
+        "segment", "cents",
+        F.col("i").cast("long").alias("i"), F.col("n").cast("long").alias("n"),
     )
     m = ranked.groupBy("segment").agg(
         F.max("n").alias("n"),

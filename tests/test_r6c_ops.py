@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 import os
 import random
+import re
 from collections import Counter
 
 from pyspark.sql import functions as F
@@ -242,9 +243,11 @@ def test_round6_batch4_plan_pins(spark, sf_dir):
         assert "CartesianProduct" not in plan, key
         if key != "q_curriculum_interleave":
             assert "BroadcastHashJoin" in plan, key
-    # curriculum: corpus window keys on source (the srcdim global window
-    # runs on the distinct-sources mini-table only); enforced by checking
-    # the Window lines mention source partitioning
+    # curriculum (reworked r8 per VERDICT r7 item 1): the corpus rank
+    # runs through chunked_rank, so the only corpus-sized window
+    # partitions by (source, __chunk) — never by source alone; the
+    # source-only window is the bounded chunk-offsets frame and the
+    # unpartitioned one is srcdim's distinct-sources mini-table
     plan = (
         QUERIES["q_curriculum_interleave"](spark, sf_dir)
         ._jdf.queryExecution()
@@ -253,7 +256,16 @@ def test_round6_batch4_plan_pins(spark, sf_dir):
     )
     wlines = [
         ln for ln in plan.splitlines()
-        if ln.lstrip().startswith(("Window", "+- Window", ":- Window"))
+        if "Window [" in ln and "windowspecdefinition" in ln
     ]
-    assert len(wlines) == 2, wlines  # per-source rank + srcdim mini-rank
-    assert any("[source#" in ln or "[source]" in ln for ln in wlines), wlines
+    # within-chunk rank + chunk-offsets cumulation + srcdim mini-rank
+    assert len(wlines) == 3, wlines
+    assert any("__chunk" in ln for ln in wlines), wlines
+    # and no window PARTITIONS by source alone over the corpus: every
+    # source-partitioned spec is either (source, __chunk) or the
+    # chunk-offsets frame ordered by __chunk (srcdim's mini-rank merely
+    # ORDERS by source — "source ASC" — and is exempt)
+    for ln in wlines:
+        m = re.search(r"windowspecdefinition\(source#\d+,", ln)
+        if m:
+            assert "__chunk" in ln, ln
