@@ -287,6 +287,26 @@ def _publish_artifact(
         raise
 
 
+def artifact_location(spark, key: tuple) -> str:
+    """Filesystem path of the materialized artifact for ``key`` —
+    warehouse/_artifacts/md5(version + key)[:16]. The single slug
+    derivation shared by :func:`cached_df` (which writes there) and
+    SERVING paths that read the artifact parquet RAW instead of through
+    the session cache (ops.invindex.bm25_from_index: a query-time
+    reader wants the predicate pushed into the parquet scan, not an
+    InMemoryTableScan of the whole table)."""
+    import hashlib
+    import os
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    slug = hashlib.md5(
+        repr((_ARTIFACT_VERSION, *key)).encode()
+    ).hexdigest()[:16]
+    return os.path.join(warehouse, "_artifacts", slug)
+
+
 def cached_df(
     spark,
     key: tuple,
@@ -362,15 +382,8 @@ def cached_df(
     full = (app, *key)
     if full not in _DF_CACHE:
         if materialize:
-            import hashlib
-
-            warehouse = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:")
-            slug = hashlib.md5(
-                repr((_ARTIFACT_VERSION, *key)).encode()
-            ).hexdigest()[:16]
-            path = os.path.join(warehouse, "_artifacts", slug)
+            path = artifact_location(spark, key)
+            warehouse = os.path.dirname(os.path.dirname(path))
             if not os.path.exists(os.path.join(path, "_SUCCESS")):
                 cur_sig = source_signature(*sources) if sources else ()
                 # the key minus its signature component = the derivation

@@ -135,3 +135,133 @@ def test_incremental_index_shards_append_only(spark, tmp_path):
         D._DF_CACHE.clear()
         for s in slugs:
             shutil.rmtree(os.path.join(adir, s), ignore_errors=True)
+
+
+def _direct_bm25(spark, corpus, terms):
+    """q_bm25's corpus-scan scorer inlined (same IEEE sequence) — the
+    bit-identity reference for the index-served path."""
+    from pyspark.sql import functions as F
+    from etl_data_processor_spark.ops.similarity import stable_round6
+
+    d = spark.read.parquet(corpus).select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = (
+        toks.filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = (
+        tf.filter(F.col("token").isin(*terms))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    s = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (F.col("tf").cast("double") + norm)
+    )
+    tq = F.floor(score * F.lit(1e12) + F.lit(0.5)).cast("long")
+    agg = s.select("doc_id", tq.alias("tsq")).groupBy("doc_id").agg(
+        F.sum("tsq").alias("sq")
+    )
+    return (
+        agg.orderBy(F.col("sq").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            stable_round6(
+                F.col("sq").cast("double") / F.lit(1e12)
+            ).alias("bm25_6"),
+        )
+    )
+
+
+def test_bm25_served_plan_never_scans_corpus(spark, sf_dir):
+    """VERDICT r7 item 3's 'done' bar: q_bm25_served's physical plan
+    scans the shard + doclen artifacts with the token IN-filter pushed,
+    and contains ZERO documents.parquet scans."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry_mod
+
+    served = entry_mod.queries()["q_bm25_served"](spark, sf_dir)
+    # pin the FRESH-SESSION shape (the 100 TB case): with nothing
+    # session-cached, the raw artifact read must push the token filter
+    # into the parquet scan. (In-session, the CacheManager may
+    # substitute the cached_df handle's InMemoryRelation for the same
+    # logical read — an optimization, not the serving contract.)
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    scans = [ln for ln in plan.splitlines() if "Scan parquet" in ln or
+             "Location" in ln]
+    assert not any("documents.parquet" in ln for ln in scans), scans
+    assert any("_artifacts" in ln for ln in scans), scans
+    assert "PushedFilters" in plan and "In(token" in plan, (
+        "token IN-filter must push into the artifact scan"
+    )
+    # and it serves the SAME rows as the corpus-scan scorer
+    direct = entry_mod.queries()["q_bm25"](spark, sf_dir)
+    assert served.collect() == direct.collect()
+
+
+def test_bm25_served_incremental_append(spark, tmp_path):
+    """Append-only corpus growth: the serving path re-reads the grown
+    artifacts (delta-merged, not rebuilt from scratch — manifest pinned
+    for the shard family above) and stays bit-identical to the
+    corpus-scan scorer on the grown corpus."""
+    terms = ("w1", "common", "w4")
+    corpus, add = _appendable(spark, tmp_path, "docs-served.parquet")
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    adir = os.path.join(warehouse, "_artifacts")
+    before = set(os.listdir(adir)) if os.path.isdir(adir) else set()
+    try:
+        add(_docs(spark, 0, 12), "f1.parquet")
+        first = IX.bm25_from_index(spark, corpus, terms, block=BLOCK)
+        assert first.collect() == _direct_bm25(spark, corpus, terms).collect()
+
+        time.sleep(0.01)
+        add(_docs(spark, 12, 20), "f2.parquet")
+        D._DF_CACHE.clear()
+        spark.catalog.clearCache()
+        inc = IX.bm25_from_index(spark, corpus, terms, block=BLOCK)
+        assert inc.collect() == _direct_bm25(spark, corpus, terms).collect()
+    finally:
+        spark.catalog.clearCache()
+        D._DF_CACHE.clear()
+        if os.path.isdir(adir):
+            for s in set(os.listdir(adir)) - before:
+                shutil.rmtree(os.path.join(adir, s), ignore_errors=True)
