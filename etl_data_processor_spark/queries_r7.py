@@ -1239,23 +1239,12 @@ FROM clip GROUP BY source
 """
 
 
-@q("q_rouge_n", _ROUGE_ORACLE)
-def q_rouge_n(spark, sf_dir):
-    """Eval ext: corpus-level ROUGE-1/ROUGE-2 recall (Lin 2004, public) —
-    the recall-oriented sibling of q_bleu_eval over the SAME candidate/
-    reference pairing: per pair, clipped gram matches are divided by the
-    REFERENCE gram total (did the candidate cover the reference?),
-    micro-averaged per source. Exact integer matches/totals; one double
-    division. Plan: the q_bleu_eval shape with the join direction flipped
-    (ref grams LEFT JOIN candidate grams) — one gram explode per side,
-    one hash join, a source-sized aggregate."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
-
-    d = _parallelize(
-        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
-    )
-    w = tokenize(F.col("text"))
-    grams = F.flatten(
+def rouge_grams():
+    """Word n-gram (order, gram) structs for orders 1..2 over the
+    prepared ``__w`` token-array column. Module-level so the streaming
+    twin (streaming.evals.rouge_monitor_sink) shares the exact
+    expression with the batch key."""
+    return F.flatten(
         F.transform(
             F.array(F.lit(1), F.lit(2)),
             lambda n: F.transform(
@@ -1267,26 +1256,22 @@ def q_rouge_n(spark, sf_dir):
             ),
         )
     )
-    cand = d.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("cid"),
-        "source",
-        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_BLEU_SRCS))).alias("rid"),
-        w.alias("__w"),
-    )
-    ref = d.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("rid"), w.alias("__w")
-    )
-    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
 
-    def gram_counts(side, idc):
-        return (
-            side.select(F.col(idc).alias("pid"), F.explode(grams).alias("p"))
-            .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
 
-    rgc = gram_counts(ref, "rid")
-    cgc = gram_counts(cand, "cid").select(
+def rouge_gram_counts(side, idc: str):
+    """Per-(pair id, order, gram) counts for one side."""
+    return (
+        side.select(F.col(idc).alias("pid"), F.explode(rouge_grams()).alias("p"))
+        .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def rouge_report(pairs, rgc, cgc):
+    """ROUGE-1/2 recall per source from (cid, source, rid) pairs + the
+    per-side gram counts — the single scoring pipeline behind q_rouge_n
+    AND the streaming monitor (bit-identity by construction)."""
+    cgc = cgc.select(
         F.col("pid").alias("cpid"), F.col("n").alias("cn"),
         F.col("g").alias("cg"), F.col("c").alias("cc"),
     )
@@ -1317,6 +1302,37 @@ def q_rouge_n(spark, sf_dir):
         "source", "m1", "t1", "m2", "t2",
         SIM.stable_round6(dd(F.col("m1")) / dd(F.col("t1"))).alias("rouge1_6"),
         SIM.stable_round6(dd(F.col("m2")) / dd(F.col("t2"))).alias("rouge2_6"),
+    )
+
+
+@q("q_rouge_n", _ROUGE_ORACLE)
+def q_rouge_n(spark, sf_dir):
+    """Eval ext: corpus-level ROUGE-1/ROUGE-2 recall (Lin 2004, public) —
+    the recall-oriented sibling of q_bleu_eval over the SAME candidate/
+    reference pairing: per pair, clipped gram matches are divided by the
+    REFERENCE gram total (did the candidate cover the reference?),
+    micro-averaged per source. Exact integer matches/totals; one double
+    division. Plan: the q_bleu_eval shape with the join direction flipped
+    (ref grams LEFT JOIN candidate grams) — one gram explode per side,
+    one hash join, a source-sized aggregate."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
+    w = tokenize(F.col("text"))
+    cand = d.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("cid"),
+        "source",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_BLEU_SRCS))).alias("rid"),
+        w.alias("__w"),
+    )
+    ref = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("rid"), w.alias("__w")
+    )
+    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
+    return rouge_report(
+        pairs, rouge_gram_counts(ref, "rid"), rouge_gram_counts(cand, "cid")
     )
 
 

@@ -592,29 +592,19 @@ FROM pr
 """
 
 
-@q("q_chrf_eval", _CHRF_ORACLE)
-def q_chrf_eval(spark, sf_dir):
-    """Eval ext: corpus-level chrF (Popović 2015, public) over the
-    q_bleu_eval pairing — the CHARACTER n-gram F-score that needs no
-    tokenizer and so survives morphology/diacritics where word BLEU
-    breaks. Whitespace is stripped, char n-grams of orders 1..4 are
-    counted per side, matches clip per (pair, order, gram) exactly like
-    BLEU/ROUGE, micro-summed per (source, order); chrP/chrR are the
-    arithmetic means over orders of exact-integer ratios, combined with
-    beta=2 (recall weighted twice — the paper's recommended operating
-    point). Completes the eval family: BLEU (word precision), ROUGE-N
-    (word recall), ROUGE-L (order-aware LCS), chrF (char F). Scale
-    shape identical to q_bleu_eval: one gram explode per side, one hash
-    join on (pid, n, g), a |sources| x 4 aggregate, constant-size
-    report."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
+def _chrf_strip(col):
+    """chrF's whitespace removal (Popović 2015 §2) as a Column."""
+    return F.regexp_replace(F.trim(col), r"\s+", "")
+
+
+def _chrf_grams():
+    """Char n-gram (order, gram) structs for orders 1.._CHRF_N over the
+    prepared ``__s`` column, start positions capped at _CHRF_W on BOTH
+    engines. Module-level so the streaming twin shares the exact
+    expression (bit-identity by construction)."""
     from etl_data_processor_spark.ops.text import _one_to
 
-    d = _parallelize(
-        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
-    )
-    s = F.regexp_replace(F.trim(F.col("text")), r"\s+", "")
-    grams = F.flatten(
+    return F.flatten(
         F.transform(
             F.array(*[F.lit(i) for i in range(1, _CHRF_N + 1)]),
             lambda n: F.transform(
@@ -629,28 +619,27 @@ def q_chrf_eval(spark, sf_dir):
             ),
         )
     )
-    cand = d.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("cid"),
-        "source",
-        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_RL_SRCS))).alias(
-            "rid"
-        ),
-        s.alias("__s"),
-    )
-    ref = d.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("rid"), s.alias("__s")
-    )
-    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
 
-    def gram_counts(side, idc):
-        return (
-            side.select(F.col(idc).alias("pid"), F.explode(grams).alias("p"))
-            .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
 
-    rgc = gram_counts(ref, "rid")
-    cgc = gram_counts(cand, "cid").select(
+def chrf_gram_counts(side, idc: str):
+    """Per-(pair id, order, gram) counts for one side — the unit both
+    the batch key and the streaming monitor aggregate from."""
+    return (
+        side.select(F.col(idc).alias("pid"), F.explode(_chrf_grams()).alias("p"))
+        .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def chrf_report(pairs, rgc, cgc):
+    """chrF per source from (cid, source, rid) pairs + per-side gram
+    counts: clipped matches per (pair, order, gram), micro-sums per
+    (source, order), arithmetic-mean chrP/chrR over orders, beta=2 F.
+    The single scoring pipeline behind q_chrf_eval AND
+    streaming.evals.chrf_monitor_sink — one expression tree, so the
+    per-batch monitor is bit-identical to the batch key on the same
+    rows."""
+    cgc = cgc.select(
         F.col("pid").alias("cpid"), F.col("n").alias("cn"),
         F.col("g").alias("cg"), F.col("c").alias("cc"),
     )
@@ -699,6 +688,45 @@ def q_chrf_eval(spark, sf_dir):
         SIM.stable_round6(F.col("p")).alias("chrp6"),
         SIM.stable_round6(F.col("r")).alias("chrr6"),
         SIM.stable_round6(fb).alias("chrf6"),
+    )
+
+
+@q("q_chrf_eval", _CHRF_ORACLE)
+def q_chrf_eval(spark, sf_dir):
+    """Eval ext: corpus-level chrF (Popović 2015, public) over the
+    q_bleu_eval pairing — the CHARACTER n-gram F-score that needs no
+    tokenizer and so survives morphology/diacritics where word BLEU
+    breaks. Whitespace is stripped, char n-grams of orders 1..4 are
+    counted per side, matches clip per (pair, order, gram) exactly like
+    BLEU/ROUGE, micro-summed per (source, order); chrP/chrR are the
+    arithmetic means over orders of exact-integer ratios, combined with
+    beta=2 (recall weighted twice — the paper's recommended operating
+    point). Completes the eval family: BLEU (word precision), ROUGE-N
+    (word recall), ROUGE-L (order-aware LCS), chrF (char F). Scale
+    shape identical to q_bleu_eval: one gram explode per side, one hash
+    join on (pid, n, g), a |sources| x 4 aggregate, constant-size
+    report. The scoring pipeline is the module-level chrf_* trio shared
+    with streaming.evals.chrf_monitor_sink (VERDICT r7 item 5)."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+
+    d = _parallelize(
+        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
+    )
+    s = _chrf_strip(F.col("text"))
+    cand = d.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("cid"),
+        "source",
+        (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_RL_SRCS))).alias(
+            "rid"
+        ),
+        s.alias("__s"),
+    )
+    ref = d.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("rid"), s.alias("__s")
+    )
+    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
+    return chrf_report(
+        pairs, chrf_gram_counts(ref, "rid"), chrf_gram_counts(cand, "cid")
     )
 
 
