@@ -283,3 +283,154 @@ def bm25_from_index(
             ).alias("bm25_6"),
         )
     )
+
+
+# --- positional postings (phrase search serving) ----------------------
+
+
+def _pos_rows(docs: DataFrame, block: int) -> DataFrame:
+    """(doc_id, text) -> per-(token, block, doc) sorted position lists.
+    Positions index the raw space-split (q_phrase_search's coordinate
+    system: empties keep their slot so adjacency survives), empty tokens
+    themselves carry no postings."""
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy(
+            "token",
+            (F.col("doc_id") / block).cast("long").alias("block"),
+            "doc_id",
+        )
+        .agg(F.array_sort(F.collect_list(F.col("pos").cast("int"))).alias("ps"))
+    )
+
+
+def assemble_positional(tf: DataFrame, block: int = BLOCK) -> DataFrame:
+    """(token, block, doc_id, ps) -> positional shards
+    (token, block, df, doc_gaps, pos_lists): the q_inverted_index gap
+    layout with an aligned array-of-position-arrays instead of tfs."""
+    pl = tf.groupBy("token", "block").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "ps"))).alias("pl"),
+    )
+    ids = F.col("pl").getField("doc_id")
+    base = F.col("block") * F.lit(block)
+    gaps = F.transform(
+        F.sequence(F.lit(1), F.size("pl")),
+        lambda i: F.element_at(ids, i)
+        - F.when(i == 1, base).otherwise(F.element_at(ids, i - 1)),
+    )
+    return pl.select(
+        "token", "block", "df",
+        gaps.alias("doc_gaps"),
+        F.col("pl").getField("ps").alias("pos_lists"),
+    )
+
+
+def decode_positional(shards: DataFrame, block: int = BLOCK) -> DataFrame:
+    """Invert :func:`assemble_positional` — (token, block, doc_id, ps)
+    rows; the same bounded within-shard gap fold as decode_postings."""
+    n = F.size("doc_gaps")
+    entries = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            (
+                F.col("block") * F.lit(block)
+                + F.aggregate(
+                    F.slice("doc_gaps", F.lit(1), i),
+                    F.lit(0).cast("long"),
+                    lambda a, g: a + g,
+                )
+            ).alias("doc_id"),
+            F.element_at("pos_lists", i).alias("ps"),
+        ),
+    )
+    return shards.select(
+        "token", "block", F.explode(entries).alias("e")
+    ).select("token", "block", F.col("e.doc_id"), F.col("e.ps"))
+
+
+def positional_index_shards(
+    spark, docs_path: str, block: int = BLOCK
+) -> DataFrame:
+    """The persisted positional index artifact — inverted_index_shards'
+    sibling carrying positions, with the identical incremental contract:
+    append-only growth rebuilds only the touched doc blocks from decoded
+    ancestor rows + the new files; untouched shards pass through."""
+    from etl_data_processor_spark.ops.dedup import cached_df, source_signature
+
+    sig = source_signature(docs_path)
+
+    def builder():
+        return assemble_positional(
+            _pos_rows(spark.read.parquet(docs_path).select("doc_id", "text"), block),
+            block,
+        )
+
+    def delta_merge(ancestor: DataFrame, new_files: list) -> DataFrame:
+        delta = _pos_rows(
+            spark.read.parquet(*new_files).select("doc_id", "text"), block
+        )
+        touched = delta.select("block").distinct()
+        untouched = ancestor.join(F.broadcast(touched), "block", "left_anti")
+        old_rows = decode_positional(
+            ancestor.join(F.broadcast(touched), "block"), block
+        )
+        rebuilt = assemble_positional(
+            old_rows.select("token", "block", "doc_id", "ps").unionByName(
+                delta.select("token", "block", "doc_id", "ps")
+            ),
+            block,
+        )
+        return untouched.select(
+            "token", "block", "df", "doc_gaps", "pos_lists"
+        ).unionByName(rebuilt)
+
+    return cached_df(
+        spark,
+        ("posindex", docs_path, block, sig),
+        builder,
+        materialize=True,
+        sources=(docs_path,),
+        family=f"{docs_path}:posindex",
+        delta_merge=delta_merge,
+    )
+
+
+def phrase_search_from_index(
+    spark, docs_path: str, phrase: tuple, block: int = BLOCK
+) -> DataFrame:
+    """SERVE exact phrase search from the positional index artifact: the
+    corpus text is never read at query time. The raw artifact scan
+    carries a pushed token IN-filter (only the phrase's terms' postings
+    are touched — the q_bm25_served discipline); adjacency is the
+    posting-list merge as a per-term position join on (doc, pos + i).
+    Returns (doc_id, n_hits) — q_phrase_search's exact output, so the
+    served key shares its oracle."""
+    from etl_data_processor_spark.ops.dedup import (
+        artifact_location,
+        source_signature,
+    )
+
+    positional_index_shards(spark, docs_path, block)
+    sig = source_signature(docs_path)
+    shards = spark.read.parquet(
+        artifact_location(spark, ("posindex", docs_path, block, sig))
+    ).filter(F.col("token").isin(*phrase))
+    posts = decode_positional(shards, block).select(
+        "token", "doc_id", F.explode("ps").alias("pos")
+    )
+    out = None
+    for i, term in enumerate(phrase):
+        leg = posts.filter(F.col("token") == term).select(
+            "doc_id", (F.col("pos") - F.lit(i)).alias("__start")
+        )
+        out = leg if out is None else out.join(leg, ["doc_id", "__start"])
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )

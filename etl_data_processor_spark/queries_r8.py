@@ -55,3 +55,31 @@ def q_bm25_served(spark, sf_dir):
     return bm25_from_index(
         spark, f"{sf_dir}/documents.parquet", _BM25_TERMS
     )
+
+
+def _phrase_served_oracle() -> str:
+    """q_phrase_search's oracle verbatim — served == scanned is the
+    lossless-positional-index claim."""
+    from etl_data_processor_spark import queries_r3 as _r3  # noqa: F401
+
+    return ORACLE["q_phrase_search"]
+
+
+@q("q_phrase_search_served", _phrase_served_oracle())
+def q_phrase_search_served(spark, sf_dir):
+    """Exact phrase search ("value table") SERVED from the persisted
+    POSITIONAL index artifact (ops/invindex.py:phrase_search_from_index)
+    — q_bm25_served's sibling for the positional-retrieval primitive.
+    Query-time plan: a raw parquet scan of the positional shards with
+    the two phrase terms' IN-filter pushed, gap-decode + position
+    explode of just those postings, a per-term (doc, pos - i) equi-join
+    for adjacency, one per-doc count. documents.parquet is never
+    scanned at query time; the artifact maintains incrementally on
+    append (the inverted_index_shards contract, pinned in
+    tests/test_invindex.py). Shares q_phrase_search's oracle — the
+    driver proves served == scanned every round."""
+    from etl_data_processor_spark.ops.invindex import phrase_search_from_index
+
+    return phrase_search_from_index(
+        spark, f"{sf_dir}/documents.parquet", ("value", "table")
+    )

@@ -265,3 +265,96 @@ def test_bm25_served_incremental_append(spark, tmp_path):
         if os.path.isdir(adir):
             for s in set(os.listdir(adir)) - before:
                 shutil.rmtree(os.path.join(adir, s), ignore_errors=True)
+
+
+def test_positional_decode_inverts(spark):
+    docs = _docs(spark, 0, 30)
+    direct = sorted(
+        (r["token"], r["block"], r["doc_id"], tuple(r["ps"]))
+        for r in IX._pos_rows(docs, BLOCK).collect()
+    )
+    decoded = sorted(
+        (r["token"], r["block"], r["doc_id"], tuple(r["ps"]))
+        for r in IX.decode_positional(
+            IX.assemble_positional(IX._pos_rows(docs, BLOCK), BLOCK), BLOCK
+        ).collect()
+    )
+    assert decoded == direct and len(direct) > 0
+
+
+def test_phrase_served_plan_never_scans_corpus(spark, sf_dir):
+    """q_phrase_search_served: fresh-session plan scans only the
+    positional-shard artifact with the phrase terms' IN-filter pushed,
+    and serves exactly q_phrase_search's rows."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry_mod
+
+    served = entry_mod.queries()["q_phrase_search_served"](spark, sf_dir)
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln or "Location" in ln]
+    assert not any("documents.parquet" in ln for ln in scans), scans
+    assert any("_artifacts" in ln for ln in scans), scans
+    assert "PushedFilters" in plan and "In(token" in plan
+    direct = entry_mod.queries()["q_phrase_search"](spark, sf_dir)
+    assert served.collect() == direct.collect()
+
+
+def test_phrase_served_incremental_append(spark, tmp_path):
+    """Append-only growth: the served phrase count stays identical to a
+    direct corpus scan after the positional shards delta-merge."""
+    from pyspark.sql import functions as F
+
+    phrase = ("w1", "common")
+    corpus, add = _appendable(spark, tmp_path, "docs-phrase.parquet")
+
+    def direct():
+        d = spark.read.parquet(corpus).select("doc_id", "text")
+        t = d.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "w"),
+        )
+        a = t.filter(F.col("w") == "w1").select("doc_id", "pos")
+        b = t.filter(F.col("w") == "common").select(
+            "doc_id", (F.col("pos") - 1).alias("pos")
+        )
+        return sorted(
+            map(
+                tuple,
+                a.join(b, ["doc_id", "pos"])
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+                .collect(),
+            )
+        )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    adir = os.path.join(warehouse, "_artifacts")
+    before = set(os.listdir(adir)) if os.path.isdir(adir) else set()
+    try:
+        add(_docs(spark, 0, 12), "f1.parquet")
+        got = sorted(map(tuple, IX.phrase_search_from_index(
+            spark, corpus, phrase, block=BLOCK).collect()))
+        assert got == direct() and got
+
+        time.sleep(0.01)
+        add(_docs(spark, 12, 20), "f2.parquet")
+        D._DF_CACHE.clear()
+        spark.catalog.clearCache()
+        got = sorted(map(tuple, IX.phrase_search_from_index(
+            spark, corpus, phrase, block=BLOCK).collect()))
+        assert got == direct() and got
+    finally:
+        spark.catalog.clearCache()
+        D._DF_CACHE.clear()
+        if os.path.isdir(adir):
+            for s in set(os.listdir(adir)) - before:
+                shutil.rmtree(os.path.join(adir, s), ignore_errors=True)
