@@ -51,6 +51,7 @@ UNPARTITIONED_WHITELIST = {
     "q_curriculum_interleave": (1, "|sources| frame (source ordinal)"),
     "q_eval_auc": (1, "chunked_rank offset frame (<= 11 rows at 10 score-decile chunks)"),
     "q_golden_record": (4, "chunked_rank offsets/total + pair-graph CC frames (pair-bounded)"),
+    "q_mannwhitney_u": (1, "reference ECDF over the distinct-length value table"),
     "q_null_ordering": (1, "chunked_rank offset frame (<= 27 first-char chunks)"),
     "q_quantile_normalize": (1, "chunked_rank offset frame (<= 33 equi-depth chunks)"),
     "q_rfm_segments": (6, "3 metrics x chunked_rank offsets/total frames"),
@@ -110,6 +111,7 @@ LOW_NDV_WHITELIST = {
     "q_peak_concurrency": (2, False, "chunked_cumsum offsets frame (<= 33 chunks/type)"),
     "q_period_over_period": (1, False, "per-(priority, week) aggregate"),
     "q_ratio_to_report": (1, False, "(status, priority) aggregate"),
+    "q_sample_ares_grouped": (1, True, "k=5 reservoir/source: WGL bounds rows/group/map task"),
     "q_sketch_theta_kmv": (4, True, "k=64 sketch rows/type; rn<=k filter plans WGL (x4: cached branch reuse)"),
     "q_source_centroid_outliers": (1, True, "top-3 outliers/source: WGL-bounded"),
     "q_topk_per_group": (1, True, "top-3/priority: WGL partial+final"),
