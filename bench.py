@@ -360,12 +360,20 @@ def main() -> None:
                 n: round(t - bq[n], 3) for n, t in timings.items() if n in bq
             }
             # Wall regression requires the WHOLE spread above threshold: the
-            # best-of-n (min) exceeding 1.2x baseline means even the
-            # luckiest draw was slow. Secondary signal only (VM drift).
-            out["wall_regressions_gt_20pct"] = sorted(
+            # best-of-n (min) exceeding 1.5x baseline means even the
+            # luckiest draw was slow. Secondary signal only. 1.5x, not
+            # 1.2x (r8, VERDICT r7 item 6): measured same-plan per-key
+            # wall noise on this VM is +/-20-40% per session (bimodal up
+            # to 2.2x), so a 1.2x gate flagged a ROTATING ~20-key list
+            # every round that the drift-immune work basis then cleared —
+            # below the noise floor a threshold is a random-number
+            # generator. Real wall regressions (a lost broadcast, a new
+            # shuffle) move several-x and still fire; everything subtler
+            # is the work list's job.
+            out["wall_regressions_gt_50pct"] = sorted(
                 n
                 for n, t in timings.items()
-                if n in bq and bq[n] >= 0.2 and t > bq[n] * 1.2
+                if n in bq and bq[n] >= 0.2 and t > bq[n] * 1.5
             )
             # Primary: a key regresses when its WORK grew. Shuffle and input
             # bytes are byte-identical across same-code runs (measured r6 —
@@ -393,7 +401,7 @@ def main() -> None:
             # carrying the drift-prone wall list.
             out["regression_basis"] = "work" if bw else "wall"
             out["regressions_gt_20pct"] = sorted(flagged) if bw else out[
-                "wall_regressions_gt_20pct"
+                "wall_regressions_gt_50pct"
             ]
             # Keys with no baseline work row are UNGUARDED by the primary
             # list — name them so the artifact can't overstate coverage

@@ -106,12 +106,21 @@ def main() -> None:
             continue
         cpus = [r["work"]["cpu_s"] for r in rows]
         new = dict(rows[-1]["work"])  # bytes: plan properties, latest run
+        walls = [r["wall"] for r in rows]
         if name in fresh or name not in bw:
             new["cpu_s"] = round(max(cpus), 3)
-            bq[name] = round(min(r["wall"] for r in rows), 3)
+            bq[name] = round(max(walls), 3)
         else:
             new["cpu_s"] = round(max([bw[name].get("cpu_s", 0.0), *cpus]), 3)
-            # keep the coherent full-run wall row for unchanged plans
+            # wall rows are ENVELOPES too (r8, VERDICT r7 item 6): the
+            # bench gate fires when a run's BEST-of-reps exceeds 1.2x the
+            # baseline row, and same-plan wall is bimodal across sessions
+            # on this VM — seeding walls from one (fast) session made the
+            # secondary list flag ~25 keys every slow-mode round. The
+            # envelope = max over calibration sessions of each session's
+            # best-of-reps: quiet in both modes, still fires on a real
+            # regression (which moves every session's best).
+            bq[name] = round(max([bq.get(name, 0.0), *walls]), 3)
             for k in ("shuffle_read_mb", "shuffle_write_mb", "input_mb"):
                 new[k] = max(bw[name].get(k, 0.0), new[k])
         bw[name] = new
