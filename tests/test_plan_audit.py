@@ -169,9 +169,16 @@ def _window_specs(plan: str):
 @pytest.fixture(scope="module")
 def registry_plans(spark, sf_dir):
     """One simple-mode plan string per registered query — shared by both
-    audits so the registry is planned exactly once per test session."""
+    audits so the registry is planned exactly once per test session.
+    Plans are built from a COLD cache state (earlier test files leave
+    .cache() marks whose CacheManager substitution collapses cached
+    subtrees and shifts window counts — the audit pins the cold,
+    fresh-session plan shape)."""
     import __spark_entry__ as entry_mod
+    from etl_data_processor_spark.ops import dedup as D
 
+    spark.catalog.clearCache()
+    D._DF_CACHE.clear()
     plans = {}
     for name, fn in sorted(entry_mod.queries().items()):
         buf = io.StringIO()
