@@ -211,7 +211,13 @@ def equidepth_chunk(
     else:
         pred = lambda x: F.col(metric_col) > x  # noqa: E731
     chunk = F.size(F.filter(F.col("__bs"), pred)).cast("int")
-    return joined, chunk
+    # MATERIALIZE the chunk id and drop the boundary array BEFORE the
+    # caller's shuffles: Catalyst does not reliably prune __bs (an
+    # N-double array on every row) below the chunked-rank exchanges —
+    # measured on q_pareto_share at sf1 as a 48x shuffle-byte blowup at
+    # 10x rows (SCALE_STRESS r8) with the array riding the rank shuffle.
+    out = joined.withColumn("__edc", chunk).drop("__bs")
+    return out, F.col("__edc")
 
 
 def bounded_window_frame(

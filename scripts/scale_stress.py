@@ -172,6 +172,22 @@ HEAVY = [
     "q_label_propagation",
     # r7s2 rework: grouped chunked_rank (series_cols) — prove the new plan.
     "q_gini",
+    # r8: index-served retrieval (artifact scans, term pushdown) — at 10x
+    # data the SERVED cost must track postings touched, not the corpus.
+    "q_bm25_served",
+    "q_phrase_search_served",
+    # r8 window-algebra rewrites: prove the chunked/bucketed plans scale.
+    "q_pack_sequences",
+    "q_curriculum_interleave",
+    "q_peak_concurrency",
+    "q_bollinger",
+    "q_twap",
+    "q_pareto_share",
+    "q_win_rank",
+    "q_win_dist",
+    # r8 batch: value-count drift + per-group reservoir.
+    "q_mannwhitney_u",
+    "q_sample_ares_grouped",
 ]
 
 SF_DIRS = [
