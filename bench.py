@@ -64,6 +64,7 @@ HEADLINE = [
     # round 3 additions: new heavy shapes
     "q_html_extract",
     "q_phrase_search",
+    "q_phrase_search_served",
     "q_sketch_quantile_hdr",
     "q_spatial_radius_join",
     "q_bootstrap_poisson",
@@ -92,6 +93,7 @@ HEADLINE = [
     "q_inverted_index",
     "q_bm25_served",
     "q_hybrid_rrf",
+    "q_hybrid_rrf_served",
     "q_unigram_viterbi",
     "q_linkage_fs_em",
     # round-6 batch 3 (B66 #2)

@@ -146,25 +146,30 @@ def inverted_index_shards(
     )
 
 
-def doc_length_table(spark, docs_path: str) -> DataFrame:
+def doc_length_table(spark, docs_path: str, nonempty: bool = False) -> DataFrame:
     """The (doc_id, dl) sidecar artifact next to the posting shards —
     the second table a BM25 server needs (per-doc length + the corpus
     stats derivable from it). Persisted through the same cached_df
     family machinery; its incremental rebuild is the trivial one: an
     append-only corpus change unions the new files' lengths onto the
-    ancestor (existing doc lengths never change). ``dl`` is
-    size(split(text, ' ')) — q_bm25's exact length definition,
-    including empty tokens, so index-served scores are bit-identical
-    to the corpus-scan scorer."""
+    ancestor (existing doc lengths never change). ``dl`` defaults to
+    size(split(text, ' ')) — q_bm25's exact length definition including
+    empty tokens; ``nonempty=True`` counts non-empty tokens instead
+    (q_hybrid_rrf's definition) and versions the artifact family
+    separately, so index-served scores stay bit-identical to whichever
+    corpus-scan scorer they twin."""
     from etl_data_processor_spark.ops.dedup import cached_df, source_signature
 
     sig = source_signature(docs_path)
 
     def lengths(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.size(F.split("text", " ")).cast("long").alias("dl"),
-        )
+        if nonempty:
+            dl = F.size(
+                F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+            )
+        else:
+            dl = F.size(F.split("text", " "))
+        return df.select("doc_id", dl.cast("long").alias("dl"))
 
     def builder():
         return lengths(spark.read.parquet(docs_path).select("doc_id", "text"))
@@ -174,13 +179,14 @@ def doc_length_table(spark, docs_path: str) -> DataFrame:
             lengths(spark.read.parquet(*new_files).select("doc_id", "text"))
         )
 
+    fam = "doclen_ne" if nonempty else "doclen"
     return cached_df(
         spark,
-        ("doclen", docs_path, sig),
+        (fam, docs_path, sig),
         builder,
         materialize=True,
         sources=(docs_path,),
-        family=f"{docs_path}:doclen",
+        family=f"{docs_path}:{fam}",
         delta_merge=delta_merge,
     )
 
@@ -433,4 +439,79 @@ def phrase_search_from_index(
         out.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy("doc_id")
+    )
+
+
+def bm25_batch_scores_from_index(
+    spark,
+    docs_path: str,
+    query_terms: dict,
+    block: int = BLOCK,
+) -> DataFrame:
+    """Batch BM25 scoring from the persisted artifacts for a SET of
+    queries — the serving form of q_hybrid_rrf's lexical leg. Input is
+    {query_id: [terms...]} (query-bounded driver state: the terms a
+    search frontend already holds); the union term set pushes as ONE
+    IN-filter into the shard scan, tf rows decode once and fan out to
+    the queries whose term sets contain them via a broadcast
+    (query_id, token) join. dl is the NON-EMPTY doclen sidecar
+    (q_hybrid_rrf's length definition); scoring arithmetic matches the
+    hybrid leg to the bit. Self-matches (doc_id == query_id) are
+    excluded, mirroring the leg. Returns (query_id, doc_id, sq) —
+    the 1e-12-quantized integer score sum; rank/top-k is the caller's."""
+    from etl_data_processor_spark.ops.dedup import (
+        artifact_location,
+        source_signature,
+    )
+
+    all_terms = sorted({t for ts in query_terms.values() for t in ts})
+    qtok = spark.createDataFrame(
+        [(q, t) for q, ts in query_terms.items() for t in set(ts)],
+        "query_id long, token string",
+    )
+    inverted_index_shards(spark, docs_path, block)
+    doc_length_table(spark, docs_path, nonempty=True)
+    sig = source_signature(docs_path)
+    shards = spark.read.parquet(
+        artifact_location(spark, ("invindex", docs_path, block, sig))
+    ).filter(F.col("token").isin(*all_terms))
+    tf = decode_postings(shards, block).select("token", "doc_id", "tf")
+    df = shards.groupBy("token").agg(F.sum("df").alias("df"))
+    dl = spark.read.parquet(
+        artifact_location(spark, ("doclen_ne", docs_path, sig))
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            F.col("n_docs").cast("double")
+            - F.col("df").cast("double")
+            + F.lit(0.5)
+        )
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75)
+        * F.col("dl").cast("double")
+        * F.col("n_docs").cast("double")
+        / F.col("sum_dl").cast("double")
+    )
+    score = (
+        idf
+        * (F.col("tf").cast("double") * F.lit(2.2))
+        / (F.col("tf").cast("double") + norm)
+    )
+    tq = F.floor(score * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        tf.join(F.broadcast(qtok), "token")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", tq.alias("tsq"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tsq").alias("sq"))
     )

@@ -348,3 +348,97 @@ def q_sample_ares_grouped(spark, sf_dir):
         .filter(F.col("rank") <= _ARESG_K)
         .drop("sc_q")
     )
+
+
+# =====================================================================
+# Hybrid retrieval SERVED from the index artifacts (B80 ext — the
+# q_hybrid_rrf composition with its lexical leg reading the persisted
+# posting shards instead of re-deriving tf from the corpus)
+# =====================================================================
+
+
+def _hybrid_served_oracle() -> str:
+    """q_hybrid_rrf's oracle verbatim — the served lexical leg must fuse
+    to exactly the corpus-scan composition's rows."""
+    from etl_data_processor_spark import queries_r6b as _r6b  # noqa: F401
+
+    return ORACLE["q_hybrid_rrf"]
+
+
+@q("q_hybrid_rrf_served", _hybrid_served_oracle())
+def q_hybrid_rrf_served(spark, sf_dir):
+    """Hybrid retrieval (BM25 + exact cosine, RRF-fused) with the
+    LEXICAL LEG SERVED from the persisted index artifacts
+    (ops/invindex.py:bm25_batch_scores_from_index): the query docs'
+    term sets (query-bounded driver state, exactly what a search
+    frontend holds) push as one IN-filter into the posting-shard scan;
+    tf decodes once and fans out to the queries via a broadcast
+    (query_id, token) join; dl comes from the non-empty doclen sidecar.
+    documents.parquet is read ONLY for the 3 query docs' own text
+    (doc_id pushdown — the query input, not a corpus scan). The vector
+    leg and the fusion are q_hybrid_rrf's verbatim; both keys share one
+    oracle, so the driver proves served == scanned for the whole
+    composition every round."""
+    from pyspark.sql import Window
+
+    from etl_data_processor_spark.ops import similarity as _S
+    from etl_data_processor_spark.ops.invindex import (
+        bm25_batch_scores_from_index,
+    )
+    from etl_data_processor_spark.ops.text import tokenize
+    from etl_data_processor_spark.queries_r6b import (
+        _FUSED_K,
+        _LEG_K,
+        _RRF_K,
+        _RRF_QUERIES,
+    )
+
+    d = _cat(spark, sf_dir).documents
+    emb = _cat(spark, sf_dir).embeddings
+    qids = list(_RRF_QUERIES)
+
+    # query-side read: ONLY the query docs (doc_id IN-filter pushes)
+    qrows = (
+        d.filter(F.col("doc_id").isin(qids))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .collect()
+    )
+    query_terms = {r["doc_id"]: list(set(r["toks"])) for r in qrows}
+
+    lex_scored = bm25_batch_scores_from_index(
+        spark, f"{sf_dir}/documents.parquet", query_terms
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("sq"), F.asc("doc_id"))
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= _LEG_K)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    vec = _S.cosine_topk_exact(emb, queries, k=_LEG_K).select(
+        "query_id", F.col("vec_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+    )
+    fused = fused.withColumn("rrf", rrf).withColumn(
+        "rrf_q", F.floor(F.col("rrf") * F.lit(1e12) + F.lit(0.5)).cast("long")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_q"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _FUSED_K)
+        .select(
+            "query_id", "doc_id",
+            SIM.stable_round6(F.col("rrf")).alias("rrf6"),
+            "fused_rank", "lex_rank", "vec_rank",
+        )
+    )

@@ -176,6 +176,7 @@ HEAVY = [
     # data the SERVED cost must track postings touched, not the corpus.
     "q_bm25_served",
     "q_phrase_search_served",
+    "q_hybrid_rrf_served",
     # r8 window-algebra rewrites: prove the chunked/bucketed plans scale.
     "q_pack_sequences",
     "q_curriculum_interleave",

@@ -358,3 +358,31 @@ def test_phrase_served_incremental_append(spark, tmp_path):
         if os.path.isdir(adir):
             for s in set(os.listdir(adir)) - before:
                 shutil.rmtree(os.path.join(adir, s), ignore_errors=True)
+
+
+def test_hybrid_served_lexical_leg_reads_artifacts(spark, sf_dir):
+    """q_hybrid_rrf_served: the only documents.parquet scan in the plan
+    is the 3-query-doc read with the doc_id IN-filter pushed; the
+    lexical leg's tf/df/dl come from artifact scans; the fused output
+    equals the corpus-scan composition row for row."""
+    import io
+    from contextlib import redirect_stdout
+
+    import __spark_entry__ as entry_mod
+
+    served = entry_mod.queries()["q_hybrid_rrf_served"](spark, sf_dir)
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert "_artifacts" in plan
+    # corpus reads: embeddings (vector leg, by design) — documents may
+    # appear ONLY via the query-doc read, which the collect() in the
+    # query function already consumed; the lazy plan must not scan it
+    scans = [ln for ln in plan.splitlines() if "Location" in ln]
+    assert not any("documents.parquet" in ln for ln in scans), scans
+    direct = entry_mod.queries()["q_hybrid_rrf"](spark, sf_dir)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
