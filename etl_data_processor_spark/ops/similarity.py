@@ -1194,14 +1194,79 @@ def model_fingerprint(obj) -> str:
     return hashlib.md5(repr(obj).encode()).hexdigest()[:12]
 
 
-def cached_model(key: tuple, builder):
-    """Process-local memo for DETERMINISTIC trained model state (IVF
-    centroids, PQ codebooks). Training here has no RNG — seeds are
-    smallest-id rows, means are fixed-point integer arithmetic — so a
-    cache hit is bit-identical to retraining, and reuse is pure physics:
-    the production shape trains an index ONCE and serves every query from
+# Bump when the on-disk model encoding changes (mirrors
+# ops.dedup._ARTIFACT_VERSION for DataFrame artifacts).
+_MODEL_VERSION = 1
+
+
+def model_location(spark, key: tuple) -> str:
+    """Filesystem path of the persisted model-state file for ``key`` —
+    warehouse/_models/md5(version + key)[:16]. The driver-dict sibling
+    of ops.dedup.artifact_location: same warehouse root, separate
+    namespace (these are single small files of repr-encoded Python
+    state, not parquet directories)."""
+    import hashlib
+    import os
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    slug = hashlib.md5(
+        repr((_MODEL_VERSION, *key)).encode()
+    ).hexdigest()[:16]
+    return os.path.join(warehouse, "_models", slug)
+
+
+def cached_model(key: tuple, builder, spark=None):
+    """Memo for DETERMINISTIC trained model state (IVF centroids, PQ
+    codebooks). Training here has no RNG — seeds are hash-sampled rows,
+    means are fixed-point integer arithmetic — so a cache hit is
+    bit-identical to retraining, and reuse is pure physics: the
+    production shape trains an index ONCE and serves every query from
     it; retraining per query measures an anti-pattern. Model state is a
-    few KB of driver lists; the cache never holds DataFrames."""
-    if key not in _MODEL_CACHE:
-        _MODEL_CACHE[key] = builder()
+    few KB of driver lists; the cache never holds DataFrames.
+
+    When ``spark`` is passed, the memo becomes a read-through cache of
+    an ON-DISK artifact (warehouse/_models/<slug>, VERDICT r8 item 2):
+    a COLD process loads the trained state from the file instead of
+    re-running the sampled-k-means corpus pass — the same "an index you
+    rebuild per session isn't an index" rule the posting shards follow.
+    Encoding is ``repr`` / ``ast.literal_eval``: exact round-trip for
+    the nested tuple/list/float structures trained here (Python float
+    repr is shortest-round-trip), so the loaded object is ``==`` to the
+    trained one and :func:`model_fingerprint` — which keys the derived
+    DataFrame artifacts — is byte-identical across sessions. Writes go
+    to a process-unique temp file and atomically rename into place, so
+    concurrent trainers race safely."""
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    if spark is not None:
+        import ast
+        import os
+        import tempfile
+
+        path = model_location(spark, key)
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                obj = ast.literal_eval(f.read())
+            _MODEL_CACHE[key] = obj
+            return obj
+        obj = builder()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path), prefix=".model-tmp-"
+        )
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                f.write(repr(obj))
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        _MODEL_CACHE[key] = obj
+        return obj
+    _MODEL_CACHE[key] = builder()
     return _MODEL_CACHE[key]

@@ -1799,6 +1799,7 @@ def q_cosine_pq(spark, sf_dir):
     books = cached_model(
         ("pq", sf_dir, 16, 16),
         lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
+        spark=spark,
     )
     # persisted code table (the compressed index artifact) — fingerprint-
     # keyed so retrained codebooks auto-invalidate the on-disk codes
@@ -1851,10 +1852,12 @@ def q_cosine_ivfpq(spark, sf_dir):
     cents = cached_model(
         ("ivfpq-cents", sf_dir, 16),
         lambda: train_ivf_centroids(emb, n_lists=16),
+        spark=spark,
     )
     books = cached_model(
         ("pq", sf_dir, 16, 16),
         lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
+        spark=spark,
     )
     # persisted (id, codes, __list) index — the list-partitioned parquet
     # index the docstring describes, materialized for real and keyed by

@@ -1577,33 +1577,39 @@ def q_sql_passthrough(spark, sf_dir):
     )
 
 
-@q("q_cosine_ivf")  # rows-only: IVF probing is approximate by design
-def q_cosine_ivf(spark, sf_dir):
-    """IVF ANN with k-means-trained centroids (2 deterministic Lloyd
-    iterations; inverted lists by nearest centroid, n_probe lists searched
-    per query) — the second scale path beside hyperplane LSH. Training is
-    bit-deterministic (fixed-point integer means), so the rows-only hash is
-    still stable. Score agreement with brute force asserted in tests."""
+def ivf_index_artifact(spark, sf_dir):
+    """Train-or-load the IVF model and ensure the persisted IVF-FLAT
+    index artifact exists. Returns ``(cents, assigned, key)`` where ``key`` is the
+    cached_df artifact key of the (vec_id, embedding, __list) assignment
+    table — the list-partitioned index a production deployment
+    materializes; the vectors live IN the inverted lists (IVF-Flat), so
+    a serving session reads the artifact and never the corpus. Shared
+    by q_cosine_ivf (reads through the session cache) and
+    q_hybrid_ann_served (reads the artifact RAW so the probed-list
+    filter pushes into the parquet scan)."""
     from etl_data_processor_spark.ops.sampling import deterministic_sample
 
     emb = _cat(spark, sf_dir).embeddings
-    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
     # Train on a deterministic hash-sample (how IVF indexes are always
     # trained at scale — centroid quality needs ~O(100) points per list,
-    # not the full corpus); assignment then runs over everything.
+    # not the full corpus); assignment then runs over everything. Model
+    # state persists on disk (warehouse/_models) so a COLD serving
+    # session loads centroids instead of re-running the k-means pass.
     cents = SIM.cached_model(
         ("ivf", sf_dir, 16, 2, 0.5),
         lambda: SIM.train_ivf_centroids(
             deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
         ),
+        spark=spark,
     )
     # persisted assignment table (the list-partitioned index artifact a
     # production deployment materializes) — keyed by the model fingerprint
     # so retrained centroids auto-invalidate the on-disk index
+    key = (sf_dir, "ivf_assign", SIM.model_fingerprint(cents),
+           D.source_signature(f"{sf_dir}/embeddings.parquet"))
     assigned = D.cached_df(
         spark,
-        (sf_dir, "ivf_assign", SIM.model_fingerprint(cents),
-         D.source_signature(f"{sf_dir}/embeddings.parquet")),
+        key,
         lambda: SIM.ivf_assign_argmax(
             emb.select("vec_id", "embedding"), cents
         ),
@@ -1617,6 +1623,19 @@ def q_cosine_ivf(spark, sf_dir):
             spark.read.parquet(*files).select("vec_id", "embedding"), cents
         ),
     )
+    return cents, assigned, key
+
+
+@q("q_cosine_ivf")  # rows-only: IVF probing is approximate by design
+def q_cosine_ivf(spark, sf_dir):
+    """IVF ANN with k-means-trained centroids (2 deterministic Lloyd
+    iterations; inverted lists by nearest centroid, n_probe lists searched
+    per query) — the second scale path beside hyperplane LSH. Training is
+    bit-deterministic (fixed-point integer means), so the rows-only hash is
+    still stable. Score agreement with brute force asserted in tests."""
+    emb = _cat(spark, sf_dir).embeddings
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    cents, assigned, _key = ivf_index_artifact(spark, sf_dir)
     return SIM.ivf_cosine_topk(
         emb, queries, k=10, centroids=cents, assigned=assigned
     )
