@@ -343,60 +343,86 @@ def q_prf_expand(spark, sf_dir):
     terms across them (by feedback-tf x idf, exact 1e-12 quantized,
     token-asc ties) expand the query; round-2 BM25 over the expanded
     term set returns the final top-10 — the standard recall-recovery
-    loop every lexical search stack ships. Determinism: both BM25
-    rounds use the hybrid-RRF lexical scorer's per-term integer-sum
-    discipline; every ranking tie breaks on doc_id/token. Scale shape:
-    term sets and feedback frames are query-bounded and broadcast; the
-    corpus cost is the tf aggregate per round (at 100 TB both rounds
-    read q_inverted_index's materialized shards instead of
-    re-aggregating — same plan from tf on); expansion-term df is one
-    probe of tf against a broadcast term set."""
+    loop every lexical search stack ships.
+
+    SERVED from the index artifacts (VERDICT r8 item 6): both BM25
+    rounds score through ops/invindex.py:bm25_batch_scores_from_index —
+    posting-shard scans with the round's term IN-filter PUSHED, dl from
+    the doclen sidecar — and expansion-term df aggregates the shards'
+    per-block df column; the corpus text is read ONLY for the query
+    docs and the 5 feedback docs per query (doc-id IN pushdown, the
+    query-bounded seam every served key shares). The oracle is
+    untouched: the shards are a lossless tf encoding and the scoring
+    arithmetic is the corpus-scan scorer's to the bit, so served rows
+    == scanned rows (the driver proves it every round). Between-round
+    state (feedback ids, expansion terms) is queries x 5 / queries x 3
+    rows — the driver-held state a search frontend owns."""
+    from etl_data_processor_spark.ops.dedup import (
+        artifact_location,
+        source_signature,
+    )
+    from etl_data_processor_spark.ops.invindex import (
+        BLOCK,
+        bm25_batch_scores_from_index,
+        doc_length_table,
+        inverted_index_shards,
+    )
+
+    docs_path = f"{sf_dir}/documents.parquet"
     d = _cat(spark, sf_dir).documents
     qids = list(_PRF_QUERIES)
-    toks = d.select(
-        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+
+    # round 0: the query docs' own term sets (doc-id pushdown read)
+    qrows = (
+        d.filter(F.col("doc_id").isin(qids))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .collect()
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = d.select(
-        "doc_id", F.size(tokenize(F.col("text"))).cast("long").alias("dl")
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    q0 = (
-        toks.filter(F.col("doc_id").isin(qids))
-        .select(F.col("doc_id").alias("query_id"), "token")
-        .distinct()
-    )
-    r1 = _bm25(tf, dl, stats, q0)
+    q0 = {int(r["doc_id"]): sorted(set(r["toks"])) for r in qrows}
+
+    r1 = bm25_batch_scores_from_index(spark, docs_path, q0)
     wfb = Window.partitionBy("query_id").orderBy(
         F.desc("sq"), F.asc("doc_id")
     )
-    fb = (
+    fb_rows = (
         r1.withColumn("rk", F.row_number().over(wfb))
         .filter(F.col("rk") <= _PRF_FB_K)
         .select("query_id", "doc_id")
+        .collect()
     )
-    # feedback docs are query-bounded (queries x 5): broadcast them onto
-    # the raw table and tokenize ONLY those rows — never a corpus-wide
-    # tf shuffle keyed by doc_id (the stress flagged that form at 21x
-    # CPU for 10x data; the broadcast join's doc_id filter prunes the
-    # scan instead)
+    fb_ids = sorted({int(r["doc_id"]) for r in fb_rows})
+    fb = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["doc_id"])) for r in fb_rows],
+        "query_id long, doc_id long",
+    )
+    # feedback docs are query-bounded (queries x 5): their ids push as
+    # an IN-filter into the corpus scan — exactly the query-doc seam,
+    # never a corpus-wide tokenize
     fbterms = (
-        F.broadcast(fb)
-        .join(d.select("doc_id", "text"), "doc_id")
+        d.filter(F.col("doc_id").isin(fb_ids))
         .select(
-            "query_id", F.explode(tokenize(F.col("text"))).alias("token")
+            "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
         )
+        .join(F.broadcast(fb), "doc_id")
         .groupBy("query_id", "token")
         .agg(F.count(F.lit(1)).alias("fb_tf"))
     )
+    # expansion-term df from the shard artifact's per-block df column —
+    # a two-column artifact scan, not a corpus tf re-aggregate
+    inverted_index_shards(spark, docs_path, BLOCK)
+    sig = source_signature(docs_path)
+    shards = spark.read.parquet(
+        artifact_location(spark, ("invindex", docs_path, BLOCK, sig))
+    )
     expdf = (
-        tf.join(
-            F.broadcast(fbterms.select("token").distinct()), "token"
-        )
+        shards.select("token", "df")
+        .join(F.broadcast(fbterms.select("token").distinct()), "token")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum("df").alias("df"))
+    )
+    dl = doc_length_table(spark, docs_path, nonempty=True)
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     rocchio_q = F.floor(
         F.col("fb_tf").cast("double")
@@ -409,11 +435,17 @@ def q_prf_expand(spark, sf_dir):
     wexp = Window.partitionBy("query_id").orderBy(
         F.desc("rq"), F.asc("token")
     )
-    exp = (
+    q0_df = F.broadcast(
+        spark.createDataFrame(
+            [(qid, t) for qid, ts in q0.items() for t in ts],
+            "query_id long, token string",
+        )
+    )
+    exp_rows = (
         fbterms.join(F.broadcast(expdf), "token")
         .crossJoin(F.broadcast(stats))
         .join(
-            q0.select("query_id", "token", F.lit(1).alias("__orig")),
+            q0_df.select("query_id", "token", F.lit(1).alias("__orig")),
             ["query_id", "token"],
             "left",
         )
@@ -422,20 +454,20 @@ def q_prf_expand(spark, sf_dir):
         .withColumn("rk", F.row_number().over(wexp))
         .filter(F.col("rk") <= _PRF_EXP_T)
         .select("query_id", "token")
+        .collect()
     )
-    # The expanded term set is consumed by several broadcast builds in
-    # round 2; without a cache each build re-executes the ENTIRE
-    # round-1 pipeline (profiled: the r1 scoring stage ran 4-5x per
-    # query execution). The frame is queries x ~25 terms — cache it at
-    # one partition so round 1 runs exactly once.
-    q1 = (
-        q0.select("query_id", "token")
-        .union(exp)
-        .distinct()
-        .repartition(1)
-        .cache()
-    )
-    r2 = _bm25(tf, dl, stats, q1)
+    # the expanded term sets are queries x (|q0| + 3) driver-held
+    # strings — the state a search frontend owns between rounds; round
+    # 2 pushes them as ONE IN-filter into the shard scan, so round 1
+    # runs exactly once by construction (no cache dance needed)
+    q1 = {
+        qid: sorted(
+            set(ts)
+            | {r["token"] for r in exp_rows if r["query_id"] == qid}
+        )
+        for qid, ts in q0.items()
+    }
+    r2 = bm25_batch_scores_from_index(spark, docs_path, q1)
     wout = Window.partitionBy("query_id").orderBy(
         F.desc("sq"), F.asc("doc_id")
     )

@@ -124,6 +124,26 @@ def _boom(*a, **k):
     raise AssertionError("k-means ran in a cold serving session")
 
 
+def test_prf_expand_served_plan_scans_artifacts_only(spark, sf_dir):
+    """VERDICT r8 item 6's 'done' bar: q_prf_expand's registered plan
+    (the round-2 scorer — rounds 0/1 resolve to driver-held term sets)
+    scans ONLY the shard + sidecar artifacts with the expanded term
+    IN-filter pushed; documents.parquet never appears."""
+    df = entry_mod.queries()["q_prf_expand"](spark, sf_dir)
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln or "Location" in ln]
+    assert not any("documents.parquet" in ln for ln in scans), scans
+    assert any("_artifacts" in ln for ln in scans), scans
+    assert "In(token" in plan, (
+        "round-2 term IN-filter must push into the shard scan"
+    )
+
+
 def test_hybrid_ann_served_schema_and_rows(spark, sf_dir):
     df = entry_mod.queries()["q_hybrid_ann_served"](spark, sf_dir)
     assert [f.name for f in df.schema.fields] == [
