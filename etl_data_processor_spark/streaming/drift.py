@@ -1,7 +1,8 @@
 """Streaming drift monitors: per-micro-batch PSI, Jensen-Shannon
-divergence, and Kolmogorov-Smirnov against a FROZEN reference (the
-streaming twins of q_quality_drift_psi, q_js_divergence, and
-q_ks_drift — the full batch drift family, evaluated incrementally with
+divergence, Kolmogorov-Smirnov, and Mann-Whitney U against a FROZEN
+reference (the streaming twins of q_quality_drift_psi,
+q_js_divergence, q_ks_drift, and q_mannwhitney_u — the full batch
+drift quartet, evaluated incrementally with
 the pattern streaming/selection.py set: corpus-relative state freezes
 per epoch; per-batch work is stateless math against frozen state).
 
@@ -251,5 +252,73 @@ def ks_monitor_sink(ref: dict[int, int], out_table: str):
             "batch_id long, n_docs long, ks6 double, drifted boolean",
         )
         TF.append_idempotent(row, out_table, f"ks-{batch_id}")
+
+    return apply
+
+
+# --- Mann-Whitney U monitor (location member, completing the quartet) -
+
+
+def mwu_of_counts(
+    counts: dict[int, int], ref: dict[int, int]
+) -> tuple[int, int, float, bool]:
+    """q_mannwhitney_u's exact arithmetic on two value-count dicts:
+    U*2 = sum_v cs(v) * (2*cumR(<v) + cr(v)) in pure integers, the
+    tie-corrected variance's numerator/denominator as arbitrary-
+    precision ints (Python's native bigint — the driver-side analogue
+    of the batch key's DECIMAL(38)), each cast to double exactly like
+    the batch plan before the one sqrt + division. Returns
+    (ns, u2, z6, shifted) — bit-identical to the batch key's row for
+    the same counts (asserted by tests/test_streaming_drift.py)."""
+    ns = sum(counts.values())
+    nr = sum(ref.values())
+    crum = 0
+    u2 = 0
+    tq = 0
+    for v in sorted(set(counts) | set(ref)):
+        cs = counts.get(v, 0)
+        cr = ref.get(v, 0)
+        u2 += cs * (2 * crum + cr)
+        t = cs + cr
+        tq += t * t * t - t
+        crum += cr
+    n = ns + nr
+    nvar = ns * nr * (n * n * n - n - tq)
+    dvar = 12 * n * (n - 1)
+    zval = (float(u2) - float(ns * nr)) / (
+        2.0 * math.sqrt(float(nvar) / float(dvar))
+    )
+    z6 = math.floor(zval * 1e6 + 0.5) / 1e6
+    return ns, u2, z6, abs(zval) > 1.96
+
+
+def mwu_monitor_sink(ref: dict[int, int], out_table: str):
+    """foreachBatch closure for the Mann-Whitney U drift monitor — the
+    LOCATION member completing the streaming quartet (PSI binned, JSD
+    distributional, KS shape, MWU location; VERDICT r8 item 4). Per
+    micro-batch: ONE aggregate to the batch's n_chars value counts
+    (bounded by the metric's value range, the same state shape as the
+    KS monitor's), exact integer U and tie-corrected z against the
+    frozen reference on the driver, exactly-once append of
+    (batch_id, n_docs, u2, z6, shifted)."""
+    from etl_data_processor_spark import tableformat as TF
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        counts = {
+            r["v"]: r["c"]
+            for r in batch_df.groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        n = sum(counts.values())
+        if n == 0:
+            return
+        ns, u2, z6, shifted = mwu_of_counts(counts, ref)
+        row = spark.createDataFrame(
+            [(batch_id, ns, u2, z6, shifted)],
+            "batch_id long, n_docs long, u2 long, z6 double, shifted boolean",
+        )
+        TF.append_idempotent(row, out_table, f"mwu-{batch_id}")
 
     return apply

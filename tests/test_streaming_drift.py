@@ -183,3 +183,95 @@ def test_streaming_ks_matches_batch_per_file(spark, sf_dir, tmp_path):
     shifted = {10_000_000: 500}
     ks6, drifted = ks_of_counts(shifted, ref)
     assert ks6 == 1.0 and drifted
+
+
+def test_streaming_mwu_matches_batch_per_file(spark, sf_dir, tmp_path):
+    """The MWU monitor's per-micro-batch statistic must equal
+    mwu_of_counts (q_mannwhitney_u's exact integer U + tie-corrected z)
+    on that file slice's value counts, and a location-shifted batch
+    must set shifted."""
+    from etl_data_processor_spark.streaming.drift import (
+        frozen_reference_lengths,
+        mwu_monitor_sink,
+        mwu_of_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    ref = frozen_reference_lengths(docs.filter(F.col("source") == "src0"))
+    assert sum(ref.values()) > 0
+
+    src = str(tmp_path / "incoming_mwu")
+    cuts = [(0, 150), (150, 300), (300, 10_000_000)]
+    for lo, hi in cuts:
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "mwu")
+    q = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(mwu_monitor_sink(ref, out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_mwu"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(
+        (r["n_docs"], r["u2"], r["z6"], r["shifted"])
+        for r in TF.read(spark, out).collect()
+    )
+    assert len(got) == 3
+
+    want = []
+    for lo, hi in cuts:
+        counts = {
+            r["v"]: r["c"]
+            for r in docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            .groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        want.append(mwu_of_counts(counts, ref))
+    assert got == sorted(want)
+
+    # a batch shifted far above the reference support must flag
+    shifted_counts = {10_000_000 + i: 20 for i in range(10)}
+    ns, u2, z6, shifted = mwu_of_counts(shifted_counts, ref)
+    assert shifted and z6 > 1.96
+    # every shifted value exceeds every reference value -> U2 is maximal
+    assert u2 == 2 * ns * sum(ref.values())
+
+
+def test_mwu_of_counts_bit_identical_to_batch_key(spark, sf_dir):
+    """Driver arithmetic == the batch key's plan arithmetic: for every
+    non-reference source, mwu_of_counts on the per-source value counts
+    reproduces q_mannwhitney_u's (ns, u2, z6, shifted) row exactly."""
+    import __spark_entry__ as entry_mod
+    from etl_data_processor_spark.streaming.drift import (
+        frozen_reference_lengths,
+        mwu_of_counts,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    ref = frozen_reference_lengths(docs.filter(F.col("source") == "src0"))
+    batch = {
+        r["source"]: (r["ns"], r["u2"], r["z6"], r["shifted"])
+        for r in entry_mod.queries()["q_mannwhitney_u"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert batch
+    for source, row in batch.items():
+        counts = {
+            r["v"]: r["c"]
+            for r in docs.filter(F.col("source") == source)
+            .groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert mwu_of_counts(counts, ref) == row, source
