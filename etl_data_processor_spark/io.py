@@ -334,9 +334,18 @@ def ensure_bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, 
 
     from etl_data_processor_spark.registry import cat as _cat
 
-    c = _cat(spark, sf_dir)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     db = f"bktdb_{key}"
+    # memoize per (session, sf_dir): the warm-path catalog round-trips
+    # (CREATE DATABASE IF NOT EXISTS + 2x tableExists) cost ~0.25 s per
+    # call — measured as the bulk of q_join_bucketed's wall-gate breach
+    # (VERDICT r8 item 3); a setup hook should run once per session, not
+    # once per query execution
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _BUCKETED_READY:
+        return f"{db}.orders_b", f"{db}.customer_b"
+
+    c = _cat(spark, sf_dir)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     for name, df, bucket_col in (
@@ -354,4 +363,8 @@ def ensure_bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, 
                 .mode("overwrite")
                 .saveAsTable(name)
             )
+    _BUCKETED_READY.add(memo_key)
     return f"{db}.orders_b", f"{db}.customer_b"
+
+
+_BUCKETED_READY: set[tuple] = set()
