@@ -94,6 +94,10 @@ HEADLINE = [
     "q_bm25_served",
     "q_hybrid_rrf",
     "q_hybrid_rrf_served",
+    # r9: both-legs-served hybrid + containment dedup + MRR eval
+    "q_hybrid_ann_served",
+    "q_containment_join",
+    "q_eval_mrr",
     "q_unigram_viterbi",
     "q_linkage_fs_em",
     # round-6 batch 3 (B66 #2)

@@ -178,3 +178,281 @@ def q_hybrid_ann_served(spark, sf_dir):
             "fused_rank", "lex_rank", "vec_rank",
         )
     )
+
+
+# =====================================================================
+# Containment near-dup join (B-dedup ext — asymmetric doc-inside-doc
+# detection; Broder 1997's containment measure, public classic)
+# =====================================================================
+
+
+def _containment_oracle() -> str:
+    from etl_data_processor_spark.queries_north import _DUCK_SHINGLES
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
+        FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+    ),
+    -- containment prefix filter (pigeonhole): C(A->B) >= t needs
+    -- |A ∩ B| >= ceil(t*|A|), so A's first |A| - ceil(t*|A|) + 1 sorted
+    -- shingles must hit B's FULL set — exact candidate generation, the
+    -- asymmetric analogue of the Bayardo prefix
+    pref AS (
+        SELECT doc_id, source,
+               UNNEST(list_slice(list_sort(ss), 1,
+                   len(ss) - CAST(CEIL(0.8 * len(ss)) AS BIGINT) + 1)) AS tok
+        FROM sh WHERE len(ss) >= 3
+    ),
+    alltok AS (SELECT doc_id, source, UNNEST(ss) AS tok FROM sh),
+    cand AS (
+        SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN alltok b
+          ON a.source = b.source AND a.tok = b.tok AND a.doc_id <> b.doc_id
+    )
+    SELECT c.source, c.id_a, c.id_b,
+           ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss), 4)
+               AS containment
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss) >= 0.8
+    """
+
+
+@q("q_containment_join", _containment_oracle())
+def q_containment_join(spark, sf_dir):
+    """Exact shingle-CONTAINMENT pairs within each source block —
+    C(A->B) = |S(A) ∩ S(B)| / |S(A)|, the asymmetric near-dup measure
+    that catches a short document embedded in a long one (boilerplate,
+    quoting, concatenated shards) where Jaccard dilutes toward
+    |A|/|B| and stays under every practical threshold. Reads the
+    session's persisted shingle artifact (the q_dedup_ngram derivation,
+    computed once per corpus) and runs the inverted-index pair-count
+    plan: one shuffle on the shingle key, one on the pair key, both
+    directions emitted from each undirected intersection. The DuckDB
+    oracle generates candidates by the containment prefix filter
+    (pigeonhole-complete at t=0.8, the asymmetric Bayardo analogue) —
+    exact, so the key is value-oracled like the Jaccard twin."""
+    from etl_data_processor_spark.ops import dedup as D
+    from etl_data_processor_spark.queries_north import _lsh_index
+
+    sh, _ = _lsh_index(spark, sf_dir)
+    return D.ngram_containment_pairs_blocked(
+        _cat(spark, sf_dir).documents,
+        block_cols=["source"],
+        threshold=0.8,
+        min_shingles=3,
+        shingled=sh,
+    )
+
+
+# =====================================================================
+# Retrieval MRR eval (B-eval ext — mean reciprocal rank against a
+# deterministic near-dup gold set; the standard first-relevant metric)
+# =====================================================================
+
+_MRR_N_QUERIES = 3
+_MRR_GOLD_T = 0.5  # q_dedup_ngram's within-source Jaccard threshold
+
+
+def _mrr_oracle() -> str:
+    from etl_data_processor_spark.queries_north import _DUCK_SHINGLES
+    from etl_data_processor_spark.queries_r6d import _SQL_TOKENS, _bm25_sql
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
+        FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
+    ),
+    pref AS (
+        SELECT doc_id, source,
+               UNNEST(list_slice(list_sort(ss), 1,
+                                 len(ss) - (len(ss) + 1) // 2 + 1)) AS tok
+        FROM sh
+    ),
+    candp AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    upairs AS (
+        SELECT c.id_a, c.id_b
+        FROM candp c JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b
+        WHERE len(list_intersect(a.ss, b.ss))::DOUBLE
+              / len(list_distinct(list_concat(a.ss, b.ss))) >= {_MRR_GOLD_T}
+    ),
+    gold AS (
+        SELECT id_a AS query_id, id_b AS rel_id FROM upairs
+        UNION ALL
+        SELECT id_b AS query_id, id_a AS rel_id FROM upairs
+    ),
+    qs AS (
+        SELECT DISTINCT query_id FROM gold ORDER BY query_id
+        LIMIT {_MRR_N_QUERIES}
+    ),
+    toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    dl AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS dl
+        FROM documents
+    ),
+    st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+    ),
+    q0 AS (
+        SELECT DISTINCT t.doc_id AS query_id, t.token
+        FROM toks t JOIN qs ON qs.query_id = t.doc_id
+    ),
+    {_bm25_sql("q0", "r1")},
+    rel_scored AS (
+        SELECT s.query_id, s.doc_id, s.sq
+        FROM r1 s JOIN gold g
+          ON g.query_id = s.query_id AND g.rel_id = s.doc_id
+    ),
+    ranks AS (
+        SELECT r.query_id,
+               1 + (SELECT COUNT(*) FROM r1 s
+                    WHERE s.query_id = r.query_id
+                      AND (s.sq > r.sq
+                           OR (s.sq = r.sq AND s.doc_id < r.doc_id)))
+                 AS rnk
+        FROM rel_scored r
+    ),
+    best AS (
+        SELECT query_id, CAST(MIN(rnk) AS BIGINT) AS first_rank
+        FROM ranks GROUP BY query_id
+    )
+    SELECT qs.query_id,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gold g
+            WHERE g.query_id = qs.query_id) AS n_rel,
+           COALESCE(b.first_rank, 0) AS first_rank,
+           CASE WHEN b.first_rank IS NULL THEN 0.0
+                ELSE CAST(FLOOR(1.0 / b.first_rank * 1000000.0 + 0.5)
+                          AS DOUBLE) / 1000000.0 END AS rr6
+    FROM qs LEFT JOIN best b USING (query_id)
+    """
+
+
+@q("q_eval_mrr", _mrr_oracle())
+def q_eval_mrr(spark, sf_dir):
+    """Retrieval MRR eval: for the {_MRR_N_QUERIES} smallest doc ids
+    that have a within-source near-dup partner (exact Jaccard >=
+    {_MRR_GOLD_T} on the shared shingle artifact — a DETERMINISTIC gold
+    relation, no judgments needed), rank the whole corpus by BM25 on
+    the query doc's terms and report the reciprocal rank of the first
+    relevant hit — the standard search-eval loop, completing the eval
+    family's ranking axis next to q_eval_ndcg's graded one.
+
+    Scale shape: gold derives from the persisted shingle index (pair
+    counting, never all-pairs); BM25 scores come from the posting-shard
+    artifacts (bm25_batch_scores_from_index — term IN-filter pushed);
+    the rank of each relevant doc is computed by COUNTING higher-scored
+    docs against the broadcast relevant set (one aggregate) instead of
+    materializing a corpus-wide per-query ranking window — no low-NDV
+    window, no single task. Exact integers end to end, so the key is
+    value-oracled."""
+    from etl_data_processor_spark.ops import dedup as D
+    from etl_data_processor_spark.ops.invindex import (
+        bm25_batch_scores_from_index,
+    )
+    from etl_data_processor_spark.ops.text import tokenize
+    from etl_data_processor_spark.queries_north import _lsh_index
+
+    d = _cat(spark, sf_dir).documents
+    sh, _ = _lsh_index(spark, sf_dir)
+    upairs = D.ngram_jaccard_pairs_blocked(
+        d, block_cols=["source"], threshold=_MRR_GOLD_T, shingled=sh
+    ).select("id_a", "id_b")
+    gold = upairs.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("rel_id")
+    ).unionByName(
+        upairs.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("rel_id")
+        )
+    )
+    gold.cache()
+    qids = [
+        int(r["query_id"])
+        for r in gold.select("query_id").distinct()
+        .orderBy("query_id").limit(_MRR_N_QUERIES).collect()
+    ]
+    qrows = (
+        d.filter(F.col("doc_id").isin(qids))
+        .select("doc_id", tokenize(F.col("text")).alias("toks"))
+        .collect()
+    )
+    query_terms = {int(r["doc_id"]): sorted(set(r["toks"])) for r in qrows}
+
+    scores = bm25_batch_scores_from_index(
+        spark, f"{sf_dir}/documents.parquet", query_terms
+    )
+    rel_scored = scores.join(
+        gold.filter(F.col("query_id").isin(qids)),
+        (scores["query_id"] == gold["query_id"])
+        & (scores["doc_id"] == gold["rel_id"]),
+    ).select(
+        scores["query_id"], scores["doc_id"].alias("rel_doc"),
+        scores["sq"].alias("rel_sq"),
+    )
+    # rank of each relevant doc = 1 + #docs ordered before it: a
+    # broadcast theta-join of the tiny relevant set against the scored
+    # frame + one aggregate — never a corpus-wide ranking window
+    beats = (
+        scores.alias("s")
+        .join(
+            F.broadcast(rel_scored).alias("r"),
+            (F.col("s.query_id") == F.col("r.query_id"))
+            & (
+                (F.col("s.sq") > F.col("r.rel_sq"))
+                | (
+                    (F.col("s.sq") == F.col("r.rel_sq"))
+                    & (F.col("s.doc_id") < F.col("r.rel_doc"))
+                )
+            ),
+        )
+        .groupBy(F.col("r.query_id").alias("query_id"), "r.rel_doc")
+        .agg(F.count(F.lit(1)).alias("n_beat"))
+    )
+    ranks = (
+        rel_scored.join(
+            beats,
+            (rel_scored["query_id"] == beats["query_id"])
+            & (rel_scored["rel_doc"] == beats["rel_doc"]),
+            "left",
+        )
+        .select(
+            rel_scored["query_id"],
+            (F.coalesce(beats["n_beat"], F.lit(0)) + F.lit(1)).alias("rnk"),
+        )
+    )
+    best = ranks.groupBy("query_id").agg(
+        F.min("rnk").cast("long").alias("first_rank")
+    )
+    n_rel = gold.filter(F.col("query_id").isin(qids)).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_rel"))
+    qdf = spark.createDataFrame([(q,) for q in qids], "query_id long")
+    rr = F.when(
+        F.col("first_rank").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.floor(F.lit(1.0) / F.col("first_rank") * F.lit(1e6) + F.lit(0.5))
+        .cast("double") / F.lit(1e6)
+    )
+    return (
+        qdf.join(F.broadcast(n_rel), "query_id", "left")
+        .join(F.broadcast(best), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+            F.coalesce(F.col("first_rank"), F.lit(0)).alias("first_rank"),
+            rr.alias("rr6"),
+        )
+    )

@@ -75,7 +75,14 @@ def main() -> None:
         ),
     )
     ap.add_argument("--src", default=SRC)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset (default: all); COPY_ONCE tables "
+        "are included only when explicitly named",
+    )
     args = ap.parse_args()
+    subset = set(args.tables.split(",")) if args.tables else None
 
     spark = get_spark("make_sf1")
     os.makedirs(args.out, exist_ok=True)
@@ -83,6 +90,8 @@ def main() -> None:
     # key-space units (max+1 per named key), one tiny agg per base table
     units: dict[tuple[str, str], int] = {}
     for tbl, cols in KEYED.items():
+        if subset is not None and tbl not in subset:
+            continue
         for col, base in cols.items():
             if base not in units:
                 bt, bc = base
@@ -90,11 +99,15 @@ def main() -> None:
                 units[base] = int(df.agg(F.max(bc)).collect()[0][0]) + 1
 
     for tbl in COPY_ONCE:
+        if subset is not None and tbl not in subset:
+            continue
         df = spark.read.parquet(f"{args.src}/{tbl}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(f"{args.out}/{tbl}.parquet")
         print(f"{tbl}: copied once ({df.count()} rows)")
 
     for tbl, keycols in KEYED.items():
+        if subset is not None and tbl not in subset:
+            continue
         df = spark.read.parquet(f"{args.src}/{tbl}.parquet")
         parts = []
         for r in range(args.replicas):
