@@ -94,9 +94,8 @@ HEADLINE = [
     "q_bm25_served",
     "q_hybrid_rrf",
     "q_hybrid_rrf_served",
-    # r9: both-legs-served hybrid + containment dedup + MRR eval
+    # r9: both-legs-served hybrid + MRR eval
     "q_hybrid_ann_served",
-    "q_containment_join",
     "q_eval_mrr",
     "q_unigram_viterbi",
     "q_linkage_fs_em",

@@ -1293,72 +1293,3 @@ def shared_ngram_runs(
         .agg(F.max("run_tokens").alias("max_run"))
         .filter(F.col("max_run") >= min_run)
     )
-
-
-def ngram_containment_pairs_blocked(
-    df: DataFrame,
-    block_cols: list[str],
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = 0.8,
-    min_shingles: int = 3,
-    shingled: DataFrame | None = None,
-) -> DataFrame:
-    """Exact n-gram CONTAINMENT pairs within a blocking key — the
-    asymmetric sibling of :func:`ngram_jaccard_pairs_blocked` for
-    doc-inside-doc detection: C(A->B) = |S(A) ∩ S(B)| / |S(A)|, so a
-    short document embedded in a long one scores ~1 where Jaccard
-    dilutes toward |A|/|B| and misses it (the classic boilerplate /
-    quote / concatenated-shard case in pretraining corpora).
-
-    Plan is the same inverted-index pair counting (shared shingles
-    shuffle once on the shingle key, co-occurrence counts aggregate on
-    the pair key; zero-overlap pairs never materialize); each
-    undirected intersection then emits BOTH directions with its own
-    denominator. ``min_shingles`` drops contained sides too small to
-    mean anything (a 1-shingle doc is "contained" everywhere).
-    Returns (*block_cols, id_a, id_b, containment) — directional:
-    id_a is the contained side."""
-    if shingled is not None:
-        sh = shingled.select(
-            *block_cols, id_col, "shingles", F.size("shingles").alias("__n")
-        )
-    else:
-        sh = (
-            with_shingles(
-                _parallelize(df.select(id_col, text_col, *block_cols)),
-                text_col, k,
-            )
-            .select(*block_cols, id_col, "shingles",
-                    F.size("shingles").alias("__n"))
-            .cache()
-        )
-    exploded = sh.select(
-        *block_cols, id_col, "__n", F.explode("shingles").alias("__sh")
-    )
-    common = _pairwise_intersections(exploded, id_col, "__sh", list(block_cols))
-    sizes = sh.select(*block_cols, F.col(id_col), F.col("__n"))
-    sa = sizes.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("__n").alias("__na")
-    )
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    both = common.join(sa, [*block_cols, "id_a"]).join(sb, "id_b")
-    fwd = both.select(
-        *block_cols, "id_a", "id_b",
-        F.col("n_common").alias("__nc"), F.col("__na").alias("__den"),
-    )
-    rev = both.select(
-        *block_cols,
-        F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"),
-        F.col("n_common").alias("__nc"), F.col("__nb").alias("__den"),
-    )
-    cont = F.round(F.col("__nc").cast("double") / F.col("__den"), 4)
-    return (
-        fwd.unionByName(rev)
-        .filter(
-            (F.col("__den") >= min_shingles)
-            & (F.col("__nc").cast("double") / F.col("__den") >= threshold)
-        )
-        .select(*block_cols, "id_a", "id_b", cont.alias("containment"))
-    )

@@ -181,73 +181,6 @@ def q_hybrid_ann_served(spark, sf_dir):
 
 
 # =====================================================================
-# Containment near-dup join (B-dedup ext — asymmetric doc-inside-doc
-# detection; Broder 1997's containment measure, public classic)
-# =====================================================================
-
-
-def _containment_oracle() -> str:
-    from etl_data_processor_spark.queries_north import _DUCK_SHINGLES
-
-    return f"""
-    WITH sh AS (
-        SELECT doc_id, source, {_DUCK_SHINGLES} AS ss
-        FROM (SELECT doc_id, source, string_split(text, ' ') w FROM documents)
-    ),
-    -- containment prefix filter (pigeonhole): C(A->B) >= t needs
-    -- |A ∩ B| >= ceil(t*|A|), so A's first |A| - ceil(t*|A|) + 1 sorted
-    -- shingles must hit B's FULL set — exact candidate generation, the
-    -- asymmetric analogue of the Bayardo prefix
-    pref AS (
-        SELECT doc_id, source,
-               UNNEST(list_slice(list_sort(ss), 1,
-                   len(ss) - CAST(CEIL(0.8 * len(ss)) AS BIGINT) + 1)) AS tok
-        FROM sh WHERE len(ss) >= 3
-    ),
-    alltok AS (SELECT doc_id, source, UNNEST(ss) AS tok FROM sh),
-    cand AS (
-        SELECT DISTINCT a.source, a.doc_id AS id_a, b.doc_id AS id_b
-        FROM pref a JOIN alltok b
-          ON a.source = b.source AND a.tok = b.tok AND a.doc_id <> b.doc_id
-    )
-    SELECT c.source, c.id_a, c.id_b,
-           ROUND(len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss), 4)
-               AS containment
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.id_a
-    JOIN sh b ON b.doc_id = c.id_b
-    WHERE len(list_intersect(a.ss, b.ss))::DOUBLE / len(a.ss) >= 0.8
-    """
-
-
-@q("q_containment_join", _containment_oracle())
-def q_containment_join(spark, sf_dir):
-    """Exact shingle-CONTAINMENT pairs within each source block —
-    C(A->B) = |S(A) ∩ S(B)| / |S(A)|, the asymmetric near-dup measure
-    that catches a short document embedded in a long one (boilerplate,
-    quoting, concatenated shards) where Jaccard dilutes toward
-    |A|/|B| and stays under every practical threshold. Reads the
-    session's persisted shingle artifact (the q_dedup_ngram derivation,
-    computed once per corpus) and runs the inverted-index pair-count
-    plan: one shuffle on the shingle key, one on the pair key, both
-    directions emitted from each undirected intersection. The DuckDB
-    oracle generates candidates by the containment prefix filter
-    (pigeonhole-complete at t=0.8, the asymmetric Bayardo analogue) —
-    exact, so the key is value-oracled like the Jaccard twin."""
-    from etl_data_processor_spark.ops import dedup as D
-    from etl_data_processor_spark.queries_north import _lsh_index
-
-    sh, _ = _lsh_index(spark, sf_dir)
-    return D.ngram_containment_pairs_blocked(
-        _cat(spark, sf_dir).documents,
-        block_cols=["source"],
-        threshold=0.8,
-        min_shingles=3,
-        shingled=sh,
-    )
-
-
-# =====================================================================
 # Retrieval MRR eval (B-eval ext — mean reciprocal rank against a
 # deterministic near-dup gold set; the standard first-relevant metric)
 # =====================================================================

@@ -158,40 +158,6 @@ def test_hybrid_ann_served_schema_and_rows(spark, sf_dir):
         assert sorted(ranks) == list(range(1, 11)), (qid, ranks)
 
 
-def test_containment_catches_doc_inside_doc(spark):
-    """The planted case Jaccard misses: a short doc embedded verbatim in
-    a long one scores containment 1.0 (short -> long) while its Jaccard
-    stays under every practical threshold."""
-    from etl_data_processor_spark.ops.dedup import (
-        ngram_containment_pairs_blocked,
-        ngram_jaccard_pairs_blocked,
-    )
-
-    short = "alpha beta gamma delta epsilon zeta"
-    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
-    rows = [
-        (1, "s", short),
-        (2, "s", filler + " " + short + " " + filler.replace("w", "v")),
-        (3, "s", "totally unrelated words here nothing shared at all"),
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
-    cont = {
-        (r["id_a"], r["id_b"]): r["containment"]
-        for r in ngram_containment_pairs_blocked(
-            df, block_cols=["source"], threshold=0.8, min_shingles=3
-        ).collect()
-    }
-    assert cont.get((1, 2)) == 1.0, cont   # short fully inside long
-    assert (2, 1) not in cont              # long not inside short
-    assert not any(3 in p for p in cont), cont
-    jac = ngram_jaccard_pairs_blocked(
-        df, block_cols=["source"], threshold=0.5
-    ).collect()
-    assert not any(
-        {r["id_a"], r["id_b"]} == {1, 2} for r in jac
-    ), "Jaccard at 0.5 must miss the containment pair for the test to mean anything"
-
-
 def test_eval_mrr_shape_and_bounds(spark, sf_dir):
     rows = entry_mod.queries()["q_eval_mrr"](spark, sf_dir).collect()
     assert 1 <= len(rows) <= 3
