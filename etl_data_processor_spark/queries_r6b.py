@@ -718,10 +718,28 @@ def q_linkage_fs_em(spark, sf_dir):
     # re-shuffled 8 wide columns through distinct and re-ran levenshtein
     # for the g1 agreement).
     lv = F.levenshtein("c_name", "d_name")
+    # Row-proportional co-partitioning on the join keys (the
+    # q_record_linkage r8 de-skew discipline, queries_r4.py:414): the
+    # shuffle-hash build side is exploded deletion variants whose
+    # per-partition size grows linearly with the corpus, and a fixed
+    # partition count overflows the task hash map at scale — measured:
+    # SparkOutOfMemoryError ("not enough memory to build hash map") at
+    # 30x (sf3) under the default 32 partitions. Buckets scale with the
+    # source row count (~512 rows/bucket, floor at base parallelism,
+    # cap 64x); an explicit numPartitions repartition is exempt from
+    # AQE coalescing and the SHJ reuses the partitioning.
+    from etl_data_processor_spark.queries_r4 import _parquet_rows
+
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nbkt = max(
+        nshuf,
+        min(64 * nshuf, _parquet_rows(f"{sf_dir}/customer.parquet") // 512),
+    )
+    cand_a = cand_a.repartition(nbkt, "__v", "c_nationkey")
+    cand_b = cand_b.repartition(nbkt, "__vb", "d_nationkey")
     pairs = (
-        cand_a.hint("shuffle_hash")
-        .join(
-            cand_b,
+        cand_a.join(
+            cand_b.hint("shuffle_hash"),
             (F.col("__v") == F.col("__vb"))
             & (F.col("c_nationkey") == F.col("d_nationkey")),
         )

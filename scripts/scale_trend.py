@@ -71,9 +71,16 @@ def main() -> None:
     for name in keys:
         fn = queries[name]
         row: dict = {}
+        failed = False
         for sf, sf_dir, _mult in SF_DIRS:
-            r = measure(spark, fn, sf_dir, metrics)
-            r["out_rows"] = fn(spark, sf_dir).count()
+            try:
+                r = measure(spark, fn, sf_dir, metrics)
+                r["out_rows"] = fn(spark, sf_dir).count()
+            except Exception as e:  # record the scale failure, keep going
+                row[sf] = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+                print(f"{name} sf{sf}: FAILED {type(e).__name__}", flush=True)
+                failed = True
+                break
             row[sf] = r
             print(
                 f"{name} sf{sf}: wall={r['wall_s']}s cpu={r['cpu_s']}s "
@@ -83,6 +90,10 @@ def main() -> None:
             )
         steps = {}
         for (lo, _, ml), (hi, _, mh) in zip(SF_DIRS, SF_DIRS[1:]):
+            if failed and (lo not in row or hi not in row
+                           or "error" in row.get(lo, {})
+                           or "error" in row.get(hi, {})):
+                continue
             c_lo = max(row[lo]["cpu_s"], 0.05)
             c_hi = row[hi]["cpu_s"]
             steps[f"{lo}->{hi}"] = {
@@ -100,9 +111,11 @@ def main() -> None:
         row["steps"] = steps
         out["results"][name] = row
         print(f"  -> {json.dumps(steps)}", flush=True)
-
-    with open(prior, "w") as f:
-        json.dump(out, f, indent=1)
+        # persist after EVERY key: a later key's failure must not lose
+        # the completed measurements (learned the hard way: the first
+        # run's OOM discarded 25 minutes of curves)
+        with open(prior, "w") as f:
+            json.dump(out, f, indent=1)
     print("wrote SCALE_TREND.json", flush=True)
 
 
