@@ -1266,7 +1266,108 @@ def cached_model(key: tuple, builder, spark=None):
             except OSError:
                 pass
             raise
+        # sidecar manifest: records the training key so vacuum_models
+        # can prove a slug unreachable (its fixture dir is gone) —
+        # the _KEY.json discipline from the DataFrame artifact store
+        import json
+
+        fd2, tmp2 = tempfile.mkstemp(
+            dir=os.path.dirname(path), prefix=".model-tmp-"
+        )
+        try:
+            with os.fdopen(fd2, "w", encoding="utf-8") as f:
+                json.dump({"key": repr(key)}, f)
+            os.replace(tmp2, f"{path}.key.json")
+        except BaseException:
+            try:
+                os.unlink(tmp2)
+            except OSError:
+                pass
+            raise
         _MODEL_CACHE[key] = obj
         return obj
     _MODEL_CACHE[key] = builder()
     return _MODEL_CACHE[key]
+
+
+def vacuum_models(
+    spark=None,
+    warehouse: str | None = None,
+    min_age_seconds: float = 600.0,
+    dry_run: bool = False,
+) -> list[str]:
+    """GC for the ``_models`` store — the driver-state sibling of
+    ops.dedup.vacuum_artifacts. Reclaims
+
+    - crashed partial writes: ``.model-tmp-*`` files past the age window
+      (publication is an atomic rename, so an aged tmp has no writer);
+    - unreachable models: the ``<slug>.key.json`` manifest records the
+      training key; any ABSOLUTE path among its components that no
+      longer exists means no caller can ever rebuild this slug's key
+      (keys embed the fixture dir), so the file is garbage. Relative
+      path components are spared — their meaning depends on the
+      caller's cwd, which the vacuum cannot know;
+    - legacy slugs with no manifest, once past the age window (models
+      are caches; the next access retrains deterministically).
+
+    ``min_age_seconds`` spares anything a concurrent trainer may still
+    be publishing. Returns deleted names; ``dry_run`` lists only."""
+    import ast
+    import json
+    import os
+    import shutil  # noqa: F401  (parity with vacuum_artifacts imports)
+    import time
+
+    if warehouse is None:
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+    mdir = os.path.join(warehouse, "_models")
+    if not os.path.isdir(mdir):
+        return []
+    now = time.time()
+    deleted: list[str] = []
+
+    def reclaim(name: str) -> None:
+        deleted.append(name)
+        if not dry_run:
+            try:
+                os.unlink(os.path.join(mdir, name))
+            except OSError:
+                pass
+
+    entries = sorted(os.listdir(mdir))
+    for name in entries:
+        path = os.path.join(mdir, name)
+        if not os.path.isfile(path):
+            continue
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue
+        if age < min_age_seconds:
+            continue
+        if name.startswith(".model-tmp-"):
+            reclaim(name)
+            continue
+        if name.endswith(".key.json"):
+            continue  # handled with its model file below
+        manifest = os.path.join(mdir, f"{name}.key.json")
+        if not os.path.exists(manifest):
+            reclaim(name)  # legacy, rebuildable cache
+            continue
+        try:
+            with open(manifest, encoding="utf-8") as f:
+                key = ast.literal_eval(json.load(f)["key"])
+        except (OSError, ValueError, KeyError, SyntaxError):
+            reclaim(name)
+            reclaim(f"{name}.key.json")
+            continue
+        stale = any(
+            isinstance(c, str) and os.path.isabs(c) and not os.path.exists(c)
+            for c in key
+        )
+        if stale:
+            reclaim(name)
+            reclaim(f"{name}.key.json")
+    return deleted

@@ -167,3 +167,70 @@ def test_eval_mrr_shape_and_bounds(spark, sf_dir):
         assert 0.0 <= r["rr6"] <= 1.0
         if r["first_rank"] == 1:
             assert r["rr6"] == 1.0
+
+
+def test_vacuum_models_lifecycle(spark, tmp_path):
+    """GC for the model store: crashed tmps and models whose recorded
+    fixture dir is gone are reclaimed past the age window; live models
+    (key paths exist or are relative) and young files are spared."""
+    import json
+    import time
+
+    wh = str(tmp_path / "wh")
+    mdir = os.path.join(wh, "_models")
+    os.makedirs(mdir)
+    old = time.time() - 3600
+
+    def put(name, body, manifest_key=None, age=True):
+        p = os.path.join(mdir, name)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(body)
+        if manifest_key is not None:
+            with open(f"{p}.key.json", "w", encoding="utf-8") as f:
+                json.dump({"key": repr(manifest_key)}, f)
+            if age:
+                os.utime(f"{p}.key.json", (old, old))
+        if age:
+            os.utime(p, (old, old))
+
+    live_dir = str(tmp_path / "fixture")
+    os.makedirs(live_dir)
+    put("live", "[(0, [1.0])]", manifest_key=("ivf", live_dir, 16))
+    put("stale", "[(0, [1.0])]",
+        manifest_key=("ivf", str(tmp_path / "gone_dir"), 16))
+    put("relpath", "[(0, [1.0])]", manifest_key=("pq", "testdata_rel", 8))
+    put("legacy", "[(0, [1.0])]")                      # no manifest, old
+    put(".model-tmp-123", "partial")                   # crashed writer
+    put("young", "[(0, [1.0])]",
+        manifest_key=("ivf", str(tmp_path / "also_gone"), 4), age=False)
+
+    dropped = set(SIM.vacuum_models(warehouse=wh, min_age_seconds=600))
+    assert dropped == {
+        "stale", "stale.key.json", "legacy", ".model-tmp-123",
+    }, dropped
+    left = set(os.listdir(mdir))
+    assert "live" in left and "relpath" in left and "young" in left
+
+    # dry_run lists without deleting
+    put("stale2", "x", manifest_key=("m", str(tmp_path / "gone2"), 1))
+    listed = SIM.vacuum_models(warehouse=wh, min_age_seconds=600,
+                               dry_run=True)
+    assert "stale2" in listed
+    assert os.path.exists(os.path.join(mdir, "stale2"))
+
+
+def test_cached_model_writes_manifest(spark, tmp_path):
+    key = ("r9-manifest-model", str(tmp_path))
+    try:
+        SIM.cached_model(key, lambda: [(0, [1.5])], spark=spark)
+        path = SIM.model_location(spark, key)
+        import json
+
+        with open(f"{path}.key.json", encoding="utf-8") as f:
+            assert json.load(f)["key"] == repr(key)
+    finally:
+        SIM._MODEL_CACHE.pop(key, None)
+        for suf in ("", ".key.json"):
+            p = SIM.model_location(spark, key) + suf
+            if os.path.exists(p):
+                os.unlink(p)
