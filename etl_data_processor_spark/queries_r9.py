@@ -15,6 +15,11 @@ did to postings. This batch registers the ANN serving path:
   design); fused recall >= 0.8 vs the exact twin q_hybrid_rrf_served
   pinned in tests/test_r9_ops.py.
 
+- ``q_eval_mrr`` — mean reciprocal rank of BM25 retrieval against a
+  deterministic near-dup gold relation (the search-eval loop next to
+  q_eval_ndcg), scores served from the posting shards, ranks computed
+  by counting — exact-value oracled.
+
 House rules: deterministic, exact integers until one final libm pair,
 constant-size reports, every scan either an artifact or query-bounded.
 """
