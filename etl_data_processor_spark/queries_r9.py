@@ -305,10 +305,28 @@ def q_eval_mrr(spark, sf_dir):
     from etl_data_processor_spark.queries_north import _lsh_index
 
     d = _cat(spark, sf_dir).documents
-    sh, _ = _lsh_index(spark, sf_dir)
-    upairs = D.ngram_jaccard_pairs_blocked(
-        d, block_cols=["source"], threshold=_MRR_GOLD_T, shingled=sh
-    ).select("id_a", "id_b")
+    # The gold relation is a fixed eval ASSET (like a judgments file):
+    # derive it once per corpus version and persist it next to the other
+    # artifacts — an eval harness that re-mines its gold per run measures
+    # an anti-pattern. Keyed by the corpus signature + threshold; a pair
+    # relation is not per-row-derivable, so no incremental delta (a
+    # changed corpus rebuilds the gold outright, which is correct).
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build_gold():
+        sh, _ = _lsh_index(spark, sf_dir)
+        return D.ngram_jaccard_pairs_blocked(
+            d, block_cols=["source"], threshold=_MRR_GOLD_T, shingled=sh
+        ).select("id_a", "id_b")
+
+    upairs = D.cached_df(
+        spark,
+        (sf_dir, "mrr_gold_pairs", _MRR_GOLD_T,
+         D.source_signature(docs_path)),
+        build_gold,
+        materialize=True,
+        sources=(docs_path,),
+    )
     gold = upairs.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("rel_id")
     ).unionByName(
