@@ -17,6 +17,12 @@ def q(name: str, sql: str | None = None):
     """Register a query; ``sql`` is its DuckDB oracle (omit for rows-only)."""
 
     def deco(fn):
+        if name in QUERIES:
+            # a duplicate would SILENTLY shadow the earlier key (dict
+            # overwrite), replacing its oracle and implementation while
+            # every count and sweep still looks green — caught once in
+            # round 9, now a hard error at import time
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql.strip()

@@ -234,3 +234,13 @@ def test_cached_model_writes_manifest(spark, tmp_path):
             p = SIM.model_location(spark, key) + suf
             if os.path.exists(p):
                 os.unlink(p)
+
+
+def test_registry_rejects_duplicate_names():
+    from etl_data_processor_spark.registry import QUERIES, q
+
+    name = next(iter(QUERIES))
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        q(name)(lambda spark, sf_dir: None)
