@@ -1217,7 +1217,7 @@ def model_location(spark, key: tuple) -> str:
     return os.path.join(warehouse, "_models", slug)
 
 
-def cached_model(key: tuple, builder, spark=None):
+def cached_model(key: tuple, builder, spark=None, sources: tuple = ()):
     """Memo for DETERMINISTIC trained model state (IVF centroids, PQ
     codebooks). Training here has no RNG — seeds are hash-sampled rows,
     means are fixed-point integer arithmetic — so a cache hit is
@@ -1237,57 +1237,80 @@ def cached_model(key: tuple, builder, spark=None):
     trained one and :func:`model_fingerprint` — which keys the derived
     DataFrame artifacts — is byte-identical across sessions. Writes go
     to a process-unique temp file and atomically rename into place, so
-    concurrent trainers race safely."""
+    concurrent trainers race safely.
+
+    ``sources`` (optional file/dir paths the training READ) closes the
+    stale-cache hole the DataFrame artifact store already closed with
+    ``source_signature``: the current signature of every source is
+    recorded in the ``.key.json`` manifest and REVALIDATED on every
+    disk load — a fixture regenerated in place (new data, same path,
+    same params → same slug) retrains and atomically overwrites the
+    slug instead of serving the old fixture's centroids forever
+    (ADVICE r9, medium). Revalidate-on-load is chosen over embedding
+    the signature in the key so a regenerated fixture REUSES its slug
+    rather than leaking an unreachable one until vacuum."""
+    import json
+    import os
+
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
     if spark is not None:
         import ast
-        import os
-        import tempfile
 
+        from etl_data_processor_spark.ops.dedup import source_signature
+
+        cur_sig = repr(source_signature(*sources)) if sources else None
         path = model_location(spark, key)
         if os.path.exists(path):
-            with open(path, encoding="utf-8") as f:
-                obj = ast.literal_eval(f.read())
-            _MODEL_CACHE[key] = obj
-            return obj
+            stale = False
+            if cur_sig is not None:
+                try:
+                    with open(f"{path}.key.json", encoding="utf-8") as f:
+                        stale = json.load(f).get("sig") != cur_sig
+                except (OSError, ValueError):
+                    stale = True  # no/broken manifest: can't prove fresh
+            if not stale:
+                with open(path, encoding="utf-8") as f:
+                    obj = ast.literal_eval(f.read())
+                _MODEL_CACHE[key] = obj
+                return obj
         obj = builder()
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        fd, tmp = tempfile.mkstemp(
-            dir=os.path.dirname(path), prefix=".model-tmp-"
+        _atomic_publish(os.path.dirname(path), path, repr(obj))
+        # sidecar manifest: records the training key (so vacuum_models
+        # can prove a slug unreachable — its fixture dir is gone) and
+        # the source signature at training time (so a later load can
+        # detect an in-place fixture regeneration) — the _KEY.json
+        # discipline from the DataFrame artifact store
+        _atomic_publish(
+            os.path.dirname(path),
+            f"{path}.key.json",
+            json.dumps({"key": repr(key), "sig": cur_sig}),
         )
-        try:
-            with os.fdopen(fd, "w", encoding="utf-8") as f:
-                f.write(repr(obj))
-            os.replace(tmp, path)
-        except BaseException:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
-            raise
-        # sidecar manifest: records the training key so vacuum_models
-        # can prove a slug unreachable (its fixture dir is gone) —
-        # the _KEY.json discipline from the DataFrame artifact store
-        import json
-
-        fd2, tmp2 = tempfile.mkstemp(
-            dir=os.path.dirname(path), prefix=".model-tmp-"
-        )
-        try:
-            with os.fdopen(fd2, "w", encoding="utf-8") as f:
-                json.dump({"key": repr(key)}, f)
-            os.replace(tmp2, f"{path}.key.json")
-        except BaseException:
-            try:
-                os.unlink(tmp2)
-            except OSError:
-                pass
-            raise
         _MODEL_CACHE[key] = obj
         return obj
     _MODEL_CACHE[key] = builder()
     return _MODEL_CACHE[key]
+
+
+def _atomic_publish(dirname: str, dest: str, text: str) -> None:
+    """Write ``text`` to a process-unique temp file in ``dirname`` and
+    atomically rename it to ``dest`` (concurrent publishers race
+    safely; readers never see a partial file)."""
+    import os
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=dirname, prefix=".model-tmp-")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, dest)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def vacuum_models(
@@ -1319,6 +1342,11 @@ def vacuum_models(
     import time
 
     if warehouse is None:
+        if spark is None:
+            raise ValueError(
+                "vacuum_models needs either a SparkSession (to read "
+                "spark.sql.warehouse.dir) or an explicit warehouse path"
+            )
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")

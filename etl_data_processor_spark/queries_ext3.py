@@ -1800,6 +1800,7 @@ def q_cosine_pq(spark, sf_dir):
         ("pq", sf_dir, 16, 16),
         lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
         spark=spark,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     # persisted code table (the compressed index artifact) — fingerprint-
     # keyed so retrained codebooks auto-invalidate the on-disk codes
@@ -1853,11 +1854,13 @@ def q_cosine_ivfpq(spark, sf_dir):
         ("ivfpq-cents", sf_dir, 16),
         lambda: train_ivf_centroids(emb, n_lists=16),
         spark=spark,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     books = cached_model(
         ("pq", sf_dir, 16, 16),
         lambda: train_pq_codebooks(emb, m_sub=16, k_codes=16),
         spark=spark,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     # persisted (id, codes, __list) index — the list-partitioned parquet
     # index the docstring describes, materialized for real and keyed by

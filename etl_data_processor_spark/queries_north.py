@@ -1601,6 +1601,7 @@ def ivf_index_artifact(spark, sf_dir):
             deterministic_sample(emb, "vec_id", 0.5), n_lists=16, iters=2
         ),
         spark=spark,
+        sources=(f"{sf_dir}/embeddings.parquet",),
     )
     # persisted assignment table (the list-partitioned index artifact a
     # production deployment materializes) — keyed by the model fingerprint

@@ -63,7 +63,12 @@ def _ivf_topk_served(spark, sf_dir, qrows, k):
     from etl_data_processor_spark.queries_north import ivf_index_artifact
 
     cents, _assigned, key = ivf_index_artifact(spark, sf_dir)
-    C = SIM._quantized_centroid_matrix(sorted(cents))
+    cents_sorted = sorted(cents)
+    C = SIM._quantized_centroid_matrix(cents_sorted)
+    # map matrix ROW index -> centroid id (ivf_assign_argmax's
+    # cids[argmax] discipline): correct even if a future model emits
+    # non-contiguous cids (ADVICE r9)
+    cids = [int(cid) for cid, _ in cents_sorted]
     probes = []
     qvec_rows = []
     for r in qrows:
@@ -74,8 +79,8 @@ def _ivf_topk_served(spark, sf_dir, qrows, k):
         qq = np.floor(qv * SIM._Q + 0.5).astype(np.int64)
         dots = C @ qq
         order = sorted(range(len(dots)), key=lambda c: (-dots[c], c))
-        for cid in order[:_ANN_PROBE]:
-            probes.append((int(r["vec_id"]), int(cid)))
+        for row_idx in order[:_ANN_PROBE]:
+            probes.append((int(r["vec_id"]), cids[row_idx]))
         qvec_rows.append((int(r["vec_id"]), [float(x) for x in r["embedding"]]))
 
     probed_lists = sorted({c for _, c in probes})
@@ -334,7 +339,10 @@ def q_eval_mrr(spark, sf_dir):
             F.col("id_b").alias("query_id"), F.col("id_a").alias("rel_id")
         )
     )
-    gold.cache()
+    # no .cache(): gold derives from a MATERIALIZED parquet artifact
+    # (upairs), so each consumer's rescan is a cheap artifact read — a
+    # session-lifetime cached frame per invocation was a storage leak
+    # (ADVICE r9)
     qids = [
         int(r["query_id"])
         for r in gold.select("query_id").distinct()

@@ -261,7 +261,7 @@ def ks_monitor_sink(ref: dict[int, int], out_table: str):
 
 def mwu_of_counts(
     counts: dict[int, int], ref: dict[int, int]
-) -> tuple[int, int, float, bool]:
+) -> tuple[int, int, float | None, bool]:
     """q_mannwhitney_u's exact arithmetic on two value-count dicts:
     U*2 = sum_v cs(v) * (2*cumR(<v) + cr(v)) in pure integers, the
     tie-corrected variance's numerator/denominator as arbitrary-
@@ -285,6 +285,12 @@ def mwu_of_counts(
     n = ns + nr
     nvar = ns * nr * (n * n * n - n - tq)
     dvar = 12 * n * (n - 1)
+    if nvar <= 0 or dvar <= 0:
+        # degenerate U: every observation in one tie group, or one side
+        # empty. The batch SQL twin's non-ANSI division yields NULL here
+        # rather than raising — mirror that (None z, not shifted) so the
+        # sink survives a constant micro-batch (ADVICE r9).
+        return ns, u2, None, False
     zval = (float(u2) - float(ns * nr)) / (
         2.0 * math.sqrt(float(nvar) / float(dvar))
     )
