@@ -231,13 +231,18 @@ def work_row(delta: dict) -> dict:
 def measure_query(spark, fn, sf_dir, metrics: StageMetrics | None, heavy_reps: int = 3):
     """Warmup + min-of-N protocol for one query.
 
-    Returns (wall_reps_sorted, work) where work is the per-rep MINIMUM of
-    each counter (reps run identical plans, so the true work is the same;
-    min discards snapshot-boundary noise from stray event-queue stages).
+    Returns (wall_reps_sorted, work, rows) where work is the per-rep
+    MINIMUM of each counter (reps run identical plans, so the true work is
+    the same; min discards snapshot-boundary noise from stray event-queue
+    stages) and rows is the query's output row count (from the warmup
+    execution) — the normalizer for the output-bound keys' envelopes.
     """
+    rows_out: list[int] = []
 
     def run():
-        fn(spark, sf_dir).agg({"*": "count"}).collect()
+        n = fn(spark, sf_dir).agg({"*": "count"}).collect()[0][0]
+        if not rows_out:
+            rows_out.append(int(n))
 
     run()  # warmup (codegen compile, not counted)
     reps: list[float] = []
@@ -269,10 +274,24 @@ def measure_query(spark, fn, sf_dir, metrics: StageMetrics | None, heavy_reps: i
     work = None
     if works:
         work = {k: min(w[k] for w in works) for k in works[0]}
-    return reps, work
+    return reps, work, rows_out[0]
 
 
-def vm_probe() -> float:
+# Keys whose COST is a function of their OUTPUT size (fixture-quadratic
+# pair generation: replica-shared names make candidate pairs grow with
+# multiplicity^2, VERDICT r9 item 7 / SCALE_TREND's adjudication of
+# q_record_linkage as output-bound with flat cpu-per-pair). Their wall,
+# cpu and shuffle envelopes are normalized by the output-row ratio vs
+# baseline, so a fixture change that doubles the pair count does not
+# read as an engine regression — while a real per-pair slowdown still
+# fires. q_linkage_fs_em shares the quadratic CANDIDATE load but emits
+# only a 6-row EM summary, so its output count cannot normalize its
+# cost; its envelope stays raw (its candidate growth is adjudicated in
+# SCALE_TREND instead).
+OUTPUT_BOUND = {"q_record_linkage"}
+
+
+def vm_probe(best_of: int = 3) -> float:
     """Deterministic single-thread CPU spin, timed — the VM co-scheduling
     mode marker (VERDICT r7 item 6). This VM's same-plan wall/CPU is
     BIMODAL across sessions (NOTES_r7 'Perf honesty note': byte-identical
@@ -281,9 +300,13 @@ def vm_probe() -> float:
     wall numbers only within a regime. Best-of-3 of a fixed 2e7-iteration
     integer loop: ~uncontended it is a pure clock-speed measurement, under
     co-scheduling pressure it stretches with everything else.
-    Uncontended reading on this VM: ~0.10 s (measured round 8)."""
+    Uncontended reading on this VM: ~0.10 s (measured round 8).
+    ``best_of=1`` is the cheap PER-KEY variant: a single draw reads high
+    under contention exactly like the best-of-3, it just can't average
+    out a stray scheduler hiccup — good enough to timestamp which keys
+    of a run were measured inside a contention window."""
     best = float("inf")
-    for _ in range(3):
+    for _ in range(best_of):
         t0 = time.perf_counter()
         acc = 0
         for i in range(2_000_000):
@@ -318,9 +341,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, list[float]] = {}
     work: dict[str, dict] = {}
+    rows: dict[str, int] = {}
+    probes: dict[str, float] = {}
     for name in names:
-        reps, w = measure_query(spark, queries[name], SF_DIR, metrics)
+        # Per-key contention timestamp (round 10): the r9 driver run
+        # flagged three keys clustered in a contiguous 4-key span whose
+        # work metrics were AT baseline and which re-ran at baseline on
+        # an idle box — a mid-run contention window the single
+        # start-of-run probe cannot see. One cheap spin per key makes
+        # those windows visible in the artifact itself.
+        probes[name] = vm_probe(best_of=1)
+        reps, w, n_rows = measure_query(spark, queries[name], SF_DIR, metrics)
         timings[name] = round(reps[0], 3)
+        rows[name] = n_rows
         # Per-query spread over the n reps (VERDICT r3 item 8): this VM
         # shows ±20-40% session drift with unchanged plans, so the artifact
         # carries [min, median, max] and wall regressions are judged
@@ -344,6 +377,11 @@ def main() -> None:
         # compare wall numbers only between artifacts with similar
         # probes (work metrics are regime-immune).
         "vm_probe_s": probe_s,
+        # single-draw spin immediately before each key's measurement —
+        # values well above the session probe mark keys measured inside
+        # a transient contention window (see wall-flag confirm pass)
+        "probe_per_key": probes,
+        "rows": rows,
     }
     if work:
         out["work"] = work
@@ -364,6 +402,19 @@ def main() -> None:
             out["delta_vs_baseline"] = {
                 n: round(t - bq[n], 3) for n, t in timings.items() if n in bq
             }
+            # Output-aware envelope (VERDICT r9 item 7): the documented
+            # output-bound keys' cost is proportional to their OUTPUT
+            # rows (flat cpu-per-pair, SCALE_TREND), so their gates
+            # compare against baseline * (rows_now / rows_baseline) —
+            # a fixture that doubles the pair count is not an engine
+            # regression; a real per-pair slowdown still fires.
+            brows = base.get("rows", {})
+
+            def _scale(n: str) -> float:
+                if n in OUTPUT_BOUND and brows.get(n) and rows.get(n):
+                    return rows[n] / brows[n]
+                return 1.0
+
             # Wall regression requires the WHOLE spread above threshold: the
             # best-of-n (min) exceeding 1.5x baseline means even the
             # luckiest draw was slow. Secondary signal only. 1.5x, not
@@ -375,11 +426,41 @@ def main() -> None:
             # generator. Real wall regressions (a lost broadcast, a new
             # shuffle) move several-x and still fire; everything subtler
             # is the work list's job.
-            out["wall_regressions_gt_50pct"] = sorted(
+            prelim_wall = sorted(
                 n
                 for n, t in timings.items()
-                if n in bq and bq[n] >= 0.2 and t > bq[n] * 1.5
+                if n in bq and bq[n] >= 0.2 and t > bq[n] * _scale(n) * 1.5
             )
+            # Confirm pass (VERDICT r9 item 2): the r9 driver run flagged
+            # three keys clustered in one contiguous span, work metrics
+            # AT baseline, fast again standalone AND in-sequence on an
+            # idle box — i.e. a transient external-contention window, not
+            # a plan defect. Before the artifact is written, every
+            # wall-flagged key is re-measured late in the run with a
+            # fresh best-of-3 probe alongside; a key that re-runs inside
+            # its envelope moves to wall_flags_cleared_on_confirm (with
+            # both numbers and the probe), so the artifact's flag list
+            # only carries slowness that REPRODUCES. First-pass timings
+            # are never overwritten — the confirm adjudicates flags, it
+            # does not launder the measurement.
+            confirmed: list[str] = []
+            cleared: dict[str, dict] = {}
+            for n in prelim_wall:
+                cp = vm_probe()
+                creps, _w, _r = measure_query(spark, queries[n], SF_DIR, None)
+                cwall = round(creps[0], 3)
+                if cwall > bq[n] * _scale(n) * 1.5:
+                    confirmed.append(n)
+                else:
+                    cleared[n] = {
+                        "first_pass": timings[n],
+                        "confirm": cwall,
+                        "confirm_probe_s": cp,
+                        "first_pass_probe_s": probes.get(n),
+                    }
+            out["wall_regressions_gt_50pct"] = confirmed
+            if cleared:
+                out["wall_flags_cleared_on_confirm"] = cleared
             # Primary: a key regresses when its WORK grew. Shuffle and input
             # bytes are byte-identical across same-code runs (measured r6 —
             # true plan properties), so they flag tight at >20% (>=1 MB
@@ -393,12 +474,14 @@ def main() -> None:
                 b = bw.get(n)
                 if not b:
                     continue
-                if b.get("cpu_s", 0) >= 0.5 and w["cpu_s"] > b["cpu_s"] * 1.5:
+                sc = _scale(n)  # output-bound keys: per-output-row basis
+                if b.get("cpu_s", 0) >= 0.5 and w["cpu_s"] > b["cpu_s"] * sc * 1.5:
                     flagged.add(n)
                 bsh = b.get("shuffle_read_mb", 0) + b.get("shuffle_write_mb", 0)
                 wsh = w["shuffle_read_mb"] + w["shuffle_write_mb"]
-                if bsh >= 1.0 and wsh > bsh * 1.2:
+                if bsh >= 1.0 and wsh > bsh * sc * 1.2:
                     flagged.add(n)
+                # input is INPUT-side — never scaled by the output ratio
                 if b.get("input_mb", 0) >= 1.0 and w["input_mb"] > b["input_mb"] * 1.2:
                     flagged.add(n)
             # Explicit basis marker (VERDICT r5 item 1): the primary list
@@ -429,6 +512,30 @@ def main() -> None:
     except OSError:
         pass
     print(payload, flush=True)
+    # Final COMPACT line (VERDICT r9 item 5): the driver captures only a
+    # ~2000-char stdout tail, which truncates the full JSON line's head —
+    # so its parsed field came back null every round. This summary line is
+    # printed LAST and stays well under the tail window, so the driver's
+    # tail-parse always finds one complete JSON object carrying the
+    # headline value + both regression lists; the per-key detail lives in
+    # BENCH_full.json (committed) and the full line above.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "vm_probe_s": probe_s,
+        "baseline_value": out.get("baseline_value"),
+        "regression_basis": out.get("regression_basis"),
+        "regressions_gt_20pct": out.get("regressions_gt_20pct"),
+        "wall_regressions_gt_50pct": out.get("wall_regressions_gt_50pct"),
+        "wall_flags_cleared_on_confirm": sorted(
+            out.get("wall_flags_cleared_on_confirm", {})
+        ),
+        "full": "BENCH_full.json",
+    }
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

@@ -50,8 +50,12 @@ def _measure(keys: list[str]) -> dict:
     metrics.snapshot()
     out = {}
     for name in keys:
-        reps, w = measure_query(spark, queries[name], SF_DIR, metrics)
-        out[name] = {"wall": reps[0], "work": work_row(w) if w else None}
+        reps, w, n_rows = measure_query(spark, queries[name], SF_DIR, metrics)
+        out[name] = {
+            "wall": reps[0],
+            "work": work_row(w) if w else None,
+            "rows": n_rows,
+        }
     return out
 
 
@@ -124,6 +128,11 @@ def main() -> None:
             for k in ("shuffle_read_mb", "shuffle_write_mb", "input_mb"):
                 new[k] = max(bw[name].get(k, 0.0), new[k])
         bw[name] = new
+        # output-row count: the normalizer for bench.OUTPUT_BOUND keys'
+        # envelopes (identical across sessions — it is a plan property)
+        n_rows = rows[-1].get("rows")
+        if n_rows is not None:
+            base.setdefault("rows", {})[name] = n_rows
         print(f"{name}: cpu envelope {new['cpu_s']} (runs: "
               f"{[round(c, 2) for c in cpus]})")
     base["value"] = round(sum(bq.values()), 3)
