@@ -41,6 +41,7 @@ from etl_data_processor_spark import queries_r7 as _q_r7  # noqa: F401 (register
 from etl_data_processor_spark import queries_r7b as _q_r7b  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_r8 as _q_r8  # noqa: F401 (registers)
 from etl_data_processor_spark import queries_r9 as _q_r9  # noqa: F401 (registers)
+from etl_data_processor_spark import queries_r10 as _q_r10  # noqa: F401 (registers)
 from etl_data_processor_spark import registry as _registry
 
 

@@ -96,6 +96,8 @@ HEADLINE = [
     "q_hybrid_rrf_served",
     # r9: both-legs-served hybrid + MRR eval
     "q_hybrid_ann_served",
+    # r10: PQ-code-served hybrid (no corpus-sized artifact in the read set)
+    "q_hybrid_annpq_served",
     "q_eval_mrr",
     "q_unigram_viterbi",
     "q_linkage_fs_em",

@@ -1831,25 +1831,29 @@ def q_cosine_pq(spark, sf_dir):
     return pq_cosine_topk(emb, queries, books, k=10, rerank=50, codes=codes)
 
 
-@q("q_cosine_ivfpq")  # rows-only: approximate by design (recall pinned in pytest)
-def q_cosine_ivfpq(spark, sf_dir):
-    """B32 capstone (VERDICT r2 item 8): IVF x PQ — coarse inverted-file
-    pruning (queries touch ~n_probe/n_lists of the corpus) + 16-byte PQ
-    codes scored by the broadcast ADC dot-table inside the pruned scan +
-    exact re-rank of the shortlist. The production 100 TB ANN shape: the
-    (id, list, codes) index is what a list-partitioned parquet index
-    materializes; recall@10 >= 0.8 pinned in pytest
-    (tests/test_dedup_similarity.py::test_ivfpq_recall_vs_exact)."""
-    from etl_data_processor_spark.ops.similarity import ivfpq_cosine_topk
-
+def ivfpq_index_artifact(spark, sf_dir):
+    """Train-or-load the IVF×PQ models and ensure the persisted
+    (vec_id, codes, __list) CODE index artifact exists. Returns
+    ``(cents, books, index, key)`` where ``key`` is the cached_df key of
+    the code table — ~m_sub bytes/vector instead of 4·dim (the 16×
+    compression that makes the 100 TB index NOT corpus-sized). Shared
+    by q_cosine_ivfpq (session-cached read) and the round-10 served
+    hybrid (queries_r10._ivfpq_topk_served, which reads the artifact
+    RAW so the probed-list filter pushes into the parquet scan)."""
+    from etl_data_processor_spark.ops.dedup import (
+        cached_df,
+        source_signature,
+    )
     from etl_data_processor_spark.ops.similarity import (
         cached_model,
+        ivf_assign_argmax,
+        model_fingerprint,
+        pq_encode,
         train_ivf_centroids,
         train_pq_codebooks,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
     cents = cached_model(
         ("ivfpq-cents", sf_dir, 16),
         lambda: train_ivf_centroids(emb, n_lists=16),
@@ -1862,15 +1866,6 @@ def q_cosine_ivfpq(spark, sf_dir):
         spark=spark,
         sources=(f"{sf_dir}/embeddings.parquet",),
     )
-    # persisted (id, codes, __list) index — the list-partitioned parquet
-    # index the docstring describes, materialized for real and keyed by
-    # both models' fingerprints
-    from etl_data_processor_spark.ops.dedup import cached_df
-    from etl_data_processor_spark.ops.similarity import (
-        ivf_assign_argmax,
-        model_fingerprint,
-        pq_encode,
-    )
 
     def build_index(src=None):
         d = emb if src is None else src
@@ -1879,13 +1874,12 @@ def q_cosine_ivfpq(spark, sf_dir):
         ).select("vec_id", "__list")
         return pq_encode(d, books).join(assigned, "vec_id")
 
-    from etl_data_processor_spark.ops.dedup import source_signature
-
+    key = (sf_dir, "ivfpq_index", model_fingerprint(cents),
+           model_fingerprint(books),
+           source_signature(f"{sf_dir}/embeddings.parquet"))
     index = cached_df(
         spark,
-        (sf_dir, "ivfpq_index", model_fingerprint(cents),
-         model_fingerprint(books),
-         source_signature(f"{sf_dir}/embeddings.parquet")),
+        key,
         build_index,
         materialize=True,
         sources=(f"{sf_dir}/embeddings.parquet",),
@@ -1896,6 +1890,23 @@ def q_cosine_ivfpq(spark, sf_dir):
             spark.read.parquet(*files)
         ),
     )
+    return cents, books, index, key
+
+
+@q("q_cosine_ivfpq")  # rows-only: approximate by design (recall pinned in pytest)
+def q_cosine_ivfpq(spark, sf_dir):
+    """B32 capstone (VERDICT r2 item 8): IVF x PQ — coarse inverted-file
+    pruning (queries touch ~n_probe/n_lists of the corpus) + 16-byte PQ
+    codes scored by the broadcast ADC dot-table inside the pruned scan +
+    exact re-rank of the shortlist. The production 100 TB ANN shape: the
+    (id, list, codes) index is what a list-partitioned parquet index
+    materializes; recall@10 >= 0.8 pinned in pytest
+    (tests/test_dedup_similarity.py::test_ivfpq_recall_vs_exact)."""
+    from etl_data_processor_spark.ops.similarity import ivfpq_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    cents, books, index, _key = ivfpq_index_artifact(spark, sf_dir)
     return ivfpq_cosine_topk(
         emb, queries, k=10, n_lists=16, n_probe=8, rerank=50,
         centroids=cents, books=books, index=index,

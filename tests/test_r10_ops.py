@@ -13,12 +13,125 @@
 
 from __future__ import annotations
 
+import io
 import os
+from contextlib import redirect_stdout
 
 import pytest
+from pyspark.sql import functions as F
 
+import __spark_entry__ as entry_mod
 from etl_data_processor_spark.ops import similarity as SIM
 from etl_data_processor_spark.streaming.drift import mwu_of_counts
+
+
+def _pairs(df):
+    return {(r["query_id"], r["doc_id"]) for r in df.collect()}
+
+
+def _plan_of(spark, df) -> str:
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# --- PQ-served hybrid (VERDICT r9 item 1) ----------------------------
+
+
+def test_hybrid_annpq_served_recall_vs_exact_twin(spark, sf_dir):
+    """Fused top-10 recall >= 0.8 against q_hybrid_rrf_served (the
+    exact-vector-leg twin) — the rows-only gate every ANN key carries.
+    Measured: 0.97 at sf0.001, 1.0 at sf0.01."""
+    served = _pairs(
+        entry_mod.queries()["q_hybrid_annpq_served"](spark, sf_dir)
+    )
+    exact = _pairs(entry_mod.queries()["q_hybrid_rrf_served"](spark, sf_dir))
+    assert len(exact) > 0
+    recall = len(served & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_hybrid_annpq_served_final_plan_readset(spark, sf_dir):
+    """The FINAL registered plan's read set: posting shards + doclen
+    sidecar (artifacts), the shortlist's float vectors by id PUSHDOWN
+    (In(vec_id) on embeddings.parquet — never a full corpus scan), and
+    zero documents.parquet scans."""
+    df = entry_mod.queries()["q_hybrid_annpq_served"](spark, sf_dir)
+    plan = _plan_of(spark, df)
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln or "Location" in ln]
+    assert not any("documents.parquet" in ln for ln in scans), scans
+    assert any("_artifacts" in ln for ln in scans), scans
+    assert "In(token" in plan, "token IN-filter must push into shard scan"
+    # the ONLY embeddings touch is the shortlist fetch, id-pushed
+    assert "In(vec_id" in plan, (
+        "shortlist id IN-filter must push into the embeddings scan"
+    )
+
+
+def test_hybrid_annpq_shortlist_plan_prunes_code_artifact(spark, sf_dir):
+    """The ADC shortlist stage (executed eagerly at query time) scans
+    the persisted CODE artifact with the probed-list IN-filter PUSHED
+    into the parquet scan, and touches neither embeddings.parquet nor
+    documents.parquet — the corpus-sized float lists are OUT of the
+    vector leg's big scan (the r9 IVF-Flat residue, closed)."""
+    from etl_data_processor_spark.queries_r10 import _ivfpq_shortlist_df
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        "vec_id", "embedding"
+    ).collect()
+    shortlist, _qv = _ivfpq_shortlist_df(spark, sf_dir, qrows)
+    plan = _plan_of(spark, shortlist)
+    scans = [ln for ln in plan.splitlines()
+             if "Scan parquet" in ln or "Location" in ln]
+    assert not any("embeddings.parquet" in ln for ln in scans), scans
+    assert not any("documents.parquet" in ln for ln in scans), scans
+    assert any("_artifacts" in ln for ln in scans), scans
+    assert "In(__list" in plan, (
+        "probed-list IN-filter must push into the code-artifact scan"
+    )
+
+
+def test_ivfpq_serving_cold_session_runs_no_training(spark, sf_dir):
+    """Restart scenario for the PQ serving path: with both artifacts on
+    disk, a cold session (cleared model memo + DataFrame memo + session
+    cache) builds the shortlist plan without re-running k-means OR the
+    PQ Lloyd pass — centroids and codebooks come from warehouse/_models,
+    the code table from warehouse/_artifacts."""
+    from etl_data_processor_spark.ops import dedup as D
+    from etl_data_processor_spark.queries_ext3 import ivfpq_index_artifact
+    from etl_data_processor_spark.queries_r10 import _ivfpq_shortlist_df
+
+    ivfpq_index_artifact(spark, sf_dir)  # train at most once
+    for mkey in (("ivfpq-cents", sf_dir, 16), ("pq", sf_dir, 16, 16)):
+        assert os.path.exists(SIM.model_location(spark, mkey))
+        SIM._MODEL_CACHE.pop(mkey, None)
+    D._DF_CACHE.clear()
+    spark.catalog.clearCache()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id").isin([0, 1, 2])).select(
+        "vec_id", "embedding"
+    ).collect()
+    import etl_data_processor_spark.ops.similarity as sim_mod
+
+    real_kmeans = sim_mod.train_ivf_centroids
+    real_pq = sim_mod.train_pq_codebooks
+    sim_mod.train_ivf_centroids = _boom
+    sim_mod.train_pq_codebooks = _boom
+    try:
+        shortlist, _qv = _ivfpq_shortlist_df(spark, sf_dir, qrows)
+        assert shortlist.limit(1).count() == 1
+    finally:
+        sim_mod.train_ivf_centroids = real_kmeans
+        sim_mod.train_pq_codebooks = real_pq
+
+
+def _boom(*a, **k):
+    raise AssertionError("model training ran in a cold serving session")
 
 
 def test_cached_model_retrains_on_source_regeneration(spark, tmp_path):
