@@ -29,14 +29,17 @@ from etl_data_processor_spark.ops import similarity as SIM
 from etl_data_processor_spark.registry import cat as _cat, q
 
 # Probe depth for the PQ-served vector leg: same depth as the IVF-Flat
-# leg (_ANN_PROBE, queries_r9) — the coarse quantizer is the SAME model,
-# so the probed-lists/recall tradeoff is identical; what changes is the
-# per-row cost inside the probed lists (16-byte codes vs 256-byte
-# floats). Calibrated in SCALE.md's round-10 probe-tradeoff table.
+# leg (_ANN_PROBE, queries_r9) — the coarse quantizer is the SAME
+# model, so the two served hybrids stay probe-comparable. CALIBRATED
+# (SCALE.md "Round-10", scripts/ann_probe_tradeoff.py): the PQ leg's
+# recall plateaus from n_probe=8-10 (0.833/0.9 at sf0.001/sf0.01) —
+# past the knee the ceiling is the ADC shortlist's depth, not the
+# probe count (deeper probing only adds ADC-favoured impostors to a
+# fixed-depth shortlist; the sf0.01 0.967->0.900 dip in the table).
 _ANNPQ_PROBE = 10
-# ADC shortlist depth for the exact re-rank: q_cosine_ivfpq's 50 — at
-# that depth the shortlist's recall of the true top-10 is ~1 and the
-# exact scorer touches 50 vectors/query, not the corpus.
+# ADC shortlist depth for the exact re-rank: q_cosine_ivfpq's 50 — the
+# recall knob for this path (see the calibration adjudication); the
+# exact scorer touches queries x 50 float rows, never the corpus.
 _ANNPQ_RERANK = 50
 
 
