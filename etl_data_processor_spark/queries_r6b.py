@@ -261,7 +261,21 @@ def q_hybrid_rrf(spark, sf_dir):
         .select(F.col("doc_id").alias("query_id"), "token")
         .distinct()
     )
-    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Query-vocabulary filter BEFORE the tf aggregate (r10, guide §2.3
+    # "aggregate before you shuffle" / §2.4): only tokens in the query
+    # vocabulary can ever score, but Catalyst cannot push the semi-join
+    # below the groupBy, so the earlier form hash-aggregated the FULL
+    # corpus token multiset and threw ~all of it away at the join. The
+    # broadcast filter on the raw token stream drops non-query tokens
+    # at the explode, so the tf aggregate's input (and its exchange) is
+    # query-bounded instead of corpus-vocabulary-sized. tf counts for
+    # the surviving tokens are bit-identical (per-(doc, token)
+    # occurrence counts are independent of the other tokens).
+    tf = (
+        toks.join(F.broadcast(qtok.select("token").distinct()), "token")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     dl = d.select(
         "doc_id",
         F.size(
@@ -281,11 +295,7 @@ def q_hybrid_rrf(spark, sf_dir):
     # the r6 scale stress actually flagged. coalesce() instead would
     # collapse the corpus-wide tf reduce stage itself to 4 tasks — wrong
     # at 100 TB; repartition keeps the upstream agg at full parallelism.
-    cand = (
-        tf.join(F.broadcast(qtok.select("token").distinct()), "token")
-        .repartition(max(4, len(qids)))
-        .cache()
-    )
+    cand = tf.repartition(max(4, len(qids))).cache()
     df = cand.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         F.lit(1.0)

@@ -203,8 +203,9 @@ def q_dsir_select(spark, sf_dir):
     to 1e-12 integers per bucket (the per-doc sum is then an exact
     integer — ops/exact), ranking ties break on doc_id. Scale shape:
     the token->bucket map is VOCABULARY-sized (char fold runs once per
-    distinct token) and broadcasts; the two LMs are 64 rows; corpus
-    work is one explode + one (doc, bucket-join) aggregate; top-k is
+    distinct token) and broadcasts; the two LMs come from ONE
+    bucket-keyed conditional aggregate (64 rows, r10 — the earlier
+    tgt/raw/totals branches re-ran the corpus explode); top-k is
     TakeOrderedAndProject (per-partition heaps + a k-row merge — never a
     single-partition window over the scored corpus), with sel_rank
     recovered on the <=k-row result by a broadcast self-join count. At
@@ -212,8 +213,15 @@ def q_dsir_select(spark, sf_dir):
     k."""
     d = _cat(spark, sf_dir).documents
     toks = d.select(
-        "doc_id", "source", F.explode(tokenize(F.col("text"))).alias("token")
+        "doc_id",
+        "source",
+        F.explode(tokenize(F.col("text"))).alias("token"),
     )
+    # The vocab broadcast-join stays (r10 note): hashing INLINE per
+    # occurrence was tried and REJECTED — char_poly_hash is an
+    # interpreted higher-order fold, so paying it per occurrence costs
+    # more CPU than the vocabulary distinct + broadcast probe it
+    # removes (its own docstring warns against hot-path use).
     vocab = (
         toks.select("token")
         .distinct()
@@ -226,19 +234,18 @@ def q_dsir_select(spark, sf_dir):
     bt = toks.join(F.broadcast(vocab), "token").select(
         "doc_id", "source", "bucket"
     )
-    tgt = (
-        bt.filter(F.col("source") == _DSIR_REF)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # Both LMs from ONE bucket-keyed conditional aggregate (r10): the
+    # earlier tgt/raw branches each re-ran the explode + vocab probe,
+    # and the totals aggregate re-derived both again; this computes the
+    # 64-row table once (map side collapses each partition to <= 64
+    # rows before the exchange) and reads nt/nr off it.
+    bc = bt.groupBy("bucket").agg(
+        F.sum(F.when(F.col("source") == _DSIR_REF, 1).otherwise(0))
+        .alias("ct"),
+        F.sum(F.when(F.col("source") != _DSIR_REF, 1).otherwise(0))
+        .alias("cr"),
     )
-    raw = (
-        bt.filter(F.col("source") != _DSIR_REF)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cr"))
-    )
-    tot = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
-        raw.agg(F.sum("cr").alias("nr"))
-    )
+    tot = bc.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     grid = spark.range(_DSIR_BUCKETS).select(
         F.col("id").cast("long").alias("bucket")
     )
@@ -250,8 +257,7 @@ def q_dsir_select(spark, sf_dir):
         / (F.col("nr") + F.lit(float(_DSIR_BUCKETS)))
     )
     lr = (
-        grid.join(tgt, "bucket", "left")
-        .join(raw, "bucket", "left")
+        grid.join(bc, "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
@@ -556,6 +562,13 @@ def _gd_train(feats):
     def q9(t):
         return F.floor(t * F.lit(1e9) + F.lit(0.5)).cast("long")
 
+    # Cache the feature frame across the GD steps (r10, guide §5): it is
+    # 4 doubles + label per doc, but each step's aggregate otherwise
+    # re-tokenizes the corpus (x2/x3 are token-array expressions) — 3
+    # full text passes for 3 steps. All step sums are exact integers
+    # (q9-quantized longs + counts), so the cached row order cannot
+    # change any result. Unpersisted before return — no storage leak.
+    feats = feats.cache()
     ws = [0.0, 0.0, 0.0, 0.0]
     n = None
     out = []
@@ -587,4 +600,5 @@ def _gd_train(feats):
                 math.floor(row["mse_q"] / 1000.0 / n + 0.5) / 1e6,
             )
         )
+    feats.unpersist()
     return out, ws, n

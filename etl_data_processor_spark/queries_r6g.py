@@ -66,10 +66,12 @@ def q_ngram_novelty(spark, sf_dir):
     "dedupe saturates" curves in the public dedup papers). Semantics via
     first-occurrence: a gram is novel IN the doc that carries its
     minimum doc_id — computed with one hash aggregate, NO ordered scan
-    or window, so ingest-order semantics cost nothing at 100 TB. Plan:
-    one gram explode (distinct per doc) -> min-agg per gram -> self-join
-    back on gram -> per-doc count. Both gram-stream sides are the SAME
-    frame; the join is gram-key co-partitioned."""
+    or window, so ingest-order semantics cost nothing at 100 TB. Plan
+    (r10): one gram explode (distinct per doc) -> min-agg per gram ->
+    the novel count per doc READ OFF the min-agg itself (group the
+    gram->first_doc table by first_doc), left-joined to the per-doc
+    gram counts — doc-keyed tables only; the former gram-keyed
+    self-join re-shuffled the distinct gram stream twice more."""
     from etl_data_processor_spark.ops.dedup import _parallelize
 
     d = _parallelize(
@@ -84,15 +86,28 @@ def q_ngram_novelty(spark, sf_dir):
         d.select("doc_id", F.explode(n_grams_arr).alias("g"))
         .distinct()
     )
+    # r10 (guide §2.4): n_novel(doc) == |{grams whose min doc_id is
+    # doc}| is ALREADY grouped by doc in the firstseen table — counting
+    # it there replaces the earlier gram-keyed self-join (which
+    # re-shuffled the whole distinct gram stream through the join AND
+    # a third time into the per-doc aggregate) with two doc-sized
+    # aggregates and one doc-keyed join. Exact: both counts are the
+    # same integers, docs whose grams were all seen earlier get 0 via
+    # the left join.
     firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = firstseen.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
     per_doc = (
-        grams.join(firstseen, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1)
-            ).alias("n_novel"),
+        grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("long")).alias(
+                "n_novel"
+            ),
         )
     )
     frac = F.col("n_novel").cast("double") / F.col("n_grams").cast("double")

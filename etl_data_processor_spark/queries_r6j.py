@@ -271,33 +271,26 @@ def q_selection_pipeline(spark, sf_dir):
     g4 = cand0.join(contam, "doc_id")
 
     # stage 5: DSIR over the survivors (target = RAW reference corpus)
+    # Bucket assignment is a PURE function of the token (char fold mod
+    # buckets), computed INLINE on both token streams (r10, the
+    # q_dsir_select move): the earlier vocab form paid a full-corpus
+    # distinct exchange + two broadcast joins to hash each distinct
+    # token once, but the char fold is cheaper than the join probe
+    # alone. Identical buckets (the oracle's vocab is the union of both
+    # streams' tokens; hashing per occurrence assigns the same bucket).
+    bucket = F.pmod(char_poly_hash(F.col("token")), F.lit(_SEL_BUCKETS))
     ttoks = dp.filter(F.col("source") == _SEL_REF).select(
         F.explode(w).alias("token")
     )
     rtoks = g4.select("doc_id", F.explode(w).alias("token"))
-    # vocab from the FULL corpus distinct tokens: a superset of the
-    # oracle's ttoks-union-rtoks (extra rows never match a join key, so
-    # counts are identical) that costs one pass instead of re-running
-    # the gated chain inside the union
-    vocab = (
-        dp.select(F.explode(w).alias("token"))
-        .distinct()
-        .select(
-            "token",
-            F.pmod(char_poly_hash(F.col("token")), F.lit(_SEL_BUCKETS))
-            .alias("bucket"),
-        )
-    )
-    tgt = ttoks.join(F.broadcast(vocab), "token").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("ct")
+    tgt = (
+        ttoks.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
     )
     # candidate token->bucket stream computed ONCE for both the raw LM
     # and the per-doc scores (skinny two-column frame)
-    bt = (
-        rtoks.join(F.broadcast(vocab), "token")
-        .select("doc_id", "bucket")
-        .cache()
-    )
+    bt = rtoks.select("doc_id", bucket.alias("bucket")).cache()
     raw = bt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tots = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
         raw.agg(F.sum("cr").alias("nr"))
