@@ -218,12 +218,46 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 
 
+# (appId, sf_dir, table, source stat signature) -> lazy DataFrame. Resolving
+# a parquet table (spark.read.parquet) costs a JVM round of footer reads and
+# schema merge — measured at ~0.2 s per call on this VM — and every query
+# build re-paid it for every table it touches (the flagship TPC-H shapes
+# touch six). The memo holds the LAZY reader DataFrame only: no rows, no
+# plan results — every action still executes the pushed-down scan from the
+# files, exactly as an un-memoized read would (a real catalog resolves a
+# table once per session, not once per query). The stat signature keys the
+# entry to the current on-disk content, so a fixture regenerated in place
+# (tests do this) re-resolves instead of serving a stale file listing.
+_TABLE_MEMO: dict = {}
+
+
+def read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the :data:`_TABLE_MEMO` discipline —
+    for HOT query paths that re-read the same fixture/artifact parquet on
+    every build (served-index keys). Lazy reader reuse only: every action
+    still scans the files with pushdown; the content signature in the key
+    re-resolves a path whose files changed (artifact republished, fixture
+    regenerated)."""
+    from etl_data_processor_spark.ops.dedup import source_signature
+
+    key = (spark.sparkContext.applicationId, path, source_signature(path))
+    hit = _TABLE_MEMO.get(key)
+    if hit is None:
+        hit = spark.read.parquet(path)
+        if len(_TABLE_MEMO) > 512:
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = hit
+    return hit
+
+
 class Catalog:
     """Lazy table access over a directory of ``<name>.parquet`` files.
 
     ``cat.lineitem`` / ``cat.table("lineitem")`` return DataFrames straight
     off ``spark.read.parquet`` so all scans stay prunable. No caching by
     default: at 100 TB you want the pushed-down scan, not a pinned copy.
+    (The reader DataFrame itself is memoized per (session, path, content
+    signature) — pure metadata reuse; see ``_TABLE_MEMO``.)
     """
 
     def __init__(self, spark: SparkSession, sf_dir: str):
@@ -238,7 +272,18 @@ class Catalog:
             pass
 
     def table(self, name: str) -> DataFrame:
-        df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
+        from etl_data_processor_spark.ops.dedup import source_signature
+
+        path = os.path.join(self.sf_dir, f"{name}.parquet")
+        key = (
+            self.spark.sparkContext.applicationId,
+            path,
+            source_signature(path),
+        )
+        hit = _TABLE_MEMO.get(key)
+        if hit is not None:
+            return hit
+        df = self.spark.read.parquet(path)
         if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # Normalize TIMESTAMP_NTZ → TIMESTAMP (LTZ). Our own sessions read
@@ -246,7 +291,11 @@ class Catalog:
         # session.py) so this is a no-op there; a foreign session with Spark's
         # default NTZ inference still gets LTZ columns here (see
         # normalize_ntz for the session-tz-independence argument).
-        return normalize_ntz(df)
+        df = normalize_ntz(df)
+        if len(_TABLE_MEMO) > 512:  # dead sessions / rewritten fixtures
+            _TABLE_MEMO.clear()
+        _TABLE_MEMO[key] = df
+        return df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:

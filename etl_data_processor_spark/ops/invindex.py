@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_data_processor_spark.io import read_parquet_memo
+
 BLOCK = 128
 
 
@@ -238,13 +240,13 @@ def bm25_from_index(
     inverted_index_shards(spark, docs_path, block)
     doc_length_table(spark, docs_path)
     sig = source_signature(docs_path)
-    shards = spark.read.parquet(
-        artifact_location(spark, ("invindex", docs_path, block, sig))
+    shards = read_parquet_memo(
+        spark, artifact_location(spark, ("invindex", docs_path, block, sig))
     ).filter(F.col("token").isin(*terms))
     tf = decode_postings(shards, block).select("token", "doc_id", "tf")
     df = shards.groupBy("token").agg(F.sum("df").alias("df"))
-    dl = spark.read.parquet(
-        artifact_location(spark, ("doclen", docs_path, sig))
+    dl = read_parquet_memo(
+        spark, artifact_location(spark, ("doclen", docs_path, sig))
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
@@ -423,8 +425,8 @@ def phrase_search_from_index(
 
     positional_index_shards(spark, docs_path, block)
     sig = source_signature(docs_path)
-    shards = spark.read.parquet(
-        artifact_location(spark, ("posindex", docs_path, block, sig))
+    shards = read_parquet_memo(
+        spark, artifact_location(spark, ("posindex", docs_path, block, sig))
     ).filter(F.col("token").isin(*phrase))
     posts = decode_positional(shards, block).select(
         "token", "doc_id", F.explode("ps").alias("pos")
@@ -472,13 +474,13 @@ def bm25_batch_scores_from_index(
     inverted_index_shards(spark, docs_path, block)
     doc_length_table(spark, docs_path, nonempty=True)
     sig = source_signature(docs_path)
-    shards = spark.read.parquet(
-        artifact_location(spark, ("invindex", docs_path, block, sig))
+    shards = read_parquet_memo(
+        spark, artifact_location(spark, ("invindex", docs_path, block, sig))
     ).filter(F.col("token").isin(*all_terms))
     tf = decode_postings(shards, block).select("token", "doc_id", "tf")
     df = shards.groupBy("token").agg(F.sum("df").alias("df"))
-    dl = spark.read.parquet(
-        artifact_location(spark, ("doclen_ne", docs_path, sig))
+    dl = read_parquet_memo(
+        spark, artifact_location(spark, ("doclen_ne", docs_path, sig))
     )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")

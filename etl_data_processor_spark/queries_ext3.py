@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_data_processor_spark.io import read_parquet_memo
 from etl_data_processor_spark.registry import q, cat as _cat
 from etl_data_processor_spark.ops.prefix import (
     chunked_cumsum,
@@ -1792,7 +1793,7 @@ def q_cosine_pq(spark, sf_dir):
         train_pq_codebooks,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_memo(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
     from etl_data_processor_spark.ops.similarity import cached_model
 
@@ -1853,7 +1854,7 @@ def ivfpq_index_artifact(spark, sf_dir):
         train_pq_codebooks,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_memo(spark, f"{sf_dir}/embeddings.parquet")
     cents = cached_model(
         ("ivfpq-cents", sf_dir, 16),
         lambda: train_ivf_centroids(emb, n_lists=16),
@@ -1904,7 +1905,7 @@ def q_cosine_ivfpq(spark, sf_dir):
     (tests/test_dedup_similarity.py::test_ivfpq_recall_vs_exact)."""
     from etl_data_processor_spark.ops.similarity import ivfpq_cosine_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = read_parquet_memo(spark, f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id").isin([0, 1, 2]))
     cents, books, index, _key = ivfpq_index_artifact(spark, sf_dir)
     return ivfpq_cosine_topk(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from etl_data_processor_spark.io import read_parquet_memo
 from etl_data_processor_spark.ops import similarity as SIM
 from etl_data_processor_spark.registry import cat as _cat, q
 
@@ -88,7 +89,7 @@ def _ivfpq_shortlist_df(spark, sf_dir, qrows,
         )
 
     probed_lists = sorted({c for _, c in probes})
-    idx = spark.read.parquet(artifact_location(spark, key)).filter(
+    idx = read_parquet_memo(spark, artifact_location(spark, key)).filter(
         F.col("__list").isin(probed_lists)
     )
     probe_df = F.broadcast(
@@ -144,7 +145,7 @@ def _ivfpq_topk_served(spark, sf_dir, qrows, k,
     sl_ids = sorted({int(r["vec_id"]) for r in shortlist_rows})
     pairs = [(int(r["query_id"]), int(r["vec_id"])) for r in shortlist_rows]
     emb_short = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        read_parquet_memo(spark, f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id").isin(sl_ids))
         .select("vec_id", "embedding")
     )

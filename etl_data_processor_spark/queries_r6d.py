@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops import similarity as SIM
 from etl_data_processor_spark.ops.text import tokenize
+from etl_data_processor_spark.io import read_parquet_memo
 from etl_data_processor_spark.registry import cat as _cat
 from etl_data_processor_spark.registry import q
 
@@ -411,8 +412,8 @@ def q_prf_expand(spark, sf_dir):
     # a two-column artifact scan, not a corpus tf re-aggregate
     inverted_index_shards(spark, docs_path, BLOCK)
     sig = source_signature(docs_path)
-    shards = spark.read.parquet(
-        artifact_location(spark, ("invindex", docs_path, BLOCK, sig))
+    shards = read_parquet_memo(
+        spark, artifact_location(spark, ("invindex", docs_path, BLOCK, sig))
     )
     expdf = (
         shards.select("token", "df")

@@ -30,6 +30,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark import queries_r8 as _r8  # noqa: F401
+from etl_data_processor_spark.io import read_parquet_memo
 from etl_data_processor_spark.ops import similarity as SIM
 from etl_data_processor_spark.registry import cat as _cat, q
 
@@ -87,7 +88,7 @@ def _ivf_topk_served(spark, sf_dir, qrows, k):
         qvec_rows.append((int(r["vec_id"]), [float(x) for x in r["embedding"]]))
 
     probed_lists = sorted({c for _, c in probes})
-    idx = spark.read.parquet(artifact_location(spark, key)).filter(
+    idx = read_parquet_memo(spark, artifact_location(spark, key)).filter(
         F.col("__list").isin(probed_lists)
     )
     probe_df = F.broadcast(
