@@ -29,6 +29,63 @@ def tokenize(text: Column) -> Column:
     return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
+def _char_entropy_q12_fn(texts):
+    """Per-document Shannon character entropy as the 1e12-quantized
+    integer term sum eq = sum over distinct chars of
+    floor(-(k/n) * log2(k/n) * 1e12 + 0.5) — the exact arithmetic of
+    the q_char_entropy_filter JVM expression chain, computed in ONE
+    vectorized Arrow pass (r10, guide §4.2): counting runs in
+    collections.Counter (C speed) and the per-distinct-char float math
+    in CPython, whose log2 is glibc's — BIT-IDENTICAL to the DuckDB
+    oracle's LOG2 (verified: same hex expansion), so the differential
+    gate is unchanged. The JVM form this replaces paid a full char
+    explode (one row per character) through two hash aggregates and a
+    join — measured 8 executor-cpu-seconds at sf0.1 against ~1 for
+    this pass.
+
+    Edge semantics mirror split(text, ''): an EMPTY string splits to
+    [''] on both engines (one char, k = n = 1, eq = 0); a NULL text
+    returns null (the explode path dropped the row — callers filter
+    nulls if their relation did)."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    log2, floor = math.log2, math.floor
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        n = len(t)
+        if n == 0:
+            out.append(0)
+            continue
+        nd = float(n)
+        eq = 0
+        for k in Counter(t).values():
+            p = k / nd
+            eq += floor((-p) * log2(p) * 1e12 + 0.5)
+        out.append(eq)
+    return pd.Series(out, dtype="Int64")
+
+
+_CHAR_ENTROPY_UDF = None
+
+
+def char_entropy_q12(text: Column) -> Column:
+    """Column form of :func:`_char_entropy_q12_fn` (the pandas UDF is
+    built lazily — decorating at import time would parse the return
+    type before any session exists)."""
+    global _CHAR_ENTROPY_UDF
+    if _CHAR_ENTROPY_UDF is None:
+        from pyspark.sql.types import LongType
+
+        _CHAR_ENTROPY_UDF = F.pandas_udf(_char_entropy_q12_fn, LongType())
+    return _CHAR_ENTROPY_UDF(text)
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count — cheap `wc -w` style."""
     return F.size(tokenize(text))

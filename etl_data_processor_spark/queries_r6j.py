@@ -190,29 +190,23 @@ def q_selection_pipeline(spark, sf_dir):
     # 20 s wall ~ 19 cpu-s at sf0.1); a no-op on wide scans at 100 TB
     dp = _parallelize(raw_scan)
 
-    # stage 1: entropy gate (q_char_entropy_filter's integer rule)
-    cnt = (
-        dp.select("doc_id", F.explode(F.split("text", "")).alias("c"))
-        .groupBy("doc_id", "c")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
-    p = F.col("k").cast("double") / F.col("n").cast("double")
-    tq = F.floor(-p * F.log2(p) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    # stage 1: entropy gate (q_char_entropy_filter's integer rule; r10 —
+    # the gate's eq comes from ops.text.char_entropy_q12, ONE vectorized
+    # Arrow pass, replacing the char explode -> two hash aggs -> join
+    # chain that cost 8 executor-cpu-seconds of this capstone's 53).
+    from etl_data_processor_spark.ops.text import char_entropy_q12
+
     # Every gate's decision is cached as a SKINNY doc-id set: without
     # this, each downstream consumer re-executes the whole upstream
     # chain (the stress measured the uncached form at 19 s wall ~ 5
     # sequential re-runs of the prefix). The cached frames carry ONE
-    # long per surviving doc, so the heavy passes (char explode, trigram
+    # long per surviving doc, so the heavy passes (entropy, trigram
     # join, token explode) run exactly once. Width is adaptive
     # (cache_skinny, VERDICT r6 item 3): down to 8 at test scale (caching
     # at the 32-way shuffle width pins near-empty partitions past AQE),
     # untouched at 100 TB (the doc-id sets are corpus-cardinality there).
     ent = cache_skinny(
-        cnt.join(tot, "doc_id")
-        .select("doc_id", tq.alias("tq"))
-        .groupBy("doc_id")
-        .agg(F.sum("tq").alias("eq"))
+        dp.select("doc_id", char_entropy_q12(F.col("text")).alias("eq"))
         .filter(F.col("eq") >= F.lit(_SEL_ENT_MIN) * F.lit(1e12))
         .select("doc_id"),
         raw_scan,
