@@ -283,84 +283,56 @@ def q_bleu_eval(spark, sf_dir):
     from total candidate/reference lengths. Determinism: matches/totals
     are exact integers; the only doubles are the final LN/EXP pair on
     identical operands (engine-identical libm — the repo's standing
-    precedent). Plan: one gram explode per side into (pair, n, gram)
-    counts, one hash join on the gram key, two source-sized aggregates —
-    corpus-linear, model-free, no window, no Python."""
+    precedent). Plan (r10, guide §4.2/§2.3): the two TEXT payloads join
+    once by rid and clipped matches are counted PER PAIR in one Arrow
+    pass (ops.text.pair_clip_gram_counts, exact integers; str.split()
+    == tokenize's trim+whitespace semantics), replacing the per-side
+    gram explodes + gram-key join that shuffled the gram multisets
+    (~17 MB / 13-21 executor-cpu-seconds at sf0.1); the final
+    smoothing/brevity arithmetic is the unchanged JVM expression
+    tree."""
     from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import pair_clip_gram_counts
 
-    # width guard for the gram explodes (no-op on wide scans at 100 TB)
+    # width guard for the pair scorer (no-op on wide scans at 100 TB)
     d = _parallelize(
         _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
     )
-    w = tokenize(F.col("text"))
-    grams = F.flatten(
-        F.transform(
-            F.array(*[F.lit(i) for i in range(1, _BLEU_N + 1)]),
-            lambda n: F.transform(
-                _one_to(F.size("__w") - n + F.lit(1)),
-                lambda i: F.struct(
-                    n.alias("n"),
-                    F.array_join(F.slice("__w", i, n), " ").alias("g"),
-                ),
-            ),
-        )
-    )
     cand = d.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("cid"),
         "source",
         (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_BLEU_SRCS))).alias("rid"),
-        w.alias("__w"),
+        F.col("text").alias("__c"),
     )
     ref = d.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("rid"), w.alias("__w")
+        F.col("doc_id").alias("rid"), F.col("text").alias("__r")
     )
-    pairs = cand.select("cid", "source", "rid").join(
-        ref.select("rid"), "rid"
+    pc = pair_clip_gram_counts(
+        cand.join(ref, "rid").select("source", "rid", "__c", "__r"),
+        orders=tuple(range(1, _BLEU_N + 1)),
+        mode="token",
     )
-
-    def gram_counts(side, idc):
-        return (
-            side.select(F.col(idc).alias("pid"), F.explode(grams).alias("p"))
-            .groupBy("pid", F.col("p.n").alias("n"), F.col("p.g").alias("g"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-
-    cg = gram_counts(cand, "cid")
-    rg = gram_counts(ref, "rid").select(
-        F.col("pid").alias("rpid"), F.col("n").alias("rn"),
-        F.col("g").alias("rg"), F.col("c").alias("cr"),
-    )
+    # presence mirrors the explode form: a (source, n) clip row existed
+    # iff some pair carried candidate grams of that order
     clip = (
-        pairs.join(cg, pairs["cid"] == cg["pid"])
-        .join(
-            rg,
-            (F.col("rid") == F.col("rpid"))
-            & (F.col("n") == F.col("rn"))
-            & (F.col("g") == F.col("rg")),
-            "left",
-        )
-        .groupBy("source", "n")
+        pc.groupBy("source", "n")
         .agg(
-            F.sum(F.least(F.col("c"), F.coalesce(F.col("cr"), F.lit(0)))).alias("m"),
-            F.sum("c").alias("t"),
+            F.sum("m").alias("m"),
+            F.sum("t_cand").alias("t"),
+            F.sum(F.when(F.col("n") == 1, F.col("lc"))).alias("__lc"),
+            F.sum(F.when(F.col("n") == 1, F.col("lr"))).alias("__lr"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("__nd"),
         )
+        .filter(F.col("t") > 0)
     )
     wide = clip.groupBy("source").agg(
         *[
             F.max(F.when(F.col("n") == i, F.col(col))).alias(f"{col}{i}")
             for i in range(1, _BLEU_N + 1)
             for col in ("m", "t")
-        ]
-    )
-    lens = (
-        pairs.join(cand.select("cid", F.size("__w").alias("cl")), "cid")
-        .join(ref.select("rid", F.size("__w").alias("rl")), "rid")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("cl").alias("c_len"),
-            F.sum("rl").alias("r_len"),
-        )
+        ],
+        F.max("__nd").alias("n_docs"),
+        F.max("__lc").alias("c_len"),
+        F.max("__lr").alias("r_len"),
     )
     dd = lambda c: c.cast("double")  # noqa: E731
     bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
@@ -374,7 +346,7 @@ def q_bleu_eval(spark, sf_dir):
     bleu = F.when(F.col("m1") == 0, F.lit(0.0)).otherwise(
         bp * F.exp(logsum / F.lit(float(_BLEU_N)))
     )
-    return lens.join(wide, "source").select(
+    return wide.select(
         "source", "n_docs", "c_len", "r_len",
         "m1", "m2", "m3", "m4", "t1", "t2", "t3", "t4",
         SIM.stable_round6(bleu).alias("bleu6"),
@@ -1312,27 +1284,50 @@ def q_rouge_n(spark, sf_dir):
     reference pairing: per pair, clipped gram matches are divided by the
     REFERENCE gram total (did the candidate cover the reference?),
     micro-averaged per source. Exact integer matches/totals; one double
-    division. Plan: the q_bleu_eval shape with the join direction flipped
-    (ref grams LEFT JOIN candidate grams) — one gram explode per side,
-    one hash join, a source-sized aggregate."""
+    division. Plan (r10): the q_bleu_eval pair-scorer shape — text
+    joined once by rid, clipped matches counted per pair in one Arrow
+    pass (ops.text.pair_clip_gram_counts), the recall denominator
+    being the REFERENCE gram totals; the explode-shaped rouge_* pair
+    stays module-level for the streaming monitor twin."""
     from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import pair_clip_gram_counts
 
     d = _parallelize(
         _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
     )
-    w = tokenize(F.col("text"))
     cand = d.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("cid"),
         "source",
         (F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(_BLEU_SRCS))).alias("rid"),
-        w.alias("__w"),
+        F.col("text").alias("__c"),
     )
     ref = d.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("rid"), w.alias("__w")
+        F.col("doc_id").alias("rid"), F.col("text").alias("__r")
     )
-    pairs = cand.select("cid", "source", "rid").join(ref.select("rid"), "rid")
-    return rouge_report(
-        pairs, rouge_gram_counts(ref, "rid"), rouge_gram_counts(cand, "cid")
+    pc = pair_clip_gram_counts(
+        cand.join(ref, "rid").select("source", "rid", "__c", "__r"),
+        orders=(1, 2),
+        mode="token",
+    )
+    # presence mirrors rouge_report's inner pairs-join on the REF gram
+    # counts: a (source, n) clip row existed iff some pair carried ref
+    # grams of that order
+    clip = (
+        pc.groupBy("source", "n")
+        .agg(F.sum("m").alias("m"), F.sum("t_ref").alias("t"))
+        .filter(F.col("t") > 0)
+    )
+    wide = clip.groupBy("source").agg(
+        *[
+            F.max(F.when(F.col("n") == i, F.col(col))).alias(f"{col}{i}")
+            for i in (1, 2)
+            for col in ("m", "t")
+        ]
+    )
+    dd = lambda c: c.cast("double")  # noqa: E731
+    return wide.select(
+        "source", "m1", "t1", "m2", "t2",
+        SIM.stable_round6(dd(F.col("m1")) / dd(F.col("t1"))).alias("rouge1_6"),
+        SIM.stable_round6(dd(F.col("m2")) / dd(F.col("t2"))).alias("rouge2_6"),
     )
 
 
