@@ -773,7 +773,20 @@ def q_linkage_fs_em(spark, sf_dir):
             (F.col("c_mktsegment") == F.col("d_seg")).alias("same_seg"),
         )
         .filter(F.col("lv") <= 2)
-        .distinct()  # pair-dedup: multiple shared deletion variants
+        # pair-dedup: multiple shared deletion variants. The explicit
+        # pair-key repartition (r10) widens the dedup's REDUCE side to
+        # nbkt: HashPartitioning on (c_custkey, d_id) — a subset of the
+        # distinct key — satisfies the aggregate's clustered
+        # distribution, so the distinct plans no second exchange and
+        # its hash map holds candidates/nbkt rows per task instead of
+        # candidates/spark.sql.shuffle.partitions. Measured at sf3:
+        # after candidate-proportional nbkt fixed the JOIN side, the
+        # residual 142 GB spill was ENTIRELY this 32-wide dedup
+        # (1.1e9 pairs / 32 ~= 34M rows per reduce task). At the
+        # unreplicated fixtures nbkt == nshuf, so the plan is
+        # byte-identical to the old one.
+        .repartition(nbkt, "c_custkey", "d_id")
+        .distinct()
     )
     pat = pairs.select(
         F.when(F.col("lv") <= 1, 1).otherwise(0).alias("g1"),
