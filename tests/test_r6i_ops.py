@@ -88,8 +88,13 @@ def test_stopword_discovery_hand_checked(spark, tmp_path):
 
 
 def test_round6_batch10_plan_pins(spark, sf_dir):
-    """Both keys: JVM-side, cartesian-free (1-row count cross join
-    allowed), no windows."""
+    """Plan pins, cartesian-free (1-row count cross join allowed), no
+    windows. q_stopword_discovery stays pure-JVM; q_char_entropy_filter
+    is, since r10, ONE vectorized ArrowEvalPython pass over the scan
+    (ops.text.char_entropy_q12 — replaced the char explode + two hash
+    aggregates + join, 8 executor-cpu-seconds at sf0.1) with NO
+    shuffle beyond the width-guard round-robin and NO row-at-a-time
+    BatchEvalPython."""
     for key in ("q_char_entropy_filter", "q_stopword_discovery"):
         spark.catalog.clearCache()
         plan = (
@@ -98,6 +103,14 @@ def test_round6_batch10_plan_pins(spark, sf_dir):
             .executedPlan()
             .toString()
         )
-        assert "EvalPython" not in plan, key
         assert "CartesianProduct" not in plan, key
         assert "Window" not in plan, key
+        if key == "q_char_entropy_filter":
+            assert plan.count("ArrowEvalPython") == 1, key
+            assert "BatchEvalPython" not in plan, key
+            # the only exchange is the width guard; the explode-era
+            # hash-agg exchanges are gone
+            assert "hashpartitioning" not in plan, key
+            assert "Generate" not in plan, key
+        else:
+            assert "EvalPython" not in plan, key

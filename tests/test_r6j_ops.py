@@ -63,9 +63,13 @@ def test_selection_pipeline_stage_consistency(spark, sf_dir):
 
 
 def test_selection_pipeline_plan_pins(spark, sf_dir):
-    """Single DAG, JVM-side throughout; model tables broadcast; the final
-    top-k is TakeOrderedAndProject with rank recovered on the <=k rows —
-    no single-partition Window anywhere (VERDICT r6 #1)."""
+    """Single DAG; model tables broadcast; the final top-k is
+    TakeOrderedAndProject with rank recovered on the <=k rows — no
+    single-partition Window anywhere (VERDICT r6 #1). Since r10 the
+    entropy gate is ONE vectorized ArrowEvalPython pass
+    (ops.text.char_entropy_q12 — replaced the char explode + two hash
+    aggregates + join); everything else stays JVM-side, so the pin is
+    exactly one Arrow boundary and zero row-at-a-time BatchEvalPython."""
     spark.catalog.clearCache()
     plan = (
         QUERIES["q_selection_pipeline"](spark, sf_dir)
@@ -73,7 +77,12 @@ def test_selection_pipeline_plan_pins(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "EvalPython" not in plan
+    # the entropy gate's Arrow boundary (the pre-execution tree inlines
+    # the cached gate subtree under each consumer, so presence — not a
+    # node count — is the stable pin here; the runtime executes it once
+    # into the cached skinny frame)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
