@@ -910,8 +910,19 @@ def ngram_jaccard_pairs_blocked(
             .select(*block_cols, id_col, "shingles", F.size("shingles").alias("__n"))
             .cache()  # three consumers below — compute the shingles once
         )
+    # r11 (VERDICT r10 item 4, guide §2.3 "narrower types"): the
+    # inverted-index self-join keys on xxhash64(shingle) — an 8-byte
+    # long — instead of the ~(3 words) shingle string, so the item-key
+    # exchange ships and compares fixed-width longs. Distinct shingles
+    # are distinct hashes modulo a 2^-64-per-pair collision (the
+    # fingerprint()/hashed-variant discipline used across this repo);
+    # n_common, and every consumer's tp/fp/fn, value-oracled identical
+    # at 3 SFs.
     exploded = sh.select(
-        *block_cols, id_col, "__n", F.explode("shingles").alias("__sh")
+        *block_cols, id_col, "__n",
+        F.explode(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+        ).alias("__sh"),
     )
     common = _pairwise_intersections(exploded, id_col, "__sh", list(block_cols))
     sizes = sh.select(*block_cols, F.col(id_col), F.col("__n"))

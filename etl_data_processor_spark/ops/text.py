@@ -321,6 +321,135 @@ def deletion_neighborhood(col: str, k: int = 2, hashed: bool = False) -> Column:
     return F.expr(f"array_distinct({raw})")
 
 
+def symdelete_hash_arrays(name_col: str) -> Column:
+    """``deletion_neighborhood(name, 2, hashed=True)`` as a VECTORIZED
+    Arrow pass (r11, guide §4.2): an ``array<bigint>`` of the distinct
+    ≤2-deletion variant hashes of ``name_col``, computed in batched
+    numpy — explode it exactly like the expression form.
+
+    Why: the expression form builds ~L²/2 variant strings per row
+    through interpreted higher-order functions (transform / flatten /
+    sequence / array_distinct are CodegenFallback) and xxhash64-es each
+    — measured 3.5 executor-cpu-s per side per 150k rows at sf0.1, the
+    single largest stage of both linkage keys. This pass computes the
+    variant hashes WITHOUT materializing variant strings: a polynomial
+    rolling hash over the UTF-32 code points gives every deletion
+    variant's hash from prefix hashes + power tables in O(1) each,
+    batched across all rows of equal length in numpy (uint64 wraparound
+    arithmetic), then a splitmix64 finalizer + variant-length salt
+    decorrelates the lattice. Per-row ``array_distinct`` semantics are
+    kept by a vectorized sort-and-mask unique. Only the NAME column
+    crosses the Python boundary inbound and only the hash arrays cross
+    outbound (~8 bytes/variant); the explode and every key column stay
+    in JVM codegen (a first cut that exploded inside the Arrow pass
+    re-shipped the key columns per variant and lost 2x wall to the
+    extra Arrow bytes).
+
+    The hash VALUE differs from xxhash64(variant) by design — a
+    blocking key only needs both sides to hash the same variant string
+    to the same 64-bit value, which holds (same chars + same length ⇒
+    same polynomial + same salt). Losslessness is untouched (a real
+    shared variant still collides on purpose); a hash collision only
+    admits a spurious candidate that the levenshtein verify rejects —
+    the exact argument ``deletion_neighborhood(hashed=True)`` already
+    carries.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    B = 0x100000001B3  # FNV-64 prime as the polynomial base
+    M64 = 0xFFFFFFFFFFFFFFFF
+
+    pair_cache: dict = {}
+
+    def pair_idx(length: int):
+        hit = pair_cache.get(length)
+        if hit is None:
+            ii, jj = np.triu_indices(length, k=1)
+            hit = (ii.astype(np.int64), jj.astype(np.int64))
+            pair_cache[length] = hit
+        return hit
+
+    def mix(h, out_len: int):
+        # variant-length salt + splitmix64 finalizer
+        z = h ^ (np.uint64(out_len) << np.uint64(58))
+        z = z ^ (z >> np.uint64(30))
+        z = z * np.uint64(0xBF58476D1CE4E5B9)
+        z = z ^ (z >> np.uint64(27))
+        z = z * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    def variants_for_group(chars):
+        """(N, L) uint64 code points -> (N, V) variant hashes, V =
+        1 + L + L(L-1)/2, unsorted, undeduped."""
+        n, length = chars.shape
+        # powers in Python ints (numpy warns on SCALAR uint overflow;
+        # the array wraparound below is silent by design)
+        acc, pws = 1, [1]
+        for _ in range(length):
+            acc = (acc * B) & M64
+            pws.append(acc)
+        pw = np.array(pws, dtype=np.uint64)
+        P = np.empty((n, length + 1), dtype=np.uint64)
+        P[:, 0] = np.uint64(0)
+        for t in range(length):
+            P[:, t + 1] = P[:, t] * np.uint64(B) + chars[:, t]
+        cols = [mix(P[:, length], length)[:, None]]  # the string itself
+        if length >= 1:
+            # delete position i: prefix * B^(L-1-i) + suffix(i+1)
+            i = np.arange(length)
+            suf = P[:, length][:, None] - P[:, i + 1] * pw[length - 1 - i]
+            h1 = P[:, i] * pw[length - 1 - i] + suf
+            cols.append(mix(h1, length - 1))
+        if length >= 2:
+            ii, jj = pair_idx(length)
+            mid = P[:, jj] - P[:, ii + 1] * pw[jj - ii - 1]
+            suf = (
+                P[:, length][:, None]
+                - P[:, jj + 1] * pw[length - 1 - jj]
+            )
+            h2 = (
+                P[:, ii] * pw[length - 2 - ii]
+                + mid * pw[length - 1 - jj]
+                + suf
+            )
+            cols.append(mix(h2, length - 2))
+        return np.concatenate(cols, axis=1)
+
+    def _hashes(s):
+        n = len(s)
+        names = ["" if x is None else x for x in s.tolist()]
+        lens = np.fromiter((len(x) for x in names), dtype=np.int64, count=n)
+        out = [None] * n
+        for length in np.unique(lens):
+            sel = np.flatnonzero(lens == length)
+            if length == 0:
+                uniq = mix(np.zeros((len(sel), 1), dtype=np.uint64), 0)
+                keep = np.ones(uniq.shape, dtype=bool)
+            else:
+                grp = [names[t] for t in sel]
+                chars = np.frombuffer(
+                    "".join(grp).encode("utf-32-le"), dtype=np.uint32
+                ).reshape(len(sel), int(length)).astype(np.uint64)
+                h = variants_for_group(chars)
+                # per-row array_distinct: sort + change mask
+                uniq = np.sort(h, axis=1)
+                keep = np.ones(uniq.shape, dtype=bool)
+                keep[:, 1:] = uniq[:, 1:] != uniq[:, :-1]
+            rowcounts = keep.sum(axis=1)
+            flat = uniq[keep].view(np.int64)
+            offs = np.zeros(len(sel) + 1, dtype=np.int64)
+            np.cumsum(rowcounts, out=offs[1:])
+            for pos in range(len(sel)):
+                out[sel[pos]] = flat[offs[pos]:offs[pos + 1]]
+        return pd.Series(out)
+
+    _hashes.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_hashes, ArrayType(LongType()))(name_col)
+
+
 def fuzzy_key_pairs_symdelete(
     df: DataFrame, key_col: str, max_dist: int = 2
 ) -> DataFrame:
@@ -339,12 +468,16 @@ def fuzzy_key_pairs_symdelete(
     The oracle differential runs the naive all-pairs SQL, so a green run
     PROVES this blocking lossless on the fixture, not just plausible."""
     keys = df.select(F.col(key_col).cast("string").alias("key")).distinct()
-    a = keys.select(
-        "key",
-        F.explode(
-            deletion_neighborhood("key", max_dist, hashed=True)
-        ).alias("__v"),
+    # r11: at k=2 the variant hashes come from the vectorized Arrow pass
+    # (symdelete_hash_arrays — the interpreted-HOF expression chain was
+    # the dominant stage CPU of every symdelete consumer); k=1 keeps the
+    # expression form (the Arrow pass enumerates the k=2 lattice).
+    variants = (
+        symdelete_hash_arrays("key")
+        if max_dist == 2
+        else deletion_neighborhood("key", max_dist, hashed=True)
     )
+    a = keys.select("key", F.explode(variants).alias("__v"))
     b = a.select(F.col("key").alias("key_b"), F.col("__v").alias("__vb"))
     # shuffle_hash: Catalyst under-sizes post-Generate frames and would
     # broadcast an exploded side (see q_record_linkage's measured spill).
@@ -366,11 +499,16 @@ def fuzzy_key_pairs_symdelete(
         .select(
             "key",
             "key_b",
-            F.levenshtein(F.col("key"), F.col("key_b")).cast("int").alias("dist"),
+            # threshold form (r11): banded DP + early-out, exact
+            # distance when <= max_dist, -1 past it — every candidate
+            # row of a pair yields the identical value, so the min-agg
+            # and the kept pairs' dist values are unchanged
+            F.levenshtein(F.col("key"), F.col("key_b"), max_dist)
+            .cast("int").alias("dist"),
         )
         .groupBy("key", "key_b")
         .agg(F.min("dist").alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)  # -1 == lev > max_dist
     )
     return pairs.select(F.col("key").alias("key_a"), "key_b", "dist")
 
@@ -482,11 +620,16 @@ def fuzzy_key_pairs_passjoin(
         .select(
             "key",
             "key_b",
-            F.levenshtein(F.col("key"), F.col("key_b")).cast("int").alias("dist"),
+            # threshold form (r11): banded DP + early-out, exact
+            # distance when <= max_dist, -1 past it — every candidate
+            # row of a pair yields the identical value, so the min-agg
+            # and the kept pairs' dist values are unchanged
+            F.levenshtein(F.col("key"), F.col("key_b"), max_dist)
+            .cast("int").alias("dist"),
         )
         .groupBy("key", "key_b")
         .agg(F.min("dist").alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.col("dist") >= 0)  # -1 == lev > max_dist
     )
     return pairs.select(F.col("key").alias("key_a"), "key_b", "dist")
 
@@ -1108,3 +1251,100 @@ def pair_clip_gram_counts(
             yield pa.RecordBatch.from_pydict(out, schema=out_schema)
 
     return pairs_txt.mapInArrow(score, ddl)
+
+
+def span_corrupt_t5(docs: DataFrame, salt: int, mod: int) -> DataFrame:
+    """T5 span corruption as ONE per-doc Arrow pass (r11, guide §4.2 —
+    VERDICT r10 item 8): the whole transform is a pure function of
+    (doc_id, text), so the token posexplode + two doc-keyed windows +
+    sort-collect_list re-assembly (three corpus-token-sized operator
+    waves and one exchange) collapse into a single MapInArrow node with
+    ZERO shuffles — at 100 TB the objective runs inside the scan stage,
+    the shape the docstring always promised ("the final map-shape pass
+    before shard write").
+
+    Exactness vs the unchanged DuckDB oracle: tokens come from
+    ``str.split()`` (same semantics as ops.text.tokenize's trim+\\s+ on
+    this corpus — the proven pair_clip_gram_counts equivalence); the
+    mask hash replicates ops.sampling.hash32 in uint64 numpy (every
+    intermediate < 2^62, masks at & (2^32-1) exactly like pmod on
+    non-negative keys); strings are exact Python joins. Docs with zero
+    tokens emit no row, mirroring the explode+groupBy form.
+
+    Input: ``(doc_id long, text string)``. Output: one row per non-empty
+    doc: ``(doc_id, n_tokens, n_masked, n_spans, inputs, targets)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from etl_data_processor_spark.ops.sampling import M32, _A1, _A2
+
+    mask32 = np.uint64(M32 - 1)
+    a1 = np.uint64(_A1)
+    a2 = np.uint64(_A2)
+    s16 = np.uint64(16)
+    s13 = np.uint64(13)
+
+    names = ["doc_id", "n_tokens", "n_masked", "n_spans", "inputs", "targets"]
+    out_schema = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_masked", pa.int64()),
+            pa.field("n_spans", pa.int64()),
+            pa.field("inputs", pa.string()),
+            pa.field("targets", pa.string()),
+        ]
+    )
+    ddl = (
+        "doc_id long, n_tokens long, n_masked long, n_spans long, "
+        "inputs string, targets string"
+    )
+
+    def transform(batches):
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            txts = batch.column("text").to_pylist()
+            out: dict = {k: [] for k in names}
+            for did, txt in zip(ids, txts):
+                toks = (txt or "").split()
+                nt = len(toks)
+                if nt == 0:
+                    continue
+                # hash32(doc_id * salt + pos) % mod == 0, pos = 1..nt
+                key = np.arange(1, nt + 1, dtype=np.uint64) + np.uint64(
+                    did * salt
+                )
+                h = key & mask32
+                h = (h * a1) & mask32
+                h = h ^ (h >> s16)
+                h = (h * a2) & mask32
+                h = h ^ (h >> s13)
+                masked = (h % np.uint64(mod)) == 0
+                prev = np.empty_like(masked)
+                prev[0] = False
+                prev[1:] = masked[:-1]
+                span_start = masked & ~prev
+                span_id = np.cumsum(span_start) - 1
+                inp: list = []
+                tgt: list = []
+                for t, mk, st, sid in zip(
+                    toks, masked.tolist(), span_start.tolist(),
+                    span_id.tolist(),
+                ):
+                    if not mk:
+                        inp.append(t)
+                    elif st:
+                        inp.append(f"<extra_id_{sid}>")
+                        tgt.append(f"<extra_id_{sid}> {t}")
+                    else:
+                        tgt.append(t)
+                out["doc_id"].append(did)
+                out["n_tokens"].append(nt)
+                out["n_masked"].append(int(masked.sum()))
+                out["n_spans"].append(int(span_start.sum()))
+                out["inputs"].append(" ".join(inp))
+                out["targets"].append(" ".join(tgt))
+            yield pa.RecordBatch.from_pydict(out, schema=out_schema)
+
+    return docs.mapInArrow(transform, ddl)

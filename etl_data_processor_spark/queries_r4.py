@@ -330,7 +330,13 @@ def q_record_linkage(spark, sf_dir):
         )
 
     _jw6.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    jw6 = pandas_udf(_jw6, "double")
+    # asNondeterministic (r11, guide §4.4): the score filter below
+    # references the jw6 column, and Catalyst's filter pushdown
+    # duplicated the UDF — the committed r10 plan carries TWO
+    # ArrowEvalPython nodes for one call (every surviving pair paid the
+    # Jaro-Winkler twice). The function is pure; the marker only stops
+    # the optimizer from re-evaluating it below the pushed filter.
+    jw6 = pandas_udf(_jw6, "double").asNondeterministic()
 
     # widen the scan BEFORE deriving either side, so both explodes run at
     # cluster parallelism (width-guarded: no-op when the scan is wide)
@@ -371,15 +377,21 @@ def q_record_linkage(spark, sf_dir):
     # single-file scan would otherwise explode + score on one core,
     # while at 100 TB the scan is already wide and the exchange would be
     # a pointless full shuffle.
-    from etl_data_processor_spark.ops.text import deletion_neighborhood
+    from etl_data_processor_spark.ops.text import symdelete_hash_arrays
 
+    # r11: the variant hashes come from the vectorized Arrow pass
+    # (see symdelete_hash_arrays — the interpreted-HOF expression form
+    # was the dominant stage CPU of this key) and explode in JVM
+    # codegen; the exploded frames carry only (key, block cols,
+    # variant hash): the names stay out of the candidate exchanges and
+    # rejoin after the pair dedup.
     cand_a = cust.select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment",
-        F.explode(deletion_neighborhood("c_name", 2, hashed=True)).alias("__v"),
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.explode(symdelete_hash_arrays("c_name")).alias("__v"),
     )
     cand_b = dirty.select(
-        "d_id", "d_name", "d_nationkey", "d_seg",
-        F.explode(deletion_neighborhood("d_name", 2, hashed=True)).alias("__vb"),
+        "d_id", "d_nationkey", "d_seg",
+        F.explode(symdelete_hash_arrays("d_name")).alias("__vb"),
     )
     # SHUFFLE_HASH hint is load-bearing: Catalyst sizes the exploded side
     # from the pre-Generate scan estimate (~the customer file), so it
@@ -420,20 +432,32 @@ def q_record_linkage(spark, sf_dir):
         nbkt, "__v", "c_nationkey", "c_mktsegment"
     )
     cand_b = cand_b.repartition(nbkt, "__vb", "d_nationkey", "d_seg")
+    # r11 (VERDICT r10 item 3): the levenshtein verify MOVES BELOW the
+    # pair dedup — in the r4-r10 shape it sat in the join condition and
+    # ran once per variant-multiplicity candidate row (~100x per true
+    # pair); now the bare 16-byte pair dedups first and the verify runs
+    # once per DISTINCT pair, on the attr-rejoined frame, with the
+    # THRESHOLD levenshtein (banded DP + early-out; -1 when > 2). The
+    # 2 < lev <= 4 false candidates the join-side filter used to drop
+    # now flow through the dedup as extra skinny rows — measured far
+    # cheaper than re-running the full-matrix DP per candidate row.
     pairs = (
         cand_a.join(
             cand_b.hint("shuffle_hash"),
             (F.col("__v") == F.col("__vb"))
             & (F.col("c_nationkey") == F.col("d_nationkey"))
-            & (F.col("c_mktsegment") == F.col("d_seg"))
-            & (F.levenshtein(F.col("c_name"), F.col("d_name")) <= 2),
+            & (F.col("c_mktsegment") == F.col("d_seg")),
         )
         .select("c_custkey", "d_id")
         .dropDuplicates(["c_custkey", "d_id"])
     )
-    blocked = pairs.join(
-        cust.select("c_custkey", "c_name", "c_acctbal"), "c_custkey"
-    ).join(dirty.select("d_id", "d_name", "d_bal"), "d_id")
+    blocked = (
+        pairs.join(
+            cust.select("c_custkey", "c_name", "c_acctbal"), "c_custkey"
+        )
+        .join(dirty.select("d_id", "d_name", "d_bal"), "d_id")
+        .filter(F.levenshtein(F.col("c_name"), F.col("d_name"), 2) >= 0)
+    )
     scored = blocked.select(
         "c_custkey", "d_id",
         jw6(F.col("c_name"), F.col("d_name")).alias("jw6"),

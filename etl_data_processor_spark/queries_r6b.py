@@ -674,6 +674,12 @@ def _fs_mstep(e):
     )
 
 
+# (appId, customer path, content signature) -> estimated candidate-pair
+# count for q_linkage_fs_em's bucket sizing. Statistics-for-planning memo
+# (VERDICT r10 item 7) — holds one integer per fixture, never rows.
+_EST_PAIRS_MEMO: dict = {}
+
+
 @q("q_linkage_fs_em", _FS_ORACLE)
 def q_linkage_fs_em(spark, sf_dir):
     """B66: Fellegi–Sunter parameter estimation (the EM at the core of
@@ -699,7 +705,8 @@ def q_linkage_fs_em(spark, sf_dir):
     q_record_linkage, measured linear); everything after is 8 rows.
     BIGINT posterior sums bound pairs at ~9e6 per pattern shard before
     a DECIMAL(38,0) switch."""
-    from etl_data_processor_spark.ops.text import deletion_neighborhood
+    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import symdelete_hash_arrays
 
     cust = _cat(spark, sf_dir).customer
     last = F.substring(F.col("c_name"), -1, 1).cast("int")
@@ -713,21 +720,34 @@ def q_linkage_fs_em(spark, sf_dir):
         F.col("c_nationkey").alias("d_nationkey"),
         F.col("c_mktsegment").alias("d_seg"),
     )
-    cand_a = cust.select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal",
-        F.explode(deletion_neighborhood("c_name", 2, hashed=True)).alias("__v"),
+    # r11 (VERDICT r10 item 1, guide §8's transferable rule): the
+    # exploded candidate frames carry ONLY (key, block, variant) — the
+    # name/segment/balance payloads no longer ride the ~170x variant
+    # explode through the co-partitioning exchanges, and every
+    # per-candidate computation (levenshtein included) moves BELOW the
+    # pair dedup, so the expensive verify runs once per DISTINCT pair
+    # instead of once per variant-multiplicity candidate row. The r10
+    # form computed lv per candidate row precisely to keep names out of
+    # the dedup shuffle; deduping the bare 16-byte pair first achieves
+    # both — skinnier exchanges AND ~multiplicity-fold fewer verifies.
+    # The variant hashes come from the vectorized Arrow pass
+    # (symdelete_hash_arrays — the expression form's interpreted HOF
+    # chain measured 3.5 cpu-s per side here, the query's largest
+    # stage) and explode in JVM codegen, behind a width guard so the
+    # test-scale single-file scan spreads first (the r10 form ran each
+    # side's explode as ONE task).
+    cand_a = _parallelize(
+        cust.select("c_custkey", "c_nationkey", "c_name")
+    ).select(
+        "c_custkey", "c_nationkey",
+        F.explode(symdelete_hash_arrays("c_name")).alias("__v"),
     )
-    cand_b = dirty.select(
-        "d_id", "d_name", "d_nationkey", "d_seg", "d_bal",
-        F.explode(deletion_neighborhood("d_name", 2, hashed=True)).alias("__vb"),
+    cand_b = _parallelize(
+        dirty.select("d_id", "d_nationkey", "d_name")
+    ).select(
+        "d_id", "d_nationkey",
+        F.explode(symdelete_hash_arrays("d_name")).alias("__vb"),
     )
-    # The agreements are computed IN the join projection and the
-    # pair-dedup groups on (keys + three small ints) — one levenshtein
-    # per candidate, and the dedup shuffle never carries the name/text
-    # columns (the q_record_linkage r4/r5 discipline; the earlier form
-    # re-shuffled 8 wide columns through distinct and re-ran levenshtein
-    # for the g1 agreement).
-    lv = F.levenshtein("c_name", "d_name")
     # CANDIDATE-proportional co-partitioning on the join keys (r10,
     # VERDICT r9 item 3; supersedes the r8/r9 row-proportional sizing):
     # the shuffle-hash build side is exploded deletion variants and the
@@ -751,12 +771,32 @@ def q_linkage_fs_em(spark, sf_dir):
     # (tens of MB, no spill), while a first attempt at 512x (16384
     # tasks) made task-scheduling overhead the bottleneck.
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    est_pairs = (
-        cust.groupBy("c_name", "c_nationkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).alias("p"))
-        .collect()[0]["p"]
+    # The estimator is planning STATISTICS (like AQE's), not a query
+    # result, so it follows the _TABLE_MEMO discipline (VERDICT r10
+    # item 7): memoized per (session, path, on-disk content signature) —
+    # one narrow-aggregate collect per session per fixture instead of
+    # one per execution; a regenerated fixture changes the signature and
+    # re-estimates. The query's own computation still runs from parquet
+    # on every execution.
+    from etl_data_processor_spark.ops.dedup import source_signature
+
+    cust_path = f"{sf_dir}/customer.parquet"
+    memo_key = (
+        spark.sparkContext.applicationId,
+        cust_path,
+        source_signature(cust_path),
     )
+    est_pairs = _EST_PAIRS_MEMO.get(memo_key)
+    if est_pairs is None:
+        est_pairs = (
+            cust.groupBy("c_name", "c_nationkey")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("p"))
+            .collect()[0]["p"]
+        )
+        if len(_EST_PAIRS_MEMO) > 512:
+            _EST_PAIRS_MEMO.clear()
+        _EST_PAIRS_MEMO[memo_key] = est_pairs
     nbkt = max(nshuf, min(128 * nshuf, int(est_pairs) // 512))
     cand_a = cand_a.repartition(nbkt, "__v", "c_nationkey")
     cand_b = cand_b.repartition(nbkt, "__vb", "d_nationkey")
@@ -766,29 +806,55 @@ def q_linkage_fs_em(spark, sf_dir):
             (F.col("__v") == F.col("__vb"))
             & (F.col("c_nationkey") == F.col("d_nationkey")),
         )
-        .select(
-            "c_custkey", "d_id",
-            lv.alias("lv"),
-            F.abs(F.col("c_acctbal") - F.col("d_bal")).alias("ab"),
-            (F.col("c_mktsegment") == F.col("d_seg")).alias("same_seg"),
-        )
-        .filter(F.col("lv") <= 2)
+        .select("c_custkey", "d_id")
         # pair-dedup: multiple shared deletion variants. The explicit
         # pair-key repartition (r10) widens the dedup's REDUCE side to
-        # nbkt: HashPartitioning on (c_custkey, d_id) — a subset of the
+        # nbkt: HashPartitioning on (c_custkey, d_id) — the full
         # distinct key — satisfies the aggregate's clustered
         # distribution, so the distinct plans no second exchange and
         # its hash map holds candidates/nbkt rows per task instead of
-        # candidates/spark.sql.shuffle.partitions. Measured at sf3:
-        # after candidate-proportional nbkt fixed the JOIN side, the
-        # residual 142 GB spill was ENTIRELY this 32-wide dedup
-        # (1.1e9 pairs / 32 ~= 34M rows per reduce task). At the
-        # unreplicated fixtures nbkt == nshuf, so the plan is
-        # byte-identical to the old one.
+        # candidates/spark.sql.shuffle.partitions. Measured at sf3
+        # (r10): after candidate-proportional nbkt fixed the JOIN side,
+        # the residual 142 GB spill was ENTIRELY this 32-wide dedup
+        # (1.1e9 pairs / 32 ~= 34M rows per reduce task). The r11
+        # dedup rows are the bare 16-byte pair (was: pair + lv + ab +
+        # same_seg) and include the 2 < lev <= 4 false candidates the
+        # old pre-dedup filter dropped — strictly narrower rows, same
+        # row count through the exchange (the filter ran above the
+        # join, not below it). At the unreplicated fixtures nbkt ==
+        # nshuf, so the dedup width matches the old plan.
         .repartition(nbkt, "c_custkey", "d_id")
         .distinct()
     )
-    pat = pairs.select(
+    # Attribute re-attach + verify ONCE per distinct pair: the dedup
+    # collapsed the ~170x variant multiplicity, so the levenshtein
+    # verify (the r10 #1 CPU in the suite — it ran per candidate row)
+    # now runs per pair, and with the THRESHOLD form (banded DP +
+    # early-out, exact distance when <= 2, -1 past it) instead of the
+    # full O(L^2) matrix. The attach joins move one skinny attr row per
+    # source row — at test scale they broadcast; at 100 TB they are
+    # key joins on the (post-dedup, multiplicity-free) pair set,
+    # strictly cheaper than shipping the attrs through the variant
+    # explode was.
+    verified = (
+        pairs
+        .join(
+            cust.select(
+                "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+            ),
+            "c_custkey",
+        )
+        .join(
+            dirty.select("d_id", "d_name", "d_bal", "d_seg"), "d_id"
+        )
+        .select(
+            F.levenshtein("c_name", "d_name", 2).alias("lv"),
+            F.abs(F.col("c_acctbal") - F.col("d_bal")).alias("ab"),
+            (F.col("c_mktsegment") == F.col("d_seg")).alias("same_seg"),
+        )
+        .filter(F.col("lv") >= 0)  # threshold form: -1 == lev > 2
+    )
+    pat = verified.select(
         F.when(F.col("lv") <= 1, 1).otherwise(0).alias("g1"),
         F.when(F.col("ab") <= 0.051, 1).otherwise(0).alias("g2"),
         F.when(F.col("same_seg"), 1).otherwise(0).alias("g3"),

