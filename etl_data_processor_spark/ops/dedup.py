@@ -614,9 +614,12 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def _word_shingles_expr(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles as array<string> (pure expressions:
-    split + transform over indices + array_distinct)."""
+    split + transform over indices + array_distinct). Kept as the
+    reference implementation for the r11 Arrow fast path's equivalence
+    differential (tests/test_r11_ops.py); query paths use
+    :func:`word_shingles`."""
     words = F.split(F.trim(text), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -626,6 +629,55 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.when(
         n >= k, F.array_distinct(F.transform(idx, shingle_at))
     ).otherwise(F.array(F.concat_ws(" ", words)))
+
+
+def _word_shingles_fn(texts, k: int):
+    """Per-doc distinct word k-gram shingles, one vectorized pass per
+    Arrow batch — the exact values of :func:`_word_shingles_expr`:
+    ``str.split()`` == split(trim, \\s+) on this corpus (the proven
+    pair_clip_gram_counts equivalence), ``dict.fromkeys`` == the
+    first-occurrence order of array_distinct, and the < k-word branch
+    (including empty and NULL text) collapses to the single
+    whole-text shingle exactly like concat_ws over the split."""
+    import pandas as pd
+
+    out = []
+    for t in texts:
+        w = (t or "").split()
+        if len(w) >= k:
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(w[i:i + k]) for i in range(len(w) - k + 1)
+                    )
+                )
+            )
+        else:
+            out.append([" ".join(w)])
+    return pd.Series(out)
+
+
+_SHINGLES_UDFS: dict = {}
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles as array<string>.
+
+    r11 (guide §4.2): the construction runs as a vectorized Arrow pass
+    (:func:`_word_shingles_fn`) — the expression form
+    (:func:`_word_shingles_expr`, interpreted per gram: element_at x k,
+    concat_ws, array_distinct) dominated every shingle consumer's scan
+    stage (~2.5-7.5 executor-cpu-s per pass at sf0.1). Values are
+    bit-identical (differential-pinned in tests), so every downstream —
+    prefix sort, exact-Jaccard verify, minhash — is unchanged."""
+    if k not in _SHINGLES_UDFS:
+        from pyspark.sql.types import ArrayType, StringType
+
+        def _fn(texts, _k=k):
+            return _word_shingles_fn(texts, _k)
+
+        _SHINGLES_UDFS[k] = F.pandas_udf(_fn, ArrayType(StringType()))
+    return _SHINGLES_UDFS[k](text)
 
 
 def with_shingles(
@@ -679,10 +731,12 @@ def _affine_params(n: int, p: int, seed: int = 1234567) -> list[tuple[int, int]]
     return out
 
 
-def _minhash_sigs_col(hashes: Column, params: list[tuple[int, int]], p: int) -> Column:
+def _minhash_sigs_expr(hashes: Column, params: list[tuple[int, int]], p: int) -> Column:
     """MinHash signature array from a base-hash array: per (a, b) param,
     array_min((a·h + b) mod p). One nested higher-order expression — plan
-    size independent of the number of hashes, no shuffle, no explode."""
+    size independent of the number of hashes, no shuffle, no explode.
+    Kept as the reference implementation for the r11 Arrow fast path's
+    equivalence differential; query paths use :func:`_minhash_sigs_col`."""
     param_arr = F.array(
         *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
     )
@@ -695,6 +749,68 @@ def _minhash_sigs_col(hashes: Column, params: list[tuple[int, int]], p: int) -> 
             )
         ),
     )
+
+
+def _minhash_sigs_fn(hash_arrays, params: list, p: int):
+    """MinHash signatures from per-doc base-hash arrays, one vectorized
+    numpy pass per Arrow batch (r11, guide §4.2) — the exact integers of
+    :func:`_minhash_sigs_expr`: base hashes are < 2^31 (masked xxhash64)
+    and a < 2^31, so a*h + b < 2^62 stays exact in int64; mod p and the
+    per-doc min are the same arithmetic the interpreted per-(param,
+    hash) HOF chain evaluated one element at a time. Docs are processed
+    in <=2^17-hash chunks (~32 MB peak per param block). A NULL hash
+    array yields NULL (the HOF chain's null propagation); empty arrays
+    cannot occur (shingles always carry >= 1 element)."""
+    import numpy as np
+    import pandas as pd
+
+    a = np.array([x for x, _ in params], dtype=np.int64)[None, :]
+    b = np.array([x for _, x in params], dtype=np.int64)[None, :]
+    n = len(hash_arrays)
+    out: list = [None] * n
+    lens = np.zeros(n, dtype=np.int64)
+    arrs: list = [None] * n
+    for j, h in enumerate(hash_arrays):
+        if h is not None:
+            arrs[j] = np.asarray(h, dtype=np.int64)
+            lens[j] = len(arrs[j])
+    j = 0
+    while j < n:
+        k, tot = j, 0
+        while k < n and (tot == 0 or tot + lens[k] <= (1 << 17)):
+            tot += int(lens[k])
+            k += 1
+        idx = [i for i in range(j, k) if lens[i] > 0]
+        if idx:
+            flat = np.concatenate([arrs[i] for i in idx])
+            vals = (flat[:, None] * a + b) % p
+            ln = lens[idx]
+            starts = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(ln[:-1], out=starts[1:])
+            mins = np.minimum.reduceat(vals, starts, axis=0)
+            for t, i in enumerate(idx):
+                out[i] = mins[t].tolist()
+        j = k
+    return pd.Series(out)
+
+
+_MINHASH_SIGS_UDFS: dict = {}
+
+
+def _minhash_sigs_col(hashes: Column, params: list[tuple[int, int]], p: int) -> Column:
+    """Column form of :func:`_minhash_sigs_fn` (r11: the interpreted
+    nested-HOF permutation scan — 32 x |shingles| lambda evaluations per
+    doc — moved to one vectorized Arrow pass; values bit-identical,
+    differential-pinned in tests)."""
+    key = (tuple(params), p)
+    if key not in _MINHASH_SIGS_UDFS:
+        from pyspark.sql.types import ArrayType, LongType
+
+        def _fn(hs, _params=list(params), _p=p):
+            return _minhash_sigs_fn(hs, _params, _p)
+
+        _MINHASH_SIGS_UDFS[key] = F.pandas_udf(_fn, ArrayType(LongType()))
+    return _MINHASH_SIGS_UDFS[key](hashes)
 
 
 def minhash_signatures(
@@ -954,40 +1070,231 @@ def _bit_value(bit: int) -> int:
     return (1 << bit) if bit < 63 else -(1 << 63)
 
 
+def _simhash_votes_fn(hash_arrays):
+    """64-bit SimHash signatures from per-doc token-hash arrays, one
+    vectorized numpy pass per Arrow batch (r11, guide §4.2).
+
+    Input: a pandas Series whose elements are the JVM-computed
+    ``transform(tokens, xxhash64)`` arrays (so the hash VALUES are the
+    exact xxhash64 longs the signature has always been built from —
+    only the 64-per-token interpreted zip_with vote loop moves to
+    numpy). Per doc: bit b of the signature is set iff
+    ``#{h: bit b set} * 2 > n_tokens`` — algebraically identical to the
+    old ``sum(+/-1) > 0`` majority vote, all-integer, deterministic.
+
+    Edges mirror the old expression chain exactly: a NULL hash array
+    (null text) yields NULL; an EMPTY array yields 0 (all votes tie at
+    0, no bit set). Memory: per-bit counting unpacks 64 int32 lanes, so
+    docs are processed in <=2^18-hash chunks (~64 MB peak) regardless
+    of batch size."""
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(64, dtype=np.uint64)
+    n = len(hash_arrays)
+    out = np.zeros(n, dtype=np.uint64)
+    isnull = np.zeros(n, dtype=bool)
+    lens = np.zeros(n, dtype=np.int64)
+    arrs: list = [None] * n
+    for j, a in enumerate(hash_arrays):
+        if a is None:
+            isnull[j] = True
+        else:
+            arrs[j] = np.asarray(a, dtype=np.int64)
+            lens[j] = len(arrs[j])
+    j = 0
+    while j < n:
+        k, tot = j, 0
+        while k < n and (tot == 0 or tot + lens[k] <= (1 << 18)):
+            tot += int(lens[k])
+            k += 1
+        idx = [i for i in range(j, k) if lens[i] > 0]
+        if idx:
+            flat = np.concatenate([arrs[i] for i in idx]).view(np.uint64)
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            ln = lens[idx]
+            starts = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(ln[:-1], out=starts[1:])
+            c1 = np.add.reduceat(bits, starts, axis=0)
+            sigbits = (2 * c1.astype(np.int64)) > ln[:, None]
+            sigs = (sigbits.astype(np.uint64) << shifts).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[idx] = sigs
+        j = k
+    res = pd.Series(out.view(np.int64)).astype("Int64")
+    if isnull.any():
+        res[isnull] = pd.NA
+    return res
+
+
+_CF_M32 = 1 << 32
+
+
+def _charfold_simhash_fn(texts, bases: tuple):
+    """Portable charfold SimHash signatures (one 32-bit signature per
+    base) from raw text, one vectorized numpy pass per Arrow batch
+    (r11, guide §4.2) — the exact integers of the expression chain in
+    q_simhash_portable / q_simhash64_portable: tokens from
+    split(lower(trim(text)), \\s+) (== ``str.lower().split()`` on this
+    corpus — the proven pair_clip_gram_counts equivalence; the
+    empty-text [''] token folds to h=0 whose all-zero bits vote -1
+    everywhere, the same signature 0 the empty token list yields here);
+    per-token hash = Horner fold (a*base + code) % 2^32 over ``ascii()``
+    char codes, evaluated as code * base^(len-1-j) sums — every
+    intermediate < 2^51, exact in uint64; per-bit majority votes as in
+    :func:`_simhash_votes_fn`. NULL text yields NULL (the expression
+    chain's null propagation). Non-ASCII bytes fall back to the exact
+    per-char Python fold (ord == the codepoint ascii() returns)."""
+    import numpy as np
+    import pandas as pd
+
+    m32 = np.uint64(_CF_M32)
+    shifts32 = np.arange(32, dtype=np.uint64)
+    n = len(texts)
+    cols = [np.zeros(n, dtype=np.uint64) for _ in bases]
+    isnull = np.zeros(n, dtype=bool)
+    doc_ntoks = np.zeros(n, dtype=np.int64)
+    all_toks: list = []
+    for j, t in enumerate(texts):
+        if t is None:
+            isnull[j] = True
+            continue
+        w = t.lower().split()
+        doc_ntoks[j] = len(w)
+        all_toks.extend(w)
+    if all_toks:
+        joined = "".join(all_toks)
+        tok_lens = np.array([len(t) for t in all_toks], dtype=np.int64)
+        try:
+            raw = joined.encode("ascii")
+            buf = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+            ascii_ok = True
+        except UnicodeEncodeError:
+            ascii_ok = False
+        tok_ends = np.cumsum(tok_lens)
+        tok_starts = tok_ends - tok_lens
+        ne = tok_lens > 0  # .split() yields no empty tokens, but guard
+        hs_per_base = []
+        for base in bases:
+            if ascii_ok:
+                maxlen = int(tok_lens.max())
+                powtab = np.empty(maxlen, dtype=np.uint64)
+                powtab[0] = 1
+                for i in range(1, maxlen):
+                    powtab[i] = (powtab[i - 1] * np.uint64(base)) % m32
+                tok_idx = np.repeat(
+                    np.arange(len(all_toks), dtype=np.int64), tok_lens
+                )
+                e = tok_ends[tok_idx] - 1 - np.arange(len(buf), dtype=np.int64)
+                contrib = buf * powtab[e]
+                hs = np.zeros(len(all_toks), dtype=np.uint64)
+                if ne.any():
+                    sums = np.add.reduceat(contrib, tok_starts[ne])
+                    hs[ne] = sums % m32
+            else:  # exact scalar fallback (ord == ascii() codepoint)
+                hs = np.array(
+                    [
+                        _py_charfold(t, base) for t in all_toks
+                    ],
+                    dtype=np.uint64,
+                )
+            hs_per_base.append(hs)
+        # per-doc majority votes, chunked like _simhash_votes_fn
+        doc_ends = np.cumsum(doc_ntoks)
+        doc_starts = doc_ends - doc_ntoks
+        for bi, hs in enumerate(hs_per_base):
+            out = cols[bi]
+            j = 0
+            while j < n:
+                k, tot = j, 0
+                while k < n and (tot == 0 or tot + doc_ntoks[k] <= (1 << 18)):
+                    tot += int(doc_ntoks[k])
+                    k += 1
+                idx = [i for i in range(j, k) if doc_ntoks[i] > 0]
+                if idx:
+                    seg = hs[doc_starts[idx[0]]:doc_ends[idx[-1]]]
+                    bits = ((seg[:, None] >> shifts32) & np.uint64(1)).astype(
+                        np.int32
+                    )
+                    ln = doc_ntoks[idx]
+                    starts = np.zeros(len(idx), dtype=np.int64)
+                    np.cumsum(ln[:-1], out=starts[1:])
+                    c1 = np.add.reduceat(bits, starts, axis=0)
+                    sigbits = (2 * c1.astype(np.int64)) > ln[:, None]
+                    out[idx] = (sigbits.astype(np.uint64) << shifts32).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                j = k
+    res = []
+    for col in cols:
+        s = pd.Series(col.view(np.int64)).astype("Int64")
+        if isnull.any():
+            s[isnull] = pd.NA
+        res.append(s)
+    return res
+
+
+def _py_charfold(tok: str, base: int) -> int:
+    h = 0
+    for c in tok:
+        h = (h * base + ord(c)) % _CF_M32
+    return h
+
+
+_CHARFOLD_SIMHASH_UDFS: dict = {}
+
+
+def charfold_simhash(text: Column, bases: tuple = (31,)):
+    """Column(s) of portable charfold SimHash signatures — one long per
+    base in ``bases``, bit-identical to the interpreted per-char /
+    per-bit expression chains (differential-pinned in
+    tests/test_r11_ops.py). Returns a struct column with fields
+    ``s0, s1, ...`` (one per base)."""
+    key = tuple(bases)
+    if key not in _CHARFOLD_SIMHASH_UDFS:
+        import pandas as pd
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField(f"s{i}", LongType()) for i in range(len(key))]
+        )
+
+        def _fn(texts, _bases=key):
+            cols = _charfold_simhash_fn(texts, _bases)
+            return pd.concat(
+                {f"s{i}": c for i, c in enumerate(cols)}, axis=1
+            )
+
+        _CHARFOLD_SIMHASH_UDFS[key] = F.pandas_udf(_fn, schema)
+    return _CHARFOLD_SIMHASH_UDFS[key](text)
+
+
+_SIMHASH_VOTES_UDF = None
+
+
 def simhash(text: Column, token_col_hash_bits: int = 64) -> Column:
     """64-bit SimHash of the token multiset, as a signed long.
 
     Per-bit voting: for bit b, sum(sign) over tokens of whether
-    xxhash64(token) has bit b set; signature bit = majority. ONE aggregate
-    pass over the token-hash array with an array<long> of 64 vote counters
-    as the accumulator — a constant-size plan (the unrolled 64-aggregate
-    form paid per-bit array scans and dominated codegen time), no explode,
-    no shuffle."""
+    xxhash64(token) has bit b set; signature bit = majority. The token
+    hashing stays a JVM ``transform(tokens, xxhash64)`` (native hash,
+    exact values); the 64-vote majority moved to a vectorized Arrow
+    pass (:func:`_simhash_votes_fn`, r11) — the old array-accumulator
+    ``zip_with`` chain was interpreted 64x per token and dominated the
+    signature stage's CPU. No explode, no shuffle, same signatures
+    (pinned by tests/test_dedup_similarity.py's determinism and
+    losslessness differentials)."""
+    if token_col_hash_bits != 64:
+        raise ValueError("simhash supports only 64-bit signatures")
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit 63 is the sign bit: its two's-complement long value is -2^63
-    bitvals = F.array(
-        *[F.lit(_bit_value(b)).cast("long") for b in range(token_col_hash_bits)]
-    )
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), token_col_hash_bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            bitvals,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
-    )
-    # adding each two's-complement bit value once == setting that bit
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            bitvals,
-            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    global _SIMHASH_VOTES_UDF
+    if _SIMHASH_VOTES_UDF is None:
+        from pyspark.sql.types import LongType
+
+        _SIMHASH_VOTES_UDF = F.pandas_udf(_simhash_votes_fn, LongType())
+    return _SIMHASH_VOTES_UDF(hashes)
 
 
 def simhash_signatures(

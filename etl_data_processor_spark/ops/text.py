@@ -1253,6 +1253,145 @@ def pair_clip_gram_counts(
     return pairs_txt.mapInArrow(score, ddl)
 
 
+def doc_grams_arrow(
+    docs: DataFrame,
+    orders: tuple,
+    key_col: str,
+    key_ddl: str,
+    text_col: str = "text",
+    shape: str = "doc_distinct",
+) -> DataFrame:
+    """Word n-gram rows for a (key, text) relation in ONE Arrow pass
+    (r11, guide §4.2) — the construction core of the gram-statistics
+    family (q_distinct_ngrams / q_ngram_novelty / q_contamination_ngrams).
+
+    Why: building gram STRINGS with the JVM higher-order-function chain
+    (``transform(sequence...) -> array_join(slice(w, i, n))``) is
+    interpreted per element and dominated those keys' stage CPU
+    (q_distinct_ngrams 13.9 executor-cpu-s at sf0.1, the suite's #3
+    cost after round 10). Python ``' '.join(tokens[i:i+n])`` over an
+    Arrow batch is the same exact strings at a fraction of the cost —
+    the identical move as pair_clip_gram_counts (r10, measured 34 ->
+    0.35 cpu-s on q_chrf_eval).
+
+    Exactness: tokens come from ``str.split()`` (same semantics as
+    ops.text.tokenize's trim+\\s+ on this corpus — the proven
+    pair_clip_gram_counts equivalence); grams are plain space-joins of
+    token slices, and short/empty/null docs emit nothing, which is the
+    DuckDB oracle's ``WHERE i + n - 1 <= len(w)`` guard exactly.
+
+    Shapes (all emit only exact integers / exact strings; every
+    division and final aggregate stays in the caller's JVM plan):
+
+    - ``doc_distinct``: one row ``(key, g)`` per DISTINCT gram of each
+      doc, single order ``orders[0]``. Valid because each input ROW is
+      one document (the fixtures' doc_id is unique — checked at all 3
+      SFs), so per-row dedup IS per-doc dedup and the caller's
+      ``.distinct()`` exchange disappears.
+    - ``batch_counts``: rows ``(key, n, g, c)`` — gram-occurrence
+      counts per (key, n, g) aggregated over each Arrow batch; the
+      caller's hash aggregate collapses residual cross-batch
+      duplicates map-side before any exchange (same bytes as the JVM
+      partial agg shipped, minus the construction cost).
+    - ``doc_counts``: one row ``(key, n_grams)`` per doc with >= 1
+      gram — the DISTINCT-gram count per doc of ``orders[0]``, for
+      callers that need per-doc totals without the gram strings.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+
+    if shape == "batch_counts":
+        ddl = f"{key_col} {key_ddl}, n int, g string, c long"
+        schema = pa.schema(
+            [
+                pa.field(key_col, pa.int64() if key_ddl == "long" else pa.string()),
+                pa.field("n", pa.int32()),
+                pa.field("g", pa.string()),
+                pa.field("c", pa.int64()),
+            ]
+        )
+
+        def emit(batches):
+            for batch in batches:
+                keys = batch.column(key_col).to_pylist()
+                txts = batch.column(text_col).to_pylist()
+                cnt: Counter = Counter()
+                for k, t in zip(keys, txts):
+                    w = (t or "").split()
+                    top = len(w) + 1
+                    for n in orders:
+                        for i in range(top - n):
+                            cnt[(k, n, " ".join(w[i:i + n]))] += 1
+                ks, ns, gs, cs = [], [], [], []
+                for (k, n, g), c in cnt.items():
+                    ks.append(k)
+                    ns.append(n)
+                    gs.append(g)
+                    cs.append(c)
+                yield pa.RecordBatch.from_pydict(
+                    {key_col: ks, "n": ns, "g": gs, "c": cs}, schema=schema
+                )
+
+    elif shape == "doc_distinct":
+        n0 = orders[0]
+        ddl = f"{key_col} {key_ddl}, g string"
+        schema = pa.schema(
+            [
+                pa.field(key_col, pa.int64() if key_ddl == "long" else pa.string()),
+                pa.field("g", pa.string()),
+            ]
+        )
+
+        def emit(batches):
+            for batch in batches:
+                keys = batch.column(key_col).to_pylist()
+                txts = batch.column(text_col).to_pylist()
+                ks, gs = [], []
+                for k, t in zip(keys, txts):
+                    w = (t or "").split()
+                    seen = {
+                        " ".join(w[i:i + n0]) for i in range(len(w) - n0 + 1)
+                    }
+                    ks.extend([k] * len(seen))
+                    gs.extend(seen)
+                yield pa.RecordBatch.from_pydict(
+                    {key_col: ks, "g": gs}, schema=schema
+                )
+
+    elif shape == "doc_counts":
+        n0 = orders[0]
+        ddl = f"{key_col} {key_ddl}, n_grams long"
+        schema = pa.schema(
+            [
+                pa.field(key_col, pa.int64() if key_ddl == "long" else pa.string()),
+                pa.field("n_grams", pa.int64()),
+            ]
+        )
+
+        def emit(batches):
+            for batch in batches:
+                keys = batch.column(key_col).to_pylist()
+                txts = batch.column(text_col).to_pylist()
+                ks, cs = [], []
+                for k, t in zip(keys, txts):
+                    w = (t or "").split()
+                    nd = len({
+                        " ".join(w[i:i + n0]) for i in range(len(w) - n0 + 1)
+                    })
+                    if nd:
+                        ks.append(k)
+                        cs.append(nd)
+                yield pa.RecordBatch.from_pydict(
+                    {key_col: ks, "n_grams": cs}, schema=schema
+                )
+
+    else:  # pragma: no cover - programming error
+        raise ValueError(f"unknown shape {shape!r}")
+
+    return docs.select(key_col, text_col).mapInArrow(emit, ddl)
+
+
 def span_corrupt_t5(docs: DataFrame, salt: int, mod: int) -> DataFrame:
     """T5 span corruption as ONE per-doc Arrow pass (r11, guide §4.2 —
     VERDICT r10 item 8): the whole transform is a pure function of

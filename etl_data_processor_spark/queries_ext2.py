@@ -1502,32 +1502,19 @@ def q_simhash_portable(spark, sf_dir):
     xxhash64. Same single-pass array-accumulator plan as ops.dedup.simhash
     (one 32-counter vote fold per doc, no explode, no shuffle beyond the
     parallelism repartition); the oracle spells the identical math as a
-    tall-form SQL — two different algorithm SHAPES, one set of values."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
+    tall-form SQL — two different algorithm SHAPES, one set of values.
+
+    r11 (guide §4.2): the per-char Horner fold (sequence + substr +
+    ascii, interpreted per character) plus the 32-per-token vote chain
+    moved to ONE vectorized Arrow pass (ops.dedup.charfold_simhash) —
+    bit-identical values (differential-pinned in tests/test_r11_ops.py),
+    nearly all of this key's stage CPU removed."""
+    from etl_data_processor_spark.ops.dedup import _parallelize, charfold_simhash
 
     d = _parallelize(_cat(spark, sf_dir).documents.select("doc_id", "text"))
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    hashes = F.transform(toks, _charfold32)
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 32),
-        lambda acc, h: F.zip_with(
-            acc,
-            masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        ),
-    )
-    sig = F.aggregate(
-        F.zip_with(
-            votes,
-            masks,
-            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    return d.select("doc_id", sig.alias("sig"))
+    return d.select(
+        "doc_id", charfold_simhash(F.col("text"), (31,)).alias("st")
+    ).select("doc_id", F.col("st.s0").alias("sig"))
 
 
 # =====================================================================

