@@ -528,6 +528,11 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "vm_probe_s": probe_s,
+        # WORK basis totals in the tail-parsed line (VERDICT r10 item 9:
+        # wall at sf0.1 is driver/AQE-floor-bound for ~130 of 136 keys,
+        # so the regime-immune basis must be visible to the driver's
+        # tail parse, not only in BENCH_full.json)
+        "work_total": out.get("work_total"),
         "baseline_value": out.get("baseline_value"),
         "regression_basis": out.get("regression_basis"),
         "regressions_gt_20pct": out.get("regressions_gt_20pct"),

@@ -1140,6 +1140,132 @@ def char_poly_hash_sql(expr: str) -> str:
     )
 
 
+def token_poly_bucket_counts(
+    docs: DataFrame,
+    mod: int,
+    key_col: str | None = None,
+    key_ddl: str = "long",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-unigram bucket counts for the DSIR family in ONE Arrow
+    pass (r11, guide §4.2): tokenize + per-char Horner fold
+    (:func:`char_poly_hash`, base 31 mod 2^32) + pmod bucket + count,
+    batch-aggregated. The replaced JVM chain evaluated the char fold as
+    an interpreted lambda PER CHARACTER of the full corpus token
+    stream — the dominant stage of q_selection_pipeline's DSIR leg.
+
+    Exactness: tokens from ``str.split()`` (== tokenize's trim+\\s+ on
+    this corpus, the proven equivalence); the fold is exact uint64
+    arithmetic (code * 31^j sums < 2^51 before each mod; non-ASCII
+    falls back to the exact scalar fold, ord == the codepoint
+    ``ascii()`` returns); bucket = h % mod on the non-negative 32-bit
+    fold == pmod. Counts are exact integers; the caller's aggregates
+    and joins stay in the JVM.
+
+    Output: ``(key, bucket long, c long)`` rows when ``key_col`` is
+    given (per-key bucket counts, <= mod rows per key per batch), else
+    ``(bucket long, c long)``.
+    """
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    m32 = np.uint64(_POLY_MOD)
+
+    def _hashes(all_toks: list) -> "np.ndarray":
+        joined = "".join(all_toks)
+        tok_lens = np.array([len(t) for t in all_toks], dtype=np.int64)
+        try:
+            buf = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(
+                np.uint64
+            )
+        except UnicodeEncodeError:
+            out = np.empty(len(all_toks), dtype=np.uint64)
+            for i, t in enumerate(all_toks):
+                h = 0
+                for c in t:
+                    h = (h * 31 + ord(c)) % _POLY_MOD
+                out[i] = h
+            return out
+        tok_ends = np.cumsum(tok_lens)
+        tok_starts = tok_ends - tok_lens
+        maxlen = int(tok_lens.max()) if len(tok_lens) else 1
+        powtab = np.empty(max(maxlen, 1), dtype=np.uint64)
+        powtab[0] = 1
+        for i in range(1, maxlen):
+            powtab[i] = (powtab[i - 1] * np.uint64(31)) % m32
+        tok_idx = np.repeat(np.arange(len(all_toks), dtype=np.int64), tok_lens)
+        e = tok_ends[tok_idx] - 1 - np.arange(len(buf), dtype=np.int64)
+        contrib = buf * powtab[e]
+        hs = np.zeros(len(all_toks), dtype=np.uint64)
+        ne = tok_lens > 0
+        if ne.any():
+            hs[ne] = np.add.reduceat(contrib, tok_starts[ne]) % m32
+        return hs
+
+    if key_col is not None:
+        ddl = f"{key_col} {key_ddl}, bucket long, c long"
+        schema = pa.schema(
+            [
+                pa.field(key_col, pa.int64() if key_ddl == "long" else pa.string()),
+                pa.field("bucket", pa.int64()),
+                pa.field("c", pa.int64()),
+            ]
+        )
+
+        def emit(batches):
+            for batch in batches:
+                keys = batch.column(key_col).to_pylist()
+                txts = batch.column(text_col).to_pylist()
+                toks: list = []
+                owners: list = []
+                for kv, t in zip(keys, txts):
+                    w = (t or "").split()
+                    toks.extend(w)
+                    owners.extend([kv] * len(w))
+                cnt: Counter = Counter()
+                if toks:
+                    bks = (_hashes(toks) % np.uint64(mod)).astype(np.int64)
+                    for kv, bk in zip(owners, bks.tolist()):
+                        cnt[(kv, bk)] += 1
+                ks, bs, cs = [], [], []
+                for (kv, bk), c in cnt.items():
+                    ks.append(kv)
+                    bs.append(bk)
+                    cs.append(c)
+                yield pa.RecordBatch.from_pydict(
+                    {key_col: ks, "bucket": bs, "c": cs}, schema=schema
+                )
+
+        return docs.select(key_col, text_col).mapInArrow(emit, ddl)
+
+    ddl = "bucket long, c long"
+    schema = pa.schema(
+        [pa.field("bucket", pa.int64()), pa.field("c", pa.int64())]
+    )
+
+    def emit0(batches):
+        for batch in batches:
+            txts = batch.column(text_col).to_pylist()
+            toks = []
+            for t in txts:
+                toks.extend((t or "").split())
+            if toks:
+                bks = (_hashes(toks) % np.uint64(mod)).astype(np.int64)
+                vals, counts = np.unique(bks, return_counts=True)
+                yield pa.RecordBatch.from_pydict(
+                    {"bucket": vals.tolist(), "c": counts.tolist()},
+                    schema=schema,
+                )
+            else:
+                yield pa.RecordBatch.from_pydict(
+                    {"bucket": [], "c": []}, schema=schema
+                )
+
+    return docs.select(text_col).mapInArrow(emit0, ddl)
+
+
 def pair_clip_gram_counts(
     pairs_txt: DataFrame,
     orders: tuple,

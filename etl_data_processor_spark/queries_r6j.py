@@ -19,11 +19,7 @@ from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops.relational import ranked_topk
 from etl_data_processor_spark.ops.sampling import hash32, hash32_sql
-from etl_data_processor_spark.ops.text import (
-    char_poly_hash,
-    char_poly_hash_sql,
-    tokenize,
-)
+from etl_data_processor_spark.ops.text import char_poly_hash_sql
 from etl_data_processor_spark.registry import cat as _cat
 from etl_data_processor_spark.registry import q
 
@@ -235,21 +231,28 @@ def q_selection_pipeline(spark, sf_dir):
     g3 = g2.join(keep, "doc_id")
 
     # stage 4: benchmark decontamination (distinct-trigram overlap —
-    # the q_contamination_ngrams rule; DuckDB's w[i:i+2] slice is
-    # INCLUSIVE, i.e. a trigram)
-    w = tokenize(F.col("text"))
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - F.lit(2)),
-        lambda i: F.array_join(F.slice(w, i, 3), " "),
+    # the q_contamination_ngrams rule). r11 (guide §4.2 + §2.4): trigram
+    # construction via ops.text.doc_grams_arrow (the interpreted JVM HOF
+    # chain was this capstone's heaviest stage); per-doc dedup rides
+    # inside the candidate pass (doc_id unique at all SFs), deleting
+    # the (doc_id, g) distinct exchange — the identical move proven on
+    # q_contamination_ngrams.
+    from etl_data_processor_spark.ops.text import (
+        doc_grams_arrow,
+        token_poly_bucket_counts,
     )
+
     bench = (
-        dp.filter(F.col("source") == _SEL_REF)
-        .select(F.explode(trigrams).alias("g"))
+        doc_grams_arrow(
+            dp.filter(F.col("source") == _SEL_REF),
+            (3,), "doc_id", "long", shape="doc_distinct",
+        )
+        .select("g")
         .distinct()
     )
     cand0 = g3.filter(F.col("source") != _SEL_REF)
-    cgrams = (
-        cand0.select("doc_id", F.explode(trigrams).alias("g")).distinct()
+    cgrams = doc_grams_arrow(
+        cand0, (3,), "doc_id", "long", shape="doc_distinct"
     )
     contam = cache_skinny(
         cgrams.join(F.broadcast(bench.withColumn("__h", F.lit(1))), "g", "left")
@@ -264,28 +267,24 @@ def q_selection_pipeline(spark, sf_dir):
     )
     g4 = cand0.join(contam, "doc_id")
 
-    # stage 5: DSIR over the survivors (target = RAW reference corpus)
+    # stage 5: DSIR over the survivors (target = RAW reference corpus).
     # Bucket assignment is a PURE function of the token (char fold mod
-    # buckets), computed INLINE on both token streams (r10, the
-    # q_dsir_select move): the earlier vocab form paid a full-corpus
-    # distinct exchange + two broadcast joins to hash each distinct
-    # token once, but the char fold is cheaper than the join probe
-    # alone. Identical buckets (the oracle's vocab is the union of both
-    # streams' tokens; hashing per occurrence assigns the same bucket).
-    bucket = F.pmod(char_poly_hash(F.col("token")), F.lit(_SEL_BUCKETS))
-    ttoks = dp.filter(F.col("source") == _SEL_REF).select(
-        F.explode(w).alias("token")
-    )
-    rtoks = g4.select("doc_id", F.explode(w).alias("token"))
+    # buckets). r11 (guide §4.2): both token streams' explode + per-CHAR
+    # interpreted Horner fold collapse into ops.text.token_poly_bucket_
+    # counts — one Arrow pass per stream emitting bucket COUNTS (exact
+    # integers, same fold, same pmod); per-token lr_q sums become the
+    # algebraically identical per-bucket c * lr_q sums.
     tgt = (
-        ttoks.select(bucket.alias("bucket"))
+        token_poly_bucket_counts(
+            dp.filter(F.col("source") == _SEL_REF), _SEL_BUCKETS
+        )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.sum("c").alias("ct"))
     )
-    # candidate token->bucket stream computed ONCE for both the raw LM
-    # and the per-doc scores (skinny two-column frame)
-    bt = rtoks.select("doc_id", bucket.alias("bucket")).cache()
-    raw = bt.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    # candidate (doc, bucket) counts computed ONCE for both the raw LM
+    # and the per-doc scores (skinny three-column frame, <= 64 rows/doc)
+    bt = token_poly_bucket_counts(g4, _SEL_BUCKETS, "doc_id", "long").cache()
+    raw = bt.groupBy("bucket").agg(F.sum("c").alias("cr"))
     tots = tgt.agg(F.sum("ct").alias("nt")).crossJoin(
         raw.agg(F.sum("cr").alias("nr"))
     )
@@ -314,8 +313,8 @@ def q_selection_pipeline(spark, sf_dir):
         bt.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lr_q").alias("lw_q"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_q")).alias("lw_q"),
         )
     )
 

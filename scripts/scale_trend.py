@@ -64,7 +64,13 @@ def main() -> None:
     if os.path.exists(prior):
         try:
             with open(prior) as f:
-                out["results"] = json.load(f).get("results", {})
+                prev = json.load(f)
+            out["results"] = prev.get("results", {})
+            # carry the human-written blocks through a re-measure (r11:
+            # the first rewrite silently dropped the adjudications)
+            for k in ("adjudications", "note"):
+                if k in prev:
+                    out[k] = prev[k]
         except (OSError, ValueError):
             pass
 

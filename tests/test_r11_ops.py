@@ -135,6 +135,35 @@ def test_charfold_simhash_arrow_matches_expr(spark, sf_dir, edge):
         assert bad == 0
 
 
+def test_token_poly_bucket_counts_matches_expr(spark, sf_dir, edge):
+    from etl_data_processor_spark.ops.text import (
+        char_poly_hash,
+        token_poly_bucket_counts,
+    )
+
+    mod = 64
+    for df in (edge, _docs(spark, sf_dir)):
+        toks = df.select(
+            "doc_id", F.explode(T.tokenize(F.col("text"))).alias("token")
+        )
+        bucket = F.pmod(char_poly_hash(F.col("token")), F.lit(mod))
+        old = toks.select("doc_id", bucket.alias("bucket")).groupBy(
+            "doc_id", "bucket"
+        ).agg(F.count(F.lit(1)).alias("c"))
+        new = token_poly_bucket_counts(df, mod, "doc_id", "long").groupBy(
+            "doc_id", "bucket"
+        ).agg(F.sum("c").alias("c"))
+        assert old.exceptAll(new).count() == 0
+        assert new.exceptAll(old).count() == 0
+        # keyless shape == keyed totals
+        old_tot = old.groupBy("bucket").agg(F.sum("c").alias("c"))
+        new_tot = token_poly_bucket_counts(df, mod).groupBy("bucket").agg(
+            F.sum("c").alias("c")
+        )
+        assert old_tot.exceptAll(new_tot).count() == 0
+        assert new_tot.exceptAll(old_tot).count() == 0
+
+
 def _gram_rows_expr(df, n):
     """The replaced JVM construction: per-doc gram explode (all
     occurrences) with the oracle's i + n - 1 <= len(w) guard."""
