@@ -1553,6 +1553,105 @@ def decontaminate(
     return train.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def _positional_gram_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, pos, g) positional k-gram 64-bit hashes for
+    :func:`shared_ngram_runs`, one vectorized numpy pass per Arrow batch
+    (r11, guide §4.2 + §2.3). The replaced JVM chain built every gram
+    STRING (interpreted transform + array_join over slices) and then
+    xxhash64-ed it; here token hashes are a batched byte-polynomial and
+    each gram hash is the base-power combination of its k token hashes
+    (uint64 wrap arithmetic) — gram strings never materialize.
+
+    Semantics: tokens are ``text.split(" ")`` (the operator's exact
+    split — single space, empties kept); space-free tokens make
+    ``" ".join`` injective, so gram-hash equality == gram-string
+    equality modulo a 2^-64 collision — the same collision class as the
+    xxhash64(gram) join key this replaces (the ngram_jaccard hashed-key
+    discipline, VERDICT r10 item 4); the equi-join's output is oracled
+    value-identical at all 3 SFs. Docs with < k tokens emit nothing
+    (the operator's filter). ``pos`` is 1-based."""
+    import numpy as np
+    import pyarrow as pa
+
+    B_TOK = np.uint64(1000003)
+    B_GRAM = np.uint64(0x9E3779B97F4A7C15)
+    ddl = f"{id_col} long, pos int, g long"
+    schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+            pa.field("pos", pa.int32()),
+            pa.field("g", pa.int64()),
+        ]
+    )
+    gpow = np.empty(k, dtype=np.uint64)
+    gpow[k - 1] = 1
+    for j in range(k - 2, -1, -1):
+        gpow[j] = gpow[j + 1] * B_GRAM
+
+    def emit(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            txts = batch.column(text_col).to_pylist()
+            out_id: list = []
+            out_pos: list = []
+            out_g: list = []
+            toks_per_doc = [
+                (t or "").split(" ") if t is not None else [] for t in txts
+            ]
+            all_toks = [t for w in toks_per_doc for t in w]
+            # batched token hashes: byte polynomial in uint64
+            th = np.zeros(len(all_toks), dtype=np.uint64)
+            if all_toks:
+                lens = np.array([len(t) for t in all_toks], dtype=np.int64)
+                buf = np.frombuffer(
+                    "".join(all_toks).encode("utf-8"), dtype=np.uint8
+                ).astype(np.uint64)
+                if len(buf) != int(lens.sum()):  # non-ASCII: re-measure lens
+                    blens = np.array(
+                        [len(t.encode("utf-8")) for t in all_toks],
+                        dtype=np.int64,
+                    )
+                    lens = blens
+                ends = np.cumsum(lens)
+                starts = ends - lens
+                maxlen = int(lens.max()) if len(lens) else 1
+                powtab = np.empty(max(maxlen, 1), dtype=np.uint64)
+                powtab[0] = 1
+                for i in range(1, maxlen):
+                    powtab[i] = powtab[i - 1] * B_TOK
+                tok_idx = np.repeat(
+                    np.arange(len(all_toks), dtype=np.int64), lens
+                )
+                e = ends[tok_idx] - 1 - np.arange(len(buf), dtype=np.int64)
+                contrib = buf * powtab[e]
+                ne = lens > 0
+                if ne.any():
+                    sums = np.zeros(len(all_toks), dtype=np.uint64)
+                    sums[ne] = np.add.reduceat(contrib, starts[ne])
+                    th = sums + np.uint64(1)  # +1: empty token hash != 0
+                else:
+                    th = np.full(len(all_toks), np.uint64(1))
+            off = 0
+            for did, w in zip(ids, toks_per_doc):
+                n = len(w)
+                if n >= k:
+                    dth = th[off:off + n]
+                    H = np.zeros(n - k + 1, dtype=np.uint64)
+                    for j in range(k):
+                        H += dth[j:j + n - k + 1] * gpow[j]
+                    out_id.extend([did] * len(H))
+                    out_pos.extend(range(1, len(H) + 1))
+                    out_g.extend(H.view(np.int64).tolist())
+                off += n
+            yield pa.RecordBatch.from_pydict(
+                {id_col: out_id, "pos": out_pos, "g": out_g}, schema=schema
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(emit, ddl)
+
+
 def shared_ngram_runs(
     docs: DataFrame,
     k: int = 8,
@@ -1574,21 +1673,16 @@ def shared_ngram_runs(
     consecutive diagonal matches, so max_run = longest island + k - 1.
     No suffix arrays, no per-doc state; the shingle frame is persisted
     (both self-join sides consume it) and the docs repartition to full
-    parallelism before the CPU-heavy gram expression."""
+    parallelism before the CPU-heavy gram expression.
+
+    r11 (guide §4.2): the positional gram hashes come from ONE
+    vectorized Arrow pass (:func:`_positional_gram_hashes` — rolling
+    base-power combination of batched token byte-hashes; gram strings
+    never materialize). Same 64-bit-hash join-key semantics as the
+    xxhash64(gram) it replaces; output oracled value-identical at 3
+    SFs."""
     d = _parallelize(docs.select(id_col, text_col))
-    w = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (k - 1)),
-        lambda i: F.array_join(F.slice(w, i, k), " "),
-    )
-    sh = (
-        d.filter(F.size(w) >= k)
-        .select(id_col, F.posexplode(grams).alias("p", "g"))
-        .select(
-            id_col, (F.col("p") + 1).alias("pos"), F.xxhash64("g").alias("g")
-        )
-        .cache()
-    )
+    sh = _positional_gram_hashes(d, id_col, text_col, k).cache()
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("pos").alias("pa"), "g"
     )

@@ -1382,8 +1382,8 @@ def pair_clip_gram_counts(
 def doc_grams_arrow(
     docs: DataFrame,
     orders: tuple,
-    key_col: str,
-    key_ddl: str,
+    key_col: str | None,
+    key_ddl: str = "long",
     text_col: str = "text",
     shape: str = "doc_distinct",
 ) -> DataFrame:
@@ -1426,6 +1426,38 @@ def doc_grams_arrow(
     from collections import Counter
 
     import pyarrow as pa
+
+    if shape == "batch_counts" and key_col is None:
+        # keyless variant: corpus-global gram-occurrence counts per batch
+        ddl = "n int, g string, c long"
+        schema = pa.schema(
+            [
+                pa.field("n", pa.int32()),
+                pa.field("g", pa.string()),
+                pa.field("c", pa.int64()),
+            ]
+        )
+
+        def emit_k0(batches):
+            for batch in batches:
+                txts = batch.column(text_col).to_pylist()
+                cnt: Counter = Counter()
+                for t in txts:
+                    w = (t or "").split()
+                    top = len(w) + 1
+                    for n in orders:
+                        for i in range(top - n):
+                            cnt[(n, " ".join(w[i:i + n]))] += 1
+                ns, gs, cs = [], [], []
+                for (n, g), c in cnt.items():
+                    ns.append(n)
+                    gs.append(g)
+                    cs.append(c)
+                yield pa.RecordBatch.from_pydict(
+                    {"n": ns, "g": gs, "c": cs}, schema=schema
+                )
+
+        return docs.select(text_col).mapInArrow(emit_k0, ddl)
 
     if shape == "batch_counts":
         ddl = f"{key_col} {key_ddl}, n int, g string, c long"

@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops import similarity as SIM
-from etl_data_processor_spark.ops.text import tokenize
 from etl_data_processor_spark.registry import cat as _cat
 from etl_data_processor_spark.registry import q
 
@@ -76,31 +75,34 @@ def q_collocations_pmi(spark, sf_dir):
     vocabulary-sized aggregate; marginals re-aggregate the BIGRAM table
     (never the corpus); top-k is vocabulary-sized."""
     from etl_data_processor_spark.ops.dedup import _parallelize, cache_skinny
+    from etl_data_processor_spark.ops.text import doc_grams_arrow
 
-    # width guard: the bigram explode is the CPU-heavy stage and a
+    # width guard: the bigram pass is the CPU-heavy stage and a
     # small single-file scan arrives as one partition (stress: 3.6 s
     # max task at sf1); a no-op on wide scans at 100 TB
     raw_scan = _cat(spark, sf_dir).documents.select("text")
     d = _parallelize(raw_scan)
-    w = tokenize(F.col("text"))
-    n = F.size(w)
-    bigrams = F.zip_with(
-        F.slice(w, 1, n - 1),
-        F.slice(w, 2, n - 1),
-        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
-    )
-    # the bigram table is vocabulary-sized and feeds FOUR consumers
+    # r11 (guide §4.2): bigram construction via the keyless Arrow gram
+    # pass (batch-aggregated "a b" occurrence counts — tokens contain no
+    # whitespace, so substring_index splits the pair back exactly); the
+    # zip_with struct explode + string-pair hash agg it replaces was
+    # this key's dominant stage (6.4 executor-cpu-s at sf0.1).
+    # The bigram table is vocabulary-sized and feeds FOUR consumers
     # (totals, both marginals, the scored join): cache it so the corpus
-    # explode runs exactly once (plan-pinned). Width is adaptive
+    # pass runs exactly once (plan-pinned). Width is adaptive
     # (cache_skinny, VERDICT r6 item 3): down to 8 at test scale —
     # caching at the agg shuffle's width pins near-empty partitions past
     # AQE for all four consumers (the hybrid-RRF lesson) — and untouched
     # at 100 TB, where the bigram table's growth is unbounded
     bg = cache_skinny(
-        d.select(F.explode(bigrams).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("c")),
+        doc_grams_arrow(d, (2,), None, shape="batch_counts")
+        .groupBy("g")
+        .agg(F.sum("c").alias("c"))
+        .select(
+            F.substring_index(F.col("g"), " ", 1).alias("a"),
+            F.substring_index(F.col("g"), " ", -1).alias("b"),
+            "c",
+        ),
         raw_scan,
     )
     tot = bg.agg(F.sum("c").alias("n"))

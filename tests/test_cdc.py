@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.io import Catalog
@@ -28,6 +30,7 @@ def _changes(spark):
     )
 
 
+@pytest.mark.slow
 def test_apply_changes_semantics(spark):
     got = {
         r["k"]: (r["name"], r["bal"])

@@ -4,6 +4,8 @@ reassembly, idempotence, and bin-budget invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.io import Catalog
@@ -110,6 +112,7 @@ _ASCII = st.text(
 
 @settings(max_examples=15, deadline=None)
 @given(st.lists(_ASCII, min_size=1, max_size=30))
+@pytest.mark.slow
 def test_chunk_roundtrip_random_texts(spark, texts):
     """Chunk reassembly (drop overlap, concat) reconstructs ANY text —
     random lengths 0..1500 across the window/stride boundaries."""
@@ -128,6 +131,7 @@ def test_chunk_roundtrip_random_texts(spark, texts):
 
 @settings(max_examples=15, deadline=None)
 @given(st.lists(_ASCII, min_size=1, max_size=30))
+@pytest.mark.slow
 def test_scrub_pii_idempotent_random_texts(spark, texts):
     """scrub(scrub(x)) == scrub(x) for arbitrary text — the placeholders
     must never re-trigger any pattern."""

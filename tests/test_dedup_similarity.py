@@ -3,6 +3,8 @@ the approximate paths that can't be oracle-checked (LSH recall, SimHash)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark.ops import dedup as D
@@ -22,6 +24,7 @@ def test_minhash_catches_planted_near_dups(spark):
     assert pairs[0].jaccard > 0.5
 
 
+@pytest.mark.slow
 def test_minhash_recall_equals_exact_on_fixture(spark, sf_dir):
     """LSH-verified pairs must equal the exact blocked-free all-pairs result
     at the fixture scale (recall 1 on planted >=0.9-Jaccard dups)."""
@@ -293,6 +296,7 @@ def test_pq_codebooks_deterministic_under_repartition(spark, sf_dir):
     assert b1 == b2
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_vs_exact(spark, sf_dir):
     """IVF x PQ composition: list pruning (8/16 probed) + ADC shortlist +
     exact re-rank must keep recall@10 >= 0.8 vs brute-force cosine; with

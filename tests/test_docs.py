@@ -5,6 +5,8 @@ key named in docs but absent from code is vaporware)."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import re
 
@@ -40,6 +42,7 @@ def test_oracle_rows_only_set_is_documented():
         )
 
 
+@pytest.mark.slow
 def test_every_registry_query_analyzes(spark, sf_dir):
     """Catalyst must ANALYZE every declared query (schema resolution, no
     execution) — catches broken column refs / type errors across the

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -62,6 +64,7 @@ def test_batch_enrich_error_isolation_and_defaults(spark):
     assert by_text == {"aaa bbb": ("aaa bbb", ""), "ccc ddd": ("ccc ddd", "")}
 
 
+@pytest.mark.slow
 def test_batch_enrich_chunking(spark):
     """Chunk size bounds each client call (A14, chunk loop main.py:188-193)."""
     seen = []

@@ -81,6 +81,7 @@ def test_cc_long_chain_converges(spark):
     assert got == {i: 0 for i in range(64)}
 
 
+@pytest.mark.slow
 def test_cc_paths_agree_on_random_graphs(spark):
     """The single-task union-find and the distributed star rounds are two
     physical strategies for ONE logical operator: exact agreement on random

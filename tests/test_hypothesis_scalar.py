@@ -5,6 +5,8 @@ checks all examples (per-example Spark jobs would be unusably slow)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 
@@ -29,6 +31,7 @@ def py_classify(text: str) -> str | None:
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(TEXT, min_size=1, max_size=60))
+@pytest.mark.slow
 def test_classify_matches_python(spark, texts):
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
     got = {
@@ -43,6 +46,7 @@ def test_classify_matches_python(spark, texts):
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50))
+@pytest.mark.slow
 def test_ceil_div_matches_python(spark, ns):
     df = spark.createDataFrame([(i, n) for i, n in enumerate(ns)], "i long, n long")
     got = {r.i: r.p for r in df.select("i", S.ceil_div(F.col("n"), 25).alias("p")).collect()}
@@ -62,6 +66,7 @@ def test_ceil_div_matches_python(spark, ns):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_danish_date_normalization_matches_python(spark, dates):
     rows = [
         (i, f"Godkendt den {d}. {m} {y}") for i, (d, m, y) in enumerate(dates)
@@ -95,6 +100,7 @@ def py_resize(b: bytes, n_out: int) -> bytes:
     st.integers(min_value=1, max_value=5),
     st.integers(min_value=1, max_value=32),
 )
+@pytest.mark.slow
 def test_sample_frames_matches_python(spark, blobs, every_k, frame_size):
     from etl_data_processor_spark.ops import multimodal as MM
 
@@ -122,6 +128,7 @@ def test_sample_frames_matches_python(spark, blobs, every_k, frame_size):
     st.integers(min_value=1, max_value=12),
     st.integers(min_value=1, max_value=12),
 )
+@pytest.mark.slow
 def test_resize_matches_python(spark, blobs, w, h):
     from etl_data_processor_spark.ops import multimodal as MM
 

@@ -3,6 +3,8 @@ bucket (A19)."""
 
 from __future__ import annotations
 
+import pytest
+
 import csv
 import glob
 import time
@@ -31,6 +33,7 @@ def test_token_bucket_enforces_rate():
     assert elapsed >= 0.08
 
 
+@pytest.mark.slow
 def test_cli_medicines_and_list(spark, tmp_path, capsys):
     from etl_data_processor_spark.__main__ import main
 

@@ -166,6 +166,11 @@ def _window_specs(plan: str):
             yield tuple(parts)
 
 
+# The registry_plans fixture alone takes ~50 s (it analyzes every
+# registered query): builder tier only (VERDICT r10 item 6).
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def registry_plans(spark, sf_dir):
     """One simple-mode plan string per registered query — shared by both

@@ -271,6 +271,7 @@ def test_incremental_pq_code_table(spark, tmp_path):
     assert got == want and len(got) == 100
 
 
+@pytest.mark.slow
 def test_incremental_phash_signature_table(spark, tmp_path):
     """Same contract for the pHash (aHash64) image-signature table: the
     appended frames are the only ones re-decoded; the union equals a
@@ -352,6 +353,7 @@ def _mini_docs(spark, tmp_path, rows):
     return sf
 
 
+@pytest.mark.slow
 def test_psi_zero_for_identical_distributions(spark, tmp_path):
     """Two sources with identical text multisets have identical quality
     histograms -> PSI exactly 0 (smoothing cancels term by term); a
@@ -380,6 +382,7 @@ def test_psi_zero_for_identical_distributions(spark, tmp_path):
     assert got["c_shifted"] > 0.25
 
 
+@pytest.mark.slow
 def test_adaptive_length_gate_hand_checked(spark, tmp_path):
     """20 docs with lengths 1..20: nearest-rank p05 = value at rank
     ceil(1) = 1, p95 = value at rank ceil(19) = 19 -> exactly the

@@ -10,6 +10,8 @@ differential in the sweep (sf0.01 + sf0.1, run this round).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 import random
@@ -35,6 +37,7 @@ def _mini_docs(spark, tmp_path, rows):
 # --- n-gram contamination ---------------------------------------------------
 
 
+@pytest.mark.slow
 def test_contamination_hand_checked(spark, tmp_path):
     """Constructed corpus with known trigram overlap: a doc sharing 1 of
     its 2 distinct trigrams with the benchmark scores 0.5 (contaminated
@@ -60,6 +63,7 @@ def test_contamination_hand_checked(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_contamination_random_differential(spark, tmp_path):
     """Random tiny-alphabet corpus vs an independent pure-Python overlap
     count — heavy gram collisions across the benchmark boundary."""
@@ -117,6 +121,7 @@ def _py_ks(ref_lengths, src_lengths):
     return math.floor(ks * 1e6 + 0.5) / 1e6, 1 if ks > crit else 0
 
 
+@pytest.mark.slow
 def test_ks_drift_hand_checked(spark, tmp_path):
     """A source with the identical length multiset scores exactly 0 (not
     drifted); a fully separated one scores exactly 1 (drifted: the
@@ -138,6 +143,7 @@ def test_ks_drift_hand_checked(spark, tmp_path):
     assert got == {"same": (4, 0.0, 0), "far": (4, 1.0, 1)}
 
 
+@pytest.mark.slow
 def test_ks_drift_random_differential(spark, tmp_path):
     """Random integer lengths with heavy ties vs the pure-Python exact
     KS — the cross-multiplied integer form must agree to the bit."""

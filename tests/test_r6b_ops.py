@@ -241,6 +241,7 @@ def _py_fs_em(patterns, iters=2):
     return lam, m, u, estep()
 
 
+@pytest.mark.slow
 def test_fs_em_random_differential(spark):
     """The in-engine EM (DataFrame ops) equals the pure-Python quantized
     EM on random pattern tables — including posteriors and weights."""

@@ -9,6 +9,8 @@ this round, incl. the bit-exact unrolled-GD parity).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 import random
@@ -69,6 +71,7 @@ def _poly31(s):
     return h
 
 
+@pytest.mark.slow
 def test_dsir_random_differential(spark, tmp_path):
     """Random tiny-vocab corpus vs a pure-Python DSIR: identical hashed
     buckets, smoothed distributions, quantized per-token log ratios,
@@ -127,6 +130,7 @@ def test_dsir_random_differential(spark, tmp_path):
 # --- CCNet perplexity buckets --------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ccnet_ppl_hand_checked(spark, tmp_path):
     """Reference 'a b a b': V=2, bigrams {a b: 2, b a: 1}; a doc made of
     in-LM bigrams scores lower NLL than an all-OOV doc, and the bucket

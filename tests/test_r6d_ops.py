@@ -8,6 +8,8 @@ differential (green at sf0.01 + sf0.1 this round).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 
@@ -131,6 +133,7 @@ def test_prf_expansion_properties(spark, sf_dir):
         )
 
 
+@pytest.mark.slow
 def test_prf_expansion_recovers_synonym_doc(spark, tmp_path):
     """Constructed corpus where PRF provably helps: the query shares no
     terms with the target doc, but feedback docs bridge the vocabulary —

@@ -6,6 +6,8 @@ differential (green at sf0.01 + sf0.1 this round).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 from collections import Counter
@@ -30,6 +32,7 @@ def _mini_docs(spark, tmp_path, rows):
 # --- PMI collocations ----------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pmi_hand_checked(spark, tmp_path, monkeypatch):
     """A bigram that always co-occurs scores the maximal PMI; a pair of
     independent frequent tokens scores ~0; values recompute exactly."""
@@ -76,6 +79,7 @@ def test_pmi_hand_checked(spark, tmp_path, monkeypatch):
 # --- power iteration -------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_power_iteration_matches_numpy_direction(spark, tmp_path):
     """On a planted-spike matrix (dominant direction + small noise) two
     power steps recover numpy's top eigenvector of X^T X to

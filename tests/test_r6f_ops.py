@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 
@@ -12,6 +14,7 @@ import __spark_entry__ as entry_mod
 QUERIES = entry_mod.queries()
 
 
+@pytest.mark.slow
 def test_centroid_outliers_planted(spark, tmp_path):
     """Planted fixture: one source whose vectors cluster tightly around
     +u except a single flipped vector — the flipped one must be the

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 
@@ -22,6 +24,7 @@ def _mini_docs(spark, tmp_path, rows):
     return sf
 
 
+@pytest.mark.slow
 def test_novelty_hand_checked(spark, tmp_path):
     """First doc is 100% novel; an exact copy later is 0% novel; a
     partial overlap scores the exact fraction; repeats inside a doc

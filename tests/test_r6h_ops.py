@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import __spark_entry__ as entry_mod
@@ -110,6 +112,7 @@ def test_dup_source_matrix_consistency(spark, sf_dir):
         assert 0.8 <= r["avg_jaccard6"] <= 1.0 + 1e-9
 
 
+@pytest.mark.slow
 def test_dup_source_matrix_planted(spark, tmp_path):
     """Planted cross-source copies land in the right cell with the
     right count."""

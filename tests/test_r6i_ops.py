@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import os
 from collections import Counter
@@ -23,6 +25,7 @@ def _mini_docs(spark, tmp_path, rows):
     return sf
 
 
+@pytest.mark.slow
 def test_entropy_hand_checked(spark, tmp_path):
     """'aaaa' has entropy exactly 0 (gibberish); a uniform 4-char doc
     scores exactly 2 bits (the threshold boundary: 2.0 < 2.0 is false,

@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entry_mod
 from pyspark.sql import functions as F
 
 QUERIES = entry_mod.queries()
 
 
+@pytest.mark.slow
 def test_selection_pipeline_stage_consistency(spark, sf_dir):
     """The capstone's output is consistent with its standalone stages:
     every selected doc passes the entropy gate, is its own exact-dedup

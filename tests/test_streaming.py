@@ -78,6 +78,7 @@ def test_stream_tumbling_equals_batch(spark, events_stream_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """B38: a row arriving behind the watermark is dropped from the agg."""
     src = tmp_path / "wm_src"
@@ -129,6 +130,7 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert ("2024-01-01T11:00:00", 3) in got
 
 
+@pytest.mark.slow
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """B39: dropDuplicatesWithinWatermark keeps one row per key."""
     src = tmp_path / "dd_src"
@@ -205,6 +207,7 @@ def test_session_window_batch_matches_islands(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_custom_stateful_running_totals(spark, tmp_path):
     """North star: applyInPandasWithState carries per-key state across
     micro-batches (running totals update, not restart, in batch 2)."""
@@ -243,6 +246,7 @@ def test_custom_stateful_running_totals(spark, tmp_path):
     assert (1, 3, 6.0) in emitted  # state carried across batches
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, tmp_path):
     """B10 (streaming): watermarked stream-stream interval join — each
     purchase joins clicks of the same user within the preceding 10 minutes."""
@@ -401,6 +405,7 @@ def test_idempotent_sink_survives_batch_replay(spark, events_stream_dir, tmp_pat
     assert spark.read.parquet(out).count() == n_once
 
 
+@pytest.mark.slow
 def test_paged_source_streams_with_offset_resume(spark, tmp_path):
     """A1/A2 streaming shape: the paged source as a streaming Python Data
     Source. Each availableNow run drains one micro-batch of pages and
@@ -443,6 +448,7 @@ def test_paged_source_streams_with_offset_resume(spark, tmp_path):
     assert {r.page: r["count"] for r in pages} == {1: 25, 2: 25, 3: 25, 4: 25, 5: 20}
 
 
+@pytest.mark.slow
 def test_streaming_cdc_upsert_snapshot(spark, tmp_path):
     """Streaming MERGE: a U/I/D change feed maintains a parquet snapshot via
     foreachBatch; replaying any batch (at-least-once semantics) leaves the
@@ -596,6 +602,7 @@ def test_stream_static_broadcast_enrichment(spark, events_stream_dir, sf_dir):
     assert got == want and len(got) >= 2
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
     """Stream-stream interval join (impressions->purchases attribution):
     the streamed result must equal the equivalent batch interval join —
@@ -693,6 +700,7 @@ def test_stream_static_broadcast_enrichment_per_event(spark, events_stream_dir, 
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_emits_absences(spark, events_stream_dir):
     """LEFT OUTER stream-stream interval join: matched pairs equal the
     batch inner join, and null-matched rows (absence alerts) only ever

@@ -8,6 +8,8 @@ table must equal the batch pipeline over the distinct input set."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_data_processor_spark import tableformat as TF
@@ -23,6 +25,7 @@ DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long
 BENCH_SRCS = ["src0", "src1", "src2", "src3"]
 
 
+@pytest.mark.slow
 def test_streaming_curation_matches_batch(spark, sf_dir, tmp_path):
     docs = Catalog(spark, sf_dir).documents
     train = docs.filter(~F.col("source").isin(BENCH_SRCS))

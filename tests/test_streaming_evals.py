@@ -7,6 +7,8 @@ q_heaps_fit's exact integer-moment OLS)."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 from collections import Counter
 
@@ -59,6 +61,7 @@ def _r6(x):
     return math.floor(x * 1e6 + 0.5) / 1e6
 
 
+@pytest.mark.slow
 def test_streaming_chrf_matches_python_replay_per_file(
     spark, sf_dir, tmp_path
 ):
@@ -158,6 +161,7 @@ def test_streaming_rouge_matches_python_replay_per_file(
             assert r["rouge2_6"] == _r6(byn[2][0] / byn[2][1])
 
 
+@pytest.mark.slow
 def test_streaming_heaps_matches_stream_order_replay(spark, sf_dir, tmp_path):
     vocab = str(tmp_path / "heaps-vocab")
     out = str(tmp_path / "heaps")

@@ -8,6 +8,8 @@ row for row."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
@@ -22,6 +24,7 @@ from etl_data_processor_spark.streaming.windows import streaming_dedup
 DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
+@pytest.mark.slow
 def test_streaming_selection_matches_batch(spark, sf_dir, tmp_path):
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", "source", "text", "n_chars"
@@ -78,6 +81,7 @@ def test_streaming_selection_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_multi_epoch_refreeze_boundary_semantics(spark, sf_dir, tmp_path):
     """Round-7 follow-up (builder candidate #3): TWO epochs with a model
     re-freeze at the boundary. The contract under test:

@@ -616,6 +616,7 @@ def test_positional_and_equality_deletes_compose(spark, tmp_path):
     assert len(data) == 1
 
 
+@pytest.mark.slow
 def test_zorder_compact_enables_two_key_pruning(spark, tmp_path):
     """OPTIMIZE ZORDER BY: interleaved appends span the full (x, y) range,
     so range reads open every group; after z-order compaction into 4
@@ -684,6 +685,7 @@ def test_compact_small_binpacks_only_small_groups(spark, tmp_path):
     assert TF.compact_small(spark, t, small_bytes=1024) is None
 
 
+@pytest.mark.slow
 def test_bloom_point_lookup_prunes_interleaved_groups(spark, tmp_path):
     """Four appends with fully-overlapping min/max (ids interleaved mod 4)
     defeat range stats; the per-group bloom filter still prunes a point
